@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks — Spark-native version of the reference's
+  * `run_data_quality_checks` (`pipeline/data_pipeline.py:91-124`):
+  * empty-input (`:94-96`), required columns (`:97-103`), NULL keys
+  * (`:105-107`), duplicate keys (`:109-116`), low volume (`:119-120`).
+  *
+  * All data-dependent checks collapse into ONE aggregate job (single scan,
+  * partial+final hash aggregation — no per-check passes like the
+  * reference's pandas), then fan out to one row per check.
+  *
+  * Scale: one scan + one exchange regardless of table size;
+  * `count(DISTINCT struct(keys))` uses Spark's expand+two-phase plan. For
+  * 100 TB you'd swap in `approx_count_distinct` for the duplicate check —
+  * kept exact here because the oracle compares values.
+  */
+object Quality {
+
+  /** Declared contract (the reference's required-columns map + natural key,
+    * `data_pipeline.py:97-100,109-112`).
+    */
+  final case class DqContract(requiredCols: Seq[String], keys: Seq[String],
+                              minRows: Long = 5) // threshold: data_pipeline.py:119
+
+  /** One row per check: (check_name, metric, passed). */
+  def dqReport(df: DataFrame, contract: DqContract): DataFrame = {
+    val missing = contract.requiredCols.filterNot(df.columns.contains)
+    val keyIsNull = contract.keys
+      .map(k => col(k).isNull)
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+    val stats = df.agg(
+      count(lit(1)).as("cnt"),
+      sum(when(keyIsNull, 1L).otherwise(0L)).as("null_keys"),
+      count_distinct(struct(contract.keys.map(col): _*)).as("distinct_keys"))
+
+    val cnt = coalesce(col("cnt"), lit(0L))
+    val nulls = coalesce(col("null_keys"), lit(0L))
+    val dups = cnt - coalesce(col("distinct_keys"), lit(0L))
+
+    stats.select(explode(array(
+      struct(lit("empty_input").as("check_name"), cnt.as("metric"),
+             (cnt > 0).as("passed")),
+      struct(lit("required_columns").as("check_name"),
+             lit(missing.size.toLong).as("metric"),
+             lit(missing.isEmpty).as("passed")),
+      struct(lit("null_keys").as("check_name"), nulls.as("metric"),
+             (nulls === 0).as("passed")),
+      struct(lit("duplicate_keys").as("check_name"), dups.as("metric"),
+             (dups === 0).as("passed")),
+      struct(lit("low_volume").as("check_name"), cnt.as("metric"),
+             (cnt >= contract.minRows).as("passed"))
+    )).as("check")).select("check.*")
+  }
+}

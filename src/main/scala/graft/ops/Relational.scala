@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics surface (SURVEY §2.5-2.7 + [EXT] E6). The
+  * reference's only aggregate is `len(df)` for the audit trail
+  * (`pipeline/data_pipeline.py:227,260`) — BigQuery was its analytics
+  * engine. Here the aggregations are first-class.
+  *
+  * Determinism note (oracle parity): money sums are computed over
+  * `DECIMAL` casts, never raw doubles — double summation order varies
+  * with partitioning (and differs from DuckDB), decimal sums are exact
+  * and engine-independent. Averages are derived as
+  * `CAST(decimal_sum AS DOUBLE) / count` so both engines perform one
+  * identical IEEE division.
+  */
+object Relational {
+
+  /** Audit record-count op (`data_pipeline.py:219-242`): one row per
+    * table, `(table_name, record_count)`.
+    */
+  def aggCounts(dfs: Seq[(String, DataFrame)]): DataFrame =
+    dfs.map { case (name, df) =>
+      df.agg(count(lit(1)).as("record_count")).select(
+        lit(name).as("table_name"), col("record_count"))
+    }.reduce(_.unionByName(_))
+
+  /** TPC-H Q1-shaped pricing rollup over lineitem: partial + final hash
+    * aggregation, one shuffle on two low-cardinality keys.
+    */
+  def pricingRollup(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 2)
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 10))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price",
+        col("sum_base_price").cast("double") / col("count_order"))
+  }
+
+  /** Top-k per group via ranking window: top `k` orders by price within
+    * each priority class. Deterministic tiebreak on the key.
+    */
+  def topKPerGroup(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Star-schema join + rollup: revenue per nation. Dimension sides
+    * (nation, region) are explicitly broadcast — no shuffle for the
+    * dimension joins even at 100 TB fact scale; only the customer⋈orders
+    * equi-join shuffles (AQE picks broadcast there too when customer
+    * fits).
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.customer(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    val n = graft.Tables.nation(spark, dir)
+    val r = graft.Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+}
