@@ -130,7 +130,60 @@ object SparkEntry {
       Relational.topKPerGroup(Tables.orders(s, dir), 10)),
 
     // E6: star-schema join + rollup with broadcast dimensions
-    "join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir))
+    "join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+
+    // ---- [EXT] text analysis (SURVEY §2.8 E3) -------------------------
+
+    "text_stats" -> ((s, dir) =>
+      Text.textStats(Tables.documents(s, dir))),
+
+    "token_count" -> ((s, dir) =>
+      Text.tokenCount(Tables.documents(s, dir))),
+
+    "quality_score" -> ((s, dir) =>
+      Text.qualityScore(Tables.documents(s, dir))),
+
+    "lang_id" -> ((s, dir) =>
+      Text.langId(Tables.documents(s, dir))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      Text.docFingerprint(Tables.documents(s, dir))),
+
+    // ---- [EXT] dedup (SURVEY §2.8 E1/E4) ------------------------------
+
+    // E4: exact content-hash dedup; input doubled to simulate re-ingest
+    "dedup_content_hash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextDedup.contentHashDedup(
+        d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000)))
+    }),
+
+    // E1: exact shingle-Jaccard near-dup (df-capped candidates + verify)
+    "near_dedup" -> ((s, dir) =>
+      TextDedup.nearDupJaccard(Tables.documents(s, dir))),
+
+    // E1: MinHash+LSH candidates + exact verify (the sub-quadratic path);
+    // oracle = ground-truth pairs, i.e. asserts perfect recall on testdata
+    "minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(Tables.documents(s, dir))),
+
+    // E1: SimHash fingerprints (no SQL oracle — rows-only check)
+    "simhash" -> ((s, dir) =>
+      TextDedup.simHash(Tables.documents(s, dir))),
+
+    // ---- [EXT] similarity search (SURVEY §2.8 E2) ---------------------
+
+    // exact brute-force cosine top-k, broadcast probe set
+    "similarity_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 32), 5)
+    }),
+
+    // IVF-pruned approximate top-k (the scale path)
+    "embedding_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), 5)
+    })
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------
@@ -251,6 +304,114 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name"""
+         GROUP BY r_name, n_name""",
+
+    "text_stats" ->
+      """SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr
+         FROM documents""",
+
+    "token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang""",
+
+    "quality_score" ->
+      """SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, ttr, stop_ratio,
+           0.5 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+             + 0.3 * ttr + 0.2 * (1.0 - stop_ratio) AS score
+         FROM (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+               FROM documents)""",
+
+    "lang_id" ->
+      """SELECT doc_id, lang,
+           CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es THEN 'de'
+                WHEN s_en > 0 AND s_en >= s_es THEN 'en'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id, lang,
+                 len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS s_en,
+                 len(list_filter(string_split(text, ' '), w -> w IN ('la', 'el'))) AS s_es,
+                 len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die'))) AS s_de
+               FROM documents)""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+             (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
+         FROM documents""",
+
+    "dedup_content_hash" ->
+      """WITH inp AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 10000, text FROM documents)
+         SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+                count(*) AS n_copies
+         FROM inp GROUP BY sha256(text)""",
+
+    "near_dedup" -> nearDupOracle,
+
+    // LSH must achieve perfect recall on the injected >=0.9-Jaccard dups:
+    // same ground-truth oracle as near_dedup.
+    "minhash_lsh" -> nearDupOracle,
+
+    "similarity_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                list_cosine_similarity(q.v, c.v) AS sim,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 32
+         QUALIFY rank <= 5""",
+
+    "embedding_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, v AS g FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT e.vec_id AS neighbor_id, e.v AS c, cent_id FROM e CROSS JOIN cent
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 1),
+         probed AS (
+           SELECT e.vec_id AS q_id, e.v AS q, cent_id FROM e CROSS JOIN cent
+           WHERE e.vec_id < 32
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 4)
+         SELECT q_id, neighbor_id, sim, rank FROM (
+           SELECT q_id, neighbor_id, list_cosine_similarity(q, c) AS sim,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY list_cosine_similarity(q, c) DESC, neighbor_id ASC) AS rank
+           FROM probed JOIN assigned USING (cent_id)
+           WHERE q_id <> neighbor_id)
+         WHERE rank <= 5"""
   )
+
+  /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle
+    * Jaccard >= 0.5 (3-word shingles).
+    */
+  private val nearDupOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+              FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT a AS doc_a, b AS doc_b,
+              CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"""
 }

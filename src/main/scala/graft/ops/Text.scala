@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2.8
+  * [EXT]): per-document statistics, token counting, quality scoring,
+  * heuristic language ID, and rolling-hash fingerprinting.
+  *
+  * All of these are pure projections/aggregations over built-in
+  * higher-order functions (`split`/`transform`/`aggregate`/`filter`) —
+  * fully codegen-friendly, zero UDFs, zero shuffles except the final
+  * rollups. At 100 TB each is a single scan.
+  *
+  * Determinism: token counts are exact integers; ratios are single IEEE
+  * divisions of exact integers, so they hash-match any engine that
+  * evaluates the same expression tree.
+  */
+object Text {
+
+  /** Whitespace tokens. The synthetic corpus is single-space separated;
+    * for real corpora swap in a regex tokenizer here.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Per-document stats: word count, distinct words, chars, type-token
+    * ratio.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      size(array_distinct(words(col("text")))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+    .withColumn("ttr",
+      col("n_distinct").cast("double") / col("n_words"))
+
+  /** Corpus token rollup per language: docs, tokens, chars. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col("text"))).cast("long")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"))
+
+  private val stopwords = Seq("the", "a")
+
+  /** Heuristic quality score: length saturation + lexical diversity +
+    * stopword penalty. Weights are arbitrary but fixed; the point is the
+    * operator shape (single-pass scoring for corpus filtering).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val ttr = size(array_distinct(w)).cast("double") / nWords
+    val stopRatio =
+      size(filter(w, t => t.isin(stopwords.map(lit): _*))).cast("double") / nWords
+    docs.select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        ttr.as("ttr"),
+        stopRatio.as("stop_ratio"))
+      .withColumn("score",
+        lit(0.5) * least(lit(1.0), col("n_words").cast("double") / lit(200.0)) +
+        lit(0.3) * col("ttr") +
+        lit(0.2) * (lit(1.0) - col("stop_ratio")))
+  }
+
+  /** Marker-word language ID. A real pipeline would use char-n-gram
+    * profiles; the operator shape (score-per-language, deterministic
+    * argmax with alphabetic tiebreak, 'und' fallback) is what scales.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def score(markers: Seq[String]): Column =
+      size(filter(words(col("text")), t => t.isin(markers.map(lit): _*)))
+    val sEn = score(Seq("the", "a"))
+    val sEs = score(Seq("la", "el"))
+    val sDe = score(Seq("der", "die"))
+    docs.select(col("doc_id"), col("lang"),
+        sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"))
+      .withColumn("pred_lang",
+        when(col("s_de") > 0 && col("s_de") >= col("s_en") && col("s_de") >= col("s_es"), "de")
+        .when(col("s_en") > 0 && col("s_en") >= col("s_es"), "en")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und"))
+      .drop("s_en", "s_es", "s_de")
+  }
+
+  /** Rolling polynomial fingerprint over word tokens:
+    * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
+    * Order-sensitive (unlike a bag-of-words hash) so reordered documents
+    * fingerprint differently; arithmetic-only so any engine reproduces it.
+    */
+  def docFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(
+        transform(words(col("text")), w => ascii(w) * lit(31L) + length(w)),
+        lit(0L),
+        (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)
+      ).as("fingerprint"))
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training corpora (SURVEY §2.8 [EXT]):
+  * exact content-hash dedup and shingle-Jaccard near-dedup, plus a
+  * MinHash+LSH candidate generator for the 100 TB path.
+  */
+object TextDedup {
+
+  /** Exact dedup by content hash: canonical (min doc_id) row per distinct
+    * text. `sha2` keeps the shuffle key at 64 bytes regardless of document
+    * size — at 100 TB you shuffle hashes, not documents
+    * (reference analog: D1 keep-first dedup, `data_pipeline.py:84-85`).
+    */
+  def contentHashDedup(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .filter(size(w) >= k)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(w) - lit(k)),
+          i => array_join(slice(w, i + 1, lit(k)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact shingle Jaccard >= `threshold`.
+    *
+    * Scale shape: candidate pairs come from an inverted index
+    * (shingle -> docs) self-join, with shingles appearing in more than
+    * `maxDf` documents dropped from the INDEX ONLY — that caps the
+    * worst-case join fan-out (a shingle in d docs contributes d² pairs).
+    * Each candidate pair is then verified with the EXACT intersection via
+    * `array_intersect` over the full shingle sets, so the df-cap affects
+    * recall only for pairs whose every common shingle is ultra-frequent —
+    * not precision. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                     maxDf: Int = 500): DataFrame = {
+    val sh = shingles(docs, k)
+
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+
+    val candidates = rare.as("x").join(rare.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature matrix + LSH banding candidates — the sub-quadratic
+    * near-dedup path. `numHashes` universal hashes h_i(x) = (a_i·x + b_i)
+    * mod p over a polynomial shingle hash; signatures banded into
+    * `bands` groups whose concatenated values form LSH bucket keys; docs
+    * sharing any bucket are candidates, then verified with exact Jaccard.
+    *
+    * Everything is built-in higher-order functions (one explode + two
+    * shuffles), no UDFs; signatures are 8·numHashes bytes per doc, so the
+    * banding shuffle moves signatures, not text.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val p = 2038074743L // prime > any 32-bit shingle hash
+    // deterministic hash params (fixed seed — resumable/verifiable runs)
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong() % (p - 1)) + 1, math.abs(rnd.nextLong() % p)))
+
+    // polynomial shingle hash -> non-negative int domain
+    val shingleHash = aggregate(
+      transform(split(col("shingle"), " "), w => ascii(w) * lit(31L) + length(w)),
+      lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p))
+
+    val hashed = shingles(docs, k).select(col("doc_id"), shingleHash.as("x"))
+
+    // one-pass signature: min over shingles for each of the numHashes fns
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * lit(a) + lit(b)) % lit(p)).as(s"h$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // banding: bucket key = band index + joined signature slice
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        concat_ws("_", slice: _*).as("key")).as(s"b$b")
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification of candidates (precision = 1.0)
+    val sh = shingles(docs, k)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from per-word polynomial hashes: sum ±1 votes per bit
+    * weighted by term frequency, bit set where the vote is positive.
+    * Hamming-near fingerprints ⇒ near-duplicate texts.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val wordHash: Column => Column = w =>
+      aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(2038074743L))
+    val w = split(col("text"), " ")
+    // votes(b) = count of words with bit b set minus count with bit clear
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(
+        transform(w, t => when(shiftright(wordHash(t), b) % 2 === 1, 1L).otherwise(-1L)),
+        lit(0L), (acc, x) => acc + x)
+      when(vote > 0, lit(1L) * lit(1L << b)).otherwise(0L)
+    }
+    docs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+}
