@@ -183,8 +183,69 @@ object SparkEntry {
     "embedding_ann" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), 5)
-    })
+    }),
+
+    // ---- sources / sinks (SURVEY §2.1) --------------------------------
+
+    // S1: paginated REST source against a file-backed mock endpoint
+    "source_paginated" -> ((s, dir) => {
+      val pages = tmp(dir, "pages")
+      graft.sources.Paginated.writeMockPages(s, dir, pages)
+      graft.sources.Paginated.fetchAll(s, pages)
+    }),
+
+    // S2: raw-zone JSON sink, hive-partitioned by ingest date (round-trip)
+    "sink_raw_partitioned" -> ((s, dir) =>
+      graft.sources.Sinks.rawPartitionedSink(Tables.events(s, dir),
+        tmp(dir, "raw"))),
+
+    // S3: staging overwrite sink, idempotent rerun (round-trip)
+    "sink_staging_overwrite" -> ((s, dir) =>
+      graft.sources.Sinks.stagingOverwrite(Tables.orders(s, dir),
+        tmp(dir, "staging"))),
+
+    // S4: append-only audit sink with ARRAY<STRING> column (round-trip)
+    "sink_audit_append" -> ((s, dir) =>
+      graft.sources.Sinks.auditAppend(s, tmp(dir, "audit"), Seq(
+        ("daily_visits", 367L, "SUCCESS", "2026-01-01 00:00:00",
+          Seq("p1.json", "p2.json")),
+        ("ga_sessions", 2509L, "SUCCESS", "2026-01-01 00:00:00",
+          Seq("p1.json")),
+        ("ga_sessions", 0L, "FAILED: empty_input", "2026-01-01 00:00:00",
+          Seq.empty[String])), fresh = true)),
+
+    // ---- runner / multimodal / streaming ------------------------------
+
+    // §3.1 control flow end-to-end: DQ gate → dedup → merge → audit sink.
+    // Result = the merged snapshot (same semantics as merge_upsert_latest).
+    "pipeline_run" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val target = Dedup.dedupLatest(e.filter(col("event_id") % 2 === 0),
+        eventKeys, col("ts"), Seq(col("event_id")))
+      graft.runner.Pipeline.run(s,
+        source = e.filter(col("event_id") % 2 === 1),
+        target = target,
+        contract = Quality.DqContract(
+          requiredCols = Seq("event_id", "user_id", "event_type"),
+          keys = eventKeys),
+        ts = col("ts"), tiebreak = Seq(col("event_id")),
+        tableName = "events", auditPath = tmp(dir, "pipeline_audit")).merged
+    }),
+
+    // E5: multimodal binary column + partition-wise (stubbed) decode
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Tables.documents(s, dir))),
+
+    // §2.9: tumbling-window streaming counts (MemoryStream-driven)
+    "streaming_window" -> ((s, dir) =>
+      graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir)))
   )
+
+  /** Scratch dir for sink round-trips — inside the repo target dir, keyed
+    * by op + scale factor so runs never collide.
+    */
+  private def tmp(dir: String, name: String): String =
+    s"/root/repo/target/graft-tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
   // ---- oracle SQL (DuckDB) --------------------------------------------
 
@@ -197,7 +258,12 @@ object SparkEntry {
   private val latestWin =
     "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracles ++ extraOracles +
+      // pipeline_run's merged snapshot is semantically merge_upsert_latest
+      ("pipeline_run" -> baseOracles("merge_upsert_latest"))
+
+  private def baseOracles: Map[String, String] = Map(
 
     "flatten_json" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
@@ -397,6 +463,49 @@ object SparkEntry {
            FROM probed JOIN assigned USING (cent_id)
            WHERE q_id <> neighbor_id)
          WHERE rank <= 5"""
+  )
+
+  private val extraOracles: Map[String, String] = Map(
+
+    "source_paginated" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id < 500""",
+
+    "sink_raw_partitioned" ->
+      """SELECT event_id, user_id, event_type, value,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS day
+         FROM events""",
+
+    "sink_staging_overwrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+         FROM orders""",
+
+    "sink_audit_append" ->
+      """SELECT * FROM (VALUES
+           ('daily_visits', CAST(367 AS BIGINT), 'SUCCESS',
+            TIMESTAMP '2026-01-01 00:00:00', ['p1.json', 'p2.json']),
+           ('ga_sessions', CAST(2509 AS BIGINT), 'SUCCESS',
+            TIMESTAMP '2026-01-01 00:00:00', ['p1.json']),
+           ('ga_sessions', CAST(0 AS BIGINT), 'FAILED: empty_input',
+            TIMESTAMP '2026-01-01 00:00:00', CAST([] AS VARCHAR[])))
+         AS t(table_name, record_count, status, load_timestamp, source_files)""",
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS height,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           'stub/raw' AS format
+         FROM documents""",
+
+    "streaming_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

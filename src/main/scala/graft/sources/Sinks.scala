@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (reference S2/S3/S4, `pipeline/data_pipeline.py:45-53,126-152,
+  * 219-242`). Each sink function writes and returns the read-back
+  * DataFrame so the driver contract can verify sink round-trips.
+  */
+object Sinks {
+
+  /** S2: raw-zone JSON sink, hive-partitioned by ingest date
+    * (`raw_api_data/<name>/year=/month=/day=/...`, `data_pipeline.py:47-49`).
+    * Partition pruning on year/month/day re-reads is what this layout
+    * buys at 100 TB (SURVEY §4.1).
+    */
+  def rawPartitionedSink(events: DataFrame, outPath: String): DataFrame = {
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        year(col("ts")).cast("int").as("year"),
+        month(col("ts")).cast("int").as("month"),
+        dayofmonth(col("ts")).cast("int").as("day"))
+      .write.partitionBy("year", "month", "day")
+      .mode("overwrite").json(outPath)
+    events.sparkSession.read.json(outPath)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), col("value").cast("double"),
+        col("year").cast("int"), col("month").cast("int"),
+        col("day").cast("int"))
+  }
+
+  /** S3: staging sink — full overwrite, schema carried by parquet
+    * (`WRITE_TRUNCATE` + autodetect, `data_pipeline.py:140-144`). Written
+    * twice to prove idempotence (the reference's truncate-reload makes
+    * reruns safe, SURVEY §4.1).
+    */
+  def stagingOverwrite(df: DataFrame, outPath: String): DataFrame = {
+    df.write.mode("overwrite").parquet(outPath)
+    df.write.mode("overwrite").parquet(outPath) // idempotent rerun
+    df.sparkSession.read.parquet(outPath)
+  }
+
+  /** S4: append-only audit sink with ARRAY<STRING> source_files column
+    * (`data_pipeline.py:219-242`). `fresh=true` clears the path first so
+    * a verification run is deterministic; production calls append only.
+    */
+  def auditAppend(spark: SparkSession, outPath: String,
+                  rows: Seq[(String, Long, String, String, Seq[String])],
+                  fresh: Boolean = false): DataFrame = {
+    if (fresh) {
+      val p = new java.io.File(outPath)
+      if (p.exists()) {
+        p.listFiles().foreach(_.delete()); p.delete()
+      }
+    }
+    rows.foreach { case (table, n, status, ts, files) =>
+      spark.range(1).select(
+          lit(table).as("table_name"),
+          lit(n).as("record_count"),
+          lit(status).as("status"),
+          to_timestamp(lit(ts)).as("load_timestamp"),
+          // explicit cast: an empty array() literal would otherwise
+          // infer a non-string element type and corrupt the appended schema
+          array(files.map(lit): _*).cast("array<string>").as("source_files"))
+        .write.mode("append").parquet(outPath)
+    }
+    spark.read.parquet(outPath)
+  }
+}
