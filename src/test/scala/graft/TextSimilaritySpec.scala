@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Similarity, Text, TextDedup}
+
+class TextSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("shingles: docs shorter than k are excluded; sets are distinct") {
+    val sh = TextDedup.shingles(docs((1L, "a b"), (2L, "a b c a b c")), 3)
+    val got = sh.as[(Long, String)].collect().toSet
+    assert(got.map(_._1) === Set(2L))
+    assert(got === Set((2L, "a b c"), (2L, "b c a"), (2L, "c a b")))
+  }
+
+  test("identical docs have Jaccard 1.0; disjoint docs produce no pair") {
+    val out = TextDedup.nearDupJaccard(docs(
+      (1L, "x y z x y z x y"), (2L, "x y z x y z x y"),
+      (3L, "p q r s t u v w")), k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds exact duplicates (signature equality)") {
+    val out = TextDedup.minhashLshPairs(docs(
+      (1L, "x y z x y z x y"), (2L, "x y z x y z x y"),
+      (3L, "p q r s t u v w")), k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("contentHashDedup groups exact copies and keeps min doc_id") {
+    val out = TextDedup.contentHashDedup(docs((5L, "same"), (9L, "same"), (7L, "other")))
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((5L, 2L), (7L, 1L)))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp = Text.docFingerprint(docs((1L, "a b"), (2L, "b a")))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("brute-force top-k: nearest neighbor of a vector is its duplicate") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(out === Set((1L, 1), (3L, 2))) // self excluded, cosine order
+  }
+
+  test("IVF top-k returns self-consistent ranks within probed buckets") {
+    val e = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") < 4), 3, nlist = 4, nprobe = 2)
+    val byQ = out.select("q_id", "rank").as[(Long, Int)].collect().groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3)))
+  }
+}
