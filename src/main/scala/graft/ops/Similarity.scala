@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product — codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the interpreted
+    * `aggregate(zip_with(...))` formulation.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = graft.functions.VectorOps.l2norm(a)
 
   /** cosine = dot / (|a| * |b|) — association mirrors DuckDB's
     * list_cosine_similarity exactly.
@@ -34,7 +35,7 @@ object Similarity {
     dot(a, b) / (normA * normB)
 
   private def withVec(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs),
+    Par.widen(df).select(col("vec_id").as(idAs),
         col("embedding").cast("array<double>").as(vecAs))
       .withColumn(s"${vecAs}_norm", norm(col(vecAs)))
 

@@ -90,7 +90,7 @@ object Text {
     * fingerprint differently; arithmetic-only so any engine reproduces it.
     */
   def docFingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Par.widen(docs).select(col("doc_id"),
       aggregate(
         transform(words(col("text")), w => ascii(w) * lit(31L) + length(w)),
         lit(0L),

@@ -22,7 +22,7 @@ object TextDedup {
   /** Distinct word k-shingles per document: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     val w = split(col("text"), " ")
-    docs
+    Par.widen(docs)
       .filter(size(w) >= k)
       .select(col("doc_id"),
         explode(transform(
@@ -31,42 +31,63 @@ object TextDedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs by exact shingle Jaccard >= `threshold`.
-    *
-    * Scale shape: candidate pairs come from an inverted index
-    * (shingle -> docs) self-join, with shingles appearing in more than
-    * `maxDf` documents dropped from the INDEX ONLY — that caps the
-    * worst-case join fan-out (a shingle in d docs contributes d² pairs).
-    * Each candidate pair is then verified with the EXACT intersection via
-    * `array_intersect` over the full shingle sets, so the df-cap affects
-    * recall only for pairs whose every common shingle is ultra-frequent —
-    * not precision. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+  /** All ordered pairs (a < b) from a sorted posting list, as structs —
+    * pure expression, stays columnar: flatten(i -> (ds[i], each later)).
     */
-  def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                     maxDf: Int = 500): DataFrame = {
-    val sh = shingles(docs, k)
+  private def pairsOf(ds: Column): Column =
+    flatten(transform(sequence(lit(0), size(ds) - 2), i =>
+      transform(slice(ds, i + 2, size(ds)),
+        y => struct(element_at(ds, i + 1).as("a"), y.as("b")))))
 
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+  /** Pair intersection counts from an inverted index: group shingles into
+    * posting lists of 2..maxDf docs, expand each list's pairs, count per
+    * pair — `inter(a,b)` = number of shared (un-capped) shingles. Two
+    * shuffles total (posting groupBy + pair groupBy) — no self-join, no
+    * window, no per-pair set materialization. The df-cap bounds the
+    * quadratic expansion per posting (a shingle in d docs emits d(d-1)/2
+    * pairs); when it engages, dropped ultra-frequent shingles make `inter`
+    * a lower bound (pairs already surviving the threshold stay correct —
+    * no false positives — but borderline pairs can be missed).
+    */
+  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
 
-    val candidates = rare.as("x").join(rare.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
+  /** Exact-Jaccard verification of candidate pairs against full shingle
+    * sets (`array_intersect`) — precision 1.0 regardless of how candidates
+    * were generated.
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
-
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
         col("n").as("n_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by shingle Jaccard >= `threshold` — exact as
+    * long as no shingle exceeds `maxDf` (see [[pairIntersections]]);
+    * output (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                     maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, k).persist() // reused: postings + per-doc sizes
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairIntersections(sh, maxDf)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -96,7 +117,8 @@ object TextDedup {
       transform(split(col("shingle"), " "), w => ascii(w) * lit(31L) + length(w)),
       lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p))
 
-    val hashed = shingles(docs, k).select(col("doc_id"), shingleHash.as("x"))
+    val sh = shingles(docs, k).persist() // reused: signatures + verification
+    val hashed = sh.select(col("doc_id"), shingleHash.as("x"))
 
     // one-pass signature: min over shingles for each of the numHashes fns
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
@@ -114,33 +136,24 @@ object TextDedup {
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
 
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // same posting-list expansion as nearDupJaccard: docs sharing a bucket
+    val candidates = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
     // exact-Jaccard verification of candidates (precision = 1.0)
-    val sh = shingles(docs, k)
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
-        col("n").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
-        col("n").as("n_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash from per-word polynomial hashes: sum ±1 votes per bit
     * weighted by term frequency, bit set where the vote is positive.
     * Hamming-near fingerprints ⇒ near-duplicate texts.
     */
-  def simHash(docs: DataFrame): DataFrame = {
+  def simHash(docsIn: DataFrame): DataFrame = {
+    val docs = Par.widen(docsIn)
     val wordHash: Column => Column = w =>
       aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
         lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(2038074743L))

@@ -20,6 +20,9 @@ object Sinks {
         year(col("ts")).cast("int").as("year"),
         month(col("ts")).cast("int").as("month"),
         dayofmonth(col("ts")).cast("int").as("day"))
+      // co-locate each hive partition into one task: without this every
+      // task writes a file into every date dir (tasks × dates small files)
+      .repartition(col("year"), col("month"), col("day"))
       .write.partitionBy("year", "month", "day")
       .mode("overwrite").json(outPath)
     events.sparkSession.read.json(outPath)
