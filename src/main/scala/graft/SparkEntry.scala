@@ -238,7 +238,25 @@ object SparkEntry {
 
     // §2.9: tumbling-window streaming counts (MemoryStream-driven)
     "streaming_window" -> ((s, dir) =>
-      graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir)))
+      graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir))),
+
+    // ---- temporal / vector extensions ---------------------------------
+
+    // gaps-and-islands sessionization (30-min gap)
+    "sessionize" -> ((s, dir) =>
+      Temporal.sessionize(eventsBase(s, dir),
+        col("user_id"), col("ts"), gapSeconds = 1800L)),
+
+    // backward as-of join: each purchase ← user's most recent prior view
+    "asof_join" -> ((s, dir) =>
+      Temporal.asofPrior(eventsBase(s, dir),
+        key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+        leftPred = col("event_type") === "view",
+        rightPred = col("event_type") === "purchase")),
+
+    // embedding-cosine near-duplicate pairs
+    "embedding_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -505,7 +523,44 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type, count(*) AS n,
            sum(CAST(value AS DECIMAL(18,2))) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    // gap computed on floor(epoch) to mirror Spark's ts.cast(long) truncation
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         x AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+         y AS (SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM x)
+         SELECT user_id AS key, session_id,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM y GROUP BY user_id, session_id""",
+
+    "asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         x AS (SELECT user_id AS key, event_id AS id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS asof_ts
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT key, id, ts, asof_id, asof_ts FROM x WHERE event_type = 'purchase'""",
+
+    "embedding_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_cosine_similarity(a.v, b.v) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.5"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

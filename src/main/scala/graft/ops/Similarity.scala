@@ -55,6 +55,21 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine >= `threshold`. Brute-force all-pairs with the codegen'd dot
+    * product — exact; at corpus scale swap the crossJoin for the
+    * LSH/IVF bucketing of [[ivfTopK]] (same verify step).
+    */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = withVec(embeddings, "vec_a", "va")
+    val b = withVec(embeddings, "vec_b", "vb")
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest of `nlist` centroid vectors; each probe searches only
     * its `nprobe` nearest centroids' lists. Centroids here are seeded

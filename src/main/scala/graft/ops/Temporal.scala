@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators beyond the reference's surface: sessionization and
+  * as-of joins — the two time-series shapes every event pipeline
+  * eventually needs. Both compose built-in window functions (SURVEY
+  * §4.3 preference (a)): one shuffle on the entity key, sort within
+  * partition, no custom physical operator required.
+  */
+object Temporal {
+
+  /** Gaps-and-islands sessionization: events for the same key belong to
+    * one session while consecutive gaps stay <= `gapSeconds`. Returns one
+    * row per session with start/end/count.
+    *
+    * Scale: single shuffle on `key`, sort by ts within partitions
+    * (WindowExec spills if a key's history exceeds memory). Skewed power
+    * users are the known hazard — AQE skew handling applies to the
+    * exchange, and the downstream groupBy is on (key, session_id) which
+    * subdivides the skew.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts").asc)
+    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    df.select(key.as("key"), ts.as("ts"))
+      .withColumn("new_session",
+        when(gap.isNull || (gap > gapSeconds), 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          Window.partitionBy(col("key")).orderBy(col("ts").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"))
+  }
+
+  /** Backward as-of join within one table: for each `right`-typed event,
+    * attach the most recent prior `left`-typed event of the same key.
+    * Implemented with the union trick: tag both sides, sort by (key, ts),
+    * carry the last left value forward with `last(..., ignoreNulls)` —
+    * one shuffle + sort, no range-join explosion, no custom SparkPlan.
+    *
+    * This is the standard scalable shape for as-of joins (a naive
+    * `leftTs <= rightTs` theta join is quadratic per key).
+    */
+  def asofPrior(events: DataFrame, key: Column, ts: Column, idCol: Column,
+                leftPred: Column, rightPred: Column): DataFrame = {
+    val tagged = events
+      .filter(leftPred || rightPred)
+      .select(key.as("key"), ts.as("ts"), idCol.as("id"),
+        when(leftPred, ts).as("left_ts"),
+        when(leftPred, idCol).as("left_id"),
+        rightPred.as("is_right"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_ts", last(col("left_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_id", last(col("left_id"), ignoreNulls = true).over(w))
+      .filter(col("is_right"))
+      .select(col("key"), col("id"), col("ts"), col("asof_id"), col("asof_ts"))
+  }
+}
