@@ -256,7 +256,35 @@ object SparkEntry {
 
     // embedding-cosine near-duplicate pairs
     "embedding_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5))
+      Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5)),
+
+    // ---- distribution strategies (100 TB shuffle answers) -------------
+
+    // skew-safe salted equi-join (result == plain join)
+    "salted_join" -> ((s, dir) => {
+      val big = eventsBase(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      Distribute.saltedJoin(big, small, Seq("user_id"),
+        bigSalt = col("event_id"), salts = 8)
+    }),
+
+    // co-located bucketed join (no exchange in the join plan)
+    "bucketed_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      Distribute.bucketedJoin(s, o, l, "o_orderkey", "l_orderkey", 8,
+        "graft_bkt_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    }),
+
+    // incremental upsert as a stream: foreachBatch latest-wins merge;
+    // final snapshot == batch window_latest over all events
+    "streaming_upsert" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -560,7 +588,24 @@ object SparkEntry {
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 list_cosine_similarity(a.v, b.v) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.v, b.v) >= 0.5"""
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.5""",
+
+    "salted_join" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey""",
+
+    "bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+
+    // the streaming foreachBatch upsert converges to latest-wins over all
+    // events — same ground truth as window_latest, minus the props column
+    "streaming_upsert" ->
+      s"""WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                        event_type, value FROM events)
+          SELECT * FROM base
+          QUALIFY $latestWin = 1"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-strategy operators: the two standard answers to shuffle
+  * pain at 100 TB — key salting for skewed joins and bucketing for
+  * co-located (shuffle-free) joins. Results are identical to the plain
+  * join; only the physical distribution changes, so both are
+  * oracle-verifiable against the unsalted/unbucketed SQL.
+  */
+object Distribute {
+
+  /** Skew-safe equi-join: the big (skewed) side gets a deterministic salt
+    * in [0, salts); the small side is replicated once per salt value; the
+    * join key becomes (key, salt). A hot key's rows now spread over
+    * `salts` reducers instead of one. `bigSalt` must be a deterministic
+    * per-row expression (e.g. `pmod(hash(rowId), salts)`) — never
+    * `rand()`, which would break retries and verification.
+    *
+    * (AQE's skew-join handles moderate skew automatically; explicit
+    * salting is for the pathological hot-key case AQE can't split, e.g.
+    * a single key exceeding one executor's memory.)
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 bigSalt: Column, salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(bigSalt, lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Co-located join via bucketed managed tables: both sides written
+    * `bucketBy(n, key)` + `sortBy(key)`, then joined — the exchange
+    * disappears from the plan (SortMergeJoin reads pre-bucketed files).
+    * This is the "pre-shuffle once, join many times" pattern: at 100 TB
+    * you pay the layout cost at ingest and every subsequent join on the
+    * bucket key is shuffle-free.
+    */
+  def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String, buckets: Int,
+                   tablePrefix: String): DataFrame = {
+    val lt = s"${tablePrefix}_l"
+    val rt = s"${tablePrefix}_r"
+    // a fresh session's in-memory catalog doesn't know tables written by a
+    // previous run, but their warehouse dirs persist — saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS; clear both catalog and location
+    Seq(lt, rt).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    left.write.mode("overwrite")
+      .bucketBy(buckets, leftKey).sortBy(leftKey).saveAsTable(lt)
+    right.write.mode("overwrite")
+      .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rt)
+    spark.table(lt).join(spark.table(rt),
+      col(leftKey) === col(rightKey))
+  }
+}

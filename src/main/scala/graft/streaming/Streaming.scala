@@ -56,4 +56,52 @@ object Streaming {
       col("window.start").as("window_start"),
       col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** The reference's incremental-load pattern as a stream (SURVEY §2.9):
+    * each micro-batch upserts into the running target snapshot via
+    * `foreachBatch` — conditional latest-wins merge
+    * (`dedupLatest(target ∪ batch)`), which is associative, so the final
+    * snapshot is independent of how rows were batched and equals the
+    * batch latest-wins result over all events.
+    *
+    * `target`/`source` split: target starts as the deduped even-id
+    * events; odd-id events arrive as the stream in three batches.
+    */
+  def streamingUpsert(spark: SparkSession, events: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Dedup
+
+    def latest(df: DataFrame): DataFrame =
+      Dedup.dedupLatest(df, keys, col("ts"), Seq(col("event_id")))
+
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    var target = latest(base.filter(col("event_id") % 2 === 0)).persist()
+    target.count()
+
+    val odds = base.filter(col("event_id") % 2 === 1)
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val query = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = latest(target.unionByName(batch)).persist()
+        next.count() // materialize before dropping the old snapshot
+        target.unpersist()
+        target = next
+        ()
+      }
+      .outputMode("update").start()
+
+    odds.grouped(math.max(1, odds.size / 3 + 1)).foreach { chunk =>
+      stream.addData(chunk)
+      query.processAllAvailable()
+    }
+    query.stop()
+    target
+  }
 }
