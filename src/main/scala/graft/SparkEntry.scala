@@ -284,7 +284,22 @@ object SparkEntry {
     // incremental upsert as a stream: foreachBatch latest-wins merge;
     // final snapshot == batch window_latest over all events
     "streaming_upsert" -> ((s, dir) =>
-      graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys))
+      graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys)),
+
+    // Spark SQL surface: TPC-H Q3-shaped top-k revenue via spark.sql over
+    // registered temp views (same text modulo dialect in the oracle)
+    "sql_query" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderdate,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'O'
+           GROUP BY o_orderkey, o_orderdate
+           ORDER BY revenue DESC, o_orderkey ASC
+           LIMIT 10""")
+    })
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -605,7 +620,16 @@ object SparkEntry {
       s"""WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                         event_type, value FROM events)
           SELECT * FROM base
-          QUALIFY $latestWin = 1"""
+          QUALIFY $latestWin = 1""",
+
+    "sql_query" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC
+         LIMIT 10"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle
