@@ -43,6 +43,8 @@ object Prof {
     shP.unpersist()
 
     time("fingerprint")(graft.ops.Text.docFingerprint(docs).count())
+    time("minhash full")(graft.ops.TextDedup.minhashLshPairs(docs).count())
+    time("minhash full again")(graft.ops.TextDedup.minhashLshPairs(docs).count())
 
     val emb = graft.Tables.embeddings(spark, sfDir)
     time("brute topk")(graft.ops.Similarity.bruteForceTopK(emb,
