@@ -194,6 +194,15 @@ object SparkEntry {
       graft.sources.Paginated.fetchAll(s, pages)
     }),
 
+    // S1 at scale: same page store through the DataSource V2 connector —
+    // one InputPartition per page, parsing off the driver
+    "source_paginated_v2" -> ((s, dir) => {
+      val pages = tmp(dir, "pages")
+      graft.sources.Paginated.writeMockPages(s, dir, pages)
+      s.read.format("graft.sources.v2.PagedJsonSource")
+        .option("path", pages).load()
+    }),
+
     // S2: raw-zone JSON sink, hive-partitioned by ingest date (round-trip)
     "sink_raw_partitioned" -> ((s, dir) =>
       graft.sources.Sinks.rawPartitionedSink(Tables.events(s, dir),
@@ -285,6 +294,26 @@ object SparkEntry {
     // final snapshot == batch window_latest over all events
     "streaming_upsert" -> ((s, dir) =>
       graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys)),
+
+    // CUBE grouping-sets rollup with subtotal disambiguation
+    "cube_rollup" -> ((s, dir) =>
+      Relational.cubeRollup(Tables.lineitem(s, dir))),
+
+    // exact distinct-count per group (expand + two-phase plan)
+    "distinct_users" -> ((s, dir) =>
+      Relational.distinctUsers(Tables.events(s, dir))),
+
+    // pivot: user x event_type contingency counts
+    "pivot_counts" -> ((s, dir) =>
+      Relational.pivotEventCounts(Tables.events(s, dir),
+          Seq("click", "error", "purchase", "signup", "view"))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
+
+    // band/range join via time-bucketing (same-user event pairs <= 60s apart)
+    "range_join" -> ((s, dir) =>
+      Temporal.rangeJoinPairs(eventsBase(s, dir),
+        key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+        windowSeconds = 60L)),
 
     // Spark SQL surface: TPC-H Q3-shaped top-k revenue via spark.sql over
     // registered temp views (same text modulo dialect in the oracle)
@@ -532,6 +561,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id < 500""",
 
+    "source_paginated_v2" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id < 500""",
+
     "sink_raw_partitioned" ->
       """SELECT event_id, user_id, event_type, value,
            CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year,
@@ -621,6 +654,37 @@ object SparkEntry {
                         event_type, value FROM events)
           SELECT * FROM base
           QUALIFY $latestWin = 1""",
+
+    "cube_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS n,
+           grouping_id(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    "pivot_counts" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+
+    // floor(epoch) mirrors Spark's ts.cast(long) truncation
+    "range_join" ->
+      """SELECT a.user_id AS key, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(floor(epoch(CAST(b.ts AS TIMESTAMP))) AS BIGINT)
+             - CAST(floor(epoch(CAST(a.ts AS TIMESTAMP))) AS BIGINT) AS dt_sec
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+         WHERE abs(CAST(floor(epoch(CAST(a.ts AS TIMESTAMP))) AS BIGINT)
+                   - CAST(floor(epoch(CAST(b.ts AS TIMESTAMP))) AS BIGINT)) <= 60""",
 
     "sql_query" ->
       """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,

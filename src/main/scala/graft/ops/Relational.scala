@@ -60,6 +60,35 @@ object Relational {
       .filter(col("rnk") <= k)
   }
 
+  /** CUBE rollup: revenue by (returnflag, linestatus) with all grouping-set
+    * subtotals. `grouping_id` disambiguates subtotal rows from NULL data.
+    */
+  def cubeRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  /** Exact distinct-count per group (Catalyst's expand + two-phase plan —
+    * the thing you swap for approx_count_distinct/HLL sketches at 100 TB
+    * when exactness stops being worth the shuffle).
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+
+  /** Pivot: events count per user x event_type — columnar contingency
+    * table. Explicit value list keeps the schema static (a dynamic pivot
+    * would need a driver-side distinct pass first).
+    */
+  def pivotEventCounts(events: DataFrame, types: Seq[String]): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+
   /** Star-schema join + rollup: revenue per nation. Dimension sides
     * (nation, region) are explicitly broadcast — no shuffle for the
     * dimension joins even at 100 TB fact scale; only the customer⋈orders

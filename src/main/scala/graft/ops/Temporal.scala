@@ -39,6 +39,36 @@ object Temporal {
            count(lit(1)).as("n_events"))
   }
 
+  /** Range join via time-bucketing: pairs of events for the same key
+    * within `windowSeconds` of each other (a < b). Spark has no native
+    * band-join optimization — a naive `|ta - tb| <= w` theta join is a
+    * per-key cross product. The scalable shape: equi-join on
+    * (key, floor(ts / w)) plus the neighbor bucket, then filter the exact
+    * predicate — each row joins at most two buckets, so the join stays
+    * hash-based and linear in matches.
+    */
+  def rangeJoinPairs(df: DataFrame, key: Column, ts: Column, idCol: Column,
+                     windowSeconds: Long): DataFrame = {
+    val base = df.select(key.as("key"), ts.as("ts"), idCol.as("id"))
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("bucket", floor(col("sec") / windowSeconds))
+    // pairs are ordered by id (not time), so the left side probes its own
+    // bucket AND both neighbors; distinct() collapses double matches
+    val left = base.select(col("key"), col("id").as("id_a"),
+      col("sec").as("sec_a"), col("bucket"))
+    val probe = left
+      .withColumn("bucket", explode(array(
+        col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val right = base.select(col("key"), col("id").as("id_b"),
+      col("sec").as("sec_b"), col("bucket"))
+    probe.join(right, Seq("key", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("sec_a") - col("sec_b")) <= windowSeconds)
+      .select(col("key"), col("id_a"), col("id_b"),
+        (col("sec_b") - col("sec_a")).as("dt_sec"))
+      .distinct()
+  }
+
   /** Backward as-of join within one table: for each `right`-typed event,
     * attach the most recent prior `left`-typed event of the same key.
     * Implemented with the union trick: tag both sides, sort by (key, ts),
