@@ -315,6 +315,12 @@ object SparkEntry {
         key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
         windowSeconds = 60L)),
 
+    // stateful streaming sessionization (flatMapGroupsWithState);
+    // final state == batch gaps-and-islands sessionize
+    "streaming_sessionize" -> ((s, dir) =>
+      graft.streaming.Streaming.statefulSessionize(s, eventsBase(s, dir),
+        gapSeconds = 1800L)),
+
     // Spark SQL surface: TPC-H Q3-shaped top-k revenue via spark.sql over
     // registered temp views (same text modulo dialect in the oracle)
     "sql_query" -> ((s, dir) => {
@@ -351,7 +357,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracles ++ extraOracles +
       // pipeline_run's merged snapshot is semantically merge_upsert_latest
-      ("pipeline_run" -> baseOracles("merge_upsert_latest"))
+      ("pipeline_run" -> baseOracles("merge_upsert_latest")) +
+      // stateful streaming sessionize converges to the batch result
+      ("streaming_sessionize" -> extraOracles("sessionize"))
 
   private def baseOracles: Map[String, String] = Map(
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY §2.9). The reference is pure
@@ -103,5 +105,88 @@ object Streaming {
     }
     query.stop()
     target
+  }
+
+  /** Per-key session state: closed sessions + the open one (epoch seconds
+    * for gap logic, epoch micros for exact timestamps), plus an update
+    * counter so the final emission per key is identifiable.
+    */
+  final case class SessionAcc(lastSec: Long, curStart: Long, curEnd: Long,
+                              curN: Long,
+                              closed: List[(Long, Long, Long)], // startUs, endUs, n
+                              updates: Long)
+
+  final case class SessionRow(key: Long, update: Long, session_id: Long,
+                              start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState`
+    * (SURVEY §2.9 custom-state surface): events arrive in event-time
+    * order per key (micro-batches preserve the feed order), state carries
+    * the open session, and every update re-emits the full session list
+    * tagged with an update counter — the rows from each key's LAST update
+    * are the final sessions, equal to the batch gaps-and-islands result.
+    *
+    * At scale the same code runs against a real source with watermark +
+    * EventTimeTimeout evicting closed sessions; the mock feed keeps state
+    * small (one open session + closed list per key).
+    */
+  def statefulSessionize(spark: SparkSession, events: DataFrame,
+                         gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val data = events.select(col("event_id"), col("ts"), col("user_id"))
+      .orderBy(col("event_id")) // feed order = event-time order per key
+      .as[(Long, Timestamp, Long)].collect().toSeq
+
+    def update(key: Long, it: Iterator[(Long, Timestamp, Long)],
+               state: GroupState[SessionAcc]): Iterator[SessionRow] = {
+      val sorted = it.toSeq.sortBy(r => (r._2.getTime, r._1))
+      var acc = state.getOption.getOrElse(SessionAcc(Long.MinValue, 0, 0, 0, Nil, 0))
+      sorted.foreach { case (_, ts, _) =>
+        // getTime carries millis and getNanos the full fractional second —
+        // build micros from whole seconds + nanos to avoid double-counting
+        val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+        val sec = us / 1000000
+        acc =
+          if (acc.lastSec == Long.MinValue)
+            acc.copy(lastSec = sec, curStart = us, curEnd = us, curN = 1)
+          else if (sec - acc.lastSec > gapSeconds)
+            acc.copy(lastSec = sec, curStart = us, curEnd = us, curN = 1,
+              closed = (acc.curStart, acc.curEnd, acc.curN) :: acc.closed)
+          else
+            acc.copy(lastSec = sec, curEnd = us, curN = acc.curN + 1)
+      }
+      acc = acc.copy(updates = acc.updates + 1)
+      state.update(acc)
+      val all = ((acc.curStart, acc.curEnd, acc.curN) :: acc.closed).reverse
+      all.zipWithIndex.iterator.map { case ((s, e, n), i) =>
+        SessionRow(key, acc.updates, i + 1L, s, e, n)
+      }
+    }
+
+    val stream = MemoryStream[(Long, Timestamp, Long)]
+    val name = synchronized { counter += 1; s"graft_sessions_$counter" }
+    val query = stream.toDS()
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    data.grouped(math.max(1, data.size / 3 + 1)).foreach { chunk =>
+      stream.addData(chunk)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    // final = each key's last update
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    spark.table(name)
+      .withColumn("last_update", max(col("update")).over(w))
+      .filter(col("update") === col("last_update"))
+      .select(col("key"), col("session_id"),
+        expr("timestamp_micros(start_us)").as("session_start"),
+        expr("timestamp_micros(end_us)").as("session_end"),
+        col("n_events"))
   }
 }
