@@ -213,6 +213,14 @@ object SparkEntry {
       graft.sources.Sinks.stagingOverwrite(Tables.orders(s, dir),
         tmp(dir, "staging"))),
 
+    // ORC format round-trip (column types carry exactly)
+    "sink_orc_roundtrip" -> ((s, dir) =>
+      graft.sources.Sinks.orcRoundTrip(Tables.orders(s, dir), tmp(dir, "orc"))),
+
+    // CSV format round-trip with explicit schema + µs timestamp format
+    "sink_csv_roundtrip" -> ((s, dir) =>
+      graft.sources.Sinks.csvRoundTrip(Tables.orders(s, dir), tmp(dir, "csv"))),
+
     // S4: append-only audit sink with ARRAY<STRING> column (round-trip)
     "sink_audit_append" -> ((s, dir) =>
       graft.sources.Sinks.auditAppend(s, tmp(dir, "audit"), Seq(
@@ -581,6 +589,16 @@ object SparkEntry {
          FROM events""",
 
     "sink_staging_overwrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+         FROM orders""",
+
+    "sink_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+         FROM orders""",
+
+    "sink_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
          FROM orders""",

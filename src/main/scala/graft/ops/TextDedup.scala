@@ -107,10 +107,6 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val p = 2038074743L // prime > any 32-bit shingle hash
-    // deterministic hash params (fixed seed — resumable/verifiable runs)
-    val rnd = new scala.util.Random(42)
-    val params = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong() % (p - 1)) + 1, math.abs(rnd.nextLong() % p)))
 
     // polynomial shingle hash -> non-negative int domain
     val shingleHash = aggregate(
@@ -120,18 +116,20 @@ object TextDedup {
     val sh = shingles(docs, k).persist() // reused: signatures + verification
     val hashed = sh.select(col("doc_id"), shingleHash.as("x"))
 
-    // one-pass signature: min over shingles for each of the numHashes fns
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min((col("x") * lit(a) + lit(b)) % lit(p)).as(s"h$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // one-pass signature via the custom TypedImperativeAggregate: one
+    // long[numHashes] buffer per doc instead of numHashes agg columns
+    // (deterministic seed ⇒ stable signatures across runs/partitionings)
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
+        .as("sig"))
 
     // banding: bucket key = band index + joined signature slice
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"),
-        concat_ws("_", slice: _*).as("key")).as(s"b$b")
+        array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), "_").as("key")).as(s"b$b")
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))

@@ -43,6 +43,29 @@ object Sinks {
     df.sparkSession.read.parquet(outPath)
   }
 
+  /** ORC round-trip: column format parity beyond parquet — types carry
+    * exactly (no text serialization involved).
+    */
+  def orcRoundTrip(df: DataFrame, outPath: String): DataFrame = {
+    df.write.mode("overwrite").orc(outPath)
+    df.sparkSession.read.orc(outPath)
+  }
+
+  /** CSV round-trip with an explicit read schema (CSV carries no types).
+    * Doubles survive via shortest-repr formatting; timestamps via a
+    * microsecond-precision format pattern on both write and read.
+    */
+  def csvRoundTrip(df: DataFrame, outPath: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    df.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(outPath)
+    df.sparkSession.read
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .schema(df.schema)
+      .csv(outPath)
+  }
+
   /** S4: append-only audit sink with ARRAY<STRING> source_files column
     * (`data_pipeline.py:219-242`). `fresh=true` clears the path first so
     * a verification run is deterministic; production calls append only.

@@ -48,9 +48,16 @@ private[v2] class PagedTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      private var required: StructType = PagedJsonSource.schema
+
+      // column pruning pushdown: a `select(event_id)` only parses that
+      // field out of each page, and the scan's ReadSchema shows it
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = PagedJsonSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] =
@@ -61,19 +68,23 @@ private[v2] class PagedTable(path: String) extends Table with SupportsRead {
           .toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PagePartitionReaderFactory
+        new PagePartitionReaderFactory(required)
     }
 }
 
 private[v2] case class PagePartition(file: String) extends InputPartition
 
-private[v2] class PagePartitionReaderFactory extends PartitionReaderFactory {
+private[v2] class PagePartitionReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition].file)
+    new PageReader(partition.asInstanceOf[PagePartition].file, schema)
 }
 
-/** Parses one page envelope and streams its records as InternalRows. */
-private[v2] class PageReader(file: String) extends PartitionReader[InternalRow] {
+/** Parses one page envelope and streams its records as InternalRows,
+  * projecting only the pruned schema's fields.
+  */
+private[v2] class PageReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
   private val records = {
     val root = new ObjectMapper().readTree(Files.readString(Paths.get(file)))
     val recs = root.path("records")
@@ -84,11 +95,14 @@ private[v2] class PageReader(file: String) extends PartitionReader[InternalRow] 
   override def next(): Boolean =
     if (records.hasNext) {
       val r = records.next()
-      current = new GenericInternalRow(Array[Any](
-        r.path("event_id").asLong(),
-        r.path("user_id").asLong(),
-        UTF8String.fromString(r.path("event_type").asText()),
-        r.path("value").asDouble()))
+      current = new GenericInternalRow(schema.fields.map[Any] { f =>
+        f.name match {
+          case "event_id"   => r.path("event_id").asLong()
+          case "user_id"    => r.path("user_id").asLong()
+          case "event_type" => UTF8String.fromString(r.path("event_type").asText())
+          case "value"      => r.path("value").asDouble()
+        }
+      })
       true
     } else false
 
