@@ -323,6 +323,37 @@ object SparkEntry {
         key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
         windowSeconds = 60L)),
 
+    // scalar string-function surface
+    "string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_type"), 1, 5).as("sub"),
+        replace(col("p_brand"), lit("#"), lit("-")).as("repl"),
+        lpad(col("p_brand"), 12, "*").as("pad"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).cast("int").as("len"))),
+
+    // scalar date/time-function surface
+    "datetime_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2000-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_y2k"),
+        col("o_orderdate").cast("date").as("od"))),
+
+    // BPE-ish regex tokenizer (alternation of letter/digit runs)
+    "token_count_regex" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_tokens"))),
+
     // stateful streaming sessionization (flatMapGroupsWithState);
     // final state == batch gaps-and-islands sessionize
     "streaming_sessionize" -> ((s, dir) =>
@@ -701,6 +732,31 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up,
+           substring(p_type, 1, 5) AS sub,
+           replace(p_brand, '#', '-') AS repl,
+           lpad(p_brand, 12, '*') AS pad,
+           concat_ws('|', p_brand, p_type) AS joined,
+           CAST(length(p_name) AS INT) AS len
+         FROM part""",
+
+    "datetime_funcs" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+           CAST(o_orderdate AS DATE) AS od
+         FROM orders""",
+
+    "token_count_regex" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+         FROM documents""",
 
     // floor(epoch) mirrors Spark's ts.cast(long) truncation
     "range_join" ->
