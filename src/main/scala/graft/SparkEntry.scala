@@ -323,6 +323,50 @@ object SparkEntry {
         key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
         windowSeconds = 60L)),
 
+    // exact percentiles per group (low-cardinality columns: interpolation
+    // lands inside runs of equal values, so results are FP-formula-proof)
+    "quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_discount, 0.5)").as("disc_p50"))),
+
+    // running-frame windows: cumulative count + exact decimal sum
+    "window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      eventsBase(s, dir).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("running_n"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).as("running_value"))
+    }),
+
+    // semi/anti join shapes: customers with vs without orders
+    "join_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .withColumn("status", lit("has_orders"))
+        .unionByName(
+          c.join(o, Seq("c_custkey"), "left_anti")
+            .withColumn("status", lit("no_orders")))
+    }),
+
+    // set operations: INTERSECT / EXCEPT with distinct semantics
+    "set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id"))
+      users("click").intersect(users("purchase"))
+        .withColumn("op", lit("click_and_buy"))
+        .unionByName(
+          users("click").except(users("error"))
+            .withColumn("op", lit("click_no_error")))
+    }),
+
     // scalar string-function surface
     "string_funcs" -> ((s, dir) =>
       Tables.part(s, dir).select(
@@ -732,6 +776,39 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "quantiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_discount, 0.5) AS disc_p50
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "window_running" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS running_n,
+           sum(CAST(value AS DECIMAL(18,2))) OVER w AS running_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "join_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "set_ops" ->
+      """SELECT user_id, 'click_and_buy' AS op FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT user_id, 'click_no_error' FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error')""",
 
     "string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up,
