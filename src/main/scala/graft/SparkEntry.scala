@@ -323,6 +323,10 @@ object SparkEntry {
         key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
         windowSeconds = 60L)),
 
+    // typed grouped-map (flatMapGroups): per-user min-max normalization
+    "grouped_map" -> ((s, dir) =>
+      Temporal.groupedMinMaxNormalize(Tables.events(s, dir))),
+
     // exact percentiles per group (low-cardinality columns: interpolation
     // lands inside runs of equal values, so results are FP-formula-proof)
     "quantiles" -> ((s, dir) =>
@@ -776,6 +780,15 @@ object SparkEntry {
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "grouped_map" ->
+      """SELECT event_id, user_id,
+           CASE WHEN maxv = minv THEN 0.0
+                ELSE (value - minv) / (maxv - minv) END AS norm_value
+         FROM (SELECT event_id, user_id, value,
+                 min(value) OVER (PARTITION BY user_id) AS minv,
+                 max(value) OVER (PARTITION BY user_id) AS maxv
+               FROM events)""",
 
     "quantiles" ->
       """SELECT l_returnflag,

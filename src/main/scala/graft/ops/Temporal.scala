@@ -69,6 +69,35 @@ object Temporal {
       .distinct()
   }
 
+  /** Typed grouped-map surface (`KeyValueGroupedDataset.flatMapGroups`):
+    * per-key min-max normalization of a value column. This is the batch
+    * analog of pandas `groupby().apply()` — arbitrary per-group logic
+    * with a typed iterator, for transforms that don't decompose into
+    * window functions. Min-max (not z-score) keeps it engine-portable:
+    * min/max are exact, so the one division is deterministic.
+    *
+    * Scale: one shuffle on the key; each group streams through an
+    * iterator (materialized here for the two-pass min/max — bounded by
+    * the largest single key's history, same bound as any window over the
+    * key).
+    */
+  def groupedMinMaxNormalize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroups { (user: Long, it: Iterator[(Long, Long, Double)]) =>
+        val rows = it.toVector
+        val lo = rows.iterator.map(_._3).min
+        val hi = rows.iterator.map(_._3).max
+        rows.iterator.map { case (id, _, v) =>
+          (id, user, if (hi == lo) 0.0 else (v - lo) / (hi - lo))
+        }
+      }
+      .toDF("event_id", "user_id", "norm_value")
+  }
+
   /** Backward as-of join within one table: for each `right`-typed event,
     * attach the most recent prior `left`-typed event of the same key.
     * Implemented with the union trick: tag both sides, sort by (key, ts),
