@@ -19,16 +19,20 @@ object TextDedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word k-shingles per document: (doc_id, shingle). */
+  /** Distinct word k-shingles per document: (doc_id, shingle).
+    * Distinctness is per-document, so it's enforced with a per-row
+    * `array_distinct` BEFORE the explode — no shuffle, unlike a
+    * post-explode `distinct()` which would shuffle every (doc, shingle)
+    * pair.
+    */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
     val w = split(col("text"), " ")
     Par.widen(docs)
       .filter(size(w) >= k)
       .select(col("doc_id"),
-        explode(transform(
+        explode(array_distinct(transform(
           sequence(lit(0), size(w) - lit(k)),
-          i => array_join(slice(w, i + 1, lit(k)), " "))).as("shingle"))
-      .distinct()
+          i => array_join(slice(w, i + 1, lit(k)), " ")))).as("shingle"))
   }
 
   /** All ordered pairs (a < b) from a sorted posting list, as structs —
