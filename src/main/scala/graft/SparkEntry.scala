@@ -167,7 +167,7 @@ object SparkEntry {
     "minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir))),
 
-    // E1: SimHash fingerprints (no SQL oracle — rows-only check)
+    // E1: SimHash fingerprints (bit-vote fold mirrored in the oracle)
     "simhash" -> ((s, dir) =>
       TextDedup.simHash(Tables.documents(s, dir))),
 
@@ -221,7 +221,10 @@ object SparkEntry {
     "sink_csv_roundtrip" -> ((s, dir) =>
       graft.sources.Sinks.csvRoundTrip(Tables.orders(s, dir), tmp(dir, "csv"))),
 
-    // S4: append-only audit sink with ARRAY<STRING> column (round-trip)
+    // S4: append-only audit sink with ARRAY<STRING> column (round-trip).
+    // The sink stores a real ARRAY<STRING> (data_pipeline.py:225-231); the
+    // verified projection joins it to one scalar string because the
+    // driver's row-sort chokes on array cells (unhashable ndarray).
     "sink_audit_append" -> ((s, dir) =>
       graft.sources.Sinks.auditAppend(s, tmp(dir, "audit"), Seq(
         ("daily_visits", 367L, "SUCCESS", "2026-01-01 00:00:00",
@@ -229,7 +232,8 @@ object SparkEntry {
         ("ga_sessions", 2509L, "SUCCESS", "2026-01-01 00:00:00",
           Seq("p1.json")),
         ("ga_sessions", 0L, "FAILED: empty_input", "2026-01-01 00:00:00",
-          Seq.empty[String])), fresh = true)),
+          Seq.empty[String])), fresh = true)
+        .withColumn("source_files", array_join(col("source_files"), ","))),
 
     // ---- runner / multimodal / streaming ------------------------------
 
@@ -345,7 +349,9 @@ object SparkEntry {
       eventsBase(s, dir).select(
         col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("running_n"),
-        sum(col("value").cast(DecimalType(18, 2))).over(w).as("running_value"))
+        // exact decimal accumulation, DOUBLE result type (Relational scaladoc)
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_value"))
     }),
 
     // semi/anti join shapes: customers with vs without orders
@@ -413,14 +419,17 @@ object SparkEntry {
     "sql_query" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      // top-10 membership/order decided on the exact decimal sum; only the
+      // final projection converts to DOUBLE (see Relational scaladoc)
       s.sql(
-        """SELECT o_orderkey, o_orderdate,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
-           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-           WHERE o_orderstatus = 'O'
-           GROUP BY o_orderkey, o_orderdate
-           ORDER BY revenue DESC, o_orderkey ASC
-           LIMIT 10""")
+        """SELECT o_orderkey, o_orderdate, CAST(revenue AS DOUBLE) AS revenue
+           FROM (SELECT o_orderkey, o_orderdate,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 WHERE o_orderstatus = 'O'
+                 GROUP BY o_orderkey, o_orderdate
+                 ORDER BY revenue DESC, o_orderkey ASC
+                 LIMIT 10)""")
     })
   )
 
@@ -531,9 +540,9 @@ object SparkEntry {
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
@@ -549,7 +558,7 @@ object SparkEntry {
 
     "join_revenue" ->
       """SELECT r_name, n_name,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -605,6 +614,24 @@ object SparkEntry {
                               w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
              (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
          FROM documents""",
+
+    // same per-word polynomial hash + ±1 bit votes as TextDedup.simHash —
+    // pure integer folding, so the fingerprints match bit-for-bit
+    "simhash" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 1000003 + x) % 2038074743)) AS hs
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(32), b ->
+             CASE WHEN list_sum(list_transform(hs, v ->
+                    CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM h""",
 
     "dedup_content_hash" ->
       """WITH inp AS (SELECT doc_id, text FROM documents
@@ -685,11 +712,11 @@ object SparkEntry {
     "sink_audit_append" ->
       """SELECT * FROM (VALUES
            ('daily_visits', CAST(367 AS BIGINT), 'SUCCESS',
-            TIMESTAMP '2026-01-01 00:00:00', ['p1.json', 'p2.json']),
+            TIMESTAMP '2026-01-01 00:00:00', 'p1.json,p2.json'),
            ('ga_sessions', CAST(2509 AS BIGINT), 'SUCCESS',
-            TIMESTAMP '2026-01-01 00:00:00', ['p1.json']),
+            TIMESTAMP '2026-01-01 00:00:00', 'p1.json'),
            ('ga_sessions', CAST(0 AS BIGINT), 'FAILED: empty_input',
-            TIMESTAMP '2026-01-01 00:00:00', CAST([] AS VARCHAR[])))
+            TIMESTAMP '2026-01-01 00:00:00', ''))
          AS t(table_name, record_count, status, load_timestamp, source_files)""",
 
     "multimodal_decode" ->
@@ -703,7 +730,7 @@ object SparkEntry {
     "streaming_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
 
     // gap computed on floor(epoch) to mirror Spark's ts.cast(long) truncation
@@ -762,7 +789,7 @@ object SparkEntry {
 
     "cube_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n,
            grouping_id(l_returnflag, l_linestatus) AS gid
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
@@ -800,7 +827,7 @@ object SparkEntry {
     "window_running" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS running_n,
-           sum(CAST(value AS DECIMAL(18,2))) OVER w AS running_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
@@ -859,13 +886,14 @@ object SparkEntry {
                    - CAST(floor(epoch(CAST(b.ts AS TIMESTAMP))) AS BIGINT)) <= 60""",
 
     "sql_query" ->
-      """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-           sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
-         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE o_orderstatus = 'O'
-         GROUP BY o_orderkey, o_orderdate
-         ORDER BY revenue DESC, o_orderkey ASC
-         LIMIT 10"""
+      """SELECT o_orderkey, o_orderdate, CAST(revenue AS DOUBLE) AS revenue
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                 sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'O'
+               GROUP BY o_orderkey, o_orderdate
+               ORDER BY revenue DESC, o_orderkey ASC
+               LIMIT 10)"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

@@ -16,6 +16,14 @@ import org.apache.spark.sql.types.DecimalType
   * and engine-independent. Averages are derived as
   * `CAST(decimal_sum AS DOUBLE) / count` so both engines perform one
   * identical IEEE division.
+  *
+  * Result-type note: the exact decimal sums are CAST to DOUBLE in the
+  * final projection. Spark widens `sum(DECIMAL(p,s))` to `DECIMAL(p+10,s)`
+  * while DuckDB widens to `DECIMAL(38,s)`; the values are identical but
+  * downstream readers render the two decimal types differently (trailing
+  * zeros, scale). A double is the same 8 bytes everywhere — and since the
+  * summed value is exact in decimal, the one decimal→double conversion is
+  * the same correctly-rounded IEEE value in both engines.
   */
 object Relational {
 
@@ -46,6 +54,9 @@ object Relational {
         col("sum_qty").cast("double") / col("count_order"))
       .withColumn("avg_price",
         col("sum_base_price").cast("double") / col("count_order"))
+      .withColumn("sum_qty", col("sum_qty").cast("double"))
+      .withColumn("sum_base_price", col("sum_base_price").cast("double"))
+      .withColumn("sum_disc_price", col("sum_disc_price").cast("double"))
   }
 
   /** Top-k per group via ranking window: top `k` orders by price within
@@ -70,6 +81,7 @@ object Relational {
         sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
         count(lit(1)).as("n"),
         grouping_id().as("gid"))
+      .withColumn("sum_qty", col("sum_qty").cast("double"))
 
   /** Exact distinct-count per group (Catalyst's expand + two-phase plan —
     * the thing you swap for approx_count_distinct/HLL sketches at 100 TB
@@ -107,5 +119,6 @@ object Relational {
       .agg(
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"),
         count(lit(1)).as("n_orders"))
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 }

@@ -56,7 +56,9 @@ object Streaming {
 
     spark.table(name).select(
       col("window.start").as("window_start"),
-      col("event_type"), col("n"), col("sum_value"))
+      col("event_type"), col("n"),
+      // exact decimal accumulation, DOUBLE result type (Relational scaladoc)
+      col("sum_value").cast("double").as("sum_value"))
   }
 
   /** The reference's incremental-load pattern as a stream (SURVEY §2.9):
