@@ -52,7 +52,15 @@ object Pipeline {
           Dedup.dedupLatest(source, contract.keys, ts, tiebreak)
         else source
       val merged = Merge.mergeUpsertLatest(target, deduped, contract.keys, ts, tiebreak)
-      val n = merged.count()
+      // any exception during merge/materialization still leaves a FAILED
+      // audit record (ref :266-271 writes the audit row from `except`)
+      val n =
+        try merged.count()
+        catch {
+          case e: Throwable =>
+            audit(s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}", 0L)
+            throw e
+        }
       val a = audit("SUCCESS", n) // :260,265
       RunResult("SUCCESS", merged, a)
     }

@@ -55,6 +55,32 @@ class QualityPipelineSpec extends AnyFunSuite {
     assert(res.merged.count() === 1)
   }
 
+  test("pipeline: exception during merge still audits FAILED (ref :266-271)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit3").toString
+    // poison the ts column with a deterministic UDF that throws at
+    // execution time: the DQ scan prunes it (only keys are aggregated), so
+    // the failure surfaces in the merge materialization, not the gate.
+    // spark.range (not Seq.toDF) keeps the source out of LocalRelation
+    // reach — ConvertToLocalRelation would otherwise evaluate the UDF
+    // eagerly inside the DQ plan's optimization.
+    val boom = udf((id: Long) => if (id == 12L) throw new RuntimeException("injected") else id)
+    val source = spark.range(10, 15).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .withColumn("v", boom(col("id")))
+    val target = Seq((1L, "z", 1L)).toDF("id", "key", "v")
+    val thrown = intercept[Throwable] {
+      Pipeline.run(spark, source, target,
+        Quality.DqContract(Seq("id", "key"), Seq("key"), minRows = 1),
+        ts = col("v"), tiebreak = Seq(col("id")),
+        tableName = "t", auditPath = s"$out/audit")
+    }
+    info("thrown: " + thrown.toString.take(300))
+    val audit = spark.read.parquet(s"$out/audit").collect()
+    assert(audit.length === 1)
+    assert(audit.head.getAs[String]("status").startsWith("FAILED:"))
+    assert(audit.head.getAs[Long]("record_count") === 0L)
+  }
+
   test("pipeline: duplicate keys dedup-and-continue (ref :256-258)") {
     val out = java.nio.file.Files.createTempDirectory("graft-audit2").toString
     val source = Seq((10L, "a", 5L), (11L, "a", 9L), (12L, "b", 1L))
