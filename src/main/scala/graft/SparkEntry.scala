@@ -257,9 +257,10 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Tables.documents(s, dir))),
 
-    // §2.9: tumbling-window streaming counts (MemoryStream-driven)
+    // §2.9: tumbling-window streaming counts (file-backed readStream)
     "streaming_window" -> ((s, dir) =>
-      graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir))),
+      graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
+        tmp(dir, "stream_window_src"))),
 
     // ---- temporal / vector extensions ---------------------------------
 
@@ -305,7 +306,8 @@ object SparkEntry {
     // incremental upsert as a stream: foreachBatch latest-wins merge;
     // final snapshot == batch window_latest over all events
     "streaming_upsert" -> ((s, dir) =>
-      graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys)),
+      graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys,
+        tmp(dir, "stream_upsert_src"))),
 
     // CUBE grouping-sets rollup with subtotal disambiguation
     "cube_rollup" -> ((s, dir) =>
@@ -412,7 +414,7 @@ object SparkEntry {
     // final state == batch gaps-and-islands sessionize
     "streaming_sessionize" -> ((s, dir) =>
       graft.streaming.Streaming.statefulSessionize(s, eventsBase(s, dir),
-        gapSeconds = 1800L)),
+        gapSeconds = 1800L, tmp(dir, "stream_sessions_src"))),
 
     // Spark SQL surface: TPC-H Q3-shaped top-k revenue via spark.sql over
     // registered temp views (same text modulo dialect in the oracle)

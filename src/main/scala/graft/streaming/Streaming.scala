@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -10,33 +9,39 @@ import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY §2.9). The reference is pure
   * batch; its incremental-load pattern (fetch-new → dedup → MERGE) is the
-  * batch analog of a streaming `foreachBatch` upsert, so the streaming ops
-  * here are free design: tumbling-window counts with a watermark, driven
-  * through a MemoryStream for deterministic local verification.
+  * batch analog of a streaming `foreachBatch` upsert.
   *
-  * At scale this is `spark.readStream.parquet(rawZone)` with the same
-  * transform graph — the query below is source-agnostic.
+  * Verification harness: each op writes its input once to a scratch
+  * parquet dir and drives the query from a file-backed `readStream` with
+  * `maxFilesPerTrigger` — several genuine micro-batches, no driver-side
+  * collect anywhere in the op path. At 100 TB the same query graph points
+  * at the raw zone (`sink_raw_partitioned`'s layout) and nothing changes:
+  * the file source lists and streams files, state lives in the state
+  * store, and the write that seeds the scratch dir here is the upstream
+  * ingest that already exists in production.
   */
 object Streaming {
 
-  final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
-
   private var counter = 0
+
+  private def nextName(prefix: String): String =
+    synchronized { counter += 1; s"${prefix}_$counter" }
 
   /** Tumbling 1-hour windowed counts per event_type, with a 1-hour
     * watermark. Complete output mode ⇒ the final table equals the batch
     * `groupBy(window(ts))` result, making the op oracle-verifiable.
     */
-  def windowedCounts(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  def windowedCounts(spark: SparkSession, events: DataFrame,
+                     scratch: String): DataFrame = {
+    val src = events.select(col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    src.repartition(4).write.mode("overwrite").parquet(scratch)
 
-    val data = events.select(col("event_id"), col("ts"), col("event_type"),
-      col("value")).as[Ev].collect().toSeq
-
-    val stream = MemoryStream[Ev]
-    val name = synchronized { counter += 1; s"graft_stream_$counter" }
-    val query = stream.toDF()
+    val name = nextName("graft_stream")
+    val query = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1) // several triggers ⇒ watermark advances mid-stream
+      .parquet(scratch)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -46,11 +51,6 @@ object Streaming {
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
 
-    // feed in two batches so the watermark actually advances mid-stream
-    val (first, rest) = data.splitAt(data.size / 2)
-    stream.addData(first)
-    query.processAllAvailable()
-    stream.addData(rest)
     query.processAllAvailable()
     query.stop()
 
@@ -69,12 +69,10 @@ object Streaming {
     * batch latest-wins result over all events.
     *
     * `target`/`source` split: target starts as the deduped even-id
-    * events; odd-id events arrive as the stream in three batches.
+    * events; odd-id events arrive as the stream, one file per trigger.
     */
   def streamingUpsert(spark: SparkSession, events: DataFrame,
-                      keys: Seq[String]): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+                      keys: Seq[String], scratch: String): DataFrame = {
     import graft.ops.Dedup
 
     def latest(df: DataFrame): DataFrame =
@@ -86,11 +84,12 @@ object Streaming {
     target.count()
 
     val odds = base.filter(col("event_id") % 2 === 1)
-      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    odds.repartition(3).write.mode("overwrite").parquet(scratch)
 
-    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
-    val query = stream.toDF()
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = spark.readStream
+      .schema(odds.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val next = latest(target.unionByName(batch)).persist()
@@ -101,84 +100,83 @@ object Streaming {
       }
       .outputMode("update").start()
 
-    odds.grouped(math.max(1, odds.size / 3 + 1)).foreach { chunk =>
-      stream.addData(chunk)
-      query.processAllAvailable()
-    }
+    query.processAllAvailable()
     query.stop()
     target
   }
 
-  /** Per-key session state: closed sessions + the open one (epoch seconds
-    * for gap logic, epoch micros for exact timestamps), plus an update
-    * counter so the final emission per key is identifiable.
+  /** Per-key session state: the set of sessions seen so far (epoch micros
+    * boundaries + event count), plus an update counter so the final
+    * emission per key is identifiable.
     */
-  final case class SessionAcc(lastSec: Long, curStart: Long, curEnd: Long,
-                              curN: Long,
-                              closed: List[(Long, Long, Long)], // startUs, endUs, n
-                              updates: Long)
+  final case class Sess(startUs: Long, endUs: Long, n: Long)
+  final case class SessState(sessions: List[Sess], updates: Long)
 
   final case class SessionRow(key: Long, update: Long, session_id: Long,
                               start_us: Long, end_us: Long, n_events: Long)
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState`
-    * (SURVEY §2.9 custom-state surface): events arrive in event-time
-    * order per key (micro-batches preserve the feed order), state carries
-    * the open session, and every update re-emits the full session list
-    * tagged with an update counter — the rows from each key's LAST update
-    * are the final sessions, equal to the batch gaps-and-islands result.
+    * (SURVEY §2.9 custom-state surface). State is merged by interval
+    * clustering: an event joins every session whose `[start-gap, end+gap]`
+    * second-range covers it (and bridges them into one). Because a
+    * session's events chain at ≤ gap spacing, that membership test is
+    * exactly "within gap of some event of the session", so the final
+    * components equal the batch gaps-and-islands result — for ANY arrival
+    * order and ANY batching. No ordering assumption means the harness can
+    * stream plain files; at scale the same code runs with a watermark +
+    * EventTimeTimeout evicting sessions older than the watermark minus
+    * gap (they can no longer be extended or bridged).
     *
-    * At scale the same code runs against a real source with watermark +
-    * EventTimeTimeout evicting closed sessions; the mock feed keeps state
-    * small (one open session + closed list per key).
+    * Gap arithmetic is on floor(epoch seconds) to mirror the batch
+    * operator's `ts.cast("long")` truncation.
     */
   def statefulSessionize(spark: SparkSession, events: DataFrame,
-                         gapSeconds: Long): DataFrame = {
+                         gapSeconds: Long, scratch: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val data = events.select(col("event_id"), col("ts"), col("user_id"))
-      .orderBy(col("event_id")) // feed order = event-time order per key
-      .as[(Long, Timestamp, Long)].collect().toSeq
+    val src = events.select(col("event_id"), col("ts"), col("user_id"))
+    src.repartition(4).write.mode("overwrite").parquet(scratch)
 
     def update(key: Long, it: Iterator[(Long, Timestamp, Long)],
-               state: GroupState[SessionAcc]): Iterator[SessionRow] = {
-      val sorted = it.toSeq.sortBy(r => (r._2.getTime, r._1))
-      var acc = state.getOption.getOrElse(SessionAcc(Long.MinValue, 0, 0, 0, Nil, 0))
-      sorted.foreach { case (_, ts, _) =>
+               state: GroupState[SessState]): Iterator[SessionRow] = {
+      var st = state.getOption.getOrElse(SessState(Nil, 0L))
+      it.foreach { case (_, ts, _) =>
         // getTime carries millis and getNanos the full fractional second —
         // build micros from whole seconds + nanos to avoid double-counting
         val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
-        val sec = us / 1000000
-        acc =
-          if (acc.lastSec == Long.MinValue)
-            acc.copy(lastSec = sec, curStart = us, curEnd = us, curN = 1)
-          else if (sec - acc.lastSec > gapSeconds)
-            acc.copy(lastSec = sec, curStart = us, curEnd = us, curN = 1,
-              closed = (acc.curStart, acc.curEnd, acc.curN) :: acc.closed)
-          else
-            acc.copy(lastSec = sec, curEnd = us, curN = acc.curN + 1)
+        val sec = us / 1000000L
+        val (hit, rest) = st.sessions.partition { s =>
+          sec >= s.startUs / 1000000L - gapSeconds &&
+            sec <= s.endUs / 1000000L + gapSeconds
+        }
+        val merged = Sess(
+          (us :: hit.map(_.startUs)).min,
+          (us :: hit.map(_.endUs)).max,
+          1L + hit.map(_.n).sum)
+        st = st.copy(sessions = merged :: rest)
       }
-      acc = acc.copy(updates = acc.updates + 1)
-      state.update(acc)
-      val all = ((acc.curStart, acc.curEnd, acc.curN) :: acc.closed).reverse
-      all.zipWithIndex.iterator.map { case ((s, e, n), i) =>
-        SessionRow(key, acc.updates, i + 1L, s, e, n)
+      st = SessState(st.sessions, st.updates + 1)
+      state.update(st)
+      // re-emit the full session list tagged with the update counter; the
+      // rows from each key's LAST update are the final sessions
+      val sorted = st.sessions.sortBy(_.startUs)
+      sorted.zipWithIndex.iterator.map { case (s, i) =>
+        SessionRow(key, st.updates, i + 1L, s.startUs, s.endUs, s.n)
       }
     }
 
-    val stream = MemoryStream[(Long, Timestamp, Long)]
-    val name = synchronized { counter += 1; s"graft_sessions_$counter" }
-    val query = stream.toDS()
+    val name = nextName("graft_sessions")
+    val query = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .as[(Long, Timestamp, Long)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
 
-    data.grouped(math.max(1, data.size / 3 + 1)).foreach { chunk =>
-      stream.addData(chunk)
-      query.processAllAvailable()
-    }
+    query.processAllAvailable()
     query.stop()
 
     // final = each key's last update
