@@ -56,11 +56,67 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cosine >= `threshold`. Brute-force all-pairs with the codegen'd dot
-    * product — exact; at corpus scale swap the crossJoin for the
-    * LSH/IVF bucketing of [[ivfTopK]] (same verify step).
+    * cosine >= `threshold`, found by random-hyperplane (SimHash-style) LSH
+    * banding + exact-cosine verification — the same candidate/verify split
+    * as [[TextDedup.minhashLshPairs]], so the full corpus is never
+    * cross-joined against itself:
+    *
+    *  1. signature: `bitsPerBand · bands` sign bits of dot(v, rᵢ) against
+    *     seeded Gaussian hyperplanes (a few KB broadcast as literals);
+    *  2. banding: per band, the packed bit-group is the bucket key;
+    *     vectors sharing any bucket become candidate pairs (posting-list
+    *     expansion — only ids shuffle, never vectors);
+    *  3. verify: candidates join back their vectors once and the exact
+    *     codegen'd cosine decides (precision 1.0 regardless of the hashes).
+    *
+    * A pair at angle θ collides in one band with prob (1-θ/π)^bitsPerBand;
+    * the defaults (4 bits × 32 bands, fixed seed) push the miss rate for
+    * cos ≥ 0.5 below 1e-3 per pair — recall at the registered threshold is
+    * verified against the exact oracle. Wide banding is the honest price
+    * of a 0.5 threshold (60° is weak similarity); production near-dup
+    * sweeps at cos ≥ 0.8-0.9 would raise bitsPerBand (smaller buckets,
+    * fewer candidates) and keep the identical plan shape.
     */
-  def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDup(embeddings: DataFrame, threshold: Double,
+                    bitsPerBand: Int = 4, bands: Int = 32,
+                    seed: Long = 7L): DataFrame = {
+    val e = withVec(embeddings, "vec_id", "v")
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(bitsPerBand * bands, dim)(rng.nextGaussian())
+
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { i =>
+        when(dot(col("v"), typedLit(planes(b * bitsPerBand + i).toSeq)) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.cast("int").as("key")).as(s"b$b")
+    }
+    val buckets = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+
+    val candidates = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(TextDedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
+      .distinct()
+
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("v_norm").as("va_norm")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("v_norm").as("vb_norm")), "vec_b")
+      .withColumn("cos", cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Exact all-pairs reference for [[cosineNearDup]] (O(n²) — test/oracle
+    * use only; the registered op is the LSH-bucketed path).
+    */
+  def cosineNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val a = withVec(embeddings, "vec_a", "va")
     val b = withVec(embeddings, "vec_b", "vb")
     a.crossJoin(b)

@@ -37,8 +37,9 @@ object TextDedup {
 
   /** All ordered pairs (a < b) from a sorted posting list, as structs —
     * pure expression, stays columnar: flatten(i -> (ds[i], each later)).
+    * Shared with [[Similarity.cosineNearDup]]'s LSH bucket expansion.
     */
-  private def pairsOf(ds: Column): Column =
+  private[ops] def pairsOf(ds: Column): Column =
     flatten(transform(sequence(lit(0), size(ds) - 2), i =>
       transform(slice(ds, i + 2, size(ds)),
         y => struct(element_at(ds, i + 1).as("a"), y.as("b")))))

@@ -47,6 +47,20 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(fp(1L) !== fp(2L))
   }
 
+  test("LSH cosine near-dup has full recall vs the exact all-pairs result") {
+    // sf0.1 carries 14 pairs barely above the 0.5 threshold (cos .50-.60)
+    // — the worst case for hyperplane LSH recall; seed is fixed, so a pass
+    // here is deterministic
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, sf)
+      val lsh = Similarity.cosineNearDup(e, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val exact = Similarity.cosineNearDupExact(e, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(lsh === exact, s"at $sf")
+    }
+  }
+
   test("brute-force top-k: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
