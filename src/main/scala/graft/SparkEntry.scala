@@ -185,6 +185,13 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), 5)
     }),
 
+    // IVF with k-means-refined centroids (2 Lloyd iterations as
+    // DataFrame ops; decimal-exact centroid sums for oracle parity)
+    "embedding_ann_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 32), 5, kmeansIters = 2)
+    }),
+
     // ---- sources / sinks (SURVEY §2.1) --------------------------------
 
     // S1: paginated REST source against a file-backed mock endpoint
@@ -667,6 +674,45 @@ object SparkEntry {
              ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 1),
          probed AS (
            SELECT e.vec_id AS q_id, e.v AS q, cent_id FROM e CROSS JOIN cent
+           WHERE e.vec_id < 32
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 4)
+         SELECT q_id, neighbor_id, sim, rank FROM (
+           SELECT q_id, neighbor_id, list_cosine_similarity(q, c) AS sim,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY list_cosine_similarity(q, c) DESC, neighbor_id ASC) AS rank
+           FROM probed JOIN assigned USING (cent_id)
+           WHERE q_id <> neighbor_id)
+         WHERE rank <= 5""",
+
+    // two unrolled Lloyd iterations; centroids are elementwise
+    // DECIMAL(38,18) sums cast to double — exact, order-independent, and
+    // direction-equal to the mean (cosine ignores positive scale)
+    "embedding_ann_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS g FROM e WHERE vec_id < 16),
+         a0 AS (SELECT e.vec_id, e.v, cent_id FROM e CROSS JOIN c0
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) = 1),
+         c1 AS (SELECT cent_id, list(sval ORDER BY pos) AS g FROM (
+                  SELECT cent_id, pos, CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) AS sval
+                  FROM (SELECT cent_id, unnest(v) AS val, generate_subscripts(v,1) AS pos FROM a0)
+                  GROUP BY cent_id, pos)
+                GROUP BY cent_id),
+         a1 AS (SELECT e.vec_id, e.v, cent_id FROM e CROSS JOIN c1
+                QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) = 1),
+         c2 AS (SELECT cent_id, list(sval ORDER BY pos) AS g FROM (
+                  SELECT cent_id, pos, CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) AS sval
+                  FROM (SELECT cent_id, unnest(v) AS val, generate_subscripts(v,1) AS pos FROM a1)
+                  GROUP BY cent_id, pos)
+                GROUP BY cent_id),
+         assigned AS (
+           SELECT e.vec_id AS neighbor_id, e.v AS c, cent_id FROM e CROSS JOIN c2
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 1),
+         probed AS (
+           SELECT e.vec_id AS q_id, e.v AS q, cent_id FROM e CROSS JOIN c2
            WHERE e.vec_id < 32
            QUALIFY row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 4)

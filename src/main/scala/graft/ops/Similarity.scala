@@ -126,33 +126,71 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Top-`n` centroids per row by cosine, tie-broken on cent_id — the
+    * broadcast-argmax join shared by IVF assignment, probing, and k-means.
+    */
+  private def nearestCentroids(df: DataFrame, cent: DataFrame, idCol: String,
+                               vecCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    df.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        cosine(col(vecCol), col("g"), col(s"${vecCol}_norm"), col("g_norm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("g", "g_norm", "csim", "crank")
+  }
+
+  /** Spherical Lloyd iterations as DataFrame ops: seed centroids are the
+    * first `nlist` vectors, each iteration re-assigns every vector to its
+    * max-cosine centroid (broadcast argmax join — one scan, no shuffle of
+    * vectors beyond the per-(centroid,dim) partial aggregation) and
+    * replaces the centroid with the elementwise SUM of its members.
+    * Cosine is scale-invariant, so the sum IS the spherical mean direction
+    * — skipping the /count keeps the arithmetic engine-portable (the sum
+    * is accumulated as DECIMAL(38,18), exact and order-independent, then
+    * cast to double once; a double mean would vary with partial-agg order).
+    * Empty clusters simply vanish (their id is never assigned).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    val e = withVec(embeddings, "vec_id", "v")
+    var cent = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("g"),
+        col("v_norm").as("g_norm"))
+    for (_ <- 0 until iters) {
+      val assigned = nearestCentroids(
+        e.select(col("vec_id"), col("v"), col("v_norm")), cent, "vec_id", "v", 1)
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("val").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double").as("sval"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sval")))),
+          s => s.getField("sval")).as("g"))
+        .withColumn("g_norm", norm(col("g")))
+    }
+    cent
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest of `nlist` centroid vectors; each probe searches only
-    * its `nprobe` nearest centroids' lists. Centroids here are seeded
-    * deterministically (first `nlist` vectors) — swap in k-means
-    * iterations for real data; the operator shape (assign = broadcast
-    * argmax join, search = equi-join on centroid id) is the 100 TB path:
-    * the crossJoin shrinks by nlist/nprobe.
+    * its `nprobe` nearest centroids' lists. With `kmeansIters` = 0 the
+    * centroids are the deterministic seeds (first `nlist` vectors);
+    * `kmeansIters` > 0 refines them with [[kmeansCentroids]]. The operator
+    * shape (assign = broadcast argmax join, search = equi-join on centroid
+    * id) is the 100 TB path: the crossJoin shrinks by nlist/nprobe.
     */
   def ivfTopK(embeddings: DataFrame, probes: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = withVec(embeddings.filter(col("vec_id") < nlist), "cent_id", "g")
-
-    def nearestCentroids(df: DataFrame, idCol: String, vecCol: String,
-                         n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cent))
-        .withColumn("csim",
-          cosine(col(vecCol), col("g"), col(s"${vecCol}_norm"), col("g_norm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("g", "g_norm", "csim", "crank")
-    }
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val cent =
+      if (kmeansIters > 0) kmeansCentroids(embeddings, nlist, kmeansIters)
+      else withVec(embeddings.filter(col("vec_id") < nlist), "cent_id", "g")
 
     val assigned = nearestCentroids(withVec(embeddings, "neighbor_id", "c"),
-      "neighbor_id", "c", 1)
-    val probed = nearestCentroids(withVec(probes, "q_id", "q"), "q_id", "q", nprobe)
+      cent, "neighbor_id", "c", 1)
+    val probed = nearestCentroids(withVec(probes, "q_id", "q"), cent, "q_id", "q", nprobe)
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
