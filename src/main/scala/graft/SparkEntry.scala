@@ -171,6 +171,15 @@ object SparkEntry {
     "simhash" -> ((s, dir) =>
       TextDedup.simHash(Tables.documents(s, dir))),
 
+    // E1: Hamming-near SimHash pairs via pigeonhole banding (guaranteed
+    // recall for hamming < bands — deterministic, unlike MinHash LSH)
+    "simhash_pairs" -> ((s, dir) =>
+      TextDedup.simHashPairs(Tables.documents(s, dir))),
+
+    // E1: char n-gram Jaccard near-dup (tokenizer-free shingle domain)
+    "near_dedup_chars" -> ((s, dir) =>
+      TextDedup.nearDupJaccardChars(Tables.documents(s, dir))),
+
     // ---- [EXT] similarity search (SURVEY §2.8 E2) ---------------------
 
     // exact brute-force cosine top-k, broadcast probe set
@@ -268,6 +277,27 @@ object SparkEntry {
     "streaming_window" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
         tmp(dir, "stream_window_src"))),
+
+    // §2.9: streaming exact dedup of a re-ingested feed (keyed state)
+    "streaming_dedup" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingDedup(s, eventsBase(s, dir),
+        tmp(dir, "stream_dedup_src"))),
+
+    // analytic window-function surface: lag/lead/dense_rank/ntile/
+    // percent_rank/cume_dist under one total order
+    "window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+    }),
 
     // ---- temporal / vector extensions ---------------------------------
 
@@ -642,6 +672,43 @@ object SparkEntry {
                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          FROM h""",
 
+    // brute-force Hamming pairs over the same fingerprints — the banded
+    // Spark path must find every one (pigeonhole guarantee)
+    "simhash_pairs" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 1000003 + x) % 2038074743)) AS hs
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(32), b ->
+               CASE WHEN list_sum(list_transform(hs, v ->
+                      CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    // uncapped all-pairs char-5-gram Jaccard ground truth
+    "near_dedup_chars" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, g+1, 5) AS shingle
+                     FROM documents, UNNEST(range(length(text) - 4)) AS t(g)
+                     WHERE length(text) >= 5),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT a AS doc_a, b AS doc_b,
+                CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+
     "dedup_content_hash" ->
       """WITH inp AS (SELECT doc_id, text FROM documents
                       UNION ALL SELECT doc_id + 10000, text FROM documents)
@@ -780,6 +847,23 @@ object SparkEntry {
            event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    // streaming dedup of the doubled feed == the feed itself
+    "streaming_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         FROM events""",
+
+    "window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
 
     // gap computed on floor(epoch) to mirror Spark's ts.cast(long) truncation
     "sessionize" ->

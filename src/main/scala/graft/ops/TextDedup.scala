@@ -82,13 +82,12 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Near-duplicate pairs by shingle Jaccard >= `threshold` — exact as
-    * long as no shingle exceeds `maxDf` (see [[pairIntersections]]);
-    * output (doc_a, doc_b, jaccard), doc_a < doc_b.
+  /** Jaccard pairs ≥ `threshold` from a prepared (doc_id, shingle) set —
+    * the inverted-index pipeline shared by the word-shingle and char
+    * n-gram variants.
     */
-  def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                     maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(docs, k).persist() // reused: postings + per-doc sizes
+  private def jaccardPairsOn(sh: DataFrame, threshold: Double,
+                             maxDf: Int): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     pairIntersections(sh, maxDf)
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
@@ -98,6 +97,38 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Near-duplicate pairs by shingle Jaccard >= `threshold` — exact as
+    * long as no shingle exceeds `maxDf` (see [[pairIntersections]]);
+    * output (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                     maxDf: Int = 1000): DataFrame =
+    jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf)
+
+  /** Distinct character n-grams per document — the tokenizer-free shingle
+    * variant (robust to spacing/punctuation differences word shingles
+    * miss). Same per-row `array_distinct`-before-explode shape as
+    * [[shingles]].
+    */
+  def charShingles(docs: DataFrame, n: Int): DataFrame = {
+    val t = col("text")
+    Par.widen(docs)
+      .filter(length(t) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(t) - lit(n)),
+          i => t.substr(i + 1, lit(n))))).as("shingle"))
+  }
+
+  /** Near-duplicate pairs by character n-gram Jaccard — same inverted
+    * index + df-cap + exact verify as [[nearDupJaccard]], different
+    * shingle domain.
+    */
+  def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
+                          threshold: Double = 0.5,
+                          maxDf: Int = 1000): DataFrame =
+    jaccardPairsOn(charShingles(docs, n).persist(), threshold, maxDf)
 
   /** MinHash signature matrix + LSH banding candidates — the sub-quadratic
     * near-dedup path. `numHashes` universal hashes h_i(x) = (a_i·x + b_i)
@@ -169,5 +200,46 @@ object TextDedup {
       when(vote > 0, lit(1L) * lit(1L << b)).otherwise(0L)
     }
     docs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
+    * found sub-quadratically via pigeonhole banding: the 32-bit
+    * fingerprint splits into `bands` equal chunks, and any pair within
+    * Hamming `bands - 1` must agree on at least one whole chunk — so
+    * bucketing on (band, chunk value) has GUARANTEED recall (no
+    * probability involved, unlike MinHash banding) as long as
+    * `maxHamming < bands`. Candidates from shared buckets are verified
+    * with an exact `bit_count(xor)` — 8 bytes per doc shuffled, never
+    * text.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands ($maxHamming >= $bands)")
+    val bits = 32 / bands
+    val sigs = simHash(docs).persist() // reused: banding + verification
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("key")).as(s"b$b")
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+    val candidates = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }

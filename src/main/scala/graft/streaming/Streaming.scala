@@ -105,6 +105,35 @@ object Streaming {
     target
   }
 
+  /** Streaming exact dedup: the input is written twice (a simulated
+    * re-ingest of the whole feed) and `dropDuplicates(event_id)` emits
+    * exactly one copy per key across all micro-batches — keyed state holds
+    * the ids already seen. No watermark here so the check is exact for any
+    * file arrival order; production bounds the state with
+    * `dropDuplicatesWithinWatermark` once late data has a contract.
+    * Equals batch DISTINCT over the feed (copies are identical rows).
+    */
+  def streamingDedup(spark: SparkSession, events: DataFrame,
+                     scratch: String): DataFrame = {
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    src.repartition(2).write.mode("overwrite").parquet(scratch)
+    src.repartition(2).write.mode("append").parquet(scratch) // re-ingest dup copy
+
+    val name = nextName("graft_dedup")
+    val query = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
   /** Per-key session state: the set of sessions seen so far (epoch micros
     * boundaries + event count), plus an update counter so the final
     * emission per key is identifiable.

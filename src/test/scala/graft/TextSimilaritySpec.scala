@@ -35,6 +35,30 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("simHashPairs: banded candidates equal brute-force Hamming pairs") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val banded = TextDedup.simHashPairs(d, maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = TextDedup.simHash(d)
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty) // testdata contains Hamming-near fingerprints
+  }
+
+  test("char n-gram Jaccard: identical docs pair at 1.0, disjoint do not") {
+    val out = TextDedup.nearDupJaccardChars(docs(
+      (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzyyyyxxxx")), n = 5,
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("contentHashDedup groups exact copies and keeps min doc_id") {
     val out = TextDedup.contentHashDedup(docs((5L, "same"), (9L, "same"), (7L, "other")))
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
