@@ -350,6 +350,62 @@ object SparkEntry {
     "cube_rollup" -> ((s, dir) =>
       Relational.cubeRollup(Tables.lineitem(s, dir))),
 
+    // ROLLUP hierarchy (flag → flag+status → grand total)
+    "rollup_sets" -> ((s, dir) =>
+      Relational.rollupSets(Tables.lineitem(s, dir))),
+
+    // FULL OUTER join; customers thinned so both null sides are non-empty
+    "join_full_outer" -> ((s, dir) =>
+      Relational.fullOuterOrders(
+        Tables.customer(s, dir).filter(col("c_custkey") % 3 =!= 0),
+        Tables.orders(s, dir))),
+
+    // array-function surface over tokenized documents; outputs are
+    // projected to scalars (the driver's row-sort rejects array cells)
+    "array_funcs" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        array_join(slice(sort_array(words), 1, 3), ",").as("first3_sorted"),
+        array_contains(words, "the").as("has_the"),
+        element_at(words, 1).as("head_word"),
+        element_at(words, -1).as("last_word"))
+    }),
+
+    // per-document top-3 salient terms by tf/df (linear idf — same
+    // ranking as tf·N/df, and the single double division is the same
+    // IEEE op in both engines); ties break on the term
+    "tfidf_topterms" -> ((s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    }),
+
+    // bag-semantics set operations (EXCEPT ALL / INTERSECT ALL)
+    "set_ops_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select(col("user_id"))
+      users("click").intersectAll(users("purchase"))
+        .withColumn("op", lit("click_and_buy_all"))
+        .unionByName(
+          users("click").exceptAll(users("error"))
+            .withColumn("op", lit("click_no_error_all")))
+    }),
+
     // exact distinct-count per group (expand + two-phase plan)
     "distinct_users" -> ((s, dir) =>
       Relational.distinctUsers(Tables.events(s, dir))),
@@ -925,6 +981,53 @@ object SparkEntry {
            count(*) AS n,
            grouping_id(l_returnflag, l_linestatus) AS gid
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "rollup_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n,
+           grouping_id(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "join_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+           CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS side
+         FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0) c
+         FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders) o
+           ON c_custkey = o_custkey""",
+
+    "array_funcs" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           string_split(text, ' ')[1] AS head_word,
+           string_split(text, ' ')[-1] AS last_word
+         FROM documents""",
+
+    "tfidf_topterms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1)
+         SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS rank
+         FROM tf JOIN df USING (term)
+         QUALIFY rank <= 3""",
+
+    "set_ops_all" ->
+      """SELECT user_id, 'click_and_buy_all' AS op FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT user_id, 'click_no_error_all' FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'error')""",
 
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -83,6 +83,32 @@ object Relational {
         grouping_id().as("gid"))
       .withColumn("sum_qty", col("sum_qty").cast("double"))
 
+  /** ROLLUP grouping sets: hierarchical subtotals (flag, flag+status,
+    * grand total) — the drill-down companion to [[cubeRollup]].
+    */
+  def rollupSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .withColumn("sum_qty", col("sum_qty").cast("double"))
+
+  /** FULL OUTER join surface: every customer and every order, including
+    * customers without orders and (synthetic) orders without customers;
+    * scalar projection keeps both null sides visible.
+    */
+  def fullOuterOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"), col("c_name"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "customer_only")
+          .otherwise("matched").as("side"))
+
   /** Exact distinct-count per group (Catalyst's expand + two-phase plan —
     * the thing you swap for approx_count_distinct/HLL sketches at 100 TB
     * when exactness stops being worth the shuffle).
