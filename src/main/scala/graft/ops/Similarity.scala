@@ -96,14 +96,20 @@ object Similarity {
     val buckets = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
 
-    val candidates = buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(TextDedup.pairsOf(col("ds"))).as("p"))
-      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
-      .distinct()
+    // bucket SELF-JOIN on (band, key): the only shuffle moves (id, band,
+    // key) rows — candidate pairs are produced inside the join tasks and
+    // stream straight into the broadcast verify without ever being
+    // shuffled or pre-deduplicated (dedup after the cosine filter costs
+    // rows-that-survive, not rows-generated). AQE splits hot buckets.
+    val cand = buckets.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+      .join(buckets.select(col("band"), col("key"), col("vec_id").as("vec_b")),
+        Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
 
-    candidates
+    // no broadcast hint: Catalyst broadcasts the vector side while it fits
+    // (it does at test SF) and falls back to shuffle joins at corpus scale
+    cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("v_norm").as("va_norm")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -111,6 +117,7 @@ object Similarity {
       .withColumn("cos", cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
   }
 
   /** Exact all-pairs reference for [[cosineNearDup]] (O(n²) — test/oracle

@@ -55,6 +55,14 @@ object Prof {
       emb.filter(col("vec_id") < 32), 5).count())
     time("ann again")(graft.ops.Similarity.ivfTopK(emb,
       emb.filter(col("vec_id") < 32), 5).count())
+    time("near_dup LSH full")(
+      graft.ops.Similarity.cosineNearDup(emb, 0.5).count())
+    time("near_dup LSH again")(
+      graft.ops.Similarity.cosineNearDup(emb, 0.5).count())
+    time("near_dup exact (ref)")(
+      graft.ops.Similarity.cosineNearDupExact(emb, 0.5).count())
+    time("kmeans ann")(graft.ops.Similarity.ivfTopK(emb,
+      emb.filter(col("vec_id") < 32), 5, kmeansIters = 2).count())
 
     spark.stop()
   }
