@@ -313,6 +313,18 @@ object SparkEntry {
         leftPred = col("event_type") === "view",
         rightPred = col("event_type") === "purchase")),
 
+    // the same as-of semantics through the custom Catalyst operator
+    // (LogicalPlan + Strategy + merge-join SparkPlan, SURVEY §4.3(c));
+    // must produce bit-identical output to the window-based asof_join
+    "asof_join_native" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.plans.AsOf.asofJoin(side("view"), side("purchase"), "key", "ts", "id")
+        .select(col("key"), col("id"), col("ts"),
+          col("l_id").as("asof_id"), col("l_ts").as("asof_ts"))
+    }),
+
     // embedding-cosine near-duplicate pairs
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5)),
@@ -550,7 +562,9 @@ object SparkEntry {
       // pipeline_run's merged snapshot is semantically merge_upsert_latest
       ("pipeline_run" -> baseOracles("merge_upsert_latest")) +
       // stateful streaming sessionize converges to the batch result
-      ("streaming_sessionize" -> extraOracles("sessionize"))
+      ("streaming_sessionize" -> extraOracles("sessionize")) +
+      // the custom-plan as-of join must match the window-based one exactly
+      ("asof_join_native" -> extraOracles("asof_join"))
 
   private def baseOracles: Map[String, String] = Map(
 

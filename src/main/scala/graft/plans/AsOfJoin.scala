@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native backward as-of join — the SURVEY §4.3(c) showcase: a whole
+  * custom operator (LogicalPlan + SparkStrategy + SparkPlan) for a shape
+  * Spark SQL lacks. For every right row, attach the latest left row of
+  * the same key whose (ts, tie) is lexicographically <= the right row's —
+  * identical semantics (including timestamp ties) to the window-based
+  * [[graft.ops.Temporal.asofPrior]] union trick.
+  *
+  * Physical plan: both sides hash-partitioned on the key and sorted by
+  * (key, ts, tie) — EnsureRequirements inserts the exchanges/sorts — then
+  * a single forward merge per partition: O(|L| + |R|), no range-join
+  * explosion, no window buffering of the right side. This is the plan a
+  * dedicated time-series engine runs, expressed as first-class Catalyst.
+  */
+final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                          leftKey: Expression, leftTs: Expression, leftTie: Expression,
+                          rightKey: Expression, rightTs: Expression, rightTie: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    right.output ++ left.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; a no-op for every other node. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lts, ltie, rk, rts, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, ltie, rk, rts, rtie) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                              leftKey: Expression, leftTs: Expression, leftTie: Expression,
+                              rightKey: Expression, rightTs: Expression, rightTie: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    right.output ++ left.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key (EnsureRequirements makes the two
+  // ClusteredDistributions compatible, exactly as for sort-merge join)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // in-partition sort by (key, ts, tie) on both sides drives the merge
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lts = BindReferences.bindReference(leftTs, left.output)
+    val ltie = BindReferences.bindReference(leftTie, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rts = BindReferences.bindReference(rightTs, right.output)
+    val rtie = BindReferences.bindReference(rightTie, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val tieOrd = TypeUtils.getInterpretedOrdering(leftTie.dataType)
+    val leftWidth = left.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullLeft = new GenericInternalRow(leftWidth)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      var lHead: InternalRow = null
+      def advance(): Unit =
+        lHead = if (lIter.hasNext) lIter.next() else null
+      advance()
+
+      // latest matching left row so far (copied out of the iterator) and
+      // its key, for cheap discard when the right key moves on
+      var curLeft: InternalRow = null
+      var curLeftKey: Any = null
+
+      rIter.map { rRow =>
+        val k = rk.eval(rRow)
+        if (k == null) {
+          curLeft = null; curLeftKey = null
+          proj(joined(rRow, nullLeft))
+        } else {
+          if (curLeft != null && keyOrd.compare(curLeftKey, k) != 0) {
+            curLeft = null; curLeftKey = null
+          }
+          val t = rts.eval(rRow)
+          val tie = rtie.eval(rRow)
+          var done = lHead == null
+          while (!done) {
+            val hk = lk.eval(lHead)
+            val c = if (hk == null) -1 else keyOrd.compare(hk, k)
+            if (c < 0) advance() // behind the right key (or null key): drop
+            else if (c > 0) done = true
+            else {
+              val ht = lts.eval(lHead)
+              val cmpTs = if (ht == null) 1 else tsOrd.compare(ht, t)
+              val within =
+                cmpTs < 0 || (cmpTs == 0 && tieOrd.compare(ltie.eval(lHead), tie) <= 0)
+              if (within) {
+                curLeft = lHead.copy(); curLeftKey = hk
+                advance()
+              } else done = true
+            }
+            if (lHead == null) done = true
+          }
+          proj(joined(rRow, if (curLeft != null) curLeft else nullLeft))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — config-based
+  * registration of the as-of strategy for sessions we don't construct.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOf {
+  /** Idempotently make [[AsOfJoinStrategy]] available on an existing
+    * session (for sessions built without `spark.sql.extensions`).
+    */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** Backward as-of join of two DataFrames on `key`: each right row gains
+    * every left column (null when no left row precedes it). Columns are
+    * re-aliased on both sides before plan construction so the two
+    * subtrees never share attribute ids (safe for self-as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, ts: String, tie: String,
+               leftPrefix: String = "l_"): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val l = left.select(left.columns.map(c => col(c).as(s"$leftPrefix$c")).toSeq: _*)
+    val lp = GraftExpressionBridge.logicalPlan(l)
+    val rp = GraftExpressionBridge.logicalPlan(right)
+    def attr(p: LogicalPlan, name: String): Expression =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
+    GraftExpressionBridge.ofRows(spark, AsOfJoin(lp, rp,
+      attr(lp, s"$leftPrefix$key"), attr(lp, s"$leftPrefix$ts"), attr(lp, s"$leftPrefix$tie"),
+      attr(rp, key), attr(rp, ts), attr(rp, tie)))
+  }
+}

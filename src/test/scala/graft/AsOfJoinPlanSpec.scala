@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+
+class AsOfJoinPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sides(sf: String) = {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def side(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    (side("view"), side("purchase"))
+  }
+
+  test("native as-of join equals the window-based asofPrior") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val windowed = graft.ops.Temporal.asofPrior(e,
+      key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+      leftPred = col("event_type") === "view",
+      rightPred = col("event_type") === "purchase")
+      .select(col("key"), col("id"), col("asof_id"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    val (views, purchases) = sides("/root/testdata/sf0.001")
+    val native = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+      .select(col("key"), col("id"), col("l_id"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+
+    assert(native === windowed)
+    assert(native.nonEmpty)
+    assert(native.exists(_._3.isEmpty)) // purchases before any view → null
+  }
+
+  test("physical plan is the custom merge exec, partitioned on the key") {
+    val (views, purchases) = sides("/root/testdata/sf0.001")
+    val df = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // SparkPlan.nodeName strips "Exec"
+    assert(plan.contains("hashpartitioning"))
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+
+  test("tie on ts: only left rows with tie <= right tie match") {
+    // key 1: views at (ts=10,id=1) and (ts=10,id=9); purchase (ts=10,id=5)
+    // → the id=9 view is 'after' the purchase in (ts, id) order
+    val views = Seq((1L, 10L, 1L), (1L, 10L, 9L)).toDF("key", "ts", "id")
+    val purchases = Seq((1L, 10L, 5L), (1L, 5L, 2L)).toDF("key", "ts", "id")
+    val out = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+      .select(col("id"), col("l_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(5L) === Some(1L)) // not the id=9 view
+    assert(out(2L) === None)     // ts=5 precedes every view
+  }
+}
