@@ -273,6 +273,14 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Tables.documents(s, dir))),
 
+    // E5: aspect-preserving resize geometry over decoded features
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.decodeFeatures(Tables.documents(s, dir)))),
+
+    // E5: every-Nth-frame sampling of binary payloads (1:many flatMap)
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir))),
+
     // §2.9: tumbling-window streaming counts (file-backed readStream)
     "streaming_window" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
@@ -911,6 +919,26 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_bytes,
            'stub/raw' AS format
          FROM documents""",
+
+    "multimodal_resize" ->
+      """SELECT doc_id,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS height,
+           CAST((CAST(length(text) % 640 AS INT) * 224)
+             // greatest(length(text) % 640, ascii(substr(text, 1, 1)), 1) AS INT) AS target_w,
+           CAST((ascii(substr(text, 1, 1)) * 224)
+             // greatest(length(text) % 640, ascii(substr(text, 1, 1)), 1) AS INT) AS target_h
+         FROM documents""",
+
+    // frames are 64 ASCII bytes (text is pure ASCII: chars == bytes);
+    // checksum = byte sum of the sampled frame window
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS byte_offset,
+           CAST(list_sum(list_transform(
+             string_split(substr(text, i * 64 + 1, 64), ''),
+             c -> ascii(c))) AS BIGINT) AS checksum
+         FROM documents, UNNEST(range(0, length(text) // 64, 2)) AS t(i)""",
 
     "streaming_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,

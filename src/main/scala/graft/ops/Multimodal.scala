@@ -46,4 +46,50 @@ object Multimodal {
       it.map(decodeStub)
     }.toDF()
   }
+
+  /** Resize planning on decoded features: fit into a `target`-pixel box
+    * preserving aspect ratio — pure integral arithmetic (`div`) so the
+    * result is engine-portable. The actual pixel resample would run in
+    * the same partition-wise decoder pass; its geometry is what the
+    * pipeline schedules on.
+    */
+  def resizePlan(features: DataFrame, target: Int = 224): DataFrame =
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      expr(s"CAST(width * $target div greatest(width, height, 1) AS INT)")
+        .as("target_w"),
+      expr(s"CAST(height * $target div greatest(width, height, 1) AS INT)")
+        .as("target_h"))
+
+  final case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long,
+                         checksum: Long)
+
+  /** Frame sampling over a binary "video" payload: every `stride`-th
+    * fixed-size frame, one output row per sampled frame with a
+    * deterministic per-frame checksum (the stub for per-frame feature
+    * extraction). Partition-wise like [[decodeFeatures]] — a real codec
+    * seeks per frame inside the same pass; rows:frames is 1:many via a
+    * streaming flatMap, nothing materializes per document.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64,
+                  stride: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blobs: Dataset[Blob] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+    blobs.mapPartitions { it =>
+      // per-partition codec init would live here
+      it.flatMap { b =>
+        val nFrames = b.blob.length / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val off = i * frameBytes
+          var s = 0L
+          var j = off
+          while (j < off + frameBytes) { s += (b.blob(j) & 0xff); j += 1 }
+          Frame(b.doc_id, i, off.toLong, s)
+        }
+      }
+    }.toDF()
+  }
 }
