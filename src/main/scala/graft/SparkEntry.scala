@@ -251,6 +251,49 @@ object SparkEntry {
           Seq.empty[String])), fresh = true)
         .withColumn("source_files", array_join(col("source_files"), ","))),
 
+    // row-level DQ quarantine: single scan annotates every row with the
+    // first violated rule (badness injected deterministically); in
+    // production the reason != 'ok' slice routes to a quarantine sink
+    "dq_quarantine" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_id") % 10 === 0, lit(null))
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_id") % 13 === 0, lit("mystery"))
+          .otherwise(col("event_type")).as("event_type"),
+        col("value"))
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      base
+        .withColumn("reason",
+          when(col("user_id").isNull, "null_key")
+            .when(!col("event_type").isin(types: _*), "bad_type")
+            .otherwise("ok"))
+        .withColumn("quarantined", col("reason") =!= "ok")
+    }),
+
+    // schema evolution: a second batch adds a column; mergeSchema read
+    // unifies with NULLs for the old batch (the reference relies on
+    // BigQuery autodetect for the same situation)
+    "sink_schema_evolution" -> ((s, dir) => {
+      val p = tmp(dir, "evolve")
+      val o = Tables.orders(s, dir)
+      o.select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$p/batch=1")
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$p/batch=2")
+      s.read.option("mergeSchema", "true").parquet(p)
+    }),
+
+    // the reference's incremental-load extraction: rows strictly newer
+    // than the loaded snapshot's max ts (scalar-subquery cutoff as a
+    // broadcast 1-row join — no driver round-trip)
+    "incremental_extract" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      // loaded snapshot = the first 20 days; extract = strictly newer
+      val cutoff = e.filter(dayofmonth(col("ts")) <= 20).agg(max(col("ts")).as("m"))
+      e.join(broadcast(cutoff)).filter(col("ts") > col("m")).drop("m")
+    }),
+
     // ---- runner / multimodal / streaming ------------------------------
 
     // §3.1 control flow end-to-end: DQ gate → dedup → merge → audit sink.
@@ -919,6 +962,28 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_bytes,
            'stub/raw' AS format
          FROM documents""",
+
+    "dq_quarantine" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN event_id % 13 = 0 THEN 'mystery' ELSE event_type END AS event_type,
+           value,
+           CASE WHEN event_id % 10 = 0 THEN 'null_key'
+                WHEN event_id % 13 = 0 THEN 'bad_type'
+                ELSE 'ok' END AS reason,
+           (event_id % 10 = 0) OR (event_id % 13 = 0) AS quarantined
+         FROM events""",
+
+    "sink_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+           CAST(1 AS INT) AS batch FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS INT) FROM orders""",
+
+    "incremental_extract" ->
+      s"""WITH base AS ($evBase)
+          SELECT * FROM base
+          WHERE ts > (SELECT max(ts) FROM base WHERE day(ts) <= 20)""",
 
     "multimodal_resize" ->
       """SELECT doc_id,
