@@ -559,6 +559,59 @@ object SparkEntry {
           col("o_orderdate").cast("date")).as("days_to_y2k"),
         col("o_orderdate").cast("date").as("od"))),
 
+    // JSON-function surface over the props column (scalar projections)
+    "json_funcs" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_long"),
+        array_join(json_object_keys(col("props")), ",").as("keys"),
+        length(col("props")).cast("long").as("raw_len"))),
+
+    // higher-order array functions (transform/filter/aggregate/exists)
+    "hof_funcs" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        aggregate(transform(w, x => length(x).cast("long")), lit(0L),
+          (a, x) => a + x).as("total_len"),
+        size(filter(w, x => length(x) > 3)).cast("long").as("n_long_words"),
+        array_join(slice(transform(w, x => upper(x)), 1, 2), " ").as("up2"),
+        exists(w, x => x === "the").as("has_the"))
+    }),
+
+    // null/conditional scalar surface
+    "null_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+        least(col("o_totalprice"), lit(100000.0)).as("lo"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rush")
+          .otherwise("std").as("class"))),
+
+    // deterministic hash sampling — stable across runs, partitionings and
+    // engines (pure integer arithmetic, no RNG): the reproducible way to
+    // carve training subsets. A production id domain would use a 64-bit
+    // mix (splitmix64) — same shape, wider constants.
+    "sample_hash" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .filter((col("event_id") * 1000003L % 1000000007L) % 100 < 10)),
+
+    // stratified variant: top-N per stratum in hash order (equal-size
+    // strata samples regardless of class skew)
+    "sample_stratified" -> ((s, dir) => {
+      val h = col("event_id") * 1000003L % 1000000007L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(h.asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+    }),
+
     // BPE-ish regex tokenizer (alternation of letter/digit runs)
     "token_count_regex" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1216,6 +1269,44 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
          FROM documents""",
+
+    "json_funcs" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           array_to_string(json_keys(props), ',') AS keys,
+           CAST(length(props) AS BIGINT) AS raw_len
+         FROM events""",
+
+    "hof_funcs" ->
+      """SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+             x -> length(x))) AS BIGINT) AS total_len,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> length(x) > 3)) AS BIGINT) AS n_long_words,
+           array_to_string(list_transform(string_split(text, ' '),
+             x -> upper(x))[1:2], ' ') AS up2,
+           len(list_filter(string_split(text, ' '), x -> x = 'the')) > 0 AS has_the
+         FROM documents""",
+
+    "null_funcs" ->
+      """SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+           greatest(o_totalprice, 100000.0) AS hi,
+           least(o_totalprice, 100000.0) AS lo,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'rush'
+                ELSE 'std' END AS class
+         FROM orders""",
+
+    "sample_hash" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE (event_id * 1000003 % 1000000007) % 100 < 10""",
+
+    "sample_stratified" ->
+      """SELECT event_id, user_id, event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY event_id * 1000003 % 1000000007 ASC, event_id ASC) AS INT) AS rn
+         FROM events QUALIFY rn <= 50""",
 
     // floor(epoch) mirrors Spark's ts.cast(long) truncation
     "range_join" ->
