@@ -294,6 +294,61 @@ object SparkEntry {
       e.join(broadcast(cutoff)).filter(col("ts") > col("m")).drop("m")
     }),
 
+    // SCD2 validity intervals: every (user, event_type) version with
+    // [valid_from, valid_to) from the next version's timestamp — the
+    // history-table companion to the latest-wins MERGE
+    "scd2_history" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      eventsBase(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+    }),
+
+    // SQL surface: CTE + correlated EXISTS + HAVING through spark.sql
+    "sql_cte_query" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """WITH big AS (
+             SELECT o_custkey, count(*) AS n_big
+             FROM orders WHERE o_totalprice > 150000
+             GROUP BY o_custkey
+             HAVING count(*) >= 2)
+           SELECT c_custkey, c_mktsegment, n_big
+           FROM customer JOIN big ON c_custkey = o_custkey
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""")
+    }),
+
+    // corrupt-tolerant ingestion: a JSON feed with malformed lines reads
+    // in PERMISSIVE mode — bad records land in _corrupt_record instead of
+    // failing the load (the schema-contract edge the reference's
+    // autodetect load would hard-fail on)
+    "source_corrupt_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = tmp(dir, "corrupt_json")
+      val e = Tables.events(s, dir).filter(col("event_id") < 1000)
+      e.select(
+        when(col("event_id") % 7 === 0,
+          concat(lit("{\"event_id\":"), col("event_id"), lit(",\"user_id\":BROKEN")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"), col("event_type"))))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(p)
+      val schema = new StructType()
+        .add("event_id", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("_corrupt_record", StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"))
+    }),
+
     // ---- runner / multimodal / streaming ------------------------------
 
     // §3.1 control flow end-to-end: DQ gate → dedup → merge → audit sink.
@@ -1037,6 +1092,35 @@ object SparkEntry {
       s"""WITH base AS ($evBase)
           SELECT * FROM base
           WHERE ts > (SELECT max(ts) FROM base WHERE day(ts) <= 20)""",
+
+    "scd2_history" ->
+      s"""WITH base AS ($evBase)
+          SELECT user_id, event_type, event_id, value,
+            ts AS valid_from,
+            lead(ts) OVER w AS valid_to,
+            lead(ts) OVER w IS NULL AS is_current
+          FROM base
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC)""",
+
+    "sql_cte_query" ->
+      """WITH big AS (
+           SELECT o_custkey, count(*) AS n_big
+           FROM orders WHERE o_totalprice > 150000
+           GROUP BY o_custkey
+           HAVING count(*) >= 2)
+         SELECT c_custkey, c_mktsegment, n_big
+         FROM customer JOIN big ON c_custkey = o_custkey
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+
+    // corrupt rows surface as all-null fields + is_corrupt=true
+    "source_corrupt_json" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+           (event_id % 7 = 0) AS is_corrupt
+         FROM events WHERE event_id < 1000""",
 
     "multimodal_resize" ->
       """SELECT doc_id,
