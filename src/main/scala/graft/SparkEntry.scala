@@ -180,6 +180,41 @@ object SparkEntry {
     "near_dedup_chars" -> ((s, dir) =>
       TextDedup.nearDupJaccardChars(Tables.documents(s, dir))),
 
+    // E3+: fixed-size token chunking with overlap — the training-prep
+    // transform that turns documents into model-sized examples. Pure
+    // expressions: slice windows per row, one explode, no shuffle.
+    "doc_chunking" -> ((s, dir) => {
+      val chunkTokens = 64
+      val stride = 48 // 16-token overlap
+      val w = split(col("text"), " ")
+      val nChunks = greatest(
+        ceil((size(w) - lit(chunkTokens)) / lit(stride.toDouble)).cast("int") + 1,
+        lit(1))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(w, i * stride + 1, lit(chunkTokens)), " "))))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          col("col").as("chunk_text"),
+          size(split(col("col"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // E3+: cleaning/masking pass — digit runs masked, whitespace
+    // collapsed, lowercased (the normalize step ahead of dedup/quality)
+    "text_clean" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[0-9]+", "<num>"), " +", " ")).as("clean_text"))),
+
+    // E3+: corpus vocabulary, top-20 terms by frequency (tie: term asc)
+    "vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term").asc)
+        .limit(20)),
+
     // ---- [EXT] similarity search (SURVEY §2.8 E2) ---------------------
 
     // exact brute-force cosine top-k, broadcast probe set
@@ -882,6 +917,28 @@ object SparkEntry {
                               w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
              (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
          FROM documents""",
+
+    "doc_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         n AS (SELECT doc_id, words,
+                 greatest(CAST(ceil((len(words) - 64) / 48.0) AS INT) + 1, 1) AS nc
+               FROM w)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(words[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(len(string_split(array_to_string(words[i*48+1 : i*48+64], ' '), ' '))
+             AS BIGINT) AS n_tokens
+         FROM n, UNNEST(range(nc)) AS t(i)""",
+
+    "text_clean" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS clean_text
+         FROM documents""",
+
+    "vocab_topk" ->
+      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT term, count(*) AS freq FROM terms GROUP BY term
+         ORDER BY freq DESC, term ASC LIMIT 20""",
 
     // same per-word polynomial hash + ±1 bit votes as TextDedup.simHash —
     // pure integer folding, so the fingerprints match bit-for-bit
