@@ -447,6 +447,17 @@ object SparkEntry {
       Temporal.sessionize(eventsBase(s, dir),
         col("user_id"), col("ts"), gapSeconds = 1800L)),
 
+    // Spark's built-in session_window operator (microsecond-precision gap
+    // merge, window end = last ts + gap) — the native alternative to the
+    // hand-rolled gaps-and-islands above
+    "sessionize_native" -> ((s, dir) =>
+      eventsBase(s, dir)
+        .groupBy(col("user_id").as("key"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("key"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
+
     // backward as-of join: each purchase ← user's most recent prior view
     "asof_join" -> ((s, dir) =>
       Temporal.asofPrior(eventsBase(s, dir),
@@ -1239,6 +1250,25 @@ object SparkEntry {
                 min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events
          FROM y GROUP BY user_id, session_id""",
+
+    // session merge on exact microseconds (diff >= gap starts a session);
+    // session_end = last ts + gap per Spark's window-end semantics
+    "sessionize_native" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         x AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+         y AS (SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id AS key,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 1800 SECOND AS session_end,
+                count(*) AS n_events
+         FROM y GROUP BY user_id, sid""",
 
     "asof_join" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
