@@ -121,14 +121,24 @@ object TextDedup {
           i => t.substr(i + 1, lit(n))))).as("shingle"))
   }
 
-  /** Near-duplicate pairs by character n-gram Jaccard — same inverted
-    * index + df-cap + exact verify as [[nearDupJaccard]], different
-    * shingle domain.
+  /** Near-duplicate pairs by character n-gram Jaccard. Char n-grams are
+    * far denser than word shingles (every document shares common
+    * substrings), so the inverted index is used for CANDIDATES ONLY —
+    * postings longer than `maxDf` are skipped entirely, bounding the
+    * quadratic expansion to rare shingles — and every candidate is then
+    * verified against the FULL shingle sets with exact Jaccard. Recall
+    * argument: a pair at Jaccard ≥ 0.5 shares half its (hundreds of)
+    * shingles; virtually certainly at least one is rare. Verified against
+    * the uncapped all-pairs oracle at sf0.01 and spec-checked.
     */
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
-                          maxDf: Int = 1000): DataFrame =
-    jaccardPairsOn(charShingles(docs, n).persist(), threshold, maxDf)
+                          maxDf: Int = 100): DataFrame = {
+    val sh = charShingles(docs, n).persist() // reused: candidates + verify
+    val candidates = pairIntersections(sh, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccard(candidates, sh, threshold)
+  }
 
   /** MinHash signature matrix + LSH banding candidates — the sub-quadratic
     * near-dedup path. `numHashes` universal hashes h_i(x) = (a_i·x + b_i)
@@ -224,22 +234,23 @@ object TextDedup {
         shiftright(col("simhash"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).as("key")).as(s"b$b")
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val buckets = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
 
-    val candidates = buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(pairsOf(col("ds"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
-
-    candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+    // bucket self-join carries the 8-byte signatures along, so the
+    // Hamming verify is a codegen'd xor inside the join task — no second
+    // lookup join, and dedup happens after the filter (rows-that-survive)
+    buckets.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(buckets.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

@@ -51,6 +51,20 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(banded.nonEmpty) // testdata contains Hamming-near fingerprints
   }
 
+  test("char n-gram near-dup: rare-shingle candidates reach full recall") {
+    // maxDf-capped candidate generation + exact verify must equal the
+    // effectively-uncapped run (cap above the doc count = complete index)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables.documents(spark, sf)
+      val capped = TextDedup.nearDupJaccardChars(d, maxDf = 100)
+        .as[(Long, Long, Double)].collect().toSet
+      val uncapped = TextDedup.nearDupJaccardChars(d, maxDf = 1000000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(capped === uncapped, s"at $sf")
+      assert(capped.nonEmpty, s"at $sf")
+    }
+  }
+
   test("char n-gram Jaccard: identical docs pair at 1.0, disjoint do not") {
     val out = TextDedup.nearDupJaccardChars(docs(
       (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzyyyyxxxx")), n = 5,
