@@ -131,22 +131,68 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Predicate pushdown through [[AsOfJoin]] — the custom `Rule` half of
+  * the extension story: Catalyst's own `PushDownPredicates` cannot see
+  * through an unknown node, so without this rule a filter above an as-of
+  * join blocks all scan pushdown. Soundness:
+  *
+  *  - a conjunct referencing only RIGHT columns commutes with the join
+  *    (the join emits exactly one output row per right row);
+  *  - a conjunct on the bare right KEY also mirrors to the left child
+  *    (matches require equal keys, so left rows failing it can never
+  *    join a surviving right row) — the original conjunct still moves to
+  *    the right side only; the mirror is an extra pruning filter.
+  */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(aj.right.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val newRight = Filter(pushable.reduce(And), aj.right)
+        val newLeft = (aj.leftKey, aj.rightKey) match {
+          case (lk: Attribute, rk: Attribute) =>
+            val keyOnly = pushable.filter(_.references == AttributeSet(rk :: Nil))
+            if (keyOnly.isEmpty) aj.left
+            else Filter(
+              keyOnly.map(_.transform { case a: Attribute if a.semanticEquals(rk) => lk })
+                .reduce(And), aj.left)
+          case _ => aj.left
+        }
+        val pushed = aj.copy(left = newLeft, right = newRight)
+        if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
+      }
+  }
+}
+
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — config-based
-  * registration of the as-of strategy for sessions we don't construct.
+  * registration of the as-of strategy + pushdown rule for sessions we
+  * don't construct.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
+  }
 }
 
 object AsOf {
-  /** Idempotently make [[AsOfJoinStrategy]] available on an existing
-    * session (for sessions built without `spark.sql.extensions`).
+  /** Idempotently make [[AsOfJoinStrategy]] + [[AsOfJoinFilterPushdown]]
+    * available on an existing session (for sessions built without
+    * `spark.sql.extensions`).
     */
   def register(spark: SparkSession): Unit = {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinFilterPushdown
   }
 
   /** Backward as-of join of two DataFrames on `key`: each right row gains

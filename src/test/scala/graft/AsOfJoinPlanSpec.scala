@@ -47,6 +47,33 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesian"))
   }
 
+  test("filters above the as-of join push through to both scans") {
+    val (views, purchases) = sides("/root/testdata/sf0.001")
+    val joined = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+    val filtered = joined.filter(col("key") === 7L && col("id") > 100L)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+
+    // the outer Filter is consumed: both conjuncts sit below the AsOfJoin
+    val firstFilterIdx = opt.indexOf("Filter")
+    val ajIdx = opt.indexOf("AsOfJoin")
+    assert(ajIdx >= 0 && (firstFilterIdx < 0 || firstFilterIdx > ajIdx),
+      s"filter not pushed below AsOfJoin:\n$opt")
+
+    // the key predicate mirrors to the left side and reaches BOTH scans
+    // (formatted mode: the simple plan string elides long filter lists)
+    val physical = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushedCount = "EqualTo\\(user_id,7\\)".r.findAllIn(physical).length
+    assert(pushedCount >= 2,
+      s"key filter did not reach both parquet scans:\n$physical")
+
+    // semantics preserved vs filtering the unpushed result
+    AsOf.asofJoin(views, purchases, "key", "ts", "id") // re-register no-op
+    val expected = joined.collect().filter(r =>
+      r.getAs[Long]("key") == 7L && r.getAs[Long]("id") > 100L).length
+    assert(filtered.count() === expected)
+  }
+
   test("tie on ts: only left rows with tie <= right tie match") {
     // key 1: views at (ts=10,id=1) and (ts=10,id=9); purchase (ts=10,id=5)
     // → the id=9 view is 'after' the purchase in (ts, id) order
