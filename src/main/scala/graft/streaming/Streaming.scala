@@ -141,6 +141,26 @@ object Streaming {
   final case class Sess(startUs: Long, endUs: Long, n: Long)
   final case class SessState(sessions: List[Sess], updates: Long)
 
+  /** Insert one event (epoch micros) into a session set by interval
+    * clustering: the event joins — and bridges — every session whose
+    * `[startSec - gap, endSec + gap]` range covers its second. Pure and
+    * ORDER-INDEPENDENT: folding any permutation of an event multiset
+    * through this yields the same sessions as batch gaps-and-islands
+    * (property-tested in StreamingSpec). Gap arithmetic is on floor
+    * seconds to mirror the batch operator's `ts.cast("long")`.
+    */
+  def mergeEvent(sessions: List[Sess], us: Long, gapSeconds: Long): List[Sess] = {
+    val sec = us / 1000000L
+    val (hit, rest) = sessions.partition { s =>
+      sec >= s.startUs / 1000000L - gapSeconds &&
+        sec <= s.endUs / 1000000L + gapSeconds
+    }
+    Sess(
+      (us :: hit.map(_.startUs)).min,
+      (us :: hit.map(_.endUs)).max,
+      1L + hit.map(_.n).sum) :: rest
+  }
+
   final case class SessionRow(key: Long, update: Long, session_id: Long,
                               start_us: Long, end_us: Long, n_events: Long)
 
@@ -173,16 +193,7 @@ object Streaming {
         // getTime carries millis and getNanos the full fractional second —
         // build micros from whole seconds + nanos to avoid double-counting
         val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
-        val sec = us / 1000000L
-        val (hit, rest) = st.sessions.partition { s =>
-          sec >= s.startUs / 1000000L - gapSeconds &&
-            sec <= s.endUs / 1000000L + gapSeconds
-        }
-        val merged = Sess(
-          (us :: hit.map(_.startUs)).min,
-          (us :: hit.map(_.endUs)).max,
-          1L + hit.map(_.n).sum)
-        st = st.copy(sessions = merged :: rest)
+        st = st.copy(sessions = mergeEvent(st.sessions, us, gapSeconds))
       }
       st = SessState(st.sessions, st.updates + 1)
       state.update(st)

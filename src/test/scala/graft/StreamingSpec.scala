@@ -40,6 +40,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("interval-merge state is permutation-invariant and equals gaps-and-islands") {
+    val gap = 10L // seconds
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val us = List.fill(1 + rnd.nextInt(40))(rnd.nextInt(400).toLong * 1000000L)
+      // ground truth: sorted fold (classic gaps-and-islands)
+      val sorted = us.sorted
+      val truth = sorted.tail.foldLeft(List((sorted.head, sorted.head, 1L))) {
+        case ((s, e, n) :: acc, t) =>
+          if (t / 1000000L - e / 1000000L > gap) (t, t, 1L) :: (s, e, n) :: acc
+          else (s, t, n + 1L) :: acc
+        case (Nil, t) => List((t, t, 1L))
+      }.map { case (s, e, n) => Streaming.Sess(s, e, n) }.toSet
+      // random-order fold through the order-independent merge
+      val shuffled = rnd.shuffle(us)
+      val merged = shuffled.foldLeft(List.empty[Streaming.Sess])(
+        (acc, t) => Streaming.mergeEvent(acc, t, gap)).toSet
+      assert(merged === truth, s"events=$us order=$shuffled")
+    }
+  }
+
   test("statefulSessionize equals batch gaps-and-islands for any batching") {
     val out = Streaming.statefulSessionize(spark, events, 1800L, scratch("sess"))
       .select(col("key"), col("session_id"), col("n_events"))
