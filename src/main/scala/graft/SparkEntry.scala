@@ -518,6 +518,26 @@ object SparkEntry {
     "rollup_sets" -> ((s, dir) =>
       Relational.rollupSets(Tables.lineitem(s, dir))),
 
+    // explicit GROUPING SETS (two independent groupings, one pass)
+    "grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+
+    // UNPIVOT (wide → long): order money columns as (metric, amount) rows
+    "unpivot_metrics" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("price_with_tax", col("o_totalprice") * 1.1)
+        .unpivot(
+          Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("price_with_tax")),
+          "metric", "amount")),
+
     // FULL OUTER join; customers thinned so both null sides are non-empty
     "join_full_outer" -> ((s, dir) =>
       Relational.fullOuterOrders(
@@ -1319,6 +1339,19 @@ object SparkEntry {
            count(*) AS n,
            grouping_id(l_returnflag, l_linestatus) AS gid
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+
+    "unpivot_metrics" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS amount
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'price_with_tax', o_totalprice * 1.1 FROM orders""",
 
     "join_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey,
