@@ -215,6 +215,15 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(20)),
 
+    // E3+: dominant-shingle repetition ratio (boilerplate/spam signal)
+    "repetition_score" -> ((s, dir) =>
+      TextDedup.repetitionScore(Tables.documents(s, dir))),
+
+    // E1+: benchmark decontamination — flag docs overlapping the
+    // benchmark set's shingles (docs 0-4 act as the benchmark)
+    "decontaminate" -> ((s, dir) =>
+      TextDedup.decontaminate(Tables.documents(s, dir), col("doc_id") < 5)),
+
     // ---- [EXT] similarity search (SURVEY §2.8 E2) ---------------------
 
     // exact brute-force cosine top-k, broadcast probe set
@@ -948,6 +957,28 @@ object SparkEntry {
                               w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
              (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
          FROM documents""",
+
+    "repetition_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         occ AS (SELECT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+                 FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+         f AS (SELECT doc_id, shingle, count(*) AS freq FROM occ GROUP BY 1, 2)
+         SELECT doc_id, max(freq) AS top_freq,
+           CAST(sum(freq) AS BIGINT) AS n_shingles,
+           CAST(max(freq) AS DOUBLE) / CAST(sum(freq) AS BIGINT) AS rep_ratio
+         FROM f GROUP BY doc_id""",
+
+    "decontaminate" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+                     FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+                     UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+         probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+         ov AS (SELECT doc_id, count(*) AS overlap FROM sh JOIN probe USING (shingle)
+                WHERE doc_id >= 5 GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+                coalesce(ov.overlap, 0) >= 5 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+         LEFT JOIN ov ON d.doc_id = ov.doc_id""",
 
     "doc_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -192,6 +192,50 @@ object TextDedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Repetition score — the boilerplate/spam signal every LLM-data
+    * quality filter carries: the dominant k-shingle's share of all
+    * (non-distinct) shingle occurrences in the document. One shuffle on
+    * (doc, shingle), one on doc.
+    */
+  def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val occurrences = Par.widen(docs)
+      .filter(size(w) >= k)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(w) - lit(k)),
+          i => array_join(slice(w, i + 1, lit(k)), " "))).as("shingle"))
+    occurrences
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("freq")).as("top_freq"),
+           sum(col("freq")).as("n_shingles"))
+      .withColumn("rep_ratio",
+        col("top_freq").cast("double") / col("n_shingles"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose shingle
+    * overlap with a benchmark set reaches `minOverlap` — the standard
+    * eval-leakage guard before training. The benchmark's (distinct)
+    * shingles broadcast (benchmarks are small); the corpus streams
+    * through one semi-join-shaped aggregation.
+    */
+  def decontaminate(docs: DataFrame, benchmarkPred: Column, k: Int = 3,
+                    minOverlap: Int = 5): DataFrame = {
+    val sh = shingles(docs, k)
+    val probe = sh.filter(benchmarkPred).select(col("shingle")).distinct()
+    val overlaps = sh.filter(!benchmarkPred)
+      .join(broadcast(probe), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+    docs.filter(!benchmarkPred).select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("contaminated", col("overlap") >= minOverlap)
+  }
+
   /** 64-bit SimHash from per-word polynomial hashes: sum ±1 votes per bit
     * weighted by term frequency, bit set where the vote is positive.
     * Hamming-near fingerprints ⇒ near-duplicate texts.
