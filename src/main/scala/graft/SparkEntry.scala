@@ -428,6 +428,18 @@ object SparkEntry {
       graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
         tmp(dir, "stream_window_src"))),
 
+    // §2.9: stream-static enrichment against a broadcast dimension
+    "streaming_enrich" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingEnrich(s, Tables.events(s, dir),
+        Tables.customer(s, dir).select(col("c_custkey").as("user_id"),
+          col("c_name"), col("c_mktsegment")),
+        tmp(dir, "stream_enrich_src"))),
+
+    // §2.9: append-mode watermarked windows (only finalized windows emit)
+    "streaming_window_append" -> ((s, dir) =>
+      graft.streaming.Streaming.windowedCountsAppend(s, Tables.events(s, dir),
+        tmp(dir, "stream_append_src"))),
+
     // §2.9: streaming exact dedup of a re-ingested feed (keyed state)
     "streaming_dedup" -> ((s, dir) =>
       graft.streaming.Streaming.streamingDedup(s, eventsBase(s, dir),
@@ -1266,6 +1278,20 @@ object SparkEntry {
            event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "streaming_enrich" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           c_name, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey""",
+
+    // append mode emits a window only once the watermark (max event time
+    // - 1h) passes its end: window_start + 2h <= max(ts)
+    "streaming_window_append" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n
+         FROM events GROUP BY 1, 2
+         HAVING window_start + INTERVAL 2 HOUR <=
+           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""",
 
     // streaming dedup of the doubled feed == the feed itself
     "streaming_dedup" ->

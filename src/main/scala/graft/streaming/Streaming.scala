@@ -105,6 +105,73 @@ object Streaming {
     target
   }
 
+  /** Stream-static enrichment: the event stream joins a static dimension
+    * snapshot (re-read per micro-batch in real deployments — here the
+    * standard broadcast equi-join per batch). Result equals the batch
+    * join since the dimension is fixed for the run.
+    */
+  def streamingEnrich(spark: SparkSession, events: DataFrame,
+                      dim: DataFrame, scratch: String): DataFrame = {
+    val src = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"))
+    src.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val name = nextName("graft_enrich")
+    val query = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
+  /** Append-mode watermarked windowed counts: only windows the watermark
+    * has finalized (window end <= max event time - delay) are emitted —
+    * the explicit late-data contract, vs [[windowedCounts]]'s complete
+    * mode. `processAllAvailable` runs the trailing no-data batch that
+    * flushes state finalized by the last watermark advance.
+    *
+    * The feed arrives in event-time order (one file per day-range,
+    * written sequentially — the realistic ingest pattern): append mode
+    * DROPS events behind the watermark, so a randomly-batched feed would
+    * legitimately lose most windows. In-order arrival means zero late
+    * drops and the emitted set is exactly "window end <= max ts - delay".
+    */
+  def windowedCountsAppend(spark: SparkSession, events: DataFrame,
+                           scratch: String): DataFrame = {
+    val src = events.select(col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    val dayRanges = Seq((1, 8), (9, 16), (17, 24), (25, 31))
+    dayRanges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      src.filter(dayofmonth(col("ts")).between(lo, hi))
+        .coalesce(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(scratch)
+    }
+
+    val name = nextName("graft_stream_append")
+    val query = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+
+    spark.table(name).select(
+      col("window.start").as("window_start"),
+      col("event_type"), col("n"))
+  }
+
   /** Streaming exact dedup: the input is written twice (a simulated
     * re-ingest of the whole feed) and `dropDuplicates(event_id)` emits
     * exactly one copy per key across all micro-batches — keyed state holds
