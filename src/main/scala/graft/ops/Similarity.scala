@@ -160,7 +160,10 @@ object Similarity {
     * Empty clusters simply vanish (their id is never assigned).
     */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    val e = withVec(embeddings, "vec_id", "v")
+    // the corpus is scanned once per iteration plus the seed pass —
+    // persist the projected (id, vector, norm) view instead of re-reading
+    // and re-normalizing from parquet each time
+    val e = withVec(embeddings, "vec_id", "v").persist()
     var cent = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("g"),
         col("v_norm").as("g_norm"))

@@ -74,6 +74,27 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(filtered.count() === expected)
   }
 
+  test("empty left side: every right row emits with null left columns") {
+    val views = Seq.empty[(Long, Long, Long)].toDF("key", "ts", "id")
+    val purchases = Seq((1L, 10L, 5L), (2L, 20L, 6L)).toDF("key", "ts", "id")
+    val out = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+      .select(col("id"), col("l_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(5L -> None, 6L -> None))
+  }
+
+  test("null keys never match: null-key right rows get null left columns") {
+    val views = Seq((Some(1L), 5L, 1L), (None, 6L, 2L))
+      .toDF("key", "ts", "id")
+    val purchases = Seq((Some(1L), 10L, 5L), (None, 10L, 6L))
+      .toDF("key", "ts", "id")
+    val out = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+      .select(col("id"), col("l_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(5L) === Some(1L)) // key 1 matches its view
+    assert(out(6L) === None)     // null key matches nothing (incl. null-key left)
+  }
+
   test("tie on ts: only left rows with tie <= right tie match") {
     // key 1: views at (ts=10,id=1) and (ts=10,id=9); purchase (ts=10,id=5)
     // → the id=9 view is 'after' the purchase in (ts, id) order
