@@ -56,11 +56,32 @@ object Paginated {
     }
   }
 
+  /** Per-attempt retry policy mirroring the reference's transport
+    * resilience (2 retries around each page GET; the real HTTP client
+    * would add its 30 s timeout inside `f`). Transient failures retry up
+    * to `maxRetries` times with `delayMs` backoff, then rethrow the last
+    * error — which the pipeline runner turns into a FAILED audit row.
+    */
+  def withRetries[T](maxRetries: Int, delayMs: Long = 0L)(f: () => T): T = {
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try return f()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          if (delayMs > 0) Thread.sleep(delayMs)
+      }
+      attempt += 1
+    }
+    throw last
+  }
+
   /** Fetch loop with the reference's stop conditions; returns the unioned
-    * record set as a DataFrame.
+    * record set as a DataFrame. Each page read runs under [[withRetries]].
     */
   def fetchAll(spark: SparkSession, pagesDir: String,
-               maxPages: Int = 10000): DataFrame = {
+               maxPages: Int = 10000, maxRetries: Int = 2): DataFrame = {
     val keep = scala.collection.mutable.ListBuffer.empty[String]
     var p = 1
     var continue = true
@@ -68,10 +89,12 @@ object Paginated {
       val path = s"$pagesDir/page_$p.json"
       if (!Files.exists(Paths.get(path))) continue = false // non-200 analog (:36-38)
       else {
-        val env = spark.read.schema(envelopeSchema).json(path)
-          .select(size(coalesce(col("records"), array())).as("n"),
-                  coalesce(col("pagination.has_next"), lit(false)).as("has_next"))
-          .head()
+        val env = withRetries(maxRetries) { () =>
+          spark.read.schema(envelopeSchema).json(path)
+            .select(size(coalesce(col("records"), array())).as("n"),
+                    coalesce(col("pagination.has_next"), lit(false)).as("has_next"))
+            .head()
+        }
         if (env.getInt(0) == 0) continue = false           // empty page (:42-43)
         else {
           keep += path

@@ -17,6 +17,26 @@ class PaginatedSpec extends AnyFunSuite {
 
   private def tmp() = Files.createTempDirectory("graft-pages").toString
 
+  test("withRetries: transient failures recover within budget, exhaust beyond it") {
+    var calls = 0
+    val out = Paginated.withRetries(maxRetries = 2) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(out === 42 && calls === 3) // failed twice, third attempt succeeds
+
+    var calls2 = 0
+    val thrown = intercept[RuntimeException] {
+      Paginated.withRetries(maxRetries = 2) { () =>
+        calls2 += 1
+        throw new RuntimeException(s"always $calls2")
+      }
+    }
+    assert(calls2 === 3) // 1 attempt + 2 retries, then the last error surfaces
+    assert(thrown.getMessage === "always 3")
+  }
+
   test("fetches pages until has_next=false; later pages ignored (ref :55-56)") {
     val d = tmp()
     page(d, 1, Seq(1, 2), hasNext = true)
