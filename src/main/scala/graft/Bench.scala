@@ -12,15 +12,26 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operator-internal persists (shingle sets, signatures, k-means
+      // corpus) are scoped to one query — drop them so queries time
+      // independently instead of competing for the storage pool
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // pass 1 = cold (the headline, methodology-compatible with earlier
+    // rounds); pass 2 = warm (JVM/codegen/page-cache amortized — the true
+    // operator cost, reported as secondary fields)
+    val cold = once()
+    val warm = once()
+    def fmt(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = cold.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
+      s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,11 @@ object TextDedup {
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
         col("n").as("n_b")), "doc_b")
+      // size-ratio prune (Bayardo et al., WWW'07): J >= t implies
+      // min(n)/max(n) >= t, so mismatched-size candidates drop before the
+      // O(n) set intersection — sound, no true pair lost
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+              col("n_b") >= lit(threshold) * col("n_a"))
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
