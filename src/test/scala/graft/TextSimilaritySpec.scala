@@ -73,6 +73,24 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("doc_chunking: chunks reconstruct the document (stride overlap dropped)") {
+    val out = SparkEntry.queries("doc_chunking")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3.split(" ").toSeq)
+      }
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, chunks) =>
+      // chunk i starts at token i*48; dropping the 16-token overlap from
+      // every chunk after the first must reconstruct the document
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(64 - 48))
+      assert(rebuilt === docs(id).split(" ").toSeq, s"doc $id")
+    }
+  }
+
   test("contentHashDedup groups exact copies and keeps min doc_id") {
     val out = TextDedup.contentHashDedup(docs((5L, "same"), (9L, "same"), (7L, "other")))
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
