@@ -498,6 +498,17 @@ object SparkEntry {
           col("l_id").as("asof_id"), col("l_ts").as("asof_ts"))
     }),
 
+    // forward as-of through the same custom operator (negated-time trick):
+    // each purchase gains the NEXT view at/after it
+    "asof_join_forward" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      graft.plans.AsOf.asofJoinForward(side("view"), side("purchase"), "key", "ts", "id")
+        .select(col("key"), col("id"), col("ts"),
+          col("l_id").as("next_id"), col("l_ts").as("next_ts"))
+    }),
+
     // embedding-cosine near-duplicate pairs
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5)),
@@ -1358,6 +1369,18 @@ object SparkEntry {
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT key, id, ts, asof_id, asof_ts FROM x WHERE event_type = 'purchase'""",
+
+    "asof_join_forward" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         x AS (SELECT user_id AS key, event_id AS id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS next_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS next_ts
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT key, id, ts, next_id, next_ts FROM x WHERE event_type = 'purchase'""",
 
     "embedding_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

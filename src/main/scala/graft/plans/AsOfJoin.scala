@@ -215,4 +215,25 @@ object AsOf {
       attr(lp, s"$leftPrefix$key"), attr(lp, s"$leftPrefix$ts"), attr(lp, s"$leftPrefix$tie"),
       attr(rp, key), attr(rp, ts), attr(rp, tie)))
   }
+
+  /** FORWARD as-of join: each right row gains the EARLIEST left row at or
+    * after it — next-touch attribution. Expressed through the same
+    * backward operator by running it on negated event time (epoch micros)
+    * and tiebreak: "latest left with (-ts, -tie) <= (-rts, -rtie)" is
+    * exactly "earliest left with (ts, tie) >= (rts, rtie)". The original
+    * timestamp columns pass through untouched; only the merge ordering is
+    * negated.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      key: String, ts: String, tie: String,
+                      leftPrefix: String = "l_"): DataFrame = {
+    import org.apache.spark.sql.functions.unix_micros
+    val negL = left.withColumn("__neg_ts", -unix_micros(col(ts)))
+      .withColumn("__neg_tie", -col(tie))
+    val negR = right.withColumn("__neg_ts", -unix_micros(col(ts)))
+      .withColumn("__neg_tie", -col(tie))
+    asofJoin(negL, negR, key, "__neg_ts", "__neg_tie", leftPrefix)
+      .drop("__neg_ts", "__neg_tie",
+        s"${leftPrefix}__neg_ts", s"${leftPrefix}__neg_tie")
+  }
 }
