@@ -167,6 +167,13 @@ object SparkEntry {
     "minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashLshPairs(Tables.documents(s, dir))),
 
+    // E1: near-dup clusters — pairs → connected components → canonical
+    // doc per cluster (the actual dedup decision)
+    "dedup_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.dedupClusters(d, TextDedup.nearDupJaccard(d))
+    }),
+
     // E1: SimHash fingerprints (bit-vote fold mirrored in the oracle)
     "simhash" -> ((s, dir) =>
       TextDedup.simHash(Tables.documents(s, dir))),
@@ -1088,6 +1095,24 @@ object SparkEntry {
          FROM inp GROUP BY sha256(text)""",
 
     "near_dedup" -> nearDupOracle,
+
+    // connected components of the ground-truth pair graph via a
+    // recursive transitive closure; cluster id = component min doc_id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         lbl AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+                 GROUP BY d.doc_id)
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
 
     // LSH must achieve perfect recall on the injected >=0.9-Jaccard dups:
     // same ground-truth oracle as near_dedup.

@@ -197,6 +197,49 @@ object TextDedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Near-dup CLUSTERS from verified pairs — the step that turns pairwise
+    * similarity into a dedup decision: connected components by iterative
+    * min-label propagation (each node takes the min label among itself
+    * and its neighbors until fixpoint), then `cluster_id` = the minimum
+    * doc_id of the component (the canonical survivor) and the component
+    * size. Iteration count is bounded by the component diameter — for
+    * duplicate clusters (near-cliques) that is 1-2 rounds; the driver
+    * loop only evaluates a scalar convergence count per round. At
+    * extreme graph skew the large-star/small-star variant of the same
+    * loop applies.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   /** Repetition score — the boilerplate/spam signal every LLM-data
     * quality filter carries: the dominant k-shingle's share of all
     * (non-distinct) shingle occurrences in the document. One shuffle on
