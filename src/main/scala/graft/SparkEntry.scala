@@ -174,6 +174,14 @@ object SparkEntry {
       TextDedup.dedupClusters(d, TextDedup.nearDupJaccard(d))
     }),
 
+    // E1: the applied dedup decision — only canonical docs survive
+    "dedup_canonical" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.dedupClusters(d, TextDedup.nearDupJaccard(d))
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), col("cluster_size"))
+    }),
+
     // E1: SimHash fingerprints (bit-vote fold mirrored in the oracle)
     "simhash" -> ((s, dir) =>
       TextDedup.simHash(Tables.documents(s, dir))),
@@ -649,6 +657,13 @@ object SparkEntry {
     "grouped_map" -> ((s, dir) =>
       Temporal.groupedMinMaxNormalize(Tables.events(s, dir))),
 
+    // fixed-width histogram of the value column (floor-bucketed)
+    "value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))),
+
     // exact percentiles per group (low-cardinality columns: interpolation
     // lands inside runs of equal values, so results are FP-formula-proof)
     "quantiles" -> ((s, dir) =>
@@ -1095,6 +1110,29 @@ object SparkEntry {
          FROM inp GROUP BY sha256(text)""",
 
     "near_dedup" -> nearDupOracle,
+
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n, min(value) AS lo, max(value) AS hi
+         FROM events GROUP BY 1""",
+
+    // survivors of the cluster decision: doc is its own cluster minimum
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         lbl AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+                 GROUP BY d.doc_id),
+         sized AS (SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                   FROM lbl)
+         SELECT doc_id, cluster_size FROM sized WHERE doc_id = cluster_id""",
 
     // connected components of the ground-truth pair graph via a
     // recursive transitive closure; cluster id = component min doc_id
