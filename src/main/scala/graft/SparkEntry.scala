@@ -149,6 +149,21 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       Text.docFingerprint(Tables.documents(s, dir))),
 
+    // E3+: training-mixture report — per-language corpus composition.
+    // Only order-independent aggregates (counts, exact sums, min/max):
+    // a mean of doubles would vary with partial-agg order.
+    "corpus_report" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))),
+
     // ---- [EXT] dedup (SURVEY §2.8 E1/E4) ------------------------------
 
     // E4: exact content-hash dedup; input doubled to simulate re-ingest
@@ -686,6 +701,28 @@ object SparkEntry {
         sum(col("value").cast(DecimalType(18, 2))).over(w)
           .cast("double").as("running_value"))
     }),
+
+    // null-safe equality join (<=>): NULL keys pair with NULL keys
+    "join_null_safe" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_id") % 10 === 0, lit(null))
+          .otherwise(col("user_id")).as("uid"))
+      val c = Tables.customer(s, dir).select(
+        when(col("c_custkey") % 10 === 0, lit(null))
+          .otherwise(col("c_custkey")).as("uid"),
+        col("c_name"))
+      e.join(c, e("uid") <=> c("uid"))
+        .select(col("event_id"), e("uid").as("uid"), col("c_name"))
+    }),
+
+    // regex scalar surface (extract group / replace / match)
+    "regex_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+) ([A-Z]+)", 2).as("second_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_brand").rlike("#[0-9]+$").as("numbered_brand"))),
 
     // semi/anti join shapes: customers with vs without orders
     "join_semi_anti" -> ((s, dir) => {
@@ -1573,6 +1610,30 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "corpus_report" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+         FROM documents GROUP BY lang""",
+
+    "join_null_safe" ->
+      """SELECT event_id, e.uid AS uid, c_name
+         FROM (SELECT event_id,
+                 CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS uid
+               FROM events) e
+         JOIN (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS uid,
+                 c_name FROM customer) c
+         ON e.uid IS NOT DISTINCT FROM c.uid""",
+
+    "regex_funcs" ->
+      """SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+) ([A-Z]+)', 2) AS second_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_brand, '#[0-9]+$') AS numbered_brand
+         FROM part""",
 
     "join_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
