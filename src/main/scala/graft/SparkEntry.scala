@@ -724,6 +724,31 @@ object SparkEntry {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
         col("p_brand").rlike("#[0-9]+$").as("numbered_brand"))),
 
+    // RANGE window frame: per-user trailing-1-hour event count and exact
+    // value sum, anchored on event-time micros
+    "window_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      eventsBase(s, dir).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_trailing_1h"))
+    }),
+
+    // per-user ordered journey: first 10 event types in (ts, id) order
+    "user_journeys" -> ((s, dir) =>
+      eventsBase(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            s => s.getField("event_type")), 1, 10), ">").as("journey"),
+          count(lit(1)).as("n_events"))),
+
     // semi/anti join shapes: customers with vs without orders
     "join_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(col("c_custkey"))
@@ -1610,6 +1635,23 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+         FROM (SELECT event_id, user_id, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "user_journeys" ->
+      """SELECT user_id,
+           array_to_string(
+             (list(event_type ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))[1:10],
+             '>') AS journey,
+           count(*) AS n_events
+         FROM events GROUP BY user_id""",
 
     "corpus_report" ->
       """SELECT lang, count(*) AS n_docs,
