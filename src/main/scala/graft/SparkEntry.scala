@@ -749,6 +749,57 @@ object SparkEntry {
             s => s.getField("event_type")), 1, 10), ">").as("journey"),
           count(lit(1)).as("n_events"))),
 
+    // funnel analysis: users whose FIRST view precedes their first click
+    // precedes their first purchase — one row per funnel prefix
+    "events_funnel" -> ((s, dir) => {
+      val firsts = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(when(col("t_view").isNotNull, 1)).as("step1_view"),
+        count(when(col("t_view") <= col("t_click"), 1)).as("step2_view_click"),
+        count(when(col("t_view") <= col("t_click") &&
+          col("t_click") <= col("t_buy"), 1)).as("step3_view_click_buy"))
+    }),
+
+    // nearest-in-time as-of: compose the backward and forward custom-plan
+    // joins and keep whichever view is closer (tie → the prior one)
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+      val back = graft.plans.AsOf.asofJoin(side("view"), side("purchase"),
+        "key", "ts", "id")
+        .select(col("key"), col("id"), col("ts"),
+          col("l_id").as("prev_id"), col("l_ts").as("prev_ts"))
+      val fwd = graft.plans.AsOf.asofJoinForward(side("view"), side("purchase"),
+        "key", "ts", "id")
+        .select(col("id"), col("l_id").as("next_id"), col("l_ts").as("next_ts"))
+      val dPrev = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val dNext = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+      back.join(fwd, "id")
+        .select(col("key"), col("id"), col("ts"),
+          when(col("prev_ts").isNull && col("next_ts").isNull, lit(null))
+            .when(col("next_ts").isNull, col("prev_id"))
+            .when(col("prev_ts").isNull, col("next_id"))
+            .when(dPrev <= dNext, col("prev_id"))
+            .otherwise(col("next_id")).as("nearest_id"))
+    }),
+
+    // decile stats: ntile(10) over value, per-decile count and bounds
+    "quantile_buckets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("value"), ntile(10).over(w).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
+
     // semi/anti join shapes: customers with vs without orders
     "join_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir).select(col("c_custkey"))
@@ -1635,6 +1686,53 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "events_funnel" ->
+      """WITH firsts AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_buy
+           FROM events GROUP BY user_id)
+         SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS step1_view,
+                count(CASE WHEN t_view <= t_click THEN 1 END) AS step2_view_click,
+                count(CASE WHEN t_view <= t_click AND t_click <= t_buy THEN 1 END)
+                  AS step3_view_click_buy
+         FROM firsts""",
+
+    "asof_join_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         b AS (SELECT user_id AS key, event_id AS id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER wb AS prev_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER wb AS prev_ts
+               FROM e WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         f AS (SELECT event_id AS id,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER wf AS next_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER wf AS next_ts
+               FROM e WINDOW wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT b.key, b.id, b.ts,
+           CASE WHEN b.prev_ts IS NULL AND f.next_ts IS NULL THEN NULL
+                WHEN f.next_ts IS NULL THEN b.prev_id
+                WHEN b.prev_ts IS NULL THEN f.next_id
+                WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                     <= epoch_us(f.next_ts) - epoch_us(b.ts)
+                THEN b.prev_id ELSE f.next_id END AS nearest_id
+         FROM b JOIN f ON b.id = f.id
+         WHERE b.event_type = 'purchase'""",
+
+    "quantile_buckets" ->
+      """SELECT decile, count(*) AS n, min(value) AS lo, max(value) AS hi
+         FROM (SELECT event_id, value,
+                 CAST(ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS INT) AS decile
+               FROM events)
+         GROUP BY decile""",
 
     "window_range_frame" ->
       """SELECT event_id, user_id,
