@@ -91,6 +91,17 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClusters: chained pairs merge transitively into one component") {
+    // a-b and b-c similar but a-c not a pair: all three must still land
+    // in one cluster (a chain, not a clique — label propagation needs the
+    // extra round the near-clique testdata never exercises)
+    val d = docs((1L, "x"), (2L, "x"), (3L, "x"), (9L, "x"))
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val out = TextDedup.dedupClusters(d, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
+  }
+
   test("contentHashDedup groups exact copies and keeps min doc_id") {
     val out = TextDedup.contentHashDedup(docs((5L, "same"), (9L, "same"), (7L, "other")))
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
