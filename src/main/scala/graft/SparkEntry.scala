@@ -672,6 +672,32 @@ object SparkEntry {
     "grouped_map" -> ((s, dir) =>
       Temporal.groupedMinMaxNormalize(Tables.events(s, dir))),
 
+    // dense calendar report: generated date dimension LEFT JOIN events —
+    // days with zero events still appear (the reporting-table shape)
+    "calendar_counts" -> ((s, dir) => {
+      val cal = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("2024-01-01")),
+        lit(java.sql.Date.valueOf("2024-02-10")),
+        expr("interval 1 day"))).as("day"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      cal.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          dayofweek(col("day")).as("dow"))
+    }),
+
+    // compressed JSON sink round-trip (gzip codec on write)
+    "sink_json_gzip" -> ((s, dir) => {
+      val p = tmp(dir, "json_gz")
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      e.write.mode("overwrite").option("compression", "gzip").json(p)
+      s.read.json(p).select(col("event_id").cast("long"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+    }),
+
     // fixed-width histogram of the value column (floor-bucketed)
     "value_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1223,6 +1249,18 @@ object SparkEntry {
          FROM inp GROUP BY sha256(text)""",
 
     "near_dedup" -> nearDupOracle,
+
+    "calendar_counts" ->
+      """WITH cal AS (SELECT CAST(unnest(generate_series(
+             DATE '2024-01-01', DATE '2024-02-10', INTERVAL 1 DAY)) AS DATE) AS day),
+         daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+                   FROM events GROUP BY 1)
+         SELECT cal.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+           CAST(dayofweek(cal.day) + 1 AS INT) AS dow
+         FROM cal LEFT JOIN daily ON cal.day = daily.day""",
+
+    "sink_json_gzip" ->
+      """SELECT event_id, user_id, event_type, value FROM events""",
 
     "value_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
