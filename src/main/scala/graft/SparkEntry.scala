@@ -698,6 +698,32 @@ object SparkEntry {
         col("value").cast("double"))
     }),
 
+    // catalog surface: CREATE TABLE AS SELECT + INSERT INTO + read back
+    // through the managed warehouse (location pinned in the session)
+    "sql_ctas" -> ((s, dir) => {
+      val tbl = "g_ctas_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl USING parquet AS
+                SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0""")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1")
+      s.sql(s"SELECT * FROM $tbl")
+    }),
+
+    // deterministic mode: most frequent event_type per user, ties broken
+    // alphabetically (the built-in mode() is tie-nondeterministic)
+    "mode_per_user" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+    }),
+
     // fixed-width histogram of the value column (floor-bucketed)
     "value_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1261,6 +1287,18 @@ object SparkEntry {
 
     "sink_json_gzip" ->
       """SELECT event_id, user_id, event_type, value FROM events""",
+
+    // evens (CTAS) + odds (INSERT) = the whole table
+    "sql_ctas" ->
+      """SELECT o_orderkey, o_totalprice FROM orders""",
+
+    "mode_per_user" ->
+      """SELECT user_id, event_type AS top_type, cnt FROM (
+           SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY count(*) DESC, event_type ASC) AS rn
+           FROM events GROUP BY user_id, event_type)
+         WHERE rn = 1""",
 
     "value_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
