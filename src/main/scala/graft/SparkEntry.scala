@@ -493,6 +493,30 @@ object SparkEntry {
 
     // ---- temporal / vector extensions ---------------------------------
 
+    // event-level session attribution: each event tagged with its session
+    // id and seconds since the session started (same gap rule as
+    // sessionize, kept at event granularity instead of rolled up)
+    "session_relative" -> ((s, dir) => {
+      val byTs = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val gap = col("ts").cast("long") - lag(col("ts"), 1).over(byTs).cast("long")
+      val perSession = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("session_id"))
+      eventsBase(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("new_session",
+          when(gap.isNull || (gap > 1800L), 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .withColumn("sec_into_session",
+          col("ts").cast("long") - min(col("ts").cast("long")).over(perSession))
+        .select(col("event_id"), col("user_id"), col("session_id"),
+          col("sec_into_session"))
+    }),
+
     // gaps-and-islands sessionization (30-min gap)
     "sessionize" -> ((s, dir) =>
       Temporal.sessionize(eventsBase(s, dir),
@@ -1572,6 +1596,24 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+
+    "session_relative" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         x AS (SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+         y AS (SELECT event_id, user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM x)
+         SELECT event_id, user_id, session_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(min(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id, session_id) AS BIGINT) AS sec_into_session
+         FROM y""",
 
     // gap computed on floor(epoch) to mirror Spark's ts.cast(long) truncation
     "sessionize" ->
