@@ -132,6 +132,44 @@ object SparkEntry {
     // E6: star-schema join + rollup with broadcast dimensions
     "join_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
 
+    // E6: supplier-side rollup — quantity shipped per supplier nation
+    // (broadcast supplier+nation dims against the lineitem fact)
+    "supplier_rollup" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double").as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // temporal order analytics: days from order date to last shipment
+    "order_lateness" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+      Tables.orders(s, dir)
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          datediff(col("last_ship").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_last_ship"))
+    }),
+
+    // daily active users with day-over-day delta
+    "daily_active" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count_distinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"))
+        .withColumn("dau_delta", col("dau") - lag(col("dau"), 1).over(w))
+    }),
+
     // ---- [EXT] text analysis (SURVEY §2.8 E3) -------------------------
 
     "text_stats" -> ((s, dir) =>
@@ -1142,6 +1180,30 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+
+    "supplier_rollup" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "order_lateness" ->
+      """SELECT o_orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(last_ship AS DATE)) AS INT) AS days_to_last_ship
+         FROM orders
+         JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+               FROM lineitem GROUP BY l_orderkey) l
+           ON o_orderkey = l_orderkey""",
+
+    "daily_active" ->
+      """SELECT day, dau, n_events, dau - lag(dau, 1) OVER (ORDER BY day ASC) AS dau_delta
+         FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 count(DISTINCT user_id) AS dau, count(*) AS n_events
+               FROM events GROUP BY 1)""",
 
     "text_stats" ->
       """SELECT doc_id, lang,
