@@ -202,6 +202,49 @@ object SparkEntry {
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"))),
 
+    // E3+: quality gate — keep/drop with the first failed rule (length
+    // bounds then stopword-free heuristic), the filter stage ahead of
+    // training-data export
+    "quality_filter" -> ((s, dir) => {
+      val nWords = size(split(col("text"), " "))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        when(nWords < 20, "too_short")
+          .when(nWords > 400, "too_long")
+          .when(!col("text").contains(" the ") && !col("text").contains(" la ") &&
+                !col("text").contains(" der "), "no_stopwords")
+          .otherwise("keep").as("verdict"))
+    }),
+
+    // E2+: embedding hygiene — corpus norm stats and degenerate vectors
+    "embedding_norm_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.l2norm(
+            col("embedding").cast("array<double>")).as("norm"))
+      e.agg(count(lit(1)).as("n_vectors"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        count(when(col("norm") === 0.0, 1)).as("n_zero"))
+    }),
+
+    // E3+: deterministic sequence packing — contiguous docs (doc_id
+    // order) packed into token-budget bins via an exclusive prefix sum;
+    // at scale the same window runs per shard, not globally
+    "pack_bins" -> ((s, dir) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("prefix") / budget).cast("long").as("bin_id"))
+    }),
+
     // ---- [EXT] dedup (SURVEY §2.8 E1/E4) ------------------------------
 
     // E4: exact content-hash dedup; input doubled to simulate re-ingest
@@ -1180,6 +1223,32 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+
+    "quality_filter" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+                WHEN len(string_split(text, ' ')) > 400 THEN 'too_long'
+                WHEN NOT contains(text, ' the ') AND NOT contains(text, ' la ')
+                     AND NOT contains(text, ' der ') THEN 'no_stopwords'
+                ELSE 'keep' END AS verdict
+         FROM documents""",
+
+    "embedding_norm_stats" ->
+      """SELECT count(*) AS n_vectors,
+           min(sqrt(list_dot_product(v, v))) AS min_norm,
+           max(sqrt(list_dot_product(v, v))) AS max_norm,
+           count(CASE WHEN sqrt(list_dot_product(v, v)) = 0.0 THEN 1 END) AS n_zero
+         FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)""",
+
+    "pack_bins" ->
+      """SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT)
+             AS bin_id
+         FROM (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents)""",
 
     "supplier_rollup" ->
       """SELECT n_name,
