@@ -12,26 +12,33 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operator-internal persists (shingle sets, signatures, k-means
-      // corpus) are scoped to one query — drop them so queries time
-      // independently instead of competing for the storage pool
-      spark.catalog.clearCache()
-      name -> dt
+    def once(): (Map[String, Double], List[String]) = {
+      var failed = List.empty[String]
+      val times = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed ::= name }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operator-internal persists (shingle sets, signatures, k-means
+        // corpus) are scoped to one query — drop them so queries time
+        // independently instead of competing for the storage pool
+        spark.catalog.clearCache()
+        name -> dt
+      }
+      (times, failed.reverse)
     }
     // pass 1 = cold (the headline, methodology-compatible with earlier
     // rounds); pass 2 = warm (JVM/codegen/page-cache amortized — the true
     // operator cost, reported as secondary fields)
-    val cold = once()
-    val warm = once()
+    val (cold, coldFailed) = once()
+    val (warm, warmFailed) = once()
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def arr(xs: List[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
-      s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
+      s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
+      s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

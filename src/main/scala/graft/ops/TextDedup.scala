@@ -235,6 +235,13 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
+    // a component with diameter > maxIters would exit the loop mid-merge;
+    // silently emitting its partial labels would split one duplicate
+    // cluster into several "canonical" docs downstream — fail loudly
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxIters iterations " +
+          s"($changed labels still changing); raise maxIters")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -242,23 +249,36 @@ object TextDedup {
 
   /** Repetition score — the boilerplate/spam signal every LLM-data
     * quality filter carries: the dominant k-shingle's share of all
-    * (non-distinct) shingle occurrences in the document. One shuffle on
-    * (doc, shingle), one on doc.
+    * (non-distinct) shingle occurrences in the document.
+    *
+    * Computed entirely PER ROW — sort the shingle array, then the top
+    * frequency is the longest equal-run, found in one `aggregate` fold.
+    * Zero shuffles (the explode + two-level groupBy alternative shuffles
+    * every shingle occurrence string twice). The document never leaves
+    * its partition — exactly what you want at 100 TB.
     */
   def repetitionScore(docs: DataFrame, k: Int = 3): DataFrame = {
     val w = split(col("text"), " ")
-    val occurrences = Par.widen(docs)
+    val sorted = array_sort(transform(
+      sequence(lit(0), size(w) - lit(k)),
+      i => array_join(slice(w, i + 1, lit(k)), " ")))
+    // fold state: (prev shingle, current run, best run); "" never equals a
+    // real k>=2 shingle (those contain at least one separator space)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    Par.widen(docs)
       .filter(size(w) >= k)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(w) - lit(k)),
-          i => array_join(slice(w, i + 1, lit(k)), " "))).as("shingle"))
-    occurrences
-      .groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("freq"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("freq")).as("top_freq"),
-           sum(col("freq")).as("n_shingles"))
+        best.as("top_freq"),
+        (size(w) - lit(k) + 1).cast("long").as("n_shingles"))
       .withColumn("rep_ratio",
         col("top_freq").cast("double") / col("n_shingles"))
   }
@@ -284,9 +304,15 @@ object TextDedup {
       .withColumn("contaminated", col("overlap") >= minOverlap)
   }
 
-  /** 64-bit SimHash from per-word polynomial hashes: sum ±1 votes per bit
-    * weighted by term frequency, bit set where the vote is positive.
-    * Hamming-near fingerprints ⇒ near-duplicate texts.
+  /** Fingerprint width shared by [[simHash]], [[simHashPairs]]' pigeonhole
+    * banding, and the DuckDB oracle — change it in ONE place or the
+    * banding recall guarantee and oracle parity silently break.
+    */
+  val SimHashBits = 32
+
+  /** [[SimHashBits]]-bit SimHash from per-word polynomial hashes: sum ±1
+    * votes per bit weighted by term frequency, bit set where the vote is
+    * positive. Hamming-near fingerprints ⇒ near-duplicate texts.
     */
   def simHash(docsIn: DataFrame): DataFrame = {
     val docs = Par.widen(docsIn)
@@ -295,7 +321,7 @@ object TextDedup {
         lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(2038074743L))
     val w = split(col("text"), " ")
     // votes(b) = count of words with bit b set minus count with bit clear
-    val bits = (0 until 32).map { b =>
+    val bits = (0 until SimHashBits).map { b =>
       val vote = aggregate(
         transform(w, t => when(shiftright(wordHash(t), b) % 2 === 1, 1L).otherwise(-1L)),
         lit(0L), (acc, x) => acc + x)
@@ -305,7 +331,7 @@ object TextDedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
-    * found sub-quadratically via pigeonhole banding: the 32-bit
+    * found sub-quadratically via pigeonhole banding: the [[SimHashBits]]-bit
     * fingerprint splits into `bands` equal chunks, and any pair within
     * Hamming `bands - 1` must agree on at least one whole chunk — so
     * bucketing on (band, chunk value) has GUARANTEED recall (no
@@ -318,7 +344,7 @@ object TextDedup {
                    bands: Int = 4): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole recall needs maxHamming < bands ($maxHamming >= $bands)")
-    val bits = 32 / bands
+    val bits = SimHashBits / bands
     val sigs = simHash(docs).persist() // reused: banding + verification
 
     val bandCols = (0 until bands).map { b =>

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions.col
   * a single forward merge per partition: O(|L| + |R|), no range-join
   * explosion, no window buffering of the right side. This is the plan a
   * dedicated time-series engine runs, expressed as first-class Catalyst.
+  *
+  * Null semantics (SQL-comparison-consistent, merge-order-sound):
+  * null keys never match (either side); a null LEFT ts row matches no
+  * right row and is skipped by the merge; a null RIGHT ts row gets null
+  * left columns. Tie columns compare under a nulls-first total order —
+  * the same order the required SortOrder sorts them by — so ties stay
+  * deterministic even with null tiebreaks.
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                           leftKey: Expression, leftTs: Expression, leftTie: Expression,
@@ -73,6 +80,13 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val tieOrd = TypeUtils.getInterpretedOrdering(leftTie.dataType)
+    // interpreted orderings don't accept nulls; nulls-first matches the
+    // Ascending SortOrder both children are sorted by
+    def nullsFirst(ord: Ordering[Any], a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else ord.compare(a, b)
     val leftWidth = left.output.size
     val outAttrs = output
 
@@ -101,26 +115,34 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             curLeft = null; curLeftKey = null
           }
           val t = rts.eval(rRow)
-          val tie = rtie.eval(rRow)
-          var done = lHead == null
-          while (!done) {
-            val hk = lk.eval(lHead)
-            val c = if (hk == null) -1 else keyOrd.compare(hk, k)
-            if (c < 0) advance() // behind the right key (or null key): drop
-            else if (c > 0) done = true
-            else {
-              val ht = lts.eval(lHead)
-              val cmpTs = if (ht == null) 1 else tsOrd.compare(ht, t)
-              val within =
-                cmpTs < 0 || (cmpTs == 0 && tieOrd.compare(ltie.eval(lHead), tie) <= 0)
-              if (within) {
-                curLeft = lHead.copy(); curLeftKey = hk
-                advance()
-              } else done = true
+          if (t == null) {
+            // null right ts: no left row can be "at or before" it
+            proj(joined(rRow, nullLeft))
+          } else {
+            val tie = rtie.eval(rRow)
+            var done = lHead == null
+            while (!done) {
+              val hk = lk.eval(lHead)
+              val c = if (hk == null) -1 else keyOrd.compare(hk, k)
+              if (c < 0) advance() // behind the right key (or null key): drop
+              else if (c > 0) done = true
+              else {
+                val ht = lts.eval(lHead)
+                if (ht == null) advance() // null left ts matches nothing: drop
+                else {
+                  val cmpTs = tsOrd.compare(ht, t)
+                  val within = cmpTs < 0 ||
+                    (cmpTs == 0 && nullsFirst(tieOrd, ltie.eval(lHead), tie) <= 0)
+                  if (within) {
+                    curLeft = lHead.copy(); curLeftKey = hk
+                    advance()
+                  } else done = true
+                }
+              }
+              if (lHead == null) done = true
             }
-            if (lHead == null) done = true
+            proj(joined(rRow, if (curLeft != null) curLeft else nullLeft))
           }
-          proj(joined(rRow, if (curLeft != null) curLeft else nullLeft))
         }
       }
     }
@@ -141,7 +163,11 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   *  - a conjunct on the bare right KEY also mirrors to the left child
   *    (matches require equal keys, so left rows failing it can never
   *    join a surviving right row) — the original conjunct still moves to
-  *    the right side only; the mirror is an extra pruning filter.
+  *    the right side only; the mirror is an extra pruning filter;
+  *  - only DETERMINISTIC conjuncts move (same check as Catalyst's
+  *    PushDownPredicates): a non-deterministic predicate (rand()-based
+  *    sampling, …) must keep its post-join evaluation order, and
+  *    mirroring one would evaluate it twice with independent draws.
   */
 object AsOfJoinFilterPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
@@ -152,7 +178,7 @@ object AsOfJoinFilterPushdown
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, aj: AsOfJoin) =>
       val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(aj.right.outputSet))
+        .partition(p => p.deterministic && p.references.subsetOf(aj.right.outputSet))
       if (pushable.isEmpty) f
       else {
         val newRight = Filter(pushable.reduce(And), aj.right)

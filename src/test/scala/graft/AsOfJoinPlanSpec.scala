@@ -95,6 +95,53 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(out(6L) === None)     // null key matches nothing (incl. null-key left)
   }
 
+  test("null timestamps: left null-ts rows skipped, right null-ts rows get null left") {
+    // key 1: a null-ts view must not block the ts=5 view from matching,
+    // and a null-ts purchase matches nothing
+    val views = Seq((1L, Some(5L), 1L), (1L, None, 9L))
+      .toDF("key", "ts", "id")
+    val purchases = Seq((1L, Some(10L), 5L), (1L, None, 6L))
+      .toDF("key", "ts", "id")
+    val out = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+      .select(col("id"), col("l_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(5L) === Some(1L)) // null-ts left row neither matches nor blocks
+    assert(out(6L) === None)     // null right ts → no match
+  }
+
+  test("null tiebreaks compare nulls-first and do not crash the merge") {
+    // equal ts everywhere; left ties (null, 3), right ties (2, null).
+    // nulls-first order: null <= 2 and null <= null, but 3 > null.
+    val views = Seq((1L, 10L, None, 101L), (1L, 10L, Some(3L), 103L))
+      .toDF("key", "ts", "tie", "vid")
+    val purchases = Seq((1L, 10L, Some(2L), 5L), (2L, 10L, None, 6L))
+      .toDF("key", "ts", "tie", "pid")
+    val out = AsOf.asofJoin(views, purchases, "key", "ts", "tie")
+      .select(col("pid"), col("l_vid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(5L) === Some(101L)) // null tie <= 2, but 3 > 2 excluded
+    assert(out(6L) === None)       // key 2 has no views at all
+  }
+
+  test("non-deterministic filters are NOT pushed below the as-of join") {
+    val (views, purchases) = sides("/root/testdata/sf0.001")
+    val joined = AsOf.asofJoin(views, purchases, "key", "ts", "id")
+    // rand > 0.5 survives Spark's OptimizeRand (a bound like > -1.0 folds to true)
+    val filtered = joined.filter(rand(42) > lit(0.5) && col("key") === 7L)
+    val opt = filtered.queryExecution.optimizedPlan
+    // the rand() conjunct must stay in a Filter ABOVE the AsOfJoin node
+    val kept = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsOfJoin] => f
+    }
+    assert(kept.nonEmpty, s"non-deterministic filter was pushed:\n$opt")
+    assert(kept.head.condition.find(!_.deterministic).nonEmpty)
+    // while the deterministic key conjunct still reached both scans
+    val physical = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("EqualTo\\(user_id,7\\)".r.findAllIn(physical).length >= 2)
+  }
+
   test("tie on ts: only left rows with tie <= right tie match") {
     // key 1: views at (ts=10,id=1) and (ts=10,id=9); purchase (ts=10,id=5)
     // → the id=9 view is 'after' the purchase in (ts, id) order

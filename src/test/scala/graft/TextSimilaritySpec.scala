@@ -102,6 +102,34 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
   }
 
+  test("dedupClusters fails loudly when maxIters is below the chain diameter") {
+    // a 5-node path needs >1 propagation round; maxIters=1 must throw,
+    // not silently emit a split clustering
+    val d = docs((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"))
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val ex = intercept[IllegalStateException] {
+      TextDedup.dedupClusters(d, pairs, maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("repetitionScore: top shingle share via sorted-run fold, no shuffle") {
+    // "a b a b a b" → shingles (a b a),(b a b),(a b a),(b a b): top 2 of 4
+    val out = TextDedup.repetitionScore(
+      docs((1L, "a b a b a b"), (2L, "u v w x y z"), (3L, "too short")))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, tf, n, r) => id -> ((tf, n, r)) }.toMap
+    assert(out(1L) === ((2L, 4L, 0.5)))
+    assert(out(2L) === ((1L, 4L, 0.25)))
+    assert(!out.contains(3L)) // fewer than k words → excluded
+    // plan sanity: a per-row operator must not shuffle beyond Par.widen
+    val plan = TextDedup.repetitionScore(docs((1L, "a b c d")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"repetitionScore should not shuffle on a key:\n$plan")
+  }
+
   test("contentHashDedup groups exact copies and keeps min doc_id") {
     val out = TextDedup.contentHashDedup(docs((5L, "same"), (9L, "same"), (7L, "other")))
       .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet

@@ -8,7 +8,7 @@ DuckDB against views over the same testdata parquet, and compares:
 row count, column-name set, and a hash over the value matrix with
 columns sorted by name and rows sorted by all columns.
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, os
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -21,6 +21,11 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# match Verify.scala's SPARK_GRAFT_ONLY subset-run aid
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    keep = {n.strip() for n in _only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 def canon(rel):
     df = rel.fetchdf()
