@@ -1086,7 +1086,51 @@ object SparkEntry {
                  GROUP BY o_orderkey, o_orderdate
                  ORDER BY revenue DESC, o_orderkey ASC
                  LIMIT 10)""")
-    })
+    }),
+
+    // ---- round 4: scrubbing / sharding / profiling / stream-stream ----
+
+    // PII redaction over deterministically-augmented text (the synthetic
+    // corpus carries no natural PII; the augmentation is mirrored in the
+    // oracle so the redaction itself is what's verified)
+    "pii_redact" -> ((s, dir) =>
+      Scrub.piiRedact(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@example.com via 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 tel 555-01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")
+          ).as("text")))),
+
+    // corpus-level boilerplate removal: tokens in > 50% of documents
+    "boilerplate_strip" -> ((s, dir) =>
+      Scrub.boilerplateStrip(Tables.documents(s, dir), dfFrac = 0.5)),
+
+    // key-skew diagnostic: top-10 heaviest users with share of all events
+    "heavy_hitters" -> ((s, dir) =>
+      Profile.heavyHitters(Tables.events(s, dir), col("user_id"), topN = 10)),
+
+    // one-scan numeric column profile (min/max/nulls/distinct per column)
+    "profile_numeric" -> ((s, dir) =>
+      Profile.profileNumeric(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+
+    // deterministic train/val/test assignment by hash percentile
+    "split_assign" -> ((s, dir) =>
+      Shard.splitAssign(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"))),
+
+    // deterministic global shuffle into 8 shards with in-shard positions
+    "corpus_shuffle" -> ((s, dir) =>
+      Shard.corpusShuffle(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), nShards = 8)),
+
+    // §2.9: stream-stream interval join (views ⋈ purchases within 1h)
+    "streaming_join" -> ((s, dir) =>
+      graft.streaming.Streaming.streamStreamJoin(s, Tables.events(s, dir),
+        windowSec = 3600L, tmp(dir, "stream_join_src")))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2123,7 +2167,91 @@ object SparkEntry {
                WHERE o_orderstatus = 'O'
                GROUP BY o_orderkey, o_orderdate
                ORDER BY revenue DESC, o_orderkey ASC
-               LIMIT 10)"""
+               LIMIT 10)""",
+
+    // augmentation mirrored from the Spark registration; DuckDB regexps
+    // are RE2 — the patterns use only shared syntax
+    "pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com via 10.0.'
+                  || (doc_id % 256) || '.7 tel 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+         FROM aug""",
+
+    "boilerplate_strip" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         tok AS (SELECT doc_id, g AS pos, words[g+1] AS word
+                 FROM w, UNNEST(range(len(words))) AS t(g)),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         stop AS (SELECT word FROM df, n WHERE df > n_docs * 0.5),
+         kept AS (SELECT doc_id, pos, word FROM tok
+                  WHERE word NOT IN (SELECT word FROM stop))
+         SELECT d.doc_id,
+           coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text,
+           count(k.word) AS n_kept
+         FROM documents d LEFT JOIN kept k USING (doc_id)
+         GROUP BY d.doc_id""",
+
+    "heavy_hitters" ->
+      """SELECT user_id AS key, count(*) AS n,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+         FROM events GROUP BY user_id
+         ORDER BY n DESC, key ASC LIMIT 10""",
+
+    "profile_numeric" ->
+      """SELECT 'o_orderkey' AS "column",
+           CAST(min(o_orderkey) AS DOUBLE) AS min_value,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_value,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+         UNION ALL
+         SELECT 'o_custkey',
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice',
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice) FROM orders""",
+
+    "split_assign" ->
+      """SELECT doc_id, lang,
+           CASE WHEN (doc_id * 1000003 % 1000000007) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 1000003 % 1000000007) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+
+    "corpus_shuffle" ->
+      """SELECT doc_id, source,
+           (doc_id * 1000003 % 1000000007) % 8 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY (doc_id * 1000003 % 1000000007) % 8
+             ORDER BY doc_id * 1000003 % 1000000007 ASC, doc_id ASC) AS BIGINT) AS pos
+         FROM documents""",
+
+    "streaming_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

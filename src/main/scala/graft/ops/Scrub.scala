@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text scrubbing for LLM training corpora (SURVEY §2.8 [EXT]): PII
+  * redaction and corpus-level boilerplate removal — the two cleanup
+  * passes that sit between ingestion and dedup in a production data
+  * pipeline.
+  */
+object Scrub {
+
+  /** Redaction patterns — kept to syntax shared by Java regex (Spark) and
+    * RE2 (DuckDB oracle): character classes, bounded repeats, \b, \d.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: replace emails, IPv4 addresses, and phone-shaped
+    * digit runs with typed placeholders, and count each category before
+    * redaction (the counts feed a privacy audit table). Pure codegen'd
+    * projection — zero shuffles, zero UDFs; at 100 TB this runs at scan
+    * speed fused into whichever stage reads the text.
+    *
+    * Order matters: emails first (an email must not be partially eaten by
+    * a later pattern), then IPs, then phones — the patterns are disjoint
+    * on any single span, so sequential application is safe.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      n(EmailRe).as("n_emails"),
+      n(Ipv4Re).as("n_ips"),
+      n(PhoneRe).as("n_phones"))
+  }
+
+  /** Corpus-level boilerplate removal: drop every token whose document
+    * frequency exceeds `dfFrac` of the corpus (site chrome, license
+    * headers, navigation text — whatever almost every document repeats),
+    * preserving the order of surviving tokens.
+    *
+    * Shape at scale: the document-frequency aggregation shuffles distinct
+    * (doc, word) pairs once; the stop list (tiny by construction — only
+    * words in > dfFrac of ALL documents) broadcasts into a left-anti
+    * join; ordered reassembly groups by doc_id. Documents whose every
+    * token is boilerplate survive with empty clean_text (left join).
+    */
+  def boilerplateStrip(docs: DataFrame, dfFrac: Double = 0.5): DataFrame = {
+    val words = split(col("text"), " ")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stop = docs
+      .select(col("doc_id"), explode(array_distinct(words)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs) // 1-row build side: broadcast nested loop
+      .filter(col("df") > col("n_docs") * lit(dfFrac))
+      .select(col("word"))
+    val toks = Par.widen(docs)
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+    val kept = toks.join(broadcast(stop), Seq("word"), "left_anti")
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        // null word (doc fully boilerplate) → when()=null → skipped by collect_list
+        array_join(transform(
+          array_sort(collect_list(when(col("word").isNotNull,
+            struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ").as("clean_text"),
+        count(col("word")).as("n_kept"))
+  }
+}

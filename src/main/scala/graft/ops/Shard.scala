@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus sharding and split assignment — the operators that decide
+  * WHERE each training example lives: train/val/test membership, shard
+  * files, and a deterministic global shuffle of the training order. All
+  * pure integer arithmetic (the same portable multiplicative hash as the
+  * sampling ops) — reproducible across runs, partitionings, and engines;
+  * never `rand()`.
+  */
+object Shard {
+
+  /** The engine's portable row hash: exact 64-bit integer arithmetic,
+    * identical in Spark and any ANSI SQL oracle. A production id domain
+    * would use a 64-bit mixer (splitmix64) — same shape, wider constants.
+    */
+  def portableHash(id: Column): Column = pmod(id * lit(1000003L), lit(1000000007L))
+
+  /** Deterministic train/val/test assignment by hash percentile:
+    * pct < trainPct → train, < trainPct+valPct → val, else test. A
+    * document's split NEVER changes as the corpus grows (membership
+    * depends only on its own id), which is the property that keeps eval
+    * sets stable across dataset versions. Pure projection — no shuffle.
+    */
+  def splitAssign(df: DataFrame, id: Column,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val pct = pmod(portableHash(id), lit(100))
+    df.withColumn("split",
+      when(pct < trainPct, "train")
+        .when(pct < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic global shuffle + sharding for training order: shard =
+    * hash mod nShards, position = rank of (hash, id) within the shard.
+    * One hash-partition exchange + per-shard sort — never a global sort.
+    * At 100 TB each shard writes one file sequence and readers stream
+    * shards independently; the (hash, id) order is a reproducible
+    * pseudo-random permutation of the corpus.
+    */
+  def corpusShuffle(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    val h = portableHash(id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), id)
+    df.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+}

@@ -201,6 +201,52 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Stream-stream interval join (the missing join shape after
+    * stream-static [[streamingEnrich]]): purchases join views of the same
+    * user where the purchase lands within [view_ts, view_ts + windowSec].
+    * Both sides are real file-backed streams; the time-bound condition is
+    * what lets Structured Streaming evict state (a view older than
+    * watermark - window can never match a future purchase).
+    *
+    * Harness determinism: the watermark delay exceeds the feed's time
+    * span, so no row is ever dropped as late regardless of file arrival
+    * order and the append-mode result equals the batch interval join
+    * exactly. Production tightens the delay to the real lateness contract
+    * — same query graph, bounded state.
+    */
+  def streamStreamJoin(spark: SparkSession, events: DataFrame,
+                       windowSec: Long, scratch: String): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    views.repartition(2).write.mode("overwrite").parquet(s"$scratch/views")
+    purchases.repartition(2).write.mode("overwrite").parquet(s"$scratch/purchases")
+
+    def src(schema: org.apache.spark.sql.types.StructType, path: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+    val vs = src(views.schema, s"$scratch/views")
+      .withWatermark("view_ts", "60 days")
+    val ps = src(purchases.schema, s"$scratch/purchases")
+      .withWatermark("purchase_ts", "60 days")
+
+    val name = nextName("graft_ssjoin")
+    val query = vs.join(ps,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name).select(col("user_id"), col("view_id"),
+      col("purchase_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   /** Per-key session state: the set of sessions seen so far (epoch micros
     * boundaries + event count), plus an update counter so the final
     * emission per key is identifiable.

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Profile, Scrub, Shard}
+
+class ScrubShardProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("piiRedact replaces emails, IPs, phones and counts each category") {
+    val d = Seq(
+      (1L, "mail bob@x.org and alice@y.co.uk from 10.0.0.1 call 555-0199"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = Scrub.piiRedact(d)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) === ((2L, 1L, 1L)))
+    assert(out(2L)._2 === "no pii here at all")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) === ((0L, 0L, 0L)))
+  }
+
+  test("boilerplateStrip drops corpus-frequent tokens, keeps order, keeps empty docs") {
+    // "the" is in 3/3 docs (df 1.0 > 0.5) — stripped; all else rarer
+    val d = Seq(
+      (1L, "the quick fox the end"),
+      (2L, "the slow dog"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val out = Scrub.boilerplateStrip(d, dfFrac = 0.5)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("quick fox end", 3L)))
+    assert(out(2L) === (("slow dog", 2L)))
+    assert(out(3L) === (("", 0L))) // fully-boilerplate doc survives, empty
+  }
+
+  test("splitAssign is per-row stable: membership unchanged by corpus growth") {
+    val small = Shard.splitAssign((1L to 100L).toDF("doc_id"), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    val big = Shard.splitAssign((1L to 1000L).toDF("doc_id"), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert((1L to 100L).forall(id => small(id) == big(id)))
+    assert(Set("train", "val", "test").subsetOf(big.values.toSet))
+  }
+
+  test("corpusShuffle: contiguous 1..n positions per shard, deterministic") {
+    val df = (1L to 500L).toDF("doc_id")
+    val out = Shard.corpusShuffle(df, col("doc_id"), nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    val byShard = out.groupBy(_._2)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val again = Shard.corpusShuffle(df, col("doc_id"), nShards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
+  test("heavyHitters ranks keys by count with exact shares") {
+    val d = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Profile.heavyHitters(d, col("k"), topN = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 6L, 0.6), ("b", 3L, 0.3)))
+  }
+
+  test("profileNumeric: one row per column with min/max/nulls/distinct") {
+    val d = Seq((Some(1L), Some(10.0)), (Some(5L), None), (Some(5L), Some(-2.5)))
+      .toDF("a", "b")
+    val out = Profile.profileNumeric(d, Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", Some(1.0), Some(5.0), 0L, 2L)))
+    assert(out("b") === (("b", Some(-2.5), Some(10.0), 1L, 2L)))
+  }
+}

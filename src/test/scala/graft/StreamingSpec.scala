@@ -40,6 +40,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("streamStreamJoin equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    val out = Streaming.streamStreamJoin(spark, events, 3600L, dir)
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(out === batch)
+    assert(out.nonEmpty)
+  }
+
   test("interval-merge state is permutation-invariant and equals gaps-and-islands") {
     val gap = 10L // seconds
     val rnd = new scala.util.Random(42)
