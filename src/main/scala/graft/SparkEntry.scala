@@ -1130,7 +1130,34 @@ object SparkEntry {
     // §2.9: stream-stream interval join (views ⋈ purchases within 1h)
     "streaming_join" -> ((s, dir) =>
       graft.streaming.Streaming.streamStreamJoin(s, Tables.events(s, dir),
-        windowSec = 3600L, tmp(dir, "stream_join_src")))
+        windowSec = 3600L, tmp(dir, "stream_join_src"))),
+
+    // per-source mixture quotas (5/10/15 by source index mod 3), filled
+    // in deterministic hash order
+    "mixture_sample" -> ((s, dir) =>
+      Shard.mixtureSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        stratum = col("source"), id = col("doc_id"),
+        quota = lit(5) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) * lit(5))),
+
+    // ingest-tick dedup: new batch (doc_id >= 400) anti-joined against
+    // the corpus hash set (doc_id < 400), keep-first within the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.incrementalDedup(
+        corpus = d.filter(col("doc_id") < 400),
+        batch = d.filter(col("doc_id") >= 400))
+    }),
+
+    // skew-safe two-stage aggregation == the plain groupBy aggregate
+    "salted_agg" -> ((s, dir) =>
+      Distribute.saltedAgg(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("v")),
+        keys = Seq("event_type"), value = col("v"),
+        salt = col("event_id"), salts = 16)
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n")))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2251,7 +2278,30 @@ object SparkEntry {
            ON v.user_id = p.user_id
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
-          AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR"""
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR""",
+
+    "mixture_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY doc_id * 1000003 % 1000000007 ASC, doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 5 + (CAST(substr(source, 4) AS INT) % 3) * 5""",
+
+    "dedup_incremental" ->
+      """WITH seen AS (SELECT DISTINCT sha256(text) AS content_hash
+                       FROM documents WHERE doc_id < 400)
+         SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash
+         FROM documents
+         WHERE doc_id >= 400
+           AND sha256(text) NOT IN (SELECT content_hash FROM seen)
+         GROUP BY sha256(text)""",
+
+    "salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(*) AS n
+         FROM events GROUP BY event_type"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

@@ -30,6 +30,25 @@ object Distribute {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Skew-safe two-stage aggregation: partial aggregate on (keys, salt),
+    * final aggregate on keys. A hot key's partials spread over `salts`
+    * reducers in stage 1; stage 2 only combines `salts` pre-aggregated
+    * rows per key. Identical result to the plain groupBy (sum and count
+    * are commutative monoids — decimal sums stay exact), so it
+    * oracle-verifies against the unsalted SQL. This is the manual escape
+    * hatch for the case hash-agg's map-side combine can't save: a key so
+    * hot its partial states themselves overwhelm one reducer.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], value: Column,
+                salt: Column, salts: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("__salt", pmod(salt, lit(salts)))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pn"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pn")).as("n"))
+  }
+
   /** Co-located join via bucketed managed tables: both sides written
     * `bucketBy(n, key)` + `sortBy(key)`, then joined — the exchange
     * disappears from the plan (SortMergeJoin reads pre-bucketed files).

@@ -33,6 +33,23 @@ object Shard {
         .otherwise("test"))
   }
 
+  /** Mixture sampling: take the first `quota` rows per stratum in
+    * deterministic hash order — how a training mix hits per-source
+    * weights ("50% web, 30% code, 20% books") reproducibly. `quota` is a
+    * per-row Column so callers derive it from the stratum itself (weight
+    * tables join in upstream). One shuffle on the stratum; the per-
+    * stratum top-k is WindowGroupLimit-prunable, so no stratum ever
+    * materializes beyond its quota + spill bounds.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, id: Column,
+                    quota: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(portableHash(id).asc, id.asc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("rn")
+  }
+
   /** Deterministic global shuffle + sharding for training order: shard =
     * hash mod nShards, position = rank of (hash, id) within the shard.
     * One hash-partition exchange + per-shard sort — never a global sort.

@@ -19,6 +19,23 @@ object TextDedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: new-batch documents whose content hash is
+    * unseen — neither in the existing corpus nor earlier (by doc_id) in
+    * the batch itself. THE shape of a production ingest tick: the corpus
+    * side reduces to a 64-byte hash set (shuffled hashes, never text),
+    * the batch anti-joins against it, and within-batch ties resolve
+    * keep-first. At 100 TB the corpus hash set is a bucketed table
+    * maintained across ticks, so each tick shuffles only the new batch.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val seen = corpus.select(sha2(col("text"), 256).as("content_hash")).distinct()
+    batch.withColumn("content_hash", sha2(col("text"), 256))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** Distinct word k-shingles per document: (doc_id, shingle).
     * Distinctness is per-document, so it's enforced with a per-row
     * `array_distinct` BEFORE the explode — no shuffle, unlike a

@@ -57,6 +57,42 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(out.toSet === again.toSet)
   }
 
+  test("mixtureSample fills each stratum to its own quota, deterministically") {
+    val d = (1L to 100L).map(i => (i, if (i <= 60) "big" else "small"))
+      .toDF("doc_id", "source")
+    val quota = when(col("source") === "big", 10).otherwise(3)
+    val out = Shard.mixtureSample(d, col("source"), col("doc_id"), quota)
+      .as[(Long, String)].collect()
+    assert(out.count(_._2 == "big") === 10)
+    assert(out.count(_._2 == "small") === 3)
+    val again = Shard.mixtureSample(d, col("source"), col("doc_id"), quota)
+      .as[(Long, String)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
+  test("incrementalDedup keeps only batch docs unseen in corpus, keep-first") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "ddd"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.incrementalDedup(corpus, batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(11L, 13L)) // "aaa" seen in corpus; 12 loses to 11
+  }
+
+  test("saltedAgg equals the plain aggregate and stages through the salt") {
+    val d = (1L to 1000L).map(i => (i, s"k${i % 3}", i * 2)).toDF("id", "k", "v")
+    val out = graft.ops.Distribute.saltedAgg(d, Seq("k"), col("v"),
+      salt = col("id"), salts = 8)
+      .as[(String, Long, Long)].collect().toSet
+    val plain = d.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === plain)
+    // the physical plan aggregates on (k, __salt) before the final (k)
+    val plan = graft.ops.Distribute.saltedAgg(d, Seq("k"), col("v"),
+      salt = col("id"), salts = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+
   test("heavyHitters ranks keys by count with exact shares") {
     val d = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val out = Profile.heavyHitters(d, col("k"), topN = 2)
