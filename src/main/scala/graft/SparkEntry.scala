@@ -1157,7 +1157,27 @@ object SparkEntry {
         keys = Seq("event_type"), value = col("v"),
         salt = col("event_id"), salts = 16)
         .select(col("event_type"),
-          col("sum_value").cast("double").as("sum_value"), col("n")))
+          col("sum_value").cast("double").as("sum_value"), col("n"))),
+
+    // as-of with freshness tolerance: matches older than 1h are nulled
+    "asof_join_tolerance" -> ((s, dir) =>
+      Temporal.asofPriorTolerance(eventsBase(s, dir),
+        key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+        leftPred = col("event_type") === "view",
+        rightPred = col("event_type") === "purchase",
+        maxAgeSeconds = 3600L)),
+
+    // Z-order (Morton) clustering layout of lineitem on (partkey, suppkey)
+    "zorder_layout" -> ((s, dir) =>
+      Distribute.zOrderLayout(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        col("l_partkey"), col("l_suppkey"), bits = 16, partitions = 32)),
+
+    // corpus bigram LM: top-20 bigrams with P(w2|w1)
+    "bigram_lm" -> ((s, dir) =>
+      Text.bigramLm(Tables.documents(s, dir), topN = 20))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2301,7 +2321,51 @@ object SparkEntry {
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // the asof_join oracle plus a staleness guard on the matched ts
+    "asof_join_tolerance" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         x AS (SELECT user_id AS key, event_id AS id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER w AS asof_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS asof_ts
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT key, id, ts, asof_id, asof_ts,
+                 asof_ts IS NOT NULL AND
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(asof_ts)) AS BIGINT) <= 3600 AS fresh
+               FROM x WHERE event_type = 'purchase')
+         SELECT key, id, ts,
+           CASE WHEN fresh THEN asof_id END AS asof_id,
+           CASE WHEN fresh THEN asof_ts END AS asof_ts
+         FROM t""",
+
+    // bit interleave via exact floor-divides by powers of two (the same
+    // arithmetic the Spark expression folds; doubles are exact < 2^26)
+    "zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(list_sum(list_transform(range(16), i ->
+             (CAST(floor(l_partkey / power(2, i)) AS BIGINT) % 2)
+               * CAST(power(2, 2*i) AS BIGINT)
+             + (CAST(floor(l_suppkey / power(2, i)) AS BIGINT) % 2)
+               * CAST(power(2, 2*i+1) AS BIGINT))) AS BIGINT) AS z
+         FROM lineitem""",
+
+    "bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+         bg AS (SELECT words[g+1] AS w1, words[g+2] AS w2
+                FROM w, UNNEST(range(len(words) - 1)) AS t(g)
+                WHERE len(words) >= 2),
+         pc AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         cc AS (SELECT w1, count(*) AS n_ctx FROM bg GROUP BY 1)
+         SELECT pc.w1, pc.w2, pc.n,
+           CAST(pc.n AS DOUBLE) / cc.n_ctx AS p_cond
+         FROM pc JOIN cc USING (w1)
+         ORDER BY pc.n DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

@@ -30,6 +30,42 @@ object Distribute {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Z-order (Morton) value of two non-negative integer keys: bits of
+    * `a` and `b` interleaved, so rows close in BOTH dimensions get close
+    * z values. Sorting/range-partitioning the table by z before writing
+    * clusters multidimensional locality into files — min/max column
+    * stats then prune scans filtered on EITHER key (the data-skipping
+    * layout trick for two-key workloads, vs a plain sort that only helps
+    * its leading key).
+    *
+    * Bit extraction is floor-divide by powers of two (exact in IEEE
+    * doubles for values < 2^`bits`, `bits` <= 26) rather than shift
+    * intrinsics, because the shift amount varies inside a higher-order
+    * `aggregate` fold and stays portable to ANSI SQL oracles.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits <= 26, s"z-order bit budget $bits exceeds exact-double range")
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
+      val p = pow(lit(2.0), i.cast("double"))
+      val bitA = pmod(floor(a.cast("double") / p).cast("long"), lit(2L))
+      val bitB = pmod(floor(b.cast("double") / p).cast("long"), lit(2L))
+      acc + bitA * pow(lit(2.0), (i * 2).cast("double")).cast("long") +
+        bitB * pow(lit(2.0), (i * 2 + 1).cast("double")).cast("long")
+    })
+  }
+
+  /** Z-order clustering layout: range-partition on the interleaved key
+    * and sort within partitions, the exact shape of an OPTIMIZE ZORDER BY
+    * table rewrite — each output file covers a compact z-range, so its
+    * (a, b) min/max stats are tight and scans filtered on either key
+    * skip most files.
+    */
+  def zOrderLayout(df: DataFrame, a: Column, b: Column, bits: Int,
+                   partitions: Int): DataFrame =
+    df.withColumn("z", zValue(a, b, bits))
+      .repartitionByRange(partitions, col("z"))
+      .sortWithinPartitions(col("z"))
+
   /** Skew-safe two-stage aggregation: partial aggregate on (keys, salt),
     * final aggregate on keys. A hot key's partials spread over `salts`
     * reducers in stage 1; stage 2 only combines `salts` pre-aggregated

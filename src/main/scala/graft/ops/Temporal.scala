@@ -107,6 +107,25 @@ object Temporal {
     * This is the standard scalable shape for as-of joins (a naive
     * `leftTs <= rightTs` theta join is quadratic per key).
     */
+  /** [[asofPrior]] with a freshness tolerance: a prior match older than
+    * `maxAgeSeconds` is treated as no match (both asof columns null) —
+    * the standard guard against attributing to stale context (a view
+    * from last month shouldn't claim this purchase). Same single
+    * shuffle; the tolerance is a post-window projection, so the plan is
+    * identical to the untolerated join plus one codegen'd filter
+    * expression.
+    */
+  def asofPriorTolerance(events: DataFrame, key: Column, ts: Column,
+                         idCol: Column, leftPred: Column, rightPred: Column,
+                         maxAgeSeconds: Long): DataFrame = {
+    val base = asofPrior(events, key, ts, idCol, leftPred, rightPred)
+    val fresh = col("asof_ts").isNotNull &&
+      (col("ts").cast("long") - col("asof_ts").cast("long") <= maxAgeSeconds)
+    base.select(col("key"), col("id"), col("ts"),
+      when(fresh, col("asof_id")).as("asof_id"),
+      when(fresh, col("asof_ts")).as("asof_ts"))
+  }
+
   def asofPrior(events: DataFrame, key: Column, ts: Column, idCol: Column,
                 leftPred: Column, rightPred: Column): DataFrame = {
     val tagged = events

@@ -42,6 +42,35 @@ object Text {
       sum(size(words(col("text"))).cast("long")).as("total_tokens"),
       sum(length(col("text")).cast("long")).as("total_chars"))
 
+  /** Corpus bigram language-model counts: the top-N (w1, w2) pairs by
+    * frequency with the conditional probability P(w2 | w1) =
+    * c(w1,w2) / c(w1). The classic corpus statistic behind perplexity
+    * filters and collocation mining. One explode + two hash aggregations
+    * (bigram counts; unigram-context counts), joined on the context —
+    * both sides pre-aggregated, so the join input is vocabulary-sized,
+    * not corpus-sized. Counts exact; the single division is IEEE-
+    * deterministic.
+    */
+  def bigramLm(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = Par.widen(docs)
+      .filter(size(w) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(w) - lit(2)),
+        i => struct(element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val ctxCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("n_ctx"))
+    pairCounts.join(ctxCounts, "w1")
+      .withColumn("p_cond", col("n").cast("double") / col("n_ctx"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("n"), col("p_cond"))
+  }
+
   private val stopwords = Seq("the", "a")
 
   /** Heuristic quality score: length saturation + lexical diversity +

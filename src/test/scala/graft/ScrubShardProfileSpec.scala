@@ -100,6 +100,54 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(out === Seq(("a", 6L, 0.6), ("b", 3L, 0.3)))
   }
 
+  test("zValue interleaves bits; zOrderLayout yields disjoint partition z-ranges") {
+    // a=3 (0011), b=5 (0101): z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    //   = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    val one = Seq((3L, 5L)).toDF("a", "b")
+      .select(graft.ops.Distribute.zValue(col("a"), col("b"), 4).as("z"))
+      .as[Long].head()
+    assert(one === 39L)
+
+    val df = (0L until 1024L).map(i => (i % 32, i / 32)).toDF("a", "b")
+    val laid = graft.ops.Distribute.zOrderLayout(df, col("a"), col("b"),
+      bits = 8, partitions = 4)
+    val ranges = laid.select(spark_partition_id().as("p"), col("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("asofPriorTolerance nulls matches older than the tolerance") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val e = Seq(
+      (1L, ts(0), 7L, "view"),      // the only view for user 7
+      (2L, ts(100), 7L, "purchase"), // fresh (100s old)
+      (3L, ts(5000), 7L, "purchase") // stale (5000s > 3600)
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Temporal.asofPriorTolerance(e,
+      key = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+      leftPred = col("event_type") === "view",
+      rightPred = col("event_type") === "purchase",
+      maxAgeSeconds = 3600L)
+      .select(col("id"), col("asof_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(2L) === Some(1L))
+    assert(out(3L) === None)
+  }
+
+  test("bigramLm: counts and conditional probabilities over the corpus") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.ops.Text.bigramLm(d, topN = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b),(b,c) → c(a)=3, c(b)=2
+    assert(out.head === (("a", "b", 3L, 1.0)))
+    assert(out.toSet.contains(("b", "a", 1L, 0.5)))
+    assert(out.toSet.contains(("b", "c", 1L, 0.5)))
+  }
+
   test("profileNumeric: one row per column with min/max/nulls/distinct") {
     val d = Seq((Some(1L), Some(10.0)), (Some(5L), None), (Some(5L), Some(-2.5)))
       .toDF("a", "b")
