@@ -808,7 +808,9 @@ object SparkEntry {
     "sql_ctas" -> ((s, dir) => {
       val tbl = "g_ctas_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
       Tables.orders(s, dir).createOrReplaceTempView("orders")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // catalog AND stale warehouse location (LOCATION_ALREADY_EXISTS
+      // across sessions otherwise — cost this query in round 3)
+      Distribute.dropManagedTable(s, tbl)
       s.sql(s"""CREATE TABLE $tbl USING parquet AS
                 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0""")
       s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1")

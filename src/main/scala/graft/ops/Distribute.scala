@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Distribute {
 
+  /** Fully remove a managed table: catalog entry AND warehouse location.
+    * A fresh session's in-memory catalog doesn't know tables written by a
+    * previous session, so `DROP TABLE IF EXISTS` is a no-op while the
+    * warehouse dir persists — the next CTAS/saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS. Every managed-table writer must clear both.
+    */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
+  }
+
   /** Skew-safe equi-join: the big (skewed) side gets a deterministic salt
     * in [0, salts); the small side is replicated once per salt value; the
     * join key becomes (key, salt). A hot key's rows now spread over
@@ -97,17 +112,7 @@ object Distribute {
                    tablePrefix: String): DataFrame = {
     val lt = s"${tablePrefix}_l"
     val rt = s"${tablePrefix}_r"
-    // a fresh session's in-memory catalog doesn't know tables written by a
-    // previous run, but their warehouse dirs persist — saveAsTable then
-    // fails with LOCATION_ALREADY_EXISTS; clear both catalog and location
-    Seq(lt, rt).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        loc.listFiles().foreach(_.delete()); loc.delete()
-      }
-    }
+    Seq(lt, rt).foreach(dropManagedTable(spark, _))
     left.write.mode("overwrite")
       .bucketBy(buckets, leftKey).sortBy(leftKey).saveAsTable(lt)
     right.write.mode("overwrite")
