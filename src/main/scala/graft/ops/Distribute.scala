@@ -53,20 +53,21 @@ object Distribute {
     * layout trick for two-key workloads, vs a plain sort that only helps
     * its leading key).
     *
-    * Bit extraction is floor-divide by powers of two (exact in IEEE
-    * doubles for values < 2^`bits`, `bits` <= 26) rather than shift
-    * intrinsics, because the shift amount varies inside a higher-order
-    * `aggregate` fold and stays portable to ANSI SQL oracles.
+    * The interleave unrolls at PLAN-BUILD time into a sum of static
+    * shift/mask terms — `bits` is a Scala constant, so every shift
+    * amount is a literal and the whole z value stays inside whole-stage
+    * codegen (an earlier higher-order `aggregate` fold with per-element
+    * `pow()` ran interpreted and cost 20 s at sf0.1; this form is pure
+    * bitwise arithmetic).
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits <= 26, s"z-order bit budget $bits exceeds exact-double range")
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) => {
-      val p = pow(lit(2.0), i.cast("double"))
-      val bitA = pmod(floor(a.cast("double") / p).cast("long"), lit(2L))
-      val bitB = pmod(floor(b.cast("double") / p).cast("long"), lit(2L))
-      acc + bitA * pow(lit(2.0), (i * 2).cast("double")).cast("long") +
-        bitB * pow(lit(2.0), (i * 2 + 1).cast("double")).cast("long")
-    })
+    require(bits <= 31, s"z-order bit budget $bits overflows the long interleave")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
   }
 
   /** Z-order clustering layout: range-partition on the interleaved key
