@@ -1179,7 +1179,28 @@ object SparkEntry {
 
     // corpus bigram LM: top-20 bigrams with P(w2|w1)
     "bigram_lm" -> ((s, dir) =>
-      Text.bigramLm(Tables.documents(s, dir), topN = 20))
+      Text.bigramLm(Tables.documents(s, dir), topN = 20)),
+
+    // right-to-erasure propagation audit across three tables
+    "gdpr_delete_audit" -> ((s, dir) => {
+      val forget = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("forget_id"))
+      Scrub.gdprDeleteAudit(Seq(
+        ("events", Tables.events(s, dir), col("user_id")),
+        ("orders", Tables.orders(s, dir), col("o_custkey")),
+        ("customer", Tables.customer(s, dir), col("c_custkey"))), forget)
+    }),
+
+    // referential-integrity audit over the star schema's FK edges
+    "ref_integrity" -> ((s, dir) =>
+      Quality.refIntegrity(Seq(
+        ("lineitem->orders", Tables.lineitem(s, dir), col("l_orderkey"),
+          Tables.orders(s, dir), col("o_orderkey")),
+        ("orders->customer", Tables.orders(s, dir), col("o_custkey"),
+          Tables.customer(s, dir), col("c_custkey")),
+        ("events->customer", Tables.events(s, dir), col("user_id"),
+          Tables.customer(s, dir), col("c_custkey")))))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2367,7 +2388,41 @@ object SparkEntry {
          SELECT pc.w1, pc.w2, pc.n,
            CAST(pc.n AS DOUBLE) / cc.n_ctx AS p_cond
          FROM pc JOIN cc USING (w1)
-         ORDER BY pc.n DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20"""
+         ORDER BY pc.n DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20""",
+
+    "gdpr_delete_audit" ->
+      """WITH f AS (SELECT c_custkey AS fid FROM customer WHERE c_custkey % 97 = 0)
+         SELECT 'events' AS table_name,
+           CAST(sum(CASE WHEN user_id IN (SELECT fid FROM f) THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN user_id IN (SELECT fid FROM f) THEN 0 ELSE 1 END) AS BIGINT) AS n_remaining
+         FROM events
+         UNION ALL
+         SELECT 'orders',
+           CAST(sum(CASE WHEN o_custkey IN (SELECT fid FROM f) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IN (SELECT fid FROM f) THEN 0 ELSE 1 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'customer',
+           CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 0 ELSE 1 END) AS BIGINT)
+         FROM customer""",
+
+    "ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship,
+           CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_orphan_rows,
+           count(*) AS n_orphan_keys
+         FROM (SELECT l_orderkey AS fk, count(*) AS n_rows FROM lineitem GROUP BY 1)
+         WHERE fk NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'orders->customer',
+           CAST(coalesce(sum(n_rows), 0) AS BIGINT), count(*)
+         FROM (SELECT o_custkey AS fk, count(*) AS n_rows FROM orders GROUP BY 1)
+         WHERE fk NOT IN (SELECT c_custkey FROM customer)
+         UNION ALL
+         SELECT 'events->customer',
+           CAST(coalesce(sum(n_rows), 0) AS BIGINT), count(*)
+         FROM (SELECT user_id AS fk, count(*) AS n_rows FROM events GROUP BY 1)
+         WHERE fk NOT IN (SELECT c_custkey FROM customer)"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — Spark-native version of the reference's
@@ -56,4 +56,25 @@ object Quality {
              (cnt >= contract.minRows).as("passed"))
     )).as("check")).select("check.*")
   }
+
+  /** Referential-integrity audit across the star schema: for each
+    * child→parent relationship, the count of orphan child rows (FK
+    * values with no parent) and the distinct orphan key count. The check
+    * every warehouse load should run before publishing: one left-anti
+    * semi-structure per edge — child FKs aggregate FIRST (distinct
+    * values), so the anti-join input is key-cardinality-sized, never
+    * fact-table-sized; parents broadcast when dimension-sized.
+    */
+  def refIntegrity(edges: Seq[(String, DataFrame, Column, DataFrame, Column)]): DataFrame =
+    edges.map { case (name, child, childKey, parent, parentKey) =>
+      val fkCounts = child.select(childKey.as("fk"))
+        .groupBy(col("fk")).agg(count(lit(1)).as("n_rows"))
+      val orphans = fkCounts.join(
+        parent.select(parentKey.as("fk")).distinct(), Seq("fk"), "left_anti")
+      orphans.agg(
+        coalesce(sum(col("n_rows")), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+        .select(lit(name).as("relationship"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _)
 }

@@ -42,6 +42,26 @@ object Scrub {
       n(PhoneRe).as("n_phones"))
   }
 
+  /** Right-to-erasure (GDPR art. 17) propagation audit: given a
+    * forget-set of user ids, report per table how many rows the delete
+    * removes and how many remain. The deletes themselves are anti-joins
+    * (broadcast — forget sets are small relative to any fact table);
+    * this op is the compliance evidence that belongs in the audit log
+    * next to the reference's load audits. One aggregate per table, no
+    * table scanned twice.
+    */
+  def gdprDeleteAudit(tables: Seq[(String, DataFrame, Column)],
+                      forgetIds: DataFrame): DataFrame = {
+    val forget = broadcast(forgetIds.select(col("forget_id")).distinct())
+    tables.map { case (name, df, keyCol) =>
+      df.select(keyCol.as("forget_id"))
+        .join(forget.withColumn("hit", lit(1)), Seq("forget_id"), "left_outer")
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+             sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_remaining"))
+        .select(lit(name).as("table_name"), col("n_deleted"), col("n_remaining"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Corpus-level boilerplate removal: drop every token whose document
     * frequency exceeds `dfFrac` of the corpus (site chrome, license
     * headers, navigation text — whatever almost every document repeats),

@@ -148,6 +148,28 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(out.toSet.contains(("b", "c", 1L, 0.5)))
   }
 
+  test("gdprDeleteAudit reports deleted vs remaining per table") {
+    val events = Seq((1L, 97L), (2L, 97L), (3L, 5L)).toDF("id", "uid")
+    val orders = Seq((10L, 5L), (11L, 7L)).toDF("oid", "cust")
+    val forget = Seq(97L).toDF("forget_id")
+    val out = graft.ops.Scrub.gdprDeleteAudit(Seq(
+      ("events", events, col("uid")), ("orders", orders, col("cust"))), forget)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("events") === ((2L, 1L)))
+    assert(out("orders") === ((0L, 2L)))
+  }
+
+  test("refIntegrity counts orphan rows and keys per FK edge") {
+    val child = Seq((1L, 100L), (2L, 100L), (3L, 999L)).toDF("id", "fk")
+    val parent = Seq(100L).toDF("pk")
+    val out = graft.ops.Quality.refIntegrity(Seq(
+      ("child->parent", child, col("fk"), parent, col("pk")),
+      ("parent->parent", parent, col("pk"), parent, col("pk"))))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("child->parent") === ((1L, 1L)))   // fk 999: one row, one key
+    assert(out("parent->parent") === ((0L, 0L)))  // self edge: no orphans
+  }
+
   test("profileNumeric: one row per column with min/max/nulls/distinct") {
     val d = Seq((Some(1L), Some(10.0)), (Some(5L), None), (Some(5L), Some(-2.5)))
       .toDF("a", "b")
