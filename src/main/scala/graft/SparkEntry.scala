@@ -1200,7 +1200,49 @@ object SparkEntry {
         ("orders->customer", Tables.orders(s, dir), col("o_custkey"),
           Tables.customer(s, dir), col("c_custkey")),
         ("events->customer", Tables.events(s, dir), col("user_id"),
-          Tables.customer(s, dir), col("c_custkey")))))
+          Tables.customer(s, dir), col("c_custkey"))))),
+
+    // TPC-H Q5 shape: 6-table join, customer and supplier in the SAME
+    // nation, revenue per nation for one region. Region/nation broadcast;
+    // the fact-side joins shuffle once each on their keys.
+    "join_q5_shape" -> ((s, dir) =>
+      Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 10))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)),
+
+    // SCD2 point-in-time lookup: each purchase resolves the view-version
+    // whose [valid_from, valid_to) interval covers its timestamp — the
+    // interval-join complement to the as-of operators (disjoint validity
+    // intervals guarantee <= 1 match per probe).
+    "scd2_lookup" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val dim = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("d_user_id"),
+          col("event_id").as("version_id"),
+          col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("d_user_id"))
+            .orderBy(col("valid_from").asc, col("version_id").asc)))
+      val probes = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      probes.join(dim,
+          col("user_id") === col("d_user_id") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")),
+          "left_outer")
+        .select(col("user_id"), col("purchase_id"), col("ts"),
+          col("version_id"), col("valid_from"))
+    })
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2406,6 +2448,32 @@ object SparkEntry {
            CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 1 ELSE 0 END) AS BIGINT),
            CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 0 ELSE 1 END) AS BIGINT)
          FROM customer""",
+
+    "join_q5_shape" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+
+    "scd2_lookup" ->
+      s"""WITH base AS ($evBase),
+         v AS (SELECT user_id AS d_user_id, event_id AS version_id,
+                 ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS valid_to
+               FROM base WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts FROM base
+               WHERE event_type = 'purchase')
+         SELECT p.user_id, p.purchase_id, p.ts, v.version_id, v.valid_from
+         FROM p LEFT JOIN v ON p.user_id = v.d_user_id
+           AND p.ts >= v.valid_from
+           AND (v.valid_to IS NULL OR p.ts < v.valid_to)""",
 
     "ref_integrity" ->
       """SELECT 'lineitem->orders' AS relationship,
