@@ -1242,7 +1242,13 @@ object SparkEntry {
           "left_outer")
         .select(col("user_id"), col("purchase_id"), col("ts"),
           col("version_id"), col("valid_from"))
-    })
+    }),
+
+    // E5 upgrade: REAL image decode — valid BMPs encoded from each doc,
+    // header parsed back partition-wise; oracle predicts the decoded
+    // geometry analytically from doc_id
+    "multimodal_bmp" -> ((s, dir) =>
+      Multimodal.bmpRoundTrip(Tables.documents(s, dir)))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2474,6 +2480,16 @@ object SparkEntry {
          FROM p LEFT JOIN v ON p.user_id = v.d_user_id
            AND p.ts >= v.valid_from
            AND (v.valid_to IS NULL OR p.ts < v.valid_to)""",
+
+    // the decoder READS these values out of real BMP headers; the oracle
+    // predicts them from the encode parameters — a roundtrip proof
+    "multimodal_bmp" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (8 + doc_id % 16) AS BIGINT) AS n_bytes
+         FROM documents""",
 
     "ref_integrity" ->
       """SELECT 'lineitem->orders' AS relationship,

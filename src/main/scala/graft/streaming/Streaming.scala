@@ -27,12 +27,26 @@ object Streaming {
   private def nextName(prefix: String): String =
     synchronized { counter += 1; s"${prefix}_$counter" }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * previous value after. Stateful streaming queries pin their state
+    * partitioning at first start — and every micro-batch commits every
+    * state partition — so state partitions should track KEY CARDINALITY,
+    * not batch CPU: 32 partitions of near-empty state per tiny
+    * micro-batch is pure commit overhead. Production sizes this to the
+    * expected key count per the SCALE.md knob table.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1-hour windowed counts per event_type, with a 1-hour
     * watermark. Complete output mode ⇒ the final table equals the batch
     * `groupBy(window(ts))` result, making the op oracle-verifiable.
     */
   def windowedCounts(spark: SparkSession, events: DataFrame,
-                     scratch: String): DataFrame = {
+                     scratch: String): DataFrame = withStatePartitions(spark, 8) {
     val src = events.select(col("event_id"), col("ts"), col("event_type"),
       col("value"))
     src.repartition(4).write.mode("overwrite").parquet(scratch)
@@ -72,7 +86,7 @@ object Streaming {
     * events; odd-id events arrive as the stream, one file per trigger.
     */
   def streamingUpsert(spark: SparkSession, events: DataFrame,
-                      keys: Seq[String], scratch: String): DataFrame = {
+                      keys: Seq[String], scratch: String): DataFrame = withStatePartitions(spark, 8) {
     import graft.ops.Dedup
 
     def latest(df: DataFrame): DataFrame =
@@ -143,7 +157,7 @@ object Streaming {
     * drops and the emitted set is exactly "window end <= max ts - delay".
     */
   def windowedCountsAppend(spark: SparkSession, events: DataFrame,
-                           scratch: String): DataFrame = {
+                           scratch: String): DataFrame = withStatePartitions(spark, 8) {
     val src = events.select(col("event_id"), col("ts"), col("event_type"),
       col("value"))
     val dayRanges = Seq((1, 8), (9, 16), (17, 24), (25, 31))
@@ -181,7 +195,7 @@ object Streaming {
     * Equals batch DISTINCT over the feed (copies are identical rows).
     */
   def streamingDedup(spark: SparkSession, events: DataFrame,
-                     scratch: String): DataFrame = {
+                     scratch: String): DataFrame = withStatePartitions(spark, 8) {
     val src = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
     src.repartition(2).write.mode("overwrite").parquet(scratch)
@@ -215,7 +229,7 @@ object Streaming {
     * — same query graph, bounded state.
     */
   def streamStreamJoin(spark: SparkSession, events: DataFrame,
-                       windowSec: Long, scratch: String): DataFrame = {
+                       windowSec: Long, scratch: String): DataFrame = withStatePartitions(spark, 8) {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -293,7 +307,7 @@ object Streaming {
     * operator's `ts.cast("long")` truncation.
     */
   def statefulSessionize(spark: SparkSession, events: DataFrame,
-                         gapSeconds: Long, scratch: String): DataFrame = {
+                         gapSeconds: Long, scratch: String): DataFrame = withStatePartitions(spark, 8) {
     import spark.implicits._
 
     val src = events.select(col("event_id"), col("ts"), col("user_id"))
