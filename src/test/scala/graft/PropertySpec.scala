@@ -59,4 +59,41 @@ class PropertySpec extends AnyFunSuite {
       assert(incremental === all)
     }
   }
+
+  test("zValue is a bijection on the bits-bounded domain") {
+    // every (a, b) pair in [0, 2^5)² maps to a distinct z — no collisions
+    // means sorting by z is a true space-filling-curve order
+    val pairs = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val zs = pairs.toDF("a", "b")
+      .select(graft.ops.Distribute.zValue(col("a"), col("b"), 5).as("z"))
+      .as[Long].collect()
+    assert(zs.distinct.length === 1024)
+    assert(zs.min === 0L && zs.max === 1023L) // exactly fills [0, 2^10)
+  }
+
+  test("piiRedact is idempotent: redacting redacted text changes nothing") {
+    val texts = Seq.fill(20)(
+      s"u${rnd.nextInt(100)}@x.org 10.0.${rnd.nextInt(256)}.1 " +
+        s"call ${100 + rnd.nextInt(900)}-${1000 + rnd.nextInt(9000)} " +
+        rnd.alphanumeric.take(12).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = graft.ops.Scrub.piiRedact(df)
+    val twice = graft.ops.Scrub.piiRedact(
+      once.select(col("doc_id"), col("clean_text").as("text")))
+    val a = once.select("doc_id", "clean_text").as[(Long, String)].collect().toSet
+    val b = twice.select("doc_id", "clean_text").as[(Long, String)].collect().toSet
+    assert(a === b)
+    // and the second pass finds zero PII
+    assert(twice.agg(sum(col("n_emails") + col("n_ips") + col("n_phones")))
+      .as[Long].head() === 0L)
+  }
+
+  test("splitAssign proportions approximate 80/10/10 over a large id range") {
+    val out = graft.ops.Shard.splitAssign((1L to 5000L).toDF("doc_id"), col("doc_id"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("train") - 4000L) < 200)
+    assert(math.abs(out("val") - 500L) < 120)
+    assert(math.abs(out("test") - 500L) < 120)
+  }
 }
