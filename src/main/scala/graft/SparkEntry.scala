@@ -1248,7 +1248,11 @@ object SparkEntry {
     // header parsed back partition-wise; oracle predicts the decoded
     // geometry analytically from doc_id
     "multimodal_bmp" -> ((s, dir) =>
-      Multimodal.bmpRoundTrip(Tables.documents(s, dir)))
+      Multimodal.bmpRoundTrip(Tables.documents(s, dir))),
+
+    // E5 audio: REAL WAV (RIFF/PCM) encode → header-parse roundtrip
+    "multimodal_wav" -> ((s, dir) =>
+      Multimodal.wavRoundTrip(Tables.documents(s, dir)))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2489,6 +2493,20 @@ object SparkEntry {
            CAST(8 + doc_id % 16 AS INT) AS height,
            CAST(24 AS INT) AS bpp,
            CAST(54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (8 + doc_id % 16) AS BIGINT) AS n_bytes
+         FROM documents""",
+
+    // sample rate / channels / duration read from real RIFF headers; the
+    // oracle predicts them from the encode parameters
+    "multimodal_wav" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST((100 + doc_id % 400) * 1000 //
+             (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
          FROM documents""",
 
     "ref_integrity" ->

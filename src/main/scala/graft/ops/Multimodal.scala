@@ -131,6 +131,81 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class WavFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                               bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** Build a VALID PCM WAV file (RIFF/WAVE header + fmt + data chunks).
+    * The audio-side sibling of [[encodeBmp]]: parameters derive from the
+    * doc id, payload bytes from the doc text cycled.
+    */
+  private[graft] def encodeWav(sampleRate: Int, channels: Int, bits: Int,
+                               nSamples: Int, seed: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                                  // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)              // byte rate
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      b.put(if (seed.isEmpty) 0: Byte else seed(i % seed.length))
+      i += 1
+    }
+    b.array()
+  }
+
+  /** REAL WAV decoder: validates RIFF/WAVE magic, reads the fmt chunk
+    * (sample rate, channels, bit depth) and the data-chunk size, derives
+    * sample count and duration. Actual audio-format parsing, no codec
+    * dependency — a real resampler/feature extractor (MFCC, mel) slots
+    * in after this header parse in the same partition-wise pass.
+    */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): WavFeatures = {
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $docId: not a WAV payload")
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val channels = b.getShort(22).toInt
+    val sampleRate = b.getInt(24)
+    val bits = b.getShort(34).toInt
+    val dataSize = b.getInt(40)
+    val nSamples = dataSize / (channels * bits / 8)
+    WavFeatures(docId, sampleRate, channels, bits, nSamples.toLong,
+      nSamples.toLong * 1000L / sampleRate)
+  }
+
+  /** Audio pipeline on REAL payloads: encode each document into a valid
+    * PCM WAV, decode the header back partition-wise — the audio
+    * counterpart of [[bmpRoundTrip]], with the oracle predicting sample
+    * rate / channels / duration analytically from doc_id.
+    */
+  def wavRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    val blobs: Dataset[Blob] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val rate = rates((b.doc_id % 4).toInt)
+          val channels = 1 + (b.doc_id % 2).toInt
+          val nSamples = 100 + (b.doc_id % 400).toInt
+          Blob(b.doc_id, encodeWav(rate, channels, 16, nSamples, b.blob), b.lang)
+        }
+      }
+    blobs.mapPartitions { it =>
+      it.map(b => decodeWav(b.doc_id, b.blob))
+    }.toDF()
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long,
                          checksum: Long)
 

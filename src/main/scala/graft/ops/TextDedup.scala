@@ -232,6 +232,7 @@ object TextDedup {
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
     labels.count()
+    var backing = labels // the persisted frame the current labels read from
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -239,16 +240,18 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      val next = labels
+      // carry a moved flag out of the same join instead of re-joining the
+      // old labels afterwards — one pass per iteration, not two
+      val step = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("moved"))
         .persist()
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("moved")).count()
+      backing.unpersist()
+      backing = step
+      labels = step.select(col("doc_id"), col("label"))
       iter += 1
     }
     edges.unpersist()

@@ -25,6 +25,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeWav produces a valid RIFF header that decodeWav reads back") {
+    val bytes = Multimodal.encodeWav(16000, 2, 16, 250, "audio".getBytes)
+    assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+    val f = Multimodal.decodeWav(7L, bytes)
+    assert(f === Multimodal.WavFeatures(7L, 16000, 2, 16, 250L,
+      250L * 1000L / 16000L))
+    assert(bytes.length === 44 + 250 * 2 * 2) // header + samples×channels×2B
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(8L, "definitely not audio bytes ........".getBytes)
+    }
+  }
+
   test("bmpRoundTrip decodes the geometry the encoder was given, per doc") {
     val docs = Seq((5L, "abc", "en"), (40L, "xyz", "en"))
       .toDF("doc_id", "text", "lang")
