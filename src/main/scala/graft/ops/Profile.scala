@@ -40,7 +40,10 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        // sum over zero rows is NULL — an empty feed has zero nulls, not
+        // unknown nulls
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls"),
         count_distinct(col(c)).as(s"${c}__distinct"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

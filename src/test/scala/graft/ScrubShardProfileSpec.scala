@@ -148,6 +148,29 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(out.toSet.contains(("b", "c", 1L, 0.5)))
   }
 
+  test("profileNumeric handles an empty table: null bounds, zero counts") {
+    val empty = Seq.empty[(Option[Long], Option[Double])].toDF("a", "b")
+    val out = graft.ops.Profile.profileNumeric(empty, Seq("a", "b"))
+      .as[(String, Option[Double], Option[Double], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", None, None, 0L, 0L)))
+    assert(out("b") === (("b", None, None, 0L, 0L)))
+  }
+
+  test("mixtureSample with quota above the stratum size keeps the whole stratum") {
+    val d = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "source")
+    val out = graft.ops.Shard.mixtureSample(d, col("source"), col("doc_id"), lit(100))
+      .as[(Long, String)].collect()
+    assert(out.length === 2)
+  }
+
+  test("boilerplateStrip with dfFrac=1.0 strips nothing (no word exceeds it)") {
+    val d = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.Scrub.boilerplateStrip(d, dfFrac = 1.0)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L) === "a b" && out(2L) === "a c")
+  }
+
   test("gdprDeleteAudit reports deleted vs remaining per table") {
     val events = Seq((1L, 97L), (2L, 97L), (3L, 5L)).toDF("id", "uid")
     val orders = Seq((10L, 5L), (11L, 7L)).toDF("oid", "cust")
