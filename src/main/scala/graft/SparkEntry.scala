@@ -1252,7 +1252,17 @@ object SparkEntry {
 
     // E5 audio: REAL WAV (RIFF/PCM) encode → header-parse roundtrip
     "multimodal_wav" -> ((s, dir) =>
-      Multimodal.wavRoundTrip(Tables.documents(s, dir)))
+      Multimodal.wavRoundTrip(Tables.documents(s, dir))),
+
+    // hopping (sliding) windows: 1h length / 15m slide — every event
+    // lands in exactly 4 overlapping windows (the tumbling ops' sibling
+    // semantic; same watermark story in streaming)
+    "hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n")))
   )
 
   /** Scratch dir for sink round-trips — inside the repo target dir, keyed
@@ -2494,6 +2504,15 @@ object SparkEntry {
            CAST(24 AS INT) AS bpp,
            CAST(54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (8 + doc_id % 16) AS BIGINT) AS n_bytes
          FROM documents""",
+
+    // each event belongs to windows starting at bucket(15m) - j*15m for
+    // j in 0..3 (window length 1h, slide 15m)
+    "hopping_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - j * INTERVAL '15 minutes' AS window_start,
+           event_type, count(*) AS n
+         FROM events, UNNEST(range(4)) AS t(j)
+         GROUP BY 1, 2""",
 
     // sample rate / channels / duration read from real RIFF headers; the
     // oracle predicts them from the encode parameters
