@@ -57,6 +57,40 @@ object Quality {
     )).as("check")).select("check.*")
   }
 
+  /** Zero-extra-scan DQ: attach the contract's metrics to the DataFrame
+    * with `Dataset.observe` — row count, per-key null counts, and min
+    * rows are computed DURING whatever action the caller runs next
+    * (typically the sink write), instead of [[dqReport]]'s dedicated
+    * aggregation scan. At 100 TB that is the difference between reading
+    * the feed once and twice. The caller reads the metrics off the
+    * returned observation after its action completes.
+    *
+    * (Duplicate-key counting needs a distinct aggregate, which `observe`
+    * disallows — that one check keeps its own scan in [[dqReport]].)
+    */
+  def observedChecks(df: DataFrame, contract: DqContract): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val nullCounts = contract.keys.map(k =>
+      sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"null_$k"))
+    val observed = df.observe(obs,
+      count(lit(1)).as("row_count"), nullCounts: _*)
+    (observed, obs)
+  }
+
+  /** Evaluate [[observedChecks]] metrics against the contract — call
+    * after the action on the observed frame has run.
+    */
+  def observedVerdict(obs: org.apache.spark.sql.Observation,
+                      contract: DqContract): Seq[(String, Long, Boolean)] = {
+    val m = obs.get
+    val rows = m("row_count").asInstanceOf[Long]
+    val nulls = contract.keys.map(k => m(s"null_$k").asInstanceOf[Long]).sum
+    Seq(
+      ("empty_input", rows, rows > 0),
+      ("null_keys", nulls, nulls == 0),
+      ("low_volume", rows, rows >= contract.minRows))
+  }
+
   /** Referential-integrity audit across the star schema: for each
     * child→parent relationship, the count of orphan child rows (FK
     * values with no parent) and the distinct orphan key count. The check

@@ -37,6 +37,22 @@ class QualityPipelineSpec extends AnyFunSuite {
     assert(r("low_volume") === ((5L, true)))
   }
 
+  test("observedChecks collects DQ metrics during the sink action — no extra scan") {
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "v")
+    val (observed, obs) = Quality.observedChecks(df, contract)
+    // the metrics ride the caller's own action (here: the sink write)
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    observed.write.mode("overwrite").parquet(out)
+    val verdict = Quality.observedVerdict(obs, contract)
+      .map { case (name, metric, ok) => name -> ((metric, ok)) }.toMap
+    assert(verdict("empty_input") === ((3L, true)))
+    assert(verdict("null_keys") === ((1L, false))) // one null key
+    assert(verdict("low_volume") === ((3L, false))) // < 5 rows
+    // and the written data is untouched by the observation
+    assert(spark.read.parquet(out).count() === 3L)
+  }
+
   test("pipeline: fatal DQ issue skips load and audits FAILED (ref :252-262)") {
     val out = java.nio.file.Files.createTempDirectory("graft-audit").toString
     val source = Seq.empty[(Long, String, Long)].toDF("id", "key", "v")
