@@ -1140,7 +1140,8 @@ object SparkEntry {
       Shard.mixtureSample(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         stratum = col("source"), id = col("doc_id"),
-        quota = lit(5) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) * lit(5))),
+        quota = lit(5) + pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) * lit(5),
+        maxQuota = Some(15))),
 
     // ingest-tick dedup: new batch (doc_id >= 400) anti-joined against
     // the corpus hash set (doc_id < 400), keep-first within the batch
@@ -2397,9 +2398,9 @@ object SparkEntry {
       """WITH seen AS (SELECT DISTINCT sha256(text) AS content_hash
                        FROM documents WHERE doc_id < 400)
          SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash
-         FROM documents
+         FROM documents d
          WHERE doc_id >= 400
-           AND sha256(text) NOT IN (SELECT content_hash FROM seen)
+           AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = sha256(d.text))
          GROUP BY sha256(text)""",
 
     "salted_agg" ->
@@ -2528,22 +2529,26 @@ object SparkEntry {
               WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
          FROM documents""",
 
+    // NOT EXISTS, not NOT IN: NOT IN's NULL semantics diverge from the
+    // Spark op's left-anti join (a NULL fk is an orphan to the anti-join
+    // but silently dropped by NOT IN, and one NULL parent key would make
+    // NOT IN report zero orphans for the whole edge)
     "ref_integrity" ->
       """SELECT 'lineitem->orders' AS relationship,
            CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_orphan_rows,
            count(*) AS n_orphan_keys
          FROM (SELECT l_orderkey AS fk, count(*) AS n_rows FROM lineitem GROUP BY 1)
-         WHERE fk NOT IN (SELECT o_orderkey FROM orders)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = fk)
          UNION ALL
          SELECT 'orders->customer',
            CAST(coalesce(sum(n_rows), 0) AS BIGINT), count(*)
          FROM (SELECT o_custkey AS fk, count(*) AS n_rows FROM orders GROUP BY 1)
-         WHERE fk NOT IN (SELECT c_custkey FROM customer)
+         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fk)
          UNION ALL
          SELECT 'events->customer',
            CAST(coalesce(sum(n_rows), 0) AS BIGINT), count(*)
          FROM (SELECT user_id AS fk, count(*) AS n_rows FROM events GROUP BY 1)
-         WHERE fk NOT IN (SELECT c_custkey FROM customer)"""
+         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fk)"""
   )
 
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle

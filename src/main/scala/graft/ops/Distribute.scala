@@ -21,10 +21,20 @@ object Distribute {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) {
-      loc.listFiles().foreach(_.delete()); loc.delete()
-    }
+    deleteRecursively(loc)
   }
+
+  /** Depth-first delete: handles partitioned/bucketed table layouts
+    * (nested `part=…/` dirs) that a single-level listFiles sweep leaves
+    * behind, and tolerates the location being a plain file (listFiles
+    * returns null there).
+    */
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete(): Unit
+    }
 
   /** Skew-safe equi-join: the big (skewed) side gets a deterministic salt
     * in [0, salts); the small side is replicated once per salt value; the
@@ -62,12 +72,27 @@ object Distribute {
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits <= 31, s"z-order bit budget $bits overflows the long interleave")
-    val al = a.cast("long")
-    val bl = b.cast("long")
+    val al = zGuard(a, bits)
+    val bl = zGuard(b, bits)
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
+
+  /** Fail loudly when a key is outside [0, 2^bits): bits above the
+    * budget would be SILENTLY dropped by the interleave, making distant
+    * keys collide in z and quietly degrading the clustering layout (an
+    * oracle computing the same truncation can never catch it). The guard
+    * is plain comparison arithmetic, so the z expression stays inside
+    * whole-stage codegen.
+    */
+  private def zGuard(c: Column, bits: Int): Column = {
+    val cap = 1L << bits
+    val cl = c.cast("long")
+    when(cl >= cap || cl < 0, raise_error(concat(
+      lit(s"z-order key exceeds $bits-bit budget [0, $cap): "), cl.cast("string"))))
+      .otherwise(cl)
   }
 
   /** Z-order clustering layout: range-partition on the interleaved key

@@ -14,13 +14,15 @@ object Profile {
     * absolute counts and share of all rows. THE first diagnostic when a
     * shuffle stage straggles — a key with share ≫ 1/partitions is the
     * salting candidate. Two-level hash aggregation (partial map-side
-    * combine), then a top-N sort of the (already tiny) per-key counts;
-    * the total arrives via a 1-row broadcast cross join, not a second
-    * scan.
+    * combine), then a top-N sort of the (already tiny) per-key counts.
+    * The total is summed from the per-key counts, not re-counted from
+    * `df`: both branches share the per-key aggregation's exchange, so
+    * ReuseExchange plans exactly ONE scan of the input (asserted by
+    * ProfileSpec) — profiling 100 TB must not cost two reads.
     */
   def heavyHitters(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("total"))
+    val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(total)
       .withColumn("share", col("n").cast("double") / col("total"))
       .orderBy(col("n").desc, col("key").asc)

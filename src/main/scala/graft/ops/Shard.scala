@@ -37,17 +37,24 @@ object Shard {
     * deterministic hash order — how a training mix hits per-source
     * weights ("50% web, 30% code, 20% books") reproducibly. `quota` is a
     * per-row Column so callers derive it from the stratum itself (weight
-    * tables join in upstream). One shuffle on the stratum; the per-
-    * stratum top-k is WindowGroupLimit-prunable, so no stratum ever
-    * materializes beyond its quota + spill bounds.
+    * tables join in upstream). One shuffle on the stratum.
+    *
+    * Spark's WindowGroupLimit prune only fires on a LITERAL rank bound —
+    * a Column quota alone would fully materialize every stratum's
+    * window. `maxQuota` (an upper bound across all strata) is planted as
+    * a literal conjunct so the prune applies: each stratum's window
+    * carries at most `maxQuota` rows through sort/spill, and the exact
+    * per-row quota filter then trims within that bound. ShardSpec
+    * asserts WindowGroupLimit is in the plan.
     */
   def mixtureSample(df: DataFrame, stratum: Column, id: Column,
-                    quota: Column): DataFrame = {
+                    quota: Column, maxQuota: Option[Int] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(portableHash(id).asc, id.asc)
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quota)
-      .drop("rn")
+    val ranked = df.withColumn("rn", row_number().over(w))
+    maxQuota.fold(ranked.filter(col("rn") <= quota)) { mq =>
+      ranked.filter(col("rn") <= lit(mq) && col("rn") <= quota)
+    }.drop("rn")
   }
 
   /** Deterministic global shuffle + sharding for training order: shard =

@@ -193,6 +193,28 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(out("parent->parent") === ((0L, 0L)))  // self edge: no orphans
   }
 
+  test("heavyHitters scans the input once (total reuses the counts exchange)") {
+    val d = (1L to 200L).map(i => (i, s"k${i % 5}")).toDF("id", "k")
+    val hh = Profile.heavyHitters(d, col("k"), topN = 3)
+    hh.collect() // AQE plants ReusedExchange at stage materialization
+    val plan = hh.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the total branch to reuse the counts exchange:\n$plan")
+  }
+
+  test("mixtureSample maxQuota plants a WindowGroupLimit prune, same result") {
+    val d = (1L to 100L).map(i => (i, if (i <= 60) "big" else "small"))
+      .toDF("doc_id", "source")
+    val quota = when(col("source") === "big", 10).otherwise(3)
+    val pruned = Shard.mixtureSample(d, col("source"), col("doc_id"), quota,
+      maxQuota = Some(10))
+    assert(pruned.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "literal maxQuota bound should enable the WindowGroupLimit prune")
+    val without = Shard.mixtureSample(d, col("source"), col("doc_id"), quota)
+    assert(pruned.as[(Long, String)].collect().toSet ===
+      without.as[(Long, String)].collect().toSet)
+  }
+
   test("profileNumeric: one row per column with min/max/nulls/distinct") {
     val d = Seq((Some(1L), Some(10.0)), (Some(5L), None), (Some(5L), Some(-2.5)))
       .toDF("a", "b")
