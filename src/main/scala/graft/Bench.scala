@@ -12,9 +12,14 @@ object Bench {
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration aid, mirrors Verify: SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      names => SparkEntry.queries.filter { case (n, _) => names(n) })
     def once(): (Map[String, Double], List[String]) = {
       var failed = List.empty[String]
-      val times = SparkEntry.queries.map { case (name, fn) =>
+      val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed ::= name }

@@ -230,7 +230,14 @@ object TextDedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // propagate over EDGE VERTICES only: a doc in no pair is its own
+    // singleton cluster and can never change label, so iterating it is
+    // pure waste — at 100 TB the duplicate-pair graph is orders of
+    // magnitude smaller than the corpus, and this keeps every
+    // per-iteration join at graph size, not corpus size (the corpus is
+    // only touched once, in the final singleton union)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
     labels.count()
     var backing = labels // the persisted frame the current labels read from
     var changed = 1L
@@ -262,9 +269,14 @@ object TextDedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge after $maxIters iterations " +
           s"($changed labels still changing); raise maxIters")
+    // union the untouched singletons back in: docs absent from the pair
+    // graph label themselves (left join against the tiny propagated set
+    // broadcasts at scale)
+    val all = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    all.withColumn("cluster_size", count(lit(1)).over(w))
   }
 
   /** Repetition score — the boilerplate/spam signal every LLM-data
