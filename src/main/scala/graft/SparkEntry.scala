@@ -38,6 +38,66 @@ object SparkEntry {
   // ---- driver contract -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- round 5: monitoring / layout / behavioral operators ----------
+
+    // per-priority order-total outliers beyond 1.5 sigma, decided in
+    // exact integer (cents) arithmetic so the flag set is reproducible
+    "anomaly_zscore" -> ((s, dir) =>
+      Profile.anomalyOutliers(Tables.orders(s, dir),
+        group = col("o_orderpriority"), value = col("o_totalprice"),
+        idCols = Seq("o_orderkey"), num = 3, den = 2)
+        .select(col("o_orderkey"), col("g").as("o_orderpriority"),
+          col("value").as("o_totalprice"))),
+
+    // 2-D Pareto frontier of parts: cheapest price for the largest size
+    "skyline_pareto" -> ((s, dir) =>
+      Relational.skylinePareto(Tables.part(s, dir),
+        cost = col("p_retailprice"), gain = col("p_size"),
+        idCol = col("p_partkey"), bucketWidth = 10.0)
+        .select(col("id").as("p_partkey"), col("cost").as("p_retailprice"),
+          col("gain").as("p_size"))),
+
+    // weekly cohort retention matrix over events
+    "retention_cohorts" -> ((s, dir) =>
+      Temporal.retentionCohorts(Tables.events(s, dir),
+        user = col("user_id"), ts = col("ts"))),
+
+    // behavioral Markov transitions: event-type bigram counts + P(next|prev)
+    "event_transitions" -> ((s, dir) =>
+      Temporal.eventTransitions(Tables.events(s, dir),
+        user = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+        typeCol = col("event_type"))),
+
+    // containment near-dup: quote/prefix duplication Jaccard misses
+    "containment_pairs" -> ((s, dir) =>
+      TextDedup.containmentPairs(Tables.documents(s, dir), threshold = 0.8)),
+
+    // value-distribution drift between even and odd epoch days (A/A shape)
+    "drift_report" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Profile.driftReport(e,
+        side = pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))), lit(2)),
+        bucket = floor(col("value") / lit(10.0)).cast("long"))
+    }),
+
+    // int8 scalar quantization of the embedding corpus
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
+    // zone-map file pruning over a range-sorted layout == the plain filter
+    "zonemap_prune" -> ((s, dir) =>
+      Distribute.zonemapPrune(s,
+        eventsBase(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        sortCol = "value", scratchDir = tmp(dir, "zonemap"),
+        lo = 100.0, hi = 250.0)
+        .select(col("event_id"), col("user_id"), col("value"))),
+
+    // small-file compaction round-trip (lossless; file counts spec-checked)
+    "sink_compacted" -> ((s, dir) =>
+      graft.sources.Sinks.compactRoundTrip(
+        eventsBase(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")),
+        tmp(dir, "compact"), smallFiles = 64, targetFiles = 4)),
 
     // P1: json_normalize(sep="_") analog (data_pipeline.py:74)
     "flatten_json" -> ((s, dir) =>
@@ -1293,6 +1353,103 @@ object SparkEntry {
       ("asof_join_native" -> extraOracles("asof_join"))
 
   private def baseOracles: Map[String, String] = Map(
+
+    // round 5: k = num/den = 3/2 sigma, exact cents arithmetic in HUGEINT
+    // mirroring the Spark op's DECIMAL(38,0): den^2*dev^2 > num^2*(n*ss - s^2)
+    "anomaly_zscore" ->
+      """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
+           st AS (SELECT o_orderpriority, count(*) AS n,
+                    sum(CAST(xc AS HUGEINT)) AS s,
+                    sum(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS ss
+                  FROM x GROUP BY 1)
+         SELECT o_orderkey, x.o_orderpriority, o_totalprice
+         FROM x JOIN st USING (o_orderpriority)
+         WHERE (CAST(n AS HUGEINT) * xc - s) * (CAST(n AS HUGEINT) * xc - s) * 4 >
+               (CAST(n AS HUGEINT) * ss - s * s) * 9""",
+
+    // dominance is strict in at least one dimension, so exact (cost,
+    // gain) duplicates all survive — same rule as the Spark operator
+    "skyline_pareto" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                    FROM events),
+           c AS (SELECT user_id,
+                   CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+                 FROM e GROUP BY 1)
+         SELECT cohort_week,
+           CAST(floor(date_diff('day', cohort_week, day) / 7) AS INT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
+         FROM e JOIN c USING (user_id) GROUP BY 1, 2""",
+
+    "event_transitions" ->
+      """WITH t AS (SELECT event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS prev_type
+             FROM events),
+           g AS (SELECT prev_type, next_type, count(*) AS n FROM t
+                 WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+         FROM g""",
+
+    "containment_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    array_to_string(words[g+1:g+3], ' ') AS shingle
+                  FROM w, UNNEST(range(len(words) - 2)) AS t(g)
+                  WHERE len(words) >= 3),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / least(za.n, zb.n) AS containment
+         FROM i JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
+
+    "drift_report" ->
+      """WITH b AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 2 AS INT) AS side
+             FROM events),
+           g AS (SELECT bucket,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+                 FROM b GROUP BY 1),
+           t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM g)
+         SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p_a,
+           CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p_b,
+           abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+             - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS drift
+         FROM g, t""",
+
+    // identical IEEE double expression shape as the Spark projection;
+    // min/max are exact float selections, so codes match bit-for-bit
+    "embedding_quantize" ->
+      """WITH idx AS (SELECT UNNEST(range(64)) AS i),
+           dim AS (SELECT i, min(embedding[i+1]) AS mn, max(embedding[i+1]) AS mx
+                   FROM embeddings, idx GROUP BY i),
+           arr AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mins,
+                          list(CAST(mx AS DOUBLE) ORDER BY i) AS maxs FROM dim)
+         SELECT vec_id, list_transform(range(len(embedding)), i ->
+           CAST(CASE WHEN maxs[i+1] = mins[i+1] THEN 0
+                ELSE floor((CAST(embedding[i+1] AS DOUBLE) - mins[i+1]) * 255.0
+                           / (maxs[i+1] - mins[i+1])) END AS INT)) AS codes
+         FROM embeddings, arr""",
+
+    "zonemap_prune" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value >= 100.0 AND value <= 250.0""",
+
+    "sink_compacted" ->
+      """SELECT event_id, user_id, event_type, value FROM events""",
 
     "flatten_json" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,

@@ -126,6 +126,33 @@ object Distribute {
       .agg(sum(col("__psum")).as("sum_value"), sum(col("__pn")).as("n"))
   }
 
+  /** Zone-map (min/max statistics) file pruning, end to end: lay the
+    * table out range-partitioned + sorted on `sortCol` (each file then
+    * covers a tight value range), harvest per-file min/max from the
+    * `_metadata` column, keep only files whose range overlaps the
+    * predicate, and scan just those. This is the data-skipping payoff a
+    * Z-ORDER/sorted layout exists to buy; the driver holds only the
+    * FILE LIST (bounded metadata, like dynamic partition pruning), never
+    * rows. Result is identical to the full-scan filter — which is what
+    * the oracle checks.
+    */
+  def zonemapPrune(spark: SparkSession, df: DataFrame, sortCol: String,
+                   scratchDir: String, lo: Double, hi: Double,
+                   ranges: Int = 8): DataFrame = {
+    df.repartitionByRange(ranges, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(scratchDir)
+    val stats = spark.read.parquet(scratchDir)
+      .select(col(sortCol), col("_metadata.file_path").as("f"))
+      .groupBy(col("f"))
+      .agg(min(col(sortCol)).as("mn"), max(col(sortCol)).as("mx"))
+    val keep = stats.filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("f")).collect().map(_.getString(0))
+    require(keep.nonEmpty, s"no file overlaps [$lo, $hi]")
+    spark.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col(sortCol) >= lo && col(sortCol) <= hi)
+  }
+
   /** Co-located join via bucketed managed tables: both sides written
     * `bucketBy(n, key)` + `sortBy(key)`, then joined — the exchange
     * disappears from the plan (SortMergeJoin reads pre-bucketed files).

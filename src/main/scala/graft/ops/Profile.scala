@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-profiling operators: the diagnostics a pipeline owner runs
   * before trusting a new feed — per-column stats and key-skew reports.
@@ -28,6 +29,52 @@ object Profile {
       .orderBy(col("n").desc, col("key").asc)
       .limit(topN)
       .select(col("key"), col("n"), col("share"))
+  }
+
+  /** Per-group z-score outliers in EXACT integer arithmetic: a row is
+    * flagged when |x − μ| > k·σ over its group, evaluated as
+    * (n·x − Σx)² · den² > num² · (n·Σx² − (Σx)²) with k = num/den — all
+    * cents-scaled integers (money survives exactly in DECIMAL(38,0)), so
+    * the flag decision is bit-reproducible across engines and runs: no
+    * float summation-order noise can flip a borderline row, which is
+    * what lets an anomaly feed be oracle-verified at all. One scan for
+    * the 5-row group stats (broadcast back), one for the flags.
+    */
+  def anomalyOutliers(df: DataFrame, group: Column, value: Column,
+                      idCols: Seq[String], num: Int = 3, den: Int = 2): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(value * lit(100)).cast("long")
+    val stats = df.groupBy(group.as("g")).agg(
+      count(lit(1)).as("n"),
+      sum(cents).as("s"),
+      sum((cents * cents).cast(big)).as("ss"))
+    df.select(idCols.map(col) :+ group.as("g") :+ value.as("value") :+
+        cents.as("xc"): _*)
+      .join(broadcast(stats), "g")
+      .withColumn("dev", (col("n") * col("xc") - col("s")).cast(big))
+      .filter(col("dev") * col("dev") * lit(den.toLong * den) >
+        (col("n").cast(big) * col("ss") - col("s").cast(big) * col("s").cast(big))
+          * lit(num.toLong * num))
+      .select(idCols.map(col) :+ col("g") :+ col("value"): _*)
+  }
+
+  /** Distribution-drift report between two row populations (side 0 vs
+    * side 1) over a bucketed metric: per-bucket counts, shares, and the
+    * absolute share gap — the per-bin body of a PSI/TVD drift monitor,
+    * kept log-free so every output value is a single deterministic
+    * division of exact longs. Totals ride the bucket counts' exchange
+    * (AQE ReusedExchange), so the feed is scanned once.
+    */
+  def driftReport(df: DataFrame, side: Column, bucket: Column): DataFrame = {
+    val g = df.groupBy(bucket.as("bucket")).agg(
+      sum(when(side === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(side === 1, 1L).otherwise(0L)).as("n_b"))
+    val totals = g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    g.crossJoin(totals)
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / col("ta")).as("p_a"),
+        (col("n_b").cast("double") / col("tb")).as("p_b"))
+      .withColumn("drift", abs(col("p_a") - col("p_b")))
   }
 
   /** Per-column profile of numeric columns: min / max / null count /

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -133,6 +133,40 @@ object Relational {
     * equi-join shuffles (AQE picks broadcast there too when customer
     * fits).
     */
+  /** 2-D Pareto frontier (skyline): rows no other row dominates, where
+    * q dominates p iff q.cost <= p.cost AND q.gain >= p.gain with at
+    * least one strict. Equal (cost, gain) duplicates never dominate each
+    * other, so all survive — matching the NOT EXISTS oracle exactly.
+    *
+    * Scale shape: dominance against smaller costs decomposes into
+    * (a) a per-cost max-gain pre-aggregation, (b) a running max WITHIN
+    * each cost bucket (parallel windows, partitioned by bucket), and
+    * (c) a running max ACROSS buckets — a window over the bucket-count-
+    * sized frame only. No global per-row window, no self-join: the only
+    * single-reducer step is over ~cost_range/bucketWidth rows.
+    */
+  def skylinePareto(df: DataFrame, cost: Column, gain: Column,
+                    idCol: Column, bucketWidth: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val pb = floor(cost / lit(bucketWidth)).cast("long")
+    val byCost = df.groupBy(pb.as("pb"), cost.as("c")).agg(max(gain).as("mx"))
+    val bucketMax = byCost.groupBy(col("pb")).agg(max(col("mx")).as("bmx"))
+      .withColumn("bm_lt", max(col("bmx")).over( // strictly smaller buckets
+        w.orderBy(col("pb").asc).rowsBetween(Long.MinValue, -1)))
+    val runLt = byCost // max gain over strictly smaller costs
+      .withColumn("in_lt", max(col("mx")).over(
+        w.partitionBy(col("pb")).orderBy(col("c").asc).rowsBetween(Long.MinValue, -1)))
+      .join(broadcast(bucketMax.select(col("pb"), col("bm_lt"))), "pb")
+      .select(col("c"), col("mx"),
+        greatest(coalesce(col("in_lt"), lit(Long.MinValue)),
+          coalesce(col("bm_lt"), lit(Long.MinValue))).as("run_lt"))
+    df.select(idCol.as("id"), cost.as("cost"), gain.as("gain"))
+      .join(runLt, col("cost") === col("c"))
+      // frontier: nothing cheaper has >= gain, nothing equal-cost has more
+      .filter(col("run_lt") < col("gain") && col("gain") === col("mx"))
+      .select(col("id"), col("cost"), col("gain"))
+  }
+
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val c = graft.Tables.customer(spark, dir)
     val o = graft.Tables.orders(spark, dir)

@@ -143,4 +143,46 @@ object Temporal {
       .filter(col("is_right"))
       .select(col("key"), col("id"), col("ts"), col("asof_id"), col("asof_ts"))
   }
+
+  /** Cohort retention matrix: users grouped by first-activity week
+    * (cohort), activity counted per whole-week offset from the cohort
+    * week — the standard "do week-0 users come back in week N" table.
+    * Two shuffles, both on `user`: the first-seen aggregation and the
+    * join back reuse the same hash partitioning, so Catalyst plans one
+    * exchange for each side and no extra repartition. Week arithmetic is
+    * all integer date math — deterministic across engines.
+    */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val days = events.select(user.as("u"), ts.cast("date").as("day"))
+    val cohorts = days.groupBy(col("u"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("u"), date_trunc("week", col("first_day")).cast("date").as("cohort_week"))
+    days.join(cohorts, "u")
+      .groupBy(col("cohort_week"),
+        // floor() before the int cast: double->int casting truncates in
+        // Spark but rounds in DuckDB; floor makes both exact
+        floor(datediff(col("day"), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
+      .agg(count_distinct(col("u")).as("n_users"), count(lit(1)).as("n_events"))
+  }
+
+  /** First-order behavioral transition matrix: counts and conditional
+    * probabilities of event-type bigrams per user timeline (ordered by
+    * ts with the id as the deterministic tiebreak). One shuffle on the
+    * user key for the lag window; the (prev, next) aggregation is
+    * hash-combined map-side. The probability is a single division of two
+    * exact longs — reproducible bit-for-bit.
+    */
+  def eventTransitions(events: DataFrame, user: Column, ts: Column,
+                       idCol: Column, typeCol: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts.asc, idCol.asc)
+    val counts = events
+      .select(typeCol.as("next_type"), lag(typeCol, 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+  }
 }

@@ -128,6 +128,27 @@ object TextDedup {
                      maxDf: Int = 1000): DataFrame =
     jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf)
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold —
+    * catches quote/prefix duplication that Jaccard misses (a paragraph
+    * wholly contained in a much longer doc has high containment but low
+    * Jaccard, because the union is dominated by the longer doc). Same
+    * inverted-index machinery as [[nearDupJaccard]] — two shuffles, no
+    * self-join; note the Bayardo size-ratio prune does NOT apply here
+    * (containment is exactly the asymmetric case it would discard).
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs, k).persist()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairIntersections(sh, maxDf)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Distinct character n-grams per document — the tokenizer-free shingle
     * variant (robust to spacing/punctuation differences word shingles
     * miss). Same per-row `array_distinct`-before-explode shape as

@@ -66,6 +66,26 @@ object Sinks {
       .csv(outPath)
   }
 
+  /** Small-file compaction: rewrite a many-small-files layout into a few
+    * right-sized files and return the read-back data (losslessness is
+    * what the oracle verifies; file counts are spec-asserted). The
+    * compacting read->write uses `coalesce`, which merges partitions
+    * WITHOUT a shuffle — the whole rewrite is one pass over the bytes.
+    * This is the maintenance job that keeps a 100 TB table's file count
+    * (and so its driver planning time and open-file overhead) bounded as
+    * micro-batch appends accumulate.
+    */
+  def compactRoundTrip(df: DataFrame, outPath: String,
+                       smallFiles: Int, targetFiles: Int): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(smallFiles) // simulate fragmented micro-batch appends
+      .write.mode("overwrite").parquet(s"$outPath/small")
+    spark.read.parquet(s"$outPath/small")
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$outPath/compact")
+    spark.read.parquet(s"$outPath/compact")
+  }
+
   /** S4: append-only audit sink with ARRAY<STRING> source_files column
     * (`data_pipeline.py:219-242`). `fresh=true` clears the path first so
     * a verification run is deterministic; production calls append only.

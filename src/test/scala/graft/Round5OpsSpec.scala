@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Distribute, Profile, Relational, Temporal, TextDedup}
+
+/** Round-5 operators: monitoring (anomaly/drift), layout (zone-map
+  * pruning, compaction), behavioral (cohorts, transitions), dedup
+  * (containment), and quantization.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("anomalyOutliers flags exactly the rows beyond k sigma, exact arithmetic") {
+    // group g: nine 100.00s and one 200.00 -> mean 110, var = 900
+    // z(200) = 90/30 = 3 > 1.5 -> flagged; z(100) = 10/30 = 0.33 -> not
+    val d = ((1L to 9L).map(i => (i, "g", 100.0)) :+ ((10L, "g", 200.0)))
+      .toDF("id", "grp", "v")
+    val out = Profile.anomalyOutliers(d, col("grp"), col("v"), Seq("id"),
+      num = 3, den = 2)
+    assert(out.select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("anomalyOutliers boundary: |x - mu| exactly k*sigma is NOT an outlier") {
+    // two points symmetric around mean: each sits at exactly 1 sigma
+    val d = Seq((1L, "g", 10.0), (2L, "g", 20.0)).toDF("id", "grp", "v")
+    // k = 1 (num=den): strict > comparison keeps the boundary rows out
+    val out = Profile.anomalyOutliers(d, col("grp"), col("v"), Seq("id"),
+      num = 1, den = 1)
+    assert(out.count() === 0)
+  }
+
+  test("skylinePareto keeps the frontier incl. exact duplicates, drops dominated") {
+    val d = Seq(
+      (1L, 10.0, 5), // frontier
+      (2L, 10.0, 5), // exact duplicate of 1 - also frontier
+      (3L, 10.0, 4), // dominated by 1 (equal cost, less gain)
+      (4L, 20.0, 5), // dominated by 1 (higher cost, equal gain)
+      (5L, 20.0, 9), // frontier (more gain than anything cheaper)
+      (6L, 5.0, 1) // frontier (cheapest)
+    ).toDF("id", "cost", "gain")
+    val out = Relational.skylinePareto(d, col("cost"), col("gain"),
+      col("id"), bucketWidth = 7.0)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 5L, 6L))
+  }
+
+  test("skylinePareto matches the quadratic definition on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i =>
+      (i, (rnd.nextInt(50) + 1).toDouble, rnd.nextInt(30)))
+    val d = rows.toDF("id", "cost", "gain")
+    val got = Relational.skylinePareto(d, col("cost"), col("gain"),
+      col("id"), bucketWidth = 10.0).select("id").as[Long].collect().toSet
+    val want = rows.filter { case (_, c, g) =>
+      !rows.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got === want)
+  }
+
+  test("retentionCohorts: week-0 cohort returns in later weeks") {
+    val d = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-09"), // u1: w0 x2, w1
+      (2L, "2024-01-10"), (2L, "2024-01-24") // u2: cohort w of Jan 8; back 2w later
+    ).toDF("user_id", "day")
+      .select(col("user_id"), to_timestamp(col("day")).as("ts"))
+    val out = Temporal.retentionCohorts(d, col("user_id"), col("ts"))
+      .as[(java.sql.Date, Int, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> ((r._3, r._4))).toMap
+    // 2024-01-01 is a Monday
+    assert(out(("2024-01-01", 0)) === ((1L, 2L)))
+    assert(out(("2024-01-01", 1)) === ((1L, 1L)))
+    assert(out(("2024-01-08", 0)) === ((1L, 1L)))
+    assert(out(("2024-01-08", 2)) === ((1L, 1L)))
+    assert(out.size === 4)
+  }
+
+  test("eventTransitions: per-prev probabilities are n/total and sum to 1") {
+    val d = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 5L, "a"), (2L, 6L, "b")
+    ).map { case (u, i, t) => (u, i, t, new java.sql.Timestamp(i * 1000)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Temporal.eventTransitions(d, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .as[(String, String, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // from a: -> b twice; from b: -> a once; from a: -> c... timeline u1:
+    // a->b, b->a, a->c; u2: a->b. So a->(b:2, c:1), b->(a:1)
+    assert(m(("a", "b")) === ((2L, 2.0 / 3.0)))
+    assert(m(("a", "c")) === ((1L, 1.0 / 3.0)))
+    assert(m(("b", "a")) === ((1L, 1.0)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("containmentPairs catches prefix duplication that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(d, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0) // every shingle of the short doc is in the long one
+    // the same pair is invisible to Jaccard at 0.5: union is ~42 shingles
+    val jac = TextDedup.nearDupJaccard(d, threshold = 0.5)
+    assert(jac.count() === 0)
+  }
+
+  test("driftReport: identical sides yield zero drift, shares sum to 1") {
+    // same values on both sides -> p_a == p_b everywhere
+    val d = (0 until 100).flatMap(i => Seq((i % 10, 0), (i % 10, 1)))
+      .toDF("b", "s")
+    val out = Profile.driftReport(d, col("s"), col("b"))
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+    assert(out.forall(_._6 === 0.0))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
+  }
+
+  test("quantizeInt8: min maps to 0, max to 255, constant dim to 0") {
+    val d = Seq(
+      (1L, Array(0.0f, 7.0f, -3.0f)),
+      (2L, Array(10.0f, 7.0f, 1.0f)),
+      (3L, Array(5.0f, 7.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.quantizeInt8(d)
+      .as[(Long, Array[Int])].collect().map(r => r._1 -> r._2).toMap
+    assert(out(1L)(0) === 0 && out(2L)(0) === 255) // dim 0: [0, 10]
+    assert(out.values.forall(_(1) === 0)) // constant dim
+    assert(out(1L)(2) === 0 && out(2L)(2) === 255)
+    assert(out(3L)(0) === 127) // (5-0)*255/10 = 127.5 -> floor 127
+    assert(out.values.flatten.forall(c => c >= 0 && c <= 255))
+  }
+
+  test("zonemapPrune reads fewer files and matches the full filter") {
+    val d = (1L to 1000L).map(i => (i, (i % 500).toDouble)).toDF("id", "v")
+    val scratch = "/root/repo/target/graft-tmp/zonemap_spec"
+    val out = Distribute.zonemapPrune(spark, d, "v", scratch,
+      lo = 100.0, hi = 150.0, ranges = 8)
+    val want = d.filter(col("v") >= 100.0 && col("v") <= 150.0)
+      .as[(Long, Double)].collect().toSet
+    assert(out.as[(Long, Double)].collect().toSet === want)
+    // the pruned scan must touch a strict subset of the files
+    val total = new java.io.File(scratch).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val read = out.queryExecution.executedPlan.toString
+    assert(total === 8)
+    // scan's file count is not directly printable; assert via input files
+    assert(out.inputFiles.length < total,
+      s"expected pruning below $total files, read ${out.inputFiles.length}:\n$read")
+  }
+
+  test("compactRoundTrip: 64 small files -> target files, lossless") {
+    val d = (1L to 5000L).map(i => (i, s"e$i", i * 1.5)).toDF("id", "t", "v")
+    val path = "/root/repo/target/graft-tmp/compact_spec"
+    val out = graft.sources.Sinks.compactRoundTrip(d, path,
+      smallFiles = 64, targetFiles = 4)
+    def parquets(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$path/small") === 64)
+    assert(parquets(s"$path/compact") <= 4)
+    assert(out.as[(Long, String, Double)].collect().toSet ===
+      d.as[(Long, String, Double)].collect().toSet)
+  }
+}
