@@ -99,6 +99,20 @@ object SparkEntry {
           col("event_type"), col("value")),
         tmp(dir, "compact"), smallFiles = 64, targetFiles = 4)),
 
+    // OOV-rate proxy: share of token occurrences inside the top-100 vocab
+    "vocab_coverage" -> ((s, dir) =>
+      Text.vocabCoverage(Tables.documents(s, dir), topK = 100)),
+
+    // self-perplexity proxy: mean bigram P(w2|w1) under the corpus LM
+    "doc_lm_score" -> ((s, dir) =>
+      Text.docLmScore(Tables.documents(s, dir))),
+
+    // peak concurrent sessions per day (sweep line over session bounds)
+    "concurrency_profile" -> ((s, dir) =>
+      Temporal.concurrencyProfile(
+        Temporal.sessionize(eventsBase(s, dir), col("user_id"), col("ts"),
+          gapSeconds = 1800L))),
+
     // P1: json_normalize(sep="_") analog (data_pipeline.py:74)
     "flatten_json" -> ((s, dir) =>
       Flatten.flattenJsonColumn(
@@ -1450,6 +1464,65 @@ object SparkEntry {
 
     "sink_compacted" ->
       """SELECT event_id, user_id, event_type, value FROM events""",
+
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+                      FROM documents),
+           v AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY w)
+                 ORDER BY n DESC, w ASC LIMIT 100)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) AS BIGINT)
+             AS in_vocab,
+           CAST(sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS coverage
+         FROM tok GROUP BY doc_id""",
+
+    // mean P(w2|w1) folded in position order (list_reduce) to mirror the
+    // Spark op's deterministic sequential sum
+    "doc_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           bg AS (SELECT doc_id, g AS pos, words[g+1] AS w1, words[g+2] AS w2
+                  FROM w, UNNEST(range(len(words) - 1)) AS t(g)
+                  WHERE len(words) >= 2),
+           cnt AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+           pre AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np FROM cnt GROUP BY 1),
+           lm AS (SELECT w1, w2, CAST(nb AS DOUBLE) / np AS p
+                  FROM cnt JOIN pre USING (w1)),
+           j AS (SELECT doc_id, pos, p FROM bg JOIN lm USING (w1, w2)),
+           a AS (SELECT doc_id, list(p ORDER BY pos ASC) AS ps, count(*) AS nbg
+                 FROM j GROUP BY doc_id)
+         SELECT doc_id, nbg AS n_bigrams,
+           list_reduce(list_prepend(0.0, ps), (acc, x) -> acc + x) / nbg AS lm_score
+         FROM a""",
+
+    "concurrency_profile" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           x AS (SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+           y AS (SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                 FROM x),
+           s AS (SELECT user_id AS key, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end
+                 FROM y GROUP BY user_id, session_id),
+           b AS (SELECT key, CAST(session_start AS DATE) AS day,
+                   UNNEST([struct_pack(t := session_start, delta := 1),
+                           struct_pack(t := session_end, delta := -1)],
+                          recursive := true)
+                 FROM s),
+           r AS (SELECT day,
+                   CAST(sum(delta) OVER (PARTITION BY day
+                     ORDER BY t ASC, delta ASC, key ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+                 FROM b)
+         SELECT day, max(running) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions
+         FROM r GROUP BY day""",
 
     "flatten_json" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,

@@ -166,6 +166,35 @@ object Temporal {
       .agg(count_distinct(col("u")).as("n_users"), count(lit(1)).as("n_events"))
   }
 
+  /** Peak session concurrency per day — the capacity-planning sweep
+    * line: each session emits a +1 boundary at its start and a -1 at its
+    * end; the running sum in time order is the live-session count, and
+    * its per-day max is the answer. Session ends sort BEFORE starts at
+    * the same instant (end-exclusive intervals: a back-to-back handoff
+    * is not concurrency). Both boundaries land on the session's START
+    * day, so days partition the sweep and the windows run parallel —
+    * sessions are assumed intraday (the 30-min-gap sessions the
+    * sessionizer emits virtually always are; a midnight-crossing session
+    * is attributed to its start day). The max is order-independent
+    * within same-(t, delta) groups, so the explicit key tiebreak makes
+    * the whole profile deterministic.
+    */
+  def concurrencyProfile(sessions: DataFrame): DataFrame = {
+    val b = sessions.select(col("key"),
+        to_date(col("session_start")).as("day"),
+        explode(array(
+          struct(col("session_start").as("t"), lit(1L).as("delta")),
+          struct(col("session_end").as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("day"), col("e.t").as("t"), col("e.delta").as("delta"), col("key"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").asc, col("key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+  }
+
   /** First-order behavioral transition matrix: counts and conditional
     * probabilities of event-type bigrams per user timeline (ordered by
     * ts with the id as the deterministic tiebreak). One shuffle on the

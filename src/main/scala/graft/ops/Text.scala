@@ -71,6 +71,60 @@ object Text {
       .select(col("w1"), col("w2"), col("n"), col("p_cond"))
   }
 
+  /** Vocabulary coverage: the fraction of a document's token occurrences
+    * that fall in the corpus's top-K vocabulary — the cheap OOV-rate
+    * proxy used to spot gibberish/off-domain docs before tokenizer
+    * training. One explode pass builds the vocabulary (TakeOrdered for
+    * the tiny top-K — no global sort); scoring is then a PURE PROJECTION:
+    * the vocab broadcasts as a sorted array and each row folds its own
+    * tokens against it, so the corpus is never exploded a second time.
+    * Rank-K ties break on the word for determinism.
+    */
+  def vocabCoverage(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("toks"))
+    val vocab = Par.widen(toks).select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(topK)
+      .agg(collect_list(col("w")).as("vocab"))
+    toks.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + when(array_contains(col("vocab"), t), 1L).otherwise(0L))
+          .as("in_vocab"))
+      .withColumn("coverage", col("in_vocab").cast("double") / col("n_tokens"))
+  }
+
+  /** Per-document LM score: the mean bigram conditional probability
+    * P(w2|w1) under the corpus's own bigram model — the self-perplexity
+    * proxy quality filters rank on (kept log-free so every term is one
+    * exact-count division). The LM join is vocabulary-sized. The per-doc
+    * mean folds the probabilities IN POSITION ORDER over a collected
+    * array — a groupBy avg() would sum doubles in partition order and
+    * break bit-reproducibility.
+    */
+  def docLmScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val bg = Par.widen(docs)
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(w) - lit(2)),
+        i => struct(i.as("pos"), element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.w1"), col("b.w2"))
+    val pairCounts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val ctxCounts = pairCounts.groupBy(col("w1")).agg(sum(col("nb")).as("np"))
+    val lm = pairCounts.join(ctxCounts, "w1")
+      .select(col("w1"), col("w2"), (col("nb").cast("double") / col("np")).as("p"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x("p"))
+          / col("n_bigrams")).as("lm_score"))
+  }
+
   private val stopwords = Seq("the", "a")
 
   /** Heuristic quality score: length saturation + lexical diversity +

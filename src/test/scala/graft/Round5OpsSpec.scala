@@ -157,6 +157,47 @@ class Round5OpsSpec extends AnyFunSuite {
       s"expected pruning below $total files, read ${out.inputFiles.length}:\n$read")
   }
 
+  test("vocabCoverage: in-vocab share with deterministic rank-K ties") {
+    val d = Seq(
+      (1L, "a a a b b c"), // with topK=2 vocab = {a, b}: 5/6 covered
+      (2L, "c c c c"), // 0/4
+      (3L, "a b") // 2/2
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.vocabCoverage(d, topK = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // counts: a=4, b=3, c=5 -> top2 = {c, a}
+    assert(out(1L) === ((1L, 6L, 4L, 4.0 / 6.0)))
+    assert(out(2L) === ((2L, 4L, 4L, 1.0)))
+    assert(out(3L) === ((3L, 2L, 1L, 0.5)))
+  }
+
+  test("docLmScore: deterministic mean of exact bigram probabilities") {
+    // corpus: "x y" twice, "x z" once -> P(y|x)=2/3, P(z|x)=1/3
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val out = graft.ops.Text.docLmScore(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 1L, 2.0 / 3.0)))
+    assert(out(3L) === ((3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("concurrencyProfile: overlap peaks count; back-to-back handoff does not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = Seq(
+      // day 1: three sessions, two overlapping, one disjoint
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")),
+      (3L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")),
+      // day 2: B starts exactly when A ends -> never concurrent
+      (1L, 2L, ts("2024-01-02 09:00:00"), ts("2024-01-02 10:00:00")),
+      (2L, 2L, ts("2024-01-02 10:00:00"), ts("2024-01-02 11:00:00"))
+    ).toDF("key", "session_id", "session_start", "session_end")
+    val out = graft.ops.Temporal.concurrencyProfile(sessions)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(out("2024-01-01") === ((2L, 3L)))
+    assert(out("2024-01-02") === ((1L, 2L)))
+  }
+
   test("compactRoundTrip: 64 small files -> target files, lossless") {
     val d = (1L to 5000L).map(i => (i, s"e$i", i * 1.5)).toDF("id", "t", "v")
     val path = "/root/repo/target/graft-tmp/compact_spec"
