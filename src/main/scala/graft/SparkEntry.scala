@@ -620,6 +620,14 @@ object SparkEntry {
           col("c_name"), col("c_mktsegment")),
         tmp(dir, "stream_enrich_src"))),
 
+    // §2.9: stateless streaming DQ monitor — batch-trained baseline
+    // stats broadcast against the live feed, exact-decimal flag
+    "streaming_anomaly" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingAnomaly(s, Tables.orders(s, dir),
+        tmp(dir, "stream_anomaly_src"))
+        .select(col("o_orderkey"), col("g").as("o_orderpriority"),
+          col("value").as("o_totalprice"))),
+
     // §2.9: append-mode watermarked windows (only finalized windows emit)
     "streaming_window_append" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCountsAppend(s, Tables.events(s, dir),
@@ -1364,7 +1372,9 @@ object SparkEntry {
       // stateful streaming sessionize converges to the batch result
       ("streaming_sessionize" -> extraOracles("sessionize")) +
       // the custom-plan as-of join must match the window-based one exactly
-      ("asof_join_native" -> extraOracles("asof_join"))
+      ("asof_join_native" -> extraOracles("asof_join")) +
+      // the streaming monitor flags exactly the batch anomaly set
+      ("streaming_anomaly" -> baseOracles("anomaly_zscore"))
 
   private def baseOracles: Map[String, String] = Map(
 

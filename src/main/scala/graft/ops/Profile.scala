@@ -41,14 +41,35 @@ object Profile {
     * the 5-row group stats (broadcast back), one for the flags.
     */
   def anomalyOutliers(df: DataFrame, group: Column, value: Column,
-                      idCols: Seq[String], num: Int = 3, den: Int = 2): DataFrame = {
+                      idCols: Seq[String], num: Int = 3, den: Int = 2): DataFrame =
+    flagAnomalies(df, anomalyStats(df, group, value), group, value,
+      idCols, num, den)
+
+  /** The per-group moment sums the flag decision needs: n, Σx, Σx² in
+    * exact cents (one scan, map-side combined). Kept separate so a
+    * STREAMING monitor can broadcast baseline stats trained on the batch
+    * corpus and flag a live feed with [[flagAnomalies]].
+    */
+  def anomalyStats(df: DataFrame, group: Column, value: Column): DataFrame = {
     val big = DecimalType(38, 0)
     val cents = round(value * lit(100)).cast("long")
-    val stats = df.groupBy(group.as("g")).agg(
+    df.groupBy(group.as("g")).agg(
       count(lit(1)).as("n"),
       sum(cents).as("s"),
       sum((cents * cents).cast(big)).as("ss"))
-    df.select(idCols.map(col) :+ group.as("g") :+ value.as("value") :+
+  }
+
+  /** Flag rows whose value deviates > (num/den)·σ from their group's
+    * [[anomalyStats]] baseline — a broadcast join + exact-decimal filter,
+    * so it applies unchanged to a streaming Dataset (no aggregation on
+    * the feed side).
+    */
+  def flagAnomalies(rows: DataFrame, stats: DataFrame, group: Column,
+                    value: Column, idCols: Seq[String],
+                    num: Int, den: Int): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(value * lit(100)).cast("long")
+    rows.select(idCols.map(col) :+ group.as("g") :+ value.as("value") :+
         cents.as("xc"): _*)
       .join(broadcast(stats), "g")
       .withColumn("dev", (col("n") * col("xc") - col("s")).cast(big))

@@ -144,6 +144,40 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming anomaly monitor: baseline per-group moment stats are
+    * trained on the batch corpus (one scan, broadcast); the live feed is
+    * then flagged row-by-row with the same exact-decimal k-sigma
+    * decision as the batch `anomaly_zscore` — a stream-static broadcast
+    * join + filter, NO aggregation on the feed side, so there is no
+    * streaming state at all: each micro-batch flags and forgets. This is
+    * the production DQ-monitor shape: retrain the baseline on a
+    * schedule, redeploy the stream with new broadcast stats.
+    */
+  def streamingAnomaly(spark: SparkSession, orders: DataFrame,
+                       scratch: String): DataFrame = {
+    val src = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"))
+    src.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val stats = graft.ops.Profile.anomalyStats(src,
+      col("o_orderpriority"), col("o_totalprice"))
+
+    val name = nextName("graft_anomaly")
+    val feed = spark.readStream
+      .schema(src.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+    val query = graft.ops.Profile.flagAnomalies(feed, stats,
+        col("o_orderpriority"), col("o_totalprice"),
+        idCols = Seq("o_orderkey"), num = 3, den = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
   /** Append-mode watermarked windowed counts: only windows the watermark
     * has finalized (window end <= max event time - delay) are emitted —
     * the explicit late-data contract, vs [[windowedCounts]]'s complete

@@ -82,6 +82,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingAnomaly flags exactly the batch anomaly set, statelessly") {
+    val orders = Tables.orders(spark, sf)
+    val out = Streaming.streamingAnomaly(spark, orders, scratch("anomaly"))
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    val batch = graft.ops.Profile.anomalyOutliers(orders,
+        col("o_orderpriority"), col("o_totalprice"),
+        idCols = Seq("o_orderkey"), num = 3, den = 2)
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    assert(out === batch)
+    assert(out.nonEmpty)
+  }
+
   test("statefulSessionize equals batch gaps-and-islands for any batching") {
     val out = Streaming.statefulSessionize(spark, events, 1800L, scratch("sess"))
       .select(col("key"), col("session_id"), col("n_events"))
