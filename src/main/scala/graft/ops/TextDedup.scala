@@ -259,11 +259,20 @@ object TextDedup {
     // only touched once, in the final singleton union)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).persist()
-    labels.count()
+    val nVerts = labels.count()
+    // size the loop's shuffle partitions to the GRAPH, not the corpus:
+    // the vertex count is already materialized, so pick ~1 partition per
+    // 500k vertices (min 2). Per-iteration joins over a 100-vertex graph
+    // otherwise schedule a full corpus-sized shuffle fan-out per action —
+    // pure task overhead repeated every round.
+    val spark = docs.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2L, math.min(prevParts.toLong, nVerts / 500000L + 1L)).toString)
     var backing = labels // the persisted frame the current labels read from
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    try while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -281,7 +290,7 @@ object TextDedup {
       backing = step
       labels = step.select(col("doc_id"), col("label"))
       iter += 1
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     edges.unpersist()
     // a component with diameter > maxIters would exit the loop mid-merge;
     // silently emitting its partial labels would split one duplicate
