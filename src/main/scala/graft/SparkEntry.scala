@@ -113,6 +113,13 @@ object SparkEntry {
         Temporal.sessionize(eventsBase(s, dir), col("user_id"), col("ts"),
           gapSeconds = 1800L))),
 
+    // sqrt-temperature multilingual rebalancing: 200-doc budget split
+    // proportional to sqrt(n_lang), filled in deterministic hash order
+    "temperature_sample" -> ((s, dir) =>
+      Shard.temperatureSample(Tables.documents(s, dir),
+        stratum = col("lang"), id = col("doc_id"), budget = 200)
+        .select(col("s").as("lang"), col("id").as("doc_id"), col("quota"))),
+
     // P1: json_normalize(sep="_") analog (data_pipeline.py:74)
     "flatten_json" -> ((s, dir) =>
       Flatten.flattenJsonColumn(
@@ -1504,6 +1511,22 @@ object SparkEntry {
          SELECT doc_id, nbg AS n_bigrams,
            list_reduce(list_prepend(0.0, ps), (acc, x) -> acc + x) / nbg AS lm_score
          FROM a""",
+
+    // sqrt is IEEE-exact in both engines; the normalizer folds per-lang
+    // terms in lang order (list_reduce) to mirror the Spark fold
+    "temperature_sample" ->
+      """WITH c AS (SELECT lang AS s, count(*) AS n_s FROM documents GROUP BY 1),
+           z AS (SELECT list_reduce(
+                   list_prepend(0.0, list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY s)),
+                   (a, b) -> a + b) AS z FROM c),
+           q AS (SELECT s, CAST(floor(200.0 * sqrt(CAST(n_s AS DOUBLE)) / z)
+                   AS BIGINT) AS quota FROM c, z),
+           r AS (SELECT lang AS s, doc_id AS id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY doc_id * 1000003 % 1000000007 ASC, doc_id ASC) AS rn
+                 FROM documents)
+         SELECT s AS lang, id AS doc_id, quota
+         FROM r JOIN q USING (s) WHERE rn <= quota""",
 
     "concurrency_profile" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

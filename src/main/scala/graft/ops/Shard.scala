@@ -57,6 +57,44 @@ object Shard {
     }.drop("rn")
   }
 
+  /** Temperature-based stratum rebalancing — the standard multilingual
+    * corpus sampler: stratum quotas proportional to n^alpha (alpha < 1
+    * upsamples the tail relative to the head; alpha = 0.5 is the classic
+    * sqrt-temperature mix), filled in deterministic hash order.
+    * `budget` rows total; quota_s = floor(budget * n_s^alpha / sum).
+    *
+    * Arithmetic contract: alpha is fixed at 0.5 because IEEE `sqrt` is
+    * exactly specified (a general `pow` is libm-dependent and would
+    * break cross-engine verification), and the normalizing sum folds the
+    * per-stratum terms in STRATUM ORDER over a collected array — never a
+    * partition-order float sum. Stratum counts are one aggregation
+    * (stratum-cardinality rows, broadcast back); selection reuses the
+    * literal-bounded window prune when `budget` caps any one stratum.
+    */
+  def temperatureSample(df: DataFrame, stratum: Column, id: Column,
+                        budget: Int): DataFrame = {
+    val counts = df.groupBy(stratum.as("s")).agg(count(lit(1)).as("n_s"))
+    val quotas = counts
+      .agg(array_sort(collect_list(struct(col("s"), col("n_s")))).as("arr"))
+      .select(col("arr"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + sqrt(x("n_s").cast("double"))).as("z"))
+      .select(explode(col("arr")).as("e"), col("z"))
+      .select(col("e.s").as("s"), col("e.n_s").as("n_s"),
+        floor(lit(budget.toDouble) * sqrt(col("n_s").cast("double")) / col("z"))
+          .cast("long").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(portableHash(col("id")).asc, col("id").asc)
+    df.select(stratum.as("s"), id.as("id"))
+      .withColumn("rn", row_number().over(w))
+      // literal budget bound lets WindowGroupLimit prune; the exact
+      // per-stratum quota then trims within it
+      .filter(col("rn") <= lit(budget))
+      .join(broadcast(quotas), "s")
+      .filter(col("rn") <= col("quota"))
+      .select(col("s"), col("id"), col("quota"))
+  }
+
   /** Deterministic global shuffle + sharding for training order: shard =
     * hash mod nShards, position = rank of (hash, id) within the shard.
     * One hash-partition exchange + per-shard sort — never a global sort.

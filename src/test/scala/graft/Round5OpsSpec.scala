@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Distribute, Profile, Relational, Temporal, TextDedup}
+import graft.ops.{Distribute, Profile, Relational, Shard, Temporal, TextDedup}
 
 /** Round-5 operators: monitoring (anomaly/drift), layout (zone-map
   * pruning, compaction), behavioral (cohorts, transitions), dedup
@@ -196,6 +196,23 @@ class Round5OpsSpec extends AnyFunSuite {
       .map(r => r._1.toString -> ((r._2, r._3))).toMap
     assert(out("2024-01-01") === ((2L, 3L)))
     assert(out("2024-01-02") === ((1L, 2L)))
+  }
+
+  test("temperatureSample: sqrt quotas upsample the tail, deterministic fill") {
+    // strata: a=400 docs, b=100, c=25 -> sqrt weights 20:10:5 = 4:2:1
+    val d = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 525L).map(i => (i, "c"))).toDF("doc_id", "src")
+    val out = Shard.temperatureSample(d, col("src"), col("doc_id"), budget = 70)
+      .as[(String, Long, Long)].collect()
+    val quota = out.groupBy(_._1).map { case (s, rows) => s -> rows.length }
+    // budget*w/z: 70*20/35=40, 70*10/35=20, 70*5/35=10
+    assert(quota === Map("a" -> 40, "b" -> 20, "c" -> 10))
+    // tail share rises vs proportional: c is 25/525 ~ 4.8% of corpus but
+    // 10/70 ~ 14% of the sample
+    val again = Shard.temperatureSample(d, col("src"), col("doc_id"), budget = 70)
+      .as[(String, Long, Long)].collect()
+    assert(out.toSet === again.toSet)
   }
 
   test("compactRoundTrip: 64 small files -> target files, lossless") {
