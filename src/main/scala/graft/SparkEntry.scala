@@ -120,6 +120,27 @@ object SparkEntry {
         stratum = col("lang"), id = col("doc_id"), budget = 200)
         .select(col("s").as("lang"), col("id").as("doc_id"), col("quota"))),
 
+    // feed-freshness audit: staleness per event_type behind the freshest
+    "dq_freshness" -> ((s, dir) =>
+      Quality.freshness(Tables.events(s, dir),
+        key = col("event_type"), ts = col("ts"))
+        .select(col("key").as("event_type"), col("n"), col("max_ts"),
+          col("lag_seconds"))),
+
+    // engagement rollup: session count / active seconds / longest session
+    "user_active_time" -> ((s, dir) =>
+      Temporal.userActiveTime(
+        Temporal.sessionize(eventsBase(s, dir), col("user_id"), col("ts"),
+          gapSeconds = 1800L))),
+
+    // dedup-aware curation score: share of shingles first seen in this doc
+    "ngram_novelty" -> ((s, dir) =>
+      TextDedup.ngramNovelty(Tables.documents(s, dir))),
+
+    // corpus-level cross-feed contamination: source-pair shingle Jaccard
+    "source_overlap" -> ((s, dir) =>
+      TextDedup.sourceOverlap(Tables.documents(s, dir))),
+
     // P1: json_normalize(sep="_") analog (data_pipeline.py:74)
     "flatten_json" -> ((s, dir) =>
       Flatten.flattenJsonColumn(
@@ -1511,6 +1532,63 @@ object SparkEntry {
          SELECT doc_id, nbg AS n_bigrams,
            list_reduce(list_prepend(0.0, ps), (acc, x) -> acc + x) / nbg AS lm_score
          FROM a""",
+
+    "dq_freshness" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+               max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events GROUP BY 1),
+           t AS (SELECT max(max_ts) AS gm FROM g)
+         SELECT event_type, n, max_ts,
+           CAST(floor(epoch(gm)) AS BIGINT)
+             - CAST(floor(epoch(max_ts)) AS BIGINT) AS lag_seconds
+         FROM g, t""",
+
+    "user_active_time" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           x AS (SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+           y AS (SELECT user_id, ts,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                 FROM x),
+           s AS (SELECT user_id AS key, session_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS st,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS en
+                 FROM y GROUP BY user_id, session_id)
+         SELECT key, count(*) AS n_sessions,
+           CAST(sum(en - st) AS BIGINT) AS active_seconds,
+           CAST(max(en - st) AS BIGINT) AS longest_session_seconds
+         FROM s GROUP BY key""",
+
+    "ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                    array_to_string(words[g+1:g+3], ' ') AS shingle
+                  FROM w, UNNEST(range(len(words) - 2)) AS t(g)
+                  WHERE len(words) >= 3),
+           fs AS (SELECT shingle, min(doc_id) AS fs FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN fs = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN fs = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+         FROM sh JOIN fs USING (shingle) GROUP BY doc_id""",
+
+    "source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+           sh AS (SELECT DISTINCT source,
+                    array_to_string(words[g+1:g+3], ' ') AS shingle
+                  FROM w, UNNEST(range(len(words) - 2)) AS t(g)
+                  WHERE len(words) >= 3),
+           sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+           i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+                 GROUP BY 1, 2)
+         SELECT src_a, src_b, inter,
+           CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jaccard
+         FROM i JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b""",
 
     // sqrt is IEEE-exact in both engines; the normalizer folds per-lang
     // terms in lang order (list_reduce) to mirror the Spark fold

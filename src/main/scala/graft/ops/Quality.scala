@@ -91,6 +91,25 @@ object Quality {
       ("low_volume", rows, rows >= contract.minRows))
   }
 
+  /** Feed-freshness audit: per partition key (e.g. event type or source
+    * feed), row count, newest timestamp, and staleness in seconds behind
+    * the freshest partition — the "is one upstream stuck?" monitor. The
+    * global max is a window OVER the per-key aggregates (feed-count
+    * rows, trivially single-partition), so the raw feed is scanned
+    * exactly once by construction — a separate `g.agg(max)` branch would
+    * be column-pruned into a non-identical exchange that AQE cannot
+    * reuse, silently costing a second scan.
+    */
+  def freshness(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val g = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), max(ts).as("max_ts"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    g.select(col("key"), col("n"), col("max_ts"),
+      (unix_timestamp(max(col("max_ts")).over(all))
+        - unix_timestamp(col("max_ts"))).as("lag_seconds"))
+  }
+
   /** Referential-integrity audit across the star schema: for each
     * child→parent relationship, the count of orphan child rows (FK
     * values with no parent) and the distinct orphan key count. The check

@@ -166,6 +166,21 @@ object Temporal {
       .agg(count_distinct(col("u")).as("n_users"), count(lit(1)).as("n_events"))
   }
 
+  /** Per-user engagement rollup over sessionized activity: session
+    * count, total active seconds, and the longest session. Sessions for
+    * one user are disjoint by construction (the sessionizer merges
+    * anything closer than the gap), so the total is a plain sum of
+    * exact second durations — one hash aggregation over the session
+    * frame, already partitioned by the user key.
+    */
+  def userActiveTime(sessions: DataFrame): DataFrame = {
+    val dur = col("session_end").cast("long") - col("session_start").cast("long")
+    sessions.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(dur).as("active_seconds"),
+        max(dur).as("longest_session_seconds"))
+  }
+
   /** Peak session concurrency per day — the capacity-planning sweep
     * line: each session emits a +1 boundary at its start and a -1 at its
     * end; the running sum in time order is the live-session count, and

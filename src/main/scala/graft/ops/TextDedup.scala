@@ -128,6 +128,53 @@ object TextDedup {
                      maxDf: Int = 1000): DataFrame =
     jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf)
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * shingles whose FIRST appearance (by doc_id order) is this doc —
+    * the dedup-aware curation score that ranks later near-copies low
+    * without ever forming pairs. Two shuffles (first-seen aggregation,
+    * per-doc rollup); the ratio is one exact-long division. Docs shorter
+    * than k words have no shingles and are excluded, matching the
+    * oracle's length guard.
+    */
+  def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(docs, k)
+    val firstSeen = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fs"))
+    sh.join(firstSeen, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fs") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
+  /** Source-level shingle overlap matrix: Jaccard between the distinct
+    * shingle SETS of each source pair — the corpus-level view of
+    * cross-feed contamination ("how much of source A is also in B").
+    * Same posting-list expansion as the doc-level dedup: group shingles
+    * into source lists, expand pairs, count — no self-join; the pair
+    * space is source-count², not corpus-sized.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - lit(k)),
+        i => array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(pairsOf(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .select(col("src_a"), col("src_b"), col("inter"), col("jaccard"))
+  }
+
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold —
     * catches quote/prefix duplication that Jaccard misses (a paragraph
     * wholly contained in a much longer doc has high containment but low

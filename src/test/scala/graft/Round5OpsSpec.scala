@@ -215,6 +215,62 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.toSet === again.toSet)
   }
 
+  test("freshness: staleness measured against the freshest key, one scan") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 12:00:00")),
+      ("b", ts("2024-01-01 11:30:00"))).toDF("k", "ts")
+    val fr = graft.ops.Quality.freshness(d, col("k"), col("ts"))
+    // single scan by construction: the global max is a window over the
+    // per-key aggregates, not a second aggregation branch
+    val scans = "LocalTableScan".r
+      .findAllIn(fr.queryExecution.executedPlan.toString).length
+    assert(scans === 1, s"expected one scan of the feed, saw $scans")
+    val out = fr.as[(String, Long, java.sql.Timestamp, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._4 === 0L)
+    assert(out("b")._4 === 1800L)
+  }
+
+  test("userActiveTime sums disjoint session durations exactly") {
+    val base = 1700000000L
+    val d = Seq( // u1: [0,100s] and [4000,4050s]; u2: single event (0s)
+      (1L, base), (1L, base + 100), (1L, base + 4000), (1L, base + 4050),
+      (2L, base)
+    ).map { case (u, s) => (u, new java.sql.Timestamp(s * 1000)) }
+      .toDF("user_id", "ts")
+    val out = graft.ops.Temporal.userActiveTime(
+      graft.ops.Temporal.sessionize(d, col("user_id"), col("ts"), 1800L))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 150L, 100L)))
+    assert(out(2L) === ((2L, 1L, 0L, 0L)))
+  }
+
+  test("ngramNovelty: first doc fully novel, exact copy fully stale") {
+    val d = Seq(
+      (1L, "one two three four"), // shingles first seen here -> novelty 1
+      (2L, "one two three four"), // exact copy -> novelty 0
+      (3L, "one two three five") // shares "one two three" -> 1/2 novel
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextDedup.ngramNovelty(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 2L, 0L, 0.0)))
+    assert(out(3L) === ((3L, 2L, 1L, 0.5)))
+  }
+
+  test("sourceOverlap: pairwise source-set Jaccard from posting lists") {
+    val d = Seq(
+      (1L, "a", "x y z w"), // source a shingles: {x y z, y z w}
+      (2L, "b", "x y z"), // source b: {x y z}
+      (3L, "c", "p q r") // source c: disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.TextDedup.sourceOverlap(d)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.length === 1) // only (a, b) overlap
+    assert(out.head === (("a", "b", 1L, 0.5))) // inter 1, union 2
+  }
+
   test("compactRoundTrip: 64 small files -> target files, lossless") {
     val d = (1L to 5000L).map(i => (i, s"e$i", i * 1.5)).toDF("id", "t", "v")
     val path = "/root/repo/target/graft-tmp/compact_spec"
