@@ -85,9 +85,25 @@ object TextDedup {
     */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
+    // materialize shingle SETS only for docs that appear in a candidate
+    // pair: the candidate-doc list is tiny (broadcast semi-join), so the
+    // expensive collect_set shuffle carries candidate docs' shingles
+    // instead of the whole corpus's — at 100 TB the difference between
+    // shuffling the corpus text again and shuffling the near-dup slice.
+    // candidates persists because both the doc list and the verify joins
+    // read it (recomputing it would redo the posting expansion). Local
+    // wall-clock pays a small price (sets now WAIT on the candidate
+    // broadcast instead of aggregating in a parallel stage), but the
+    // set-building shuffle shrinks from every doc's shingles to the
+    // candidate slice's — the term that dominates at corpus scale.
+    val cand = candidates.persist()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = sh.join(broadcast(candDocs), "doc_id")
+      .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
-    candidates
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
