@@ -1623,7 +1623,9 @@ object SparkEntry {
                  FROM y GROUP BY user_id, session_id),
            b AS (SELECT key, CAST(session_start AS DATE) AS day,
                    UNNEST([struct_pack(t := session_start, delta := 1),
-                           struct_pack(t := session_end, delta := -1)],
+                           struct_pack(t := CASE WHEN session_end = session_start
+                                  THEN session_start + INTERVAL 1 SECOND
+                                  ELSE session_end END, delta := -1)],
                           recursive := true)
                  FROM s),
            r AS (SELECT day,

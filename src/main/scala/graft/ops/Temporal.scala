@@ -195,11 +195,19 @@ object Temporal {
     * the whole profile deterministic.
     */
   def concurrencyProfile(sessions: DataFrame): DataFrame = {
+    // a single-event session has start == end — an EMPTY half-open
+    // interval that the sweep would never count (its -1 sorts before its
+    // +1), leaving a day with sessions but zero peak concurrency. Treat
+    // point sessions as occupying one second: active for the instant of
+    // their only event.
+    val endAdj = when(col("session_end") === col("session_start"),
+      col("session_start") + expr("INTERVAL 1 SECOND"))
+      .otherwise(col("session_end"))
     val b = sessions.select(col("key"),
         to_date(col("session_start")).as("day"),
         explode(array(
           struct(col("session_start").as("t"), lit(1L).as("delta")),
-          struct(col("session_end").as("t"), lit(-1L).as("delta")))).as("e"))
+          struct(endAdj.as("t"), lit(-1L).as("delta")))).as("e"))
       .select(col("day"), col("e.t").as("t"), col("e.delta").as("delta"), col("key"))
     val w = Window.partitionBy(col("day"))
       .orderBy(col("t").asc, col("delta").asc, col("key").asc)

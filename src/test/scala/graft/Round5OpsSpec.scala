@@ -271,6 +271,56 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.head === (("a", "b", 1L, 0.5))) // inter 1, union 2
   }
 
+  test("anomalyOutliers: flag set is invariant under repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val d = (1L to 2000L).map(i =>
+      (i, s"g${i % 3}", math.floor(rnd.nextDouble() * 10000) / 100))
+      .toDF("id", "grp", "v")
+    val a = Profile.anomalyOutliers(d, col("grp"), col("v"), Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val b = Profile.anomalyOutliers(d.repartition(7), col("grp"), col("v"),
+      Seq("id")).select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("temperatureSample invariants: quota caps respected, budget not exceeded") {
+    val rnd = new scala.util.Random(3)
+    val d = (1L to 300L).map(i => (i, s"s${rnd.nextInt(6)}")).toDF("doc_id", "src")
+    val out = Shard.temperatureSample(d, col("src"), col("doc_id"), budget = 100)
+      .as[(String, Long, Long)].collect()
+    val perStratum = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val quotas = out.groupBy(_._1).view.mapValues(_.head._3).toMap
+    val sizes = d.groupBy("src").count().as[(String, Long)].collect().toMap
+    perStratum.foreach { case (s, taken) =>
+      assert(taken <= quotas(s))
+      assert(taken === math.min(quotas(s), sizes(s)))
+    }
+    assert(out.length <= 100)
+  }
+
+  test("ngramNovelty: an exact duplicate (by content hash) scores zero novelty") {
+    val rnd = new scala.util.Random(5)
+    val texts = (1L to 30L).map(i =>
+      (i, (1 to 20).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")))
+    // append exact copies of the first 5 docs with later ids
+    val d = (texts ++ texts.take(5).map { case (i, t) => (100L + i, t) })
+      .toDF("doc_id", "text")
+    val novelty = graft.ops.TextDedup.ngramNovelty(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    (101L to 105L).foreach(i => assert(novelty(i) === 0.0, s"doc $i"))
+  }
+
+  test("concurrencyProfile bounds: 1 <= max_concurrent <= n_sessions") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val out = graft.ops.Temporal.concurrencyProfile(
+      graft.ops.Temporal.sessionize(e, col("user_id"), col("ts"), 1800L))
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, mx, n) => assert(mx >= 1L && mx <= n) }
+  }
+
   test("compactRoundTrip: 64 small files -> target files, lossless") {
     val d = (1L to 5000L).map(i => (i, s"e$i", i * 1.5)).toDF("id", "t", "v")
     val path = "/root/repo/target/graft-tmp/compact_spec"
