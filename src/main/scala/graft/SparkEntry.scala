@@ -141,6 +141,10 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       TextDedup.sourceOverlap(Tables.documents(s, dir))),
 
+    // count-min sketch estimates vs exact truth for the top-10 keys
+    "cms_estimate" -> ((s, dir) =>
+      Profile.cmsEstimate(Tables.events(s, dir), col("user_id"), topN = 10)),
+
     // P1: json_normalize(sep="_") analog (data_pipeline.py:74)
     "flatten_json" -> ((s, dir) =>
       Flatten.flattenJsonColumn(
@@ -1532,6 +1536,26 @@ object SparkEntry {
          SELECT doc_id, nbg AS n_bigrams,
            list_reduce(list_prepend(0.0, ps), (acc, x) -> acc + x) / nbg AS lm_score
          FROM a""",
+
+    "cms_estimate" ->
+      """WITH sk AS (
+           SELECT d, b, count(*) AS c FROM (
+             SELECT UNNEST([
+               struct_pack(d := 0, b := ((user_id * 1000003 + 12345) % 2038074743) % 1024),
+               struct_pack(d := 1, b := ((user_id * 999983 + 54321) % 2038074743) % 1024),
+               struct_pack(d := 2, b := ((user_id * 824633 + 98765) % 2038074743) % 1024),
+               struct_pack(d := 3, b := ((user_id * 7368787 + 13579) % 2038074743) % 1024)
+             ], recursive := true) FROM events) GROUP BY d, b),
+           top AS (SELECT user_id AS key, count(*) AS n FROM events
+                   GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 10),
+           e AS (SELECT key, n, UNNEST([
+               struct_pack(d := 0, b := ((key * 1000003 + 12345) % 2038074743) % 1024),
+               struct_pack(d := 1, b := ((key * 999983 + 54321) % 2038074743) % 1024),
+               struct_pack(d := 2, b := ((key * 824633 + 98765) % 2038074743) % 1024),
+               struct_pack(d := 3, b := ((key * 7368787 + 13579) % 2038074743) % 1024)
+             ], recursive := true) FROM top)
+         SELECT key, n AS exact_n, min(c) AS cms_estimate
+         FROM e JOIN sk USING (d, b) GROUP BY key, n""",
 
     "dq_freshness" ->
       """WITH g AS (SELECT event_type, count(*) AS n,

@@ -321,6 +321,17 @@ class Round5OpsSpec extends AnyFunSuite {
     out.foreach { case (_, mx, n) => assert(mx >= 1L && mx <= n) }
   }
 
+  test("cmsEstimate: estimates dominate exact counts; exact at low collision") {
+    val d = (1L to 3000L).map(i => (i, i % 40)).toDF("id", "k")
+    val out = Profile.cmsEstimate(d, col("k"), topN = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 10)
+    out.foreach { case (_, exact, est) => assert(est >= exact) } // CMS law
+    // 40 distinct keys over 4x1024 counters: collisions are virtually
+    // impossible, so the sketch should be exact here
+    out.foreach { case (_, exact, est) => assert(est === exact) }
+  }
+
   test("compactRoundTrip: 64 small files -> target files, lossless") {
     val d = (1L to 5000L).map(i => (i, s"e$i", i * 1.5)).toDF("id", "t", "v")
     val path = "/root/repo/target/graft-tmp/compact_spec"
