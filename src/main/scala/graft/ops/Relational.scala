@@ -56,7 +56,12 @@ object Relational {
         col("sum_base_price").cast("double") / col("count_order"))
       .withColumn("sum_qty", col("sum_qty").cast("double"))
       .withColumn("sum_base_price", col("sum_base_price").cast("double"))
-      .withColumn("sum_disc_price", col("sum_disc_price").cast("double"))
+      // sum_disc_price stays DECIMAL: at sf0.1 the scale-10 sum carries
+      // 17 significant digits — beyond double, where Spark's and
+      // DuckDB's decimal->double conversions round the last ulp
+      // differently. The exact decimal is identical on both engines at
+      // every scale; the doubles are not.
+      .withColumn("sum_disc_price", col("sum_disc_price").cast(DecimalType(38, 10)))
   }
 
   /** Top-k per group via ranking window: top `k` orders by price within

@@ -234,8 +234,17 @@ object TextDedup {
     * quadratic expansion to rare shingles — and every candidate is then
     * verified against the FULL shingle sets with exact Jaccard. Recall
     * argument: a pair at Jaccard ≥ 0.5 shares half its (hundreds of)
-    * shingles; virtually certainly at least one is rare. Verified against
-    * the uncapped all-pairs oracle at sf0.01 and spec-checked.
+    * shingles; on natural text at least one is virtually always rare.
+    * Verified exact against the uncapped all-pairs oracle at sf0.01.
+    * MEASURED LIMIT at sf0.1: the synthetic corpus is template-heavy
+    * (only ~278 of ~2000 distinct 5-grams have df <= 100), and pairs
+    * whose every shared shingle is corpus-common escape candidate
+    * generation — 183 of 256 true pairs (71%) at the default cap.
+    * Raising the cap restores recall at quadratic posting cost (cap 300
+    * adds ~36M candidate expansions here); the sound sub-quadratic
+    * route for common-shingle near-dups remains MinHash LSH
+    * ([[minhashLshPairs]]), whose recall is per-pair probabilistic
+    * rather than df-conditioned.
     */
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
