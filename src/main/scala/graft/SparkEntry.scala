@@ -80,9 +80,12 @@ object SparkEntry {
         bucket = floor(col("value") / lit(10.0)).cast("long"))
     }),
 
-    // int8 scalar quantization of the embedding corpus
+    // int8 scalar quantization of the embedding corpus. The codes array
+    // is projected to a comma-joined string: the driver's pandas
+    // row-sort can't hash array cells (same convention as array_funcs).
     "embedding_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), array_join(col("codes"), ",").as("codes"))),
 
     // zone-map file pruning over a range-sorted layout == the plain filter
     "zonemap_prune" -> ((s, dir) =>
@@ -1494,10 +1497,10 @@ object SparkEntry {
                    FROM embeddings, idx GROUP BY i),
            arr AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mins,
                           list(CAST(mx AS DOUBLE) ORDER BY i) AS maxs FROM dim)
-         SELECT vec_id, list_transform(range(len(embedding)), i ->
+         SELECT vec_id, array_to_string(list_transform(range(len(embedding)), i ->
            CAST(CASE WHEN maxs[i+1] = mins[i+1] THEN 0
                 ELSE floor((CAST(embedding[i+1] AS DOUBLE) - mins[i+1]) * 255.0
-                           / (maxs[i+1] - mins[i+1])) END AS INT)) AS codes
+                           / (maxs[i+1] - mins[i+1])) END AS INT)), ',') AS codes
          FROM embeddings, arr""",
 
     "zonemap_prune" ->
@@ -1744,7 +1747,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price

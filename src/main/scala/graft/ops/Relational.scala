@@ -56,12 +56,12 @@ object Relational {
         col("sum_base_price").cast("double") / col("count_order"))
       .withColumn("sum_qty", col("sum_qty").cast("double"))
       .withColumn("sum_base_price", col("sum_base_price").cast("double"))
-      // sum_disc_price stays DECIMAL: at sf0.1 the scale-10 sum carries
-      // 17 significant digits — beyond double, where Spark's and
-      // DuckDB's decimal->double conversions round the last ulp
-      // differently. The exact decimal is identical on both engines at
-      // every scale; the doubles are not.
-      .withColumn("sum_disc_price", col("sum_disc_price").cast(DecimalType(38, 10)))
+      // sum_disc_price: round to the business scale (2) before the
+      // double cast. A ~1e7 value at scale 2 has ~9 significant digits,
+      // exactly representable in a double on both Spark and DuckDB —
+      // sidestepping both the scale-10 last-ulp divergence and
+      // cross-engine decimal string rendering.
+      .withColumn("sum_disc_price", round(col("sum_disc_price"), 2).cast("double"))
   }
 
   /** Top-k per group via ranking window: top `k` orders by price within
