@@ -194,18 +194,43 @@ object TextDedup {
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold —
     * catches quote/prefix duplication that Jaccard misses (a paragraph
     * wholly contained in a much longer doc has high containment but low
-    * Jaccard, because the union is dominated by the longer doc). Same
-    * inverted-index machinery as [[nearDupJaccard]] — two shuffles, no
-    * self-join; note the Bayardo size-ratio prune does NOT apply here
-    * (containment is exactly the asymmetric case it would discard).
+    * Jaccard, because the union is dominated by the longer doc).
+    *
+    * The df-capped inverted index generates CANDIDATES ONLY; every
+    * candidate is then re-verified against the FULL shingle sets with
+    * `array_intersect`, so emitted containment values are EXACT even
+    * when the cap drops common shingles from the intersection count
+    * (the capped count is a lower bound — using it directly both
+    * undercounts surviving pairs and misses borderline ones). Note the
+    * Bayardo size-ratio prune does NOT apply here (containment is
+    * exactly the asymmetric case it would discard). Recall caveat: a
+    * true pair whose every shared shingle has df > maxDf never becomes
+    * a candidate; with word shingles (far sparser than char n-grams)
+    * the cap does not engage at verified scales — the sf0.1 oracle run
+    * is exact — and raising `maxDf` trades posting-expansion cost for
+    * recall on template-heavy corpora.
     */
   def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                        maxDf: Int = 1000): DataFrame = {
     val sh = shingles(docs, k).persist()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    pairIntersections(sh, maxDf)
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    // candidates: any pair sharing >=1 rare shingle; the capped `inter`
+    // is discarded (it is only a lower bound), never used to prune
+    val cand = pairIntersections(sh, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = sh.join(broadcast(candDocs), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("containment",
         col("inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
@@ -229,30 +254,36 @@ object TextDedup {
 
   /** Near-duplicate pairs by character n-gram Jaccard. Char n-grams are
     * far denser than word shingles (every document shares common
-    * substrings), so the inverted index is used for CANDIDATES ONLY —
-    * postings longer than `maxDf` are skipped entirely, bounding the
-    * quadratic expansion to rare shingles — and every candidate is then
-    * verified against the FULL shingle sets with exact Jaccard. Recall
-    * argument: a pair at Jaccard ≥ 0.5 shares half its (hundreds of)
-    * shingles; on natural text at least one is virtually always rare.
-    * Verified exact against the uncapped all-pairs oracle at sf0.01.
-    * MEASURED LIMIT at sf0.1: the synthetic corpus is template-heavy
-    * (only ~278 of ~2000 distinct 5-grams have df <= 100), and pairs
-    * whose every shared shingle is corpus-common escape candidate
-    * generation — 183 of 256 true pairs (71%) at the default cap.
-    * Raising the cap restores recall at quadratic posting cost (cap 300
-    * adds ~36M candidate expansions here); the sound sub-quadratic
-    * route for common-shingle near-dups remains MinHash LSH
-    * ([[minhashLshPairs]]), whose recall is per-pair probabilistic
-    * rather than df-conditioned.
+    * substrings), so a df-capped inverted index alone is NOT
+    * scale-honest: on template-heavy corpora a true pair's every shared
+    * shingle can be corpus-common, and such pairs never reach a short
+    * posting list (round-5 measurement: 71% recall at sf0.1 with the
+    * df-100 cap alone). Candidates therefore come from TWO independent
+    * generators whose union is verified with exact Jaccard:
+    *
+    *  1. MinHash+LSH banding over the char shingles ([[lshCandidates]],
+    *     64 hashes × 32 bands of 2 rows) — recall is per-pair
+    *     probabilistic, P(miss | J=t) = (1-t²)^32 ≈ 1e-4 at t=0.5,
+    *     regardless of how common the shared shingles are; and
+    *  2. the rare-shingle inverted index (postings ≤ `maxDf`) — exact
+    *     for any pair sharing at least one rare shingle, covering the
+    *     tail where LSH is weakest (pairs barely above threshold).
+    *
+    * Both generators shuffle ids/signatures, never text; precision is
+    * 1.0 from the exact verify. Measured 256/256 recall vs the uncapped
+    * all-pairs oracle at sf0.1 (and exact at sf0.01).
     */
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
                           maxDf: Int = 100): DataFrame = {
     val sh = charShingles(docs, n).persist() // reused: candidates + verify
-    val candidates = pairIntersections(sh, maxDf)
+    val p = 2038074743L
+    val lsh = lshCandidates(
+      sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(p)).as("x")),
+      numHashes = 64, bands = 32, p = p)
+    val rare = pairIntersections(sh, maxDf)
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(lsh.unionByName(rare).distinct(), sh, threshold)
   }
 
   /** MinHash signature matrix + LSH banding candidates — the sub-quadratic
@@ -275,16 +306,29 @@ object TextDedup {
       lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p))
 
     val sh = shingles(docs, k).persist() // reused: signatures + verification
-    val hashed = sh.select(col("doc_id"), shingleHash.as("x"))
+    val candidates = lshCandidates(
+      sh.select(col("doc_id"), shingleHash.as("x")), numHashes, bands, p)
 
-    // one-pass signature via the custom TypedImperativeAggregate: one
-    // long[numHashes] buffer per doc instead of numHashes agg columns
-    // (deterministic seed ⇒ stable signatures across runs/partitionings)
+    // exact-Jaccard verification of candidates (precision = 1.0)
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** LSH banding candidate pairs from pre-hashed shingles (doc_id, x):
+    * one-pass MinHash signatures via the custom TypedImperativeAggregate
+    * (one long[numHashes] buffer per doc instead of numHashes agg
+    * columns; deterministic seed ⇒ stable signatures across runs and
+    * partitionings), then banding — bucket key = band index + joined
+    * signature slice — and the same posting-list pair expansion as
+    * [[nearDupJaccard]]. Shared by the word-shingle and char n-gram
+    * near-dedup paths; the shuffles carry 8·numHashes-byte signatures,
+    * never text.
+    */
+  private def lshCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
+                            p: Long): DataFrame = {
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
         .as("sig"))
 
-    // banding: bucket key = band index + joined signature slice
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -295,16 +339,12 @@ object TextDedup {
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
 
-    // same posting-list expansion as nearDupJaccard: docs sharing a bucket
-    val candidates = buckets.groupBy(col("band"), col("key"))
+    buckets.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-
-    // exact-Jaccard verification of candidates (precision = 1.0)
-    verifyJaccard(candidates, sh, threshold)
   }
 
   /** Near-dup CLUSTERS from verified pairs — the step that turns pairwise
@@ -329,41 +369,54 @@ object TextDedup {
     // magnitude smaller than the corpus, and this keeps every
     // per-iteration join at graph size, not corpus size (the corpus is
     // only touched once, in the final singleton union)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    val nVerts = edges.select(col("src")).distinct().count()
+    // size the loop's shuffles to the GRAPH, not the corpus: ~1 partition
+    // per 500k vertices (min 2). Per-iteration joins over a 100-vertex
+    // graph otherwise schedule a full corpus-sized shuffle fan-out per
+    // action — pure task overhead repeated every round. The override
+    // lives in a CHILD session (isolated SQLConf, shared context and
+    // cache) so concurrent queries on the caller's session are never
+    // affected; the caller's conf value is parsed defensively (it can be
+    // non-numeric, e.g. "auto", on some platforms).
+    val parent = docs.sparkSession
+    val sessionParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val graphParts = math.max(2L, math.min(sessionParts, nVerts / 500000L + 1L))
+    val loopSession = parent.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", graphParts.toString)
+    val loopEdges = loopSession.createDataFrame(edges.rdd, edges.schema).persist()
+    var labels = loopEdges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).persist()
-    val nVerts = labels.count()
-    // size the loop's shuffle partitions to the GRAPH, not the corpus:
-    // the vertex count is already materialized, so pick ~1 partition per
-    // 500k vertices (min 2). Per-iteration joins over a 100-vertex graph
-    // otherwise schedule a full corpus-sized shuffle fan-out per action —
-    // pure task overhead repeated every round.
-    val spark = docs.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(2L, math.min(prevParts.toLong, nVerts / 500000L + 1L)).toString)
     var backing = labels // the persisted frame the current labels read from
     var changed = 1L
     var iter = 0
-    try while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = loopEdges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
       // carry a moved flag out of the same join instead of re-joining the
       // old labels afterwards — one pass per iteration, not two
-      val step = labels
+      var step = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label")).as("moved"))
-        .persist()
+      // lineage grows linearly with iterations (each step's plan embeds
+      // the previous); on deep graphs (diameter > ~8) truncate it with a
+      // localCheckpoint so analysis/optimization never walks an
+      // O(iters)-deep plan — persist alone caches data but keeps lineage
+      step =
+        if ((iter + 1) % 8 == 0) step.localCheckpoint(true)
+        else step.persist()
       changed = step.filter(col("moved")).count()
       backing.unpersist()
       backing = step
       labels = step.select(col("doc_id"), col("label"))
       iter += 1
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     edges.unpersist()
+    loopEdges.unpersist()
     // a component with diameter > maxIters would exit the loop mid-merge;
     // silently emitting its partial labels would split one duplicate
     // cluster into several "canonical" docs downstream — fail loudly
@@ -373,9 +426,11 @@ object TextDedup {
           s"($changed labels still changing); raise maxIters")
     // union the untouched singletons back in: docs absent from the pair
     // graph label themselves (left join against the tiny propagated set
-    // broadcasts at scale)
+    // broadcasts at scale). Labels hop back to the caller's session so
+    // the result is not bound to the loop session's conf.
+    val labelsOut = parent.createDataFrame(labels.rdd, labels.schema)
     val all = docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
+      .join(labelsOut, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     all.withColumn("cluster_size", count(lit(1)).over(w))

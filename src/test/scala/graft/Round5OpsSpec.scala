@@ -113,6 +113,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(jac.count() === 0)
   }
 
+  test("containmentPairs: exact values even when the df-cap drops shared shingles") {
+    // shingle "alpha beta gamma" appears in ALL four docs (df=4 > cap 3),
+    // so it is dropped from candidate generation — but docs 1 and 2 also
+    // share the rarer tail, so the pair is still a candidate, and the
+    // emitted containment must count the capped shingle via the exact
+    // full-set re-verify (1.0, not the capped lower bound 3/4)
+    val core = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, core),
+      (2L, core + " " + (1 to 40).map(i => s"w$i").mkString(" ")),
+      (3L, "alpha beta gamma qq rr"),
+      (4L, "alpha beta gamma ss tt"))
+      .toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(d, threshold = 0.8, maxDf = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 === 1.0)
+  }
+
   test("driftReport: identical sides yield zero drift, shares sum to 1") {
     // same values on both sides -> p_a == p_b everywhere
     val d = (0 until 100).flatMap(i => Seq((i % 10, 0), (i % 10, 1)))

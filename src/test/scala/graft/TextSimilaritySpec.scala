@@ -102,6 +102,21 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
   }
 
+  test("dedupClusters: long chain (diameter 17) converges across checkpoint boundaries") {
+    // an 18-node path needs 17 propagation rounds — crossing the
+    // periodic localCheckpoint at iterations 8 and 16 — and must still
+    // produce one component labeled by the minimum doc_id; the loop's
+    // graph-sized shuffle override must NOT leak into the caller's conf
+    val ids = (1L to 18L)
+    val d = docs(ids.map(i => (i, "x")): _*)
+    val pairs = ids.init.map(i => (i, i + 1, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val out = TextDedup.dedupClusters(d, pairs, maxIters = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === ids.map(i => (i, 1L, 18L)).toSet)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === confBefore)
+  }
+
   test("dedupClusters fails loudly when maxIters is below the chain diameter") {
     // a 5-node path needs >1 propagation round; maxIters=1 must throw,
     // not silently emit a split clustering
