@@ -148,8 +148,11 @@ object Distribute {
       .agg(min(col(sortCol)).as("mn"), max(col(sortCol)).as("mx"))
     val keep = stats.filter(col("mx") >= lo && col("mn") <= hi)
       .select(col("f")).collect().map(_.getString(0))
-    require(keep.nonEmpty, s"no file overlaps [$lo, $hi]")
-    spark.read.parquet(keep.toIndexedSeq: _*)
+    // an empty keep-list is a VALID pruning outcome (a fully selective
+    // predicate), not an error — return an empty frame with the input
+    // schema, exactly what the full-scan filter would produce
+    if (keep.isEmpty) df.filter(lit(false))
+    else spark.read.parquet(keep.toIndexedSeq: _*)
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
   }
 

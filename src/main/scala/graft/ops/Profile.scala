@@ -52,11 +52,15 @@ object Profile {
     */
   def anomalyStats(df: DataFrame, group: Column, value: Column): DataFrame = {
     val big = DecimalType(38, 0)
-    val cents = round(value * lit(100)).cast("long")
+    // cast to decimal BEFORE any multiply/sum: cents*cents in LongType
+    // wraps silently past ~2^63 (values >= ~$30M), and long sums wrap on
+    // very large groups — either would break the bit-reproducible
+    // contract (the DuckDB oracle is HUGEINT throughout)
+    val cents = round(value * lit(100)).cast("long").cast(big)
     df.groupBy(group.as("g")).agg(
       count(lit(1)).as("n"),
       sum(cents).as("s"),
-      sum((cents * cents).cast(big)).as("ss"))
+      sum(cents * cents).as("ss"))
   }
 
   /** Flag rows whose value deviates > (num/den)·σ from their group's
@@ -68,13 +72,17 @@ object Profile {
                     value: Column, idCols: Seq[String],
                     num: Int, den: Int): DataFrame = {
     val big = DecimalType(38, 0)
-    val cents = round(value * lit(100)).cast("long")
+    // decimal throughout (see anomalyStats): n*xc in LongType would wrap
+    // on large groups x large cents before the cast could save it
+    val cents = round(value * lit(100)).cast("long").cast(big)
     rows.select(idCols.map(col) :+ group.as("g") :+ value.as("value") :+
         cents.as("xc"): _*)
       .join(broadcast(stats), "g")
-      .withColumn("dev", (col("n") * col("xc") - col("s")).cast(big))
+      .withColumn("dev",
+        col("n").cast(big) * col("xc") - col("s").cast(big))
       .filter(col("dev") * col("dev") * lit(den.toLong * den) >
-        (col("n").cast(big) * col("ss") - col("s").cast(big) * col("s").cast(big))
+        (col("n").cast(big) * col("ss").cast(big) -
+          col("s").cast(big) * col("s").cast(big))
           * lit(num.toLong * num))
       .select(idCols.map(col) :+ col("g") :+ col("value"): _*)
   }

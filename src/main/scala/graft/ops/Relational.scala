@@ -132,12 +132,6 @@ object Relational {
       .pivot("event_type", types)
       .agg(count(lit(1)))
 
-  /** Star-schema join + rollup: revenue per nation. Dimension sides
-    * (nation, region) are explicitly broadcast — no shuffle for the
-    * dimension joins even at 100 TB fact scale; only the customer⋈orders
-    * equi-join shuffles (AQE picks broadcast there too when customer
-    * fits).
-    */
   /** 2-D Pareto frontier (skyline): rows no other row dominates, where
     * q dominates p iff q.cost <= p.cost AND q.gain >= p.gain with at
     * least one strict. Equal (cost, gain) duplicates never dominate each
@@ -172,6 +166,12 @@ object Relational {
       .select(col("id"), col("cost"), col("gain"))
   }
 
+  /** Star-schema join + rollup: revenue per nation. Dimension sides
+    * (nation, region) are explicitly broadcast — no shuffle for the
+    * dimension joins even at 100 TB fact scale; only the customer⋈orders
+    * equi-join shuffles (AQE picks broadcast there too when customer
+    * fits).
+    */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val c = graft.Tables.customer(spark, dir)
     val o = graft.Tables.orders(spark, dir)

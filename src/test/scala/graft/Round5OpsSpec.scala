@@ -23,6 +23,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSeq === Seq(10L))
   }
 
+  test("anomalyOutliers: exact past long-wrap scale (values >= \\$30M)") {
+    // cents^2 for $80M is 6.4e19 > Long.MaxValue — LongType multiply
+    // would wrap; decimal arithmetic must still flag exactly the z=3 row
+    // group: nine 40,000,000.00s and one 80,000,000.00
+    // mean 44e6, sigma 12e6; z(8e7) = 3 > 1.5, z(4e7) = 1/3
+    val d = ((1L to 9L).map(i => (i, "g", 4.0e7)) :+ ((10L, "g", 8.0e7)))
+      .toDF("id", "grp", "v")
+    val out = Profile.anomalyOutliers(d, col("grp"), col("v"), Seq("id"),
+      num = 3, den = 2)
+    assert(out.select("id").as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("zonemapPrune: fully selective predicate yields empty result, not an error") {
+    val d = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val scratch = "/root/repo/target/graft-tmp/zonemap_empty_spec"
+    val out = Distribute.zonemapPrune(spark, d, "v", scratch,
+      lo = 5000.0, hi = 6000.0, ranges = 4)
+    assert(out.columns.toSeq === Seq("id", "v"))
+    assert(out.count() === 0)
+  }
+
   test("anomalyOutliers boundary: |x - mu| exactly k*sigma is NOT an outlier") {
     // two points symmetric around mean: each sits at exactly 1 sigma
     val d = Seq((1L, "g", 10.0), (2L, "g", 20.0)).toDF("id", "grp", "v")
