@@ -762,8 +762,14 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-duplicate pairs
-    "embedding_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDup(Tables.embeddings(s, dir), threshold = 0.5)),
+    // banding derived from the threshold + corpus size (SCALE.md rule),
+    // not inherited test tuning — (4, 32) at the gate corpus
+    "embedding_near_dup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (bits, bands) = Similarity.bandingFor(0.5, e.count())
+      Similarity.cosineNearDup(e, threshold = 0.5,
+        bitsPerBand = bits, bands = bands)
+    }),
 
     // ---- distribution strategies (100 TB shuffle answers) -------------
 

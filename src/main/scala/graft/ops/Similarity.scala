@@ -77,6 +77,29 @@ object Similarity {
     * sweeps at cos ≥ 0.8-0.9 would raise bitsPerBand (smaller buckets,
     * fewer candidates) and keep the identical plan shape.
     */
+  /** Threshold→banding rule for [[cosineNearDup]] (documented with the
+    * derivation table in SCALE.md): collision prob per hyperplane for a
+    * pair at the threshold angle is p = 1 − acos(t)/π; `bitsPerBand`
+    * follows the CORPUS (≈ log2(n/32), so a band's bucket population
+    * stays ~32 and the bucket self-join stays near-linear, min 4);
+    * `bands` then follows the threshold: enough bands that the per-pair
+    * miss rate (1 − p^bits)^bands drops below `targetMiss`. Production
+    * sweeps at a different threshold or corpus size get parameters from
+    * the same rule instead of inheriting test tuning.
+    */
+  def bandingFor(threshold: Double, corpusSize: Long,
+                 targetMiss: Double = 1e-3): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bits = math.max(4,
+      math.ceil(math.log(math.max(1.0, corpusSize / 32.0)) / math.log(2.0)).toInt)
+    val c = math.pow(p, bits)
+    val bands = math.max(8,
+      math.ceil(math.log(targetMiss) / math.log1p(-c)).toInt)
+    (bits, bands)
+  }
+
   def cosineNearDup(embeddings: DataFrame, threshold: Double,
                     bitsPerBand: Int = 4, bands: Int = 32,
                     seed: Long = 7L): DataFrame = {

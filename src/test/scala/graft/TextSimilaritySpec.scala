@@ -171,6 +171,38 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineNearDup at threshold 0.9 with bandingFor params matches exact") {
+    // a production-strength sweep (cos >= 0.9) must not inherit the 0.5
+    // test tuning: bandingFor derives (bits, bands) from the threshold
+    // angle + corpus size, and the LSH result must equal the exact
+    // all-pairs oracle (fixed seed => deterministic pass)
+    val base = (0 until 20).map(i =>
+      Array.tabulate(8)(d => math.sin(i * 1.3 + d * 0.9).toFloat))
+    val e = base.zipWithIndex.flatMap { case (v, i) =>
+      // a near-copy at cos >= 0.9 for every even vector
+      val copy = v.map(x => (x + 0.02f * (if (i % 2 == 0) 1 else 5)))
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, copy))
+    }.toDF("vec_id", "embedding")
+    val n = e.count()
+    val (bits, bands) = Similarity.bandingFor(0.9, n)
+    assert(bits >= 4 && bands >= 8)
+    val lsh = Similarity.cosineNearDup(e, 0.9, bitsPerBand = bits, bands = bands)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineNearDupExact(e, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty) // the fixture must actually exercise 0.9 pairs
+    assert(lsh === exact)
+  }
+
+  test("bandingFor reproduces the verified gate tuning and scales with corpus") {
+    assert(Similarity.bandingFor(0.5, 500L) === ((4, 32)))
+    val (bitsBig, _) = Similarity.bandingFor(0.5, 1000000L)
+    assert(bitsBig > 4) // bucket population follows the corpus
+    val (_, bandsHigh) = Similarity.bandingFor(0.9, 500L)
+    val (_, bandsLow) = Similarity.bandingFor(0.5, 500L)
+    assert(bandsHigh < bandsLow) // tighter threshold needs fewer bands
+  }
+
   test("brute-force top-k: nearest neighbor of a vector is its duplicate") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
