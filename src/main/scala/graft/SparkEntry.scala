@@ -631,6 +631,29 @@ object SparkEntry {
         tableName = "events", auditPath = tmp(dir, "pipeline_audit")).merged
     }),
 
+    // the reference's FAILED short-circuit (data_pipeline.py:259-262):
+    // a fatal (non-duplicate) DQ failure — injected NULL keys — skips
+    // the load and writes the FAILED audit row; returning the audit
+    // puts the failure path under the driver gate, not just the specs
+    "pipeline_run_failed" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val src = e.withColumn("user_id",
+        when(col("event_id") % 97 === 0,
+          lit(null).cast(e.schema("user_id").dataType))
+          .otherwise(col("user_id")))
+      graft.runner.Pipeline.run(s,
+        source = src,
+        target = e.limit(0),
+        contract = Quality.DqContract(
+          requiredCols = Seq("event_id", "user_id", "event_type"),
+          keys = eventKeys),
+        ts = col("ts"), tiebreak = Seq(col("event_id")),
+        tableName = "events",
+        auditPath = tmp(dir, "pipeline_audit_failed"))
+        .audit
+        .withColumn("source_files", array_join(col("source_files"), ","))
+    }),
+
     // E5: multimodal binary column + partition-wise (stubbed) decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Tables.documents(s, dir))),
@@ -2164,6 +2187,14 @@ object SparkEntry {
            ('ga_sessions', CAST(0 AS BIGINT), 'FAILED: empty_input',
             TIMESTAMP '2026-01-01 00:00:00', ''))
          AS t(table_name, record_count, status, load_timestamp, source_files)""",
+
+    // the FAILED audit row is fully determined by the injected DQ
+    // violation: null keys are fatal, the load is skipped, count is 0
+    "pipeline_run_failed" ->
+      """SELECT 'events' AS table_name, CAST(0 AS BIGINT) AS record_count,
+           'FAILED: null_keys' AS status,
+           TIMESTAMP '2026-01-01 00:00:00' AS load_timestamp,
+           'mock://endpoint' AS source_files""",
 
     "multimodal_decode" ->
       """SELECT doc_id,
