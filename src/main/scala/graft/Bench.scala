@@ -33,16 +33,25 @@ object Bench {
       (times, failed.reverse)
     }
     // pass 1 = cold (the headline, methodology-compatible with earlier
-    // rounds); pass 2 = warm (JVM/codegen/page-cache amortized — the true
-    // operator cost, reported as secondary fields)
+    // rounds); passes 2..REPS = warm (JVM/codegen/page-cache amortized).
+    // queries_warm reports the per-query MIN over the warm passes:
+    // single-run deltas at sf0.1 sit inside ±30% host-load noise, so a
+    // per-query minimum is what makes cross-round comparisons
+    // code-attributable rather than load-attributable.
+    val reps = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val (cold, coldFailed) = once()
-    val (warm, warmFailed) = once()
+    val warmRuns = (2 to reps).map(_ => once())
+    val warm: Map[String, Double] =
+      warmRuns.map(_._1).reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val warmFailed = warmRuns.flatMap(_._2).distinct.toList
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: List[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
       s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
+      s""""warm_passes":${reps - 1},""" +
       s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}""")
     spark.stop()
   }
