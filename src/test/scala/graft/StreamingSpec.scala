@@ -94,6 +94,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("streamingAnomaly equals the batch flag set at sf0.1 (10x gate scale)") {
+    // the two registered anomaly paths share Profile.anomalyStats; this
+    // pins them identical at the scale where float noise or partial-agg
+    // ordering would first diverge — exact decimal arithmetic means the
+    // flag SETS match, not just their counts
+    val orders = Tables.orders(spark, "/root/testdata/sf0.1")
+    val out = Streaming.streamingAnomaly(spark, orders, scratch("anomaly01"))
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    val batch = graft.ops.Profile.anomalyOutliers(orders,
+        col("o_orderpriority"), col("o_totalprice"),
+        idCols = Seq("o_orderkey"), num = 3, den = 2)
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    assert(out === batch)
+    assert(out.nonEmpty)
+  }
+
   test("statefulSessionize equals batch gaps-and-islands for any batching") {
     val out = Streaming.statefulSessionize(spark, events, 1800L, scratch("sess"))
       .select(col("key"), col("session_id"), col("n_events"))
