@@ -1298,6 +1298,27 @@ object SparkEntry {
         batch = d.filter(col("doc_id") >= 400))
     }),
 
+    // ingest-tick NEAR-dedup: batch docs near-duplicating the existing
+    // corpus via cross-side LSH buckets (batch x corpus, never corpus^2)
+    "near_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.nearDupIncremental(
+        corpus = d.filter(col("doc_id") % 10 =!= 0),
+        batch = d.filter(col("doc_id") % 10 === 0))
+    }),
+
+    // sequence packing: per-shard prefix-sum token binning (one parallel
+    // window pass; shards pack independently)
+    "pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Shard.packSequences(d, col("doc_id"),
+        size(split(col("text"), " ")), nShards = 8, budget = 512L)
+    }),
+
+    // eval-integrity audit: near-dup pairs straddling train/val/test
+    "split_leak_pairs" -> ((s, dir) =>
+      TextDedup.splitLeakPairs(Tables.documents(s, dir))),
+
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
       Distribute.saltedAgg(
@@ -2146,6 +2167,19 @@ object SparkEntry {
          WHERE rank <= 5"""
   )
 
+  private val nearDupOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+              FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT a AS doc_a, b AS doc_b,
+              CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"""
+
   private val extraOracles: Map[String, String] = Map(
 
     "source_paginated" ->
@@ -2810,6 +2844,57 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.content_hash = sha256(d.text))
          GROUP BY sha256(text)""",
 
+    // near-dup ground truth + the same portable-hash split arithmetic;
+    // only cross-split pairs survive
+    "split_leak_pairs" ->
+      s"""SELECT doc_a, doc_b,
+           CASE WHEN pa < 80 THEN 'train' WHEN pa < 90 THEN 'val'
+                ELSE 'test' END AS split_a,
+           CASE WHEN pb < 80 THEN 'train' WHEN pb < 90 THEN 'val'
+                ELSE 'test' END AS split_b,
+           jaccard
+         FROM (SELECT doc_a, doc_b, jaccard,
+                 ((doc_a * 1000003) % 1000000007) % 100 AS pa,
+                 ((doc_b * 1000003) % 1000000007) % 100 AS pb
+               FROM ($nearDupOracle))
+         WHERE (CASE WHEN pa < 80 THEN 'train' WHEN pa < 90 THEN 'val'
+                     ELSE 'test' END) <>
+               (CASE WHEN pb < 80 THEN 'train' WHEN pb < 90 THEN 'val'
+                     ELSE 'test' END)""",
+
+    // exact batch x corpus shingle-Jaccard ground truth — asserting the
+    // incremental LSH tick's recall AND precision on the cross pairs
+    "near_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+                FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT a AS doc_a, b AS doc_b,
+                CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+
+    // identical hash order, cumsum, and integer DIV as the Spark side;
+    // the window SUM casts to BIGINT (DuckDB windowed sum is HUGEINT)
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ((doc_id * 1000003) % 1000000007) AS h
+             FROM documents),
+         c AS (SELECT doc_id, n_tokens, h % 8 AS shard,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY h % 8 ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_before
+               FROM t)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+                cum_before // 512 AS bin, cum_before % 512 AS bin_offset
+         FROM c""",
+
     "salted_agg" ->
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -2961,16 +3046,5 @@ object SparkEntry {
   /** Ground-truth near-dup pairs: uncapped all-pairs exact shingle
     * Jaccard >= 0.5 (3-word shingles).
     */
-  private val nearDupOracle =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
-              FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id)
-       SELECT a AS doc_a, b AS doc_b,
-              CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-       FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"""
+
 }

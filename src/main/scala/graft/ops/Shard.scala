@@ -25,12 +25,17 @@ object Shard {
     * sets stable across dataset versions. Pure projection — no shuffle.
     */
   def splitAssign(df: DataFrame, id: Column,
-                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitCol(id, trainPct, valPct))
+
+  /** The split label as a pure Column (no join needed to recover a
+    * document's split — membership is a function of its id alone).
+    */
+  def splitCol(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val pct = pmod(portableHash(id), lit(100))
-    df.withColumn("split",
-      when(pct < trainPct, "train")
-        .when(pct < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Mixture sampling: take the first `quota` rows per stratum in
@@ -93,6 +98,34 @@ object Shard {
       .join(broadcast(quotas), "s")
       .filter(col("rn") <= col("quota"))
       .select(col("s"), col("id"), col("quota"))
+  }
+
+  /** Sequence packing for training: assign documents to fixed
+    * token-budget bins by PREFIX-SUM partitioning, per shard. Docs order
+    * by the portable hash within their shard (a reproducible
+    * pseudo-random permutation), the running token total is a per-shard
+    * window cumsum, and bin = floor(cumsum_before / budget) with
+    * bin_offset = cumsum_before − bin·budget. A doc may straddle a bin
+    * boundary — training loaders handle the tail by truncation/padding;
+    * what matters at 100 TB is that packing is ONE parallel window pass
+    * (shards pack independently), not the greedy sequential fill a
+    * single-machine packer would do. Output:
+    * (doc_id, shard, n_tokens, bin, bin_offset).
+    */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+                    nShards: Int, budget: Long): DataFrame = {
+    val h = portableHash(id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    df.select(id.as("doc_id"), tokens.cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not `/` (which is double division on longs)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"cum_before DIV ${budget}L").as("bin"),
+        pmod(col("cum_before"), lit(budget)).as("bin_offset"))
   }
 
   /** Deterministic global shuffle + sharding for training order: shard =

@@ -277,10 +277,9 @@ object TextDedup {
                           threshold: Double = 0.5,
                           maxDf: Int = 100): DataFrame = {
     val sh = charShingles(docs, n).persist() // reused: candidates + verify
-    val p = 2038074743L
     val lsh = lshCandidates(
-      sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(p)).as("x")),
-      numHashes = 64, bands = 32, p = p)
+      sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x")),
+      numHashes = 64, bands = 32, p = lshPrime)
     val rare = pairIntersections(sh, maxDf)
       .select(col("doc_a"), col("doc_b"))
     verifyJaccard(lsh.unionByName(rare).distinct(), sh, threshold)
@@ -296,18 +295,21 @@ object TextDedup {
     * shuffles), no UDFs; signatures are 8·numHashes bytes per doc, so the
     * banding shuffle moves signatures, not text.
     */
+  private val lshPrime = 2038074743L // prime > any 32-bit shingle hash
+
+  /** Polynomial word-shingle hash → non-negative int domain (shared by
+    * the self-pair and incremental MinHash paths — identical hashing is
+    * what makes a maintained corpus signature table meet a fresh batch).
+    */
+  private def wordShingleHash: Column = aggregate(
+    transform(split(col("shingle"), " "), w => ascii(w) * lit(31L) + length(w)),
+    lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(lshPrime))
+
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val p = 2038074743L // prime > any 32-bit shingle hash
-
-    // polynomial shingle hash -> non-negative int domain
-    val shingleHash = aggregate(
-      transform(split(col("shingle"), " "), w => ascii(w) * lit(31L) + length(w)),
-      lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p))
-
     val sh = shingles(docs, k).persist() // reused: signatures + verification
     val candidates = lshCandidates(
-      sh.select(col("doc_id"), shingleHash.as("x")), numHashes, bands, p)
+      sh.select(col("doc_id"), wordShingleHash.as("x")), numHashes, bands, lshPrime)
 
     // exact-Jaccard verification of candidates (precision = 1.0)
     verifyJaccard(candidates, sh, threshold)
@@ -324,11 +326,75 @@ object TextDedup {
     * never text.
     */
   private def lshCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
-                            p: Long): DataFrame = {
+                            p: Long): DataFrame =
+    minhashBuckets(hashed, numHashes, bands, p).groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+
+  /** Incremental near-dedup — the production ingest tick: flag each NEW
+    * batch document that is a near-duplicate (word-shingle Jaccard ≥
+    * `threshold`) of the EXISTING corpus. Candidates come from MinHash+
+    * LSH banding on both sides joined on (band, key) — batch × corpus
+    * bucket pairs only, NEVER corpus × corpus — so a tick's cost tracks
+    * the batch: at 100 TB the corpus side is a maintained signature/
+    * bucket table (8·numHashes bytes per doc, same deterministic seed)
+    * and only the batch recomputes signatures. Wide banding (64 hashes ×
+    * 32 bands of 2) keeps per-pair miss ≈1e-4 at J = 0.5; the exact-
+    * Jaccard verify keeps precision 1.0. Requires globally unique
+    * doc_ids across corpus and batch (the standard ingest contract).
+    * Output: (doc_a = corpus doc, doc_b = batch doc, jaccard).
+    */
+  def nearDupIncremental(corpus: DataFrame, batch: DataFrame, k: Int = 3,
+                         numHashes: Int = 64, bands: Int = 32,
+                         threshold: Double = 0.5): DataFrame = {
+    val shC = shingles(corpus, k).persist()
+    val shB = shingles(batch, k).persist()
+    val bC = minhashBuckets(
+      shC.select(col("doc_id"), wordShingleHash.as("x")), numHashes, bands, lshPrime)
+    val bB = minhashBuckets(
+      shB.select(col("doc_id"), wordShingleHash.as("x")), numHashes, bands, lshPrime)
+    val candidates = bC.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bB.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // ids are globally unique, so one union feeds the shared verify
+    verifyJaccard(candidates, shC.unionByName(shB), threshold)
+  }
+
+  /** Split leak guard: near-duplicate pairs that STRADDLE train/val/test
+    * splits — the eval-integrity audit a curation pipeline runs after
+    * any hash split, because a test doc with a train-side near-dup
+    * silently inflates eval scores. Composes the verified near-dup pair
+    * generator with [[Shard.splitCol]] — the split is a pure function
+    * of the id, so labeling the pairs adds ZERO joins and zero shuffles
+    * on top of the pair generation. Output:
+    * (doc_a, doc_b, split_a, split_b, jaccard), cross-split pairs only.
+    */
+  def splitLeakPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    nearDupJaccard(docs, k, threshold)
+      .withColumn("split_a", Shard.splitCol(col("doc_a"), trainPct, valPct))
+      .withColumn("split_b", Shard.splitCol(col("doc_b"), trainPct, valPct))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+
+  /** MinHash signatures → banded bucket keys (doc_id, band, key): the
+    * shared banding step behind [[lshCandidates]] (self pairs) and
+    * [[nearDupIncremental]] (batch × corpus pairs). One-pass signature
+    * via the custom TypedImperativeAggregate; deterministic seed, so the
+    * SAME doc always lands in the same buckets across runs — which is
+    * what lets a maintained corpus bucket table meet a fresh batch.
+    */
+  private def minhashBuckets(hashed: DataFrame, numHashes: Int, bands: Int,
+                             p: Long): DataFrame = {
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
         .as("sig"))
-
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -336,15 +402,8 @@ object TextDedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
           v => v.cast("string")), "_").as("key")).as(s"b$b")
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-
-    buckets.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(pairsOf(col("ds"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
   }
 
   /** Near-dup CLUSTERS from verified pairs — the step that turns pairwise
