@@ -1319,6 +1319,12 @@ object SparkEntry {
     "split_leak_pairs" -> ((s, dir) =>
       TextDedup.splitLeakPairs(Tables.documents(s, dir))),
 
+    // the fix for split leaks: splits assigned per near-dup CLUSTER
+    "split_by_cluster" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextDedup.splitByCluster(d, TextDedup.nearDupJaccard(d))
+    }),
+
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
       Distribute.saltedAgg(
@@ -2092,6 +2098,26 @@ object SparkEntry {
          SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lbl""",
+
+    // connected components + portable-hash split of the CANONICAL id
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         lbl AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+                 GROUP BY d.doc_id)
+         SELECT doc_id, cluster_id,
+           CASE WHEN pc < 80 THEN 'train' WHEN pc < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster_id,
+                 ((cluster_id * 1000003) % 1000000007) % 100 AS pc
+               FROM lbl)""",
 
     // LSH must achieve perfect recall on the injected >=0.9-Jaccard dups:
     // same ground-truth oracle as near_dedup.

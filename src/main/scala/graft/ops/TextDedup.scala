@@ -383,6 +383,22 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
         col("jaccard"))
 
+  /** Cluster-aware train/val/test split — the FIX for what
+    * [[splitLeakPairs]] detects: every doc inherits the split of its
+    * near-dup CLUSTER (hash of the canonical cluster_id, not its own
+    * id), so near-duplicates can never straddle train and test. Eval
+    * stability survives corpus growth exactly as [[Shard.splitAssign]]
+    * does — a cluster's split depends only on its canonical id, which
+    * is stable unless the cluster itself merges. Output:
+    * (doc_id, cluster_id, split).
+    */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+                     trainPct: Int = 80, valPct: Int = 10,
+                     maxIters: Int = 20): DataFrame =
+    dedupClusters(docs, pairs, maxIters)
+      .select(col("doc_id"), col("cluster_id"),
+        Shard.splitCol(col("cluster_id"), trainPct, valPct).as("split"))
+
   /** MinHash signatures → banded bucket keys (doc_id, band, key): the
     * shared banding step behind [[lshCandidates]] (self pairs) and
     * [[nearDupIncremental]] (batch × corpus pairs). One-pass signature

@@ -54,6 +54,23 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.groupBy(_._2).forall(_._2.map(_._4).max > 0))
   }
 
+  test("splitByCluster: near-dups inherit the canonical id's split — no straddle") {
+    // ids 1 (train by own hash) and 30 (test by own hash) are near-dups:
+    // both must get cluster 1's split; the leak guard on the cluster
+    // split must find nothing
+    val d = docs(
+      (1L, "x y z x y z x y"),
+      (30L, "x y z x y z x y"),
+      (2L, "p q r s t u v w"))
+    val pairs = TextDedup.nearDupJaccard(d)
+    val out = TextDedup.splitByCluster(d, pairs)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, c, s) => id -> ((c, s)) }.toMap
+    assert(out(1L) === ((1L, "train")))
+    assert(out(30L) === ((1L, "train"))) // own-id hash says test; cluster wins
+    assert(out(2L) === ((2L, "train")))
+  }
+
   test("splitLeakPairs: emits only near-dup pairs straddling splits") {
     // portable-hash split pct for small ids is (id*3) % 100:
     // id 1 -> 3 (train), id 30 -> 90 (test); ids 2,3 -> 6,9 (both train)
