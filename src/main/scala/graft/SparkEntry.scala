@@ -1325,6 +1325,29 @@ object SparkEntry {
       TextDedup.splitByCluster(d, TextDedup.nearDupJaccard(d))
     }),
 
+    // corpus-wide exact paragraph dedup (keep-first) + doc reassembly
+    "paragraph_dedup" -> ((s, dir) =>
+      TextDedup.paragraphDedup(Tables.documents(s, dir))),
+
+    // SemDeDup: cluster-local semantic dedup — pairwise cosine only
+    // within a vector's own cluster, never across the corpus
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4)),
+
+    // winnowing (MOSS) fingerprints: per-window min k-gram hash,
+    // rightmost tie-break — zero-shuffle projection
+    "winnowing" -> ((s, dir) =>
+      Text.winnowing(Tables.documents(s, dir))),
+
+    // character-entropy quality signal (deterministic fold order)
+    "char_entropy" -> ((s, dir) =>
+      Text.charEntropy(Tables.documents(s, dir))),
+
+    // lexicon-ratio blocklist filter (C4-style)
+    "wordlist_filter" -> ((s, dir) =>
+      Text.wordlistFilter(Tables.documents(s, dir),
+        lexicon = Seq("dup", "slow", "spark"), maxRatio = 0.10)),
+
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
       Distribute.saltedAgg(
@@ -2920,6 +2943,81 @@ object SparkEntry {
          SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
                 cum_before // 512 AS bin, cum_before % 512 AS bin_offset
          FROM c""",
+
+    // same first-occurrence rule (min (doc_id, pos) per distinct
+    // paragraph) and the same in-order reassembly
+    "paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         n AS (SELECT doc_id, words,
+                 greatest(CAST(ceil(len(words) / 16.0) AS BIGINT), 1) AS nc FROM w),
+         p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(words[i*16+1 : i*16+16], ' ') AS para
+               FROM n, UNNEST(range(nc)) AS t(i)),
+         k AS (SELECT * FROM p
+               QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1),
+         r AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(para, ' ' ORDER BY pos) AS text_dedup
+               FROM k GROUP BY doc_id)
+         SELECT n.doc_id, n.nc AS n_chunks,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.text_dedup, '') AS text_dedup
+         FROM n LEFT JOIN r USING (doc_id)""",
+
+    // same seed centroids / argmax assignment as embedding_ann, then the
+    // exact within-cluster max cosine to any lower-id mate
+    "semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, v AS g FROM e WHERE vec_id < 16),
+         a AS (SELECT e.vec_id, e.v, cent_id FROM e CROSS JOIN cent
+               QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) = 1),
+         m AS (SELECT x.vec_id, max(list_cosine_similarity(x.v, y.v)) AS max_prior_sim
+               FROM a x JOIN a y ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id
+               GROUP BY x.vec_id)
+         SELECT a.vec_id, a.cent_id, m.max_prior_sim,
+                coalesce(m.max_prior_sim < 0.4, TRUE) AS keep
+         FROM a LEFT JOIN m USING (vec_id)""",
+
+    // same polynomial k-gram hash as doc_fingerprint; per-window min with
+    // rightmost tie-break; row-level DISTINCT == the per-row dedup
+    "winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(range(len(ws) - 3), g ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws[g+1:g+4],
+                       x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+                     (a, b) -> (a * 1000003 + b) % 1000000007)) AS hs
+               FROM t WHERE len(ws) >= 4)
+         SELECT DISTINCT doc_id,
+           CAST((list_filter(range(s, s+4),
+             j -> hs[j+1] = list_min(hs[s+1:s+4])))[-1] AS BIGINT) AS pos,
+           list_min(hs[s+1:s+4]) AS fp
+         FROM h, UNNEST(range(len(hs) - 3)) AS u(s)""",
+
+    // identical fold order (sorted distinct chars, left-to-right) and the
+    // same 1e-6 rounding of the lone transcendental
+    "char_entropy" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) = 0 THEN 0.0
+           ELSE round((ln(CAST(length(text) AS DOUBLE)) -
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list_distinct(string_split(text, ''))),
+                 ch -> CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE) *
+                       ln(CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE)))),
+               (a, b) -> a + b) / length(text)) / ln(2.0), 6) END AS entropy_bits
+         FROM documents""",
+
+    "wordlist_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ws, x -> list_contains(['dup','slow','spark'], x)))
+             AS BIGINT) AS n_hits,
+           CAST(len(list_filter(ws, x -> list_contains(['dup','slow','spark'], x)))
+             AS DOUBLE) / len(ws) AS hit_ratio,
+           CAST(len(list_filter(ws, x -> list_contains(['dup','slow','spark'], x)))
+             AS DOUBLE) / len(ws) <= 0.10 AS keep
+         FROM t""",
 
     "salted_agg" ->
       """SELECT event_type,

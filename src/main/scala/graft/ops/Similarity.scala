@@ -235,6 +235,48 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then compare each vector only
+    * against its OWN cluster's members — the pairwise work is quadratic in
+    * the cluster size, never the corpus size. A vector is dropped when its
+    * cosine to any lower-id cluster-mate reaches `threshold` (keep-lowest-id
+    * is this engine's deterministic stand-in for the paper's
+    * farthest-from-centroid keeper; the dedup set is the same, the chosen
+    * representative differs).
+    *
+    * Plan shape: one broadcast-argmax assignment scan (shared
+    * [[nearestCentroids]]), then a single shuffle that co-locates each
+    * cluster (equi-join on `cent_id`), pairs produced inside the join tasks.
+    * At 100 TB the knob is `nlist` ∝ corpus size so the expected cluster
+    * population stays bounded (the paper runs 50k clusters for LAION-440M);
+    * the per-cluster self-join then stays near-linear and AQE splits any
+    * skewed cluster. Returns every vector with its cluster, the max cosine
+    * to any earlier cluster-mate (NULL for the cluster's first member), and
+    * the keep decision.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 16,
+               kmeansIters: Int = 0): DataFrame = {
+    val cent =
+      if (kmeansIters > 0) kmeansCentroids(embeddings, nlist, kmeansIters)
+      else withVec(embeddings.filter(col("vec_id") < nlist), "cent_id", "g")
+    val assigned = nearestCentroids(withVec(embeddings, "vec_id", "v"),
+      cent, "vec_id", "v", 1)
+
+    val mates = assigned.select(col("cent_id"), col("vec_id"),
+      col("v"), col("v_norm"))
+    val maxPrior = mates.toDF("cent_id", "vec_id", "v", "v_norm")
+      .join(mates.toDF("cent_id", "vec_b", "vb", "vb_norm"), Seq("cent_id"))
+      .where(col("vec_b") < col("vec_id"))
+      .withColumn("cos", cosine(col("v"), col("vb"), col("v_norm"), col("vb_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_prior_sim"))
+
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(maxPrior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("max_prior_sim"),
+        coalesce(col("max_prior_sim") < threshold, lit(true)).as("keep"))
+  }
+
   /** Int8 scalar quantization of the embedding column: per-dimension
     * min/max over the corpus, then code = floor((v - mn) * 255 / (mx -
     * mn)) in [0, 255] — the 4x memory shrink that makes a 100 TB vector

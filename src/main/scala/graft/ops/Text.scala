@@ -179,4 +179,88 @@ object Text {
         lit(0L),
         (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)
       ).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every word `k`-gram with the same
+    * arithmetic-only polynomial as [[docFingerprint]], slide a window of
+    * `w` consecutive k-gram hashes over the document, and select each
+    * window's minimum hash (ties broken to the RIGHTMOST position, the
+    * paper's robust-winnowing rule). Guarantees at least one selected
+    * fingerprint in every `w` consecutive k-grams, so any two documents
+    * sharing a run of `w + k - 1` words share a fingerprint — the
+    * position-robust alternative to fixed-stride fingerprinting.
+    *
+    * Pure per-row projection: k-gram hashing, window minima, and the
+    * per-document de-duplication of selections (`array_distinct` — the
+    * same selection is the minimum of several adjacent windows) all happen
+    * inside one codegen'd expression; no shuffle, no UDF. The emitted
+    * (doc_id, fp) rows feed the same inverted-index candidate family as
+    * [[TextDedup.nearDupJaccard]] at a w-fold lower index size.
+    */
+  def winnowing(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val ws = words(col("text"))
+    val gramHashes = transform(sequence(lit(0), size(ws) - lit(k)),
+      g => aggregate(
+        transform(slice(ws, g + 1, lit(k)), x => ascii(x) * lit(31L) + length(x)),
+        lit(0L),
+        (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)))
+    Par.widen(docs)
+      .filter(size(ws) >= k)
+      .select(col("doc_id"), gramHashes.as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("hs")) - lit(w)), s => {
+          val win = slice(col("hs"), s + 1, lit(w))
+          val mn = array_min(win)
+          val p = element_at(
+            filter(sequence(s, s + lit(w - 1)),
+              j => element_at(col("hs"), j + 1) === mn), -1)
+          struct(p.cast("long").as("pos"), mn.as("fp"))
+        }))).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
+
+  /** Character-level Shannon entropy per document, in bits — the classic
+    * gibberish/noise quality signal (random byte soup scores near 8,
+    * single-character spam near 0). Zero-shuffle projection: the row's
+    * distinct characters are enumerated and sorted per row, each count is
+    * recovered as length(text) - length(replace(text, ch)), and the
+    * entropy fold runs in that one fixed order, so the double result is
+    * reproducible across engines and partitionings. entropy =
+    * (ln N - (Σ c·ln c)/N) / ln 2, rounded to 6 decimals (the two engines'
+    * libm `ln` may differ in the last ulp; 1e-6 is 10 orders above it).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val chars = array_sort(array_distinct(split(col("text"), "")))
+    val sumClnC = aggregate(
+      filter(chars, ch => length(ch) === 1),
+      lit(0.0d),
+      (acc, ch) => {
+        val c = (n - length(replace(col("text"), ch, lit("")))).cast("double")
+        acc + c * log(c)
+      })
+    Par.widen(docs).select(col("doc_id"), n.cast("long").as("n_chars"),
+      when(n === 0, lit(0.0d))
+        .otherwise(round(
+          (log(n.cast("double")) - sumClnC / n.cast("double")) / log(lit(2.0d)), 6))
+        .as("entropy_bits"))
+  }
+
+  /** Lexicon-ratio filter (the C4/RefinedWeb blocklist-filter shape): the
+    * fraction of a document's tokens that fall in a given lexicon, and the
+    * keep decision against `maxRatio`. The lexicon travels as an array
+    * literal (broadcast by construction); the ratio is an exact int/int
+    * division, so the doubles are engine-portable. Zero shuffle.
+    */
+  def wordlistFilter(docs: DataFrame, lexicon: Seq[String],
+                     maxRatio: Double): DataFrame = {
+    val ws = words(col("text"))
+    val hits = size(filter(ws, x => array_contains(typedLit(lexicon), x)))
+    Par.widen(docs).select(col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      hits.cast("long").as("n_hits"),
+      (hits.cast("double") / size(ws).cast("double")).as("hit_ratio"),
+      (hits.cast("double") / size(ws).cast("double") <= maxRatio).as("keep"))
+  }
 }

@@ -36,6 +36,50 @@ object TextDedup {
       .select(col("doc_id"), col("content_hash"))
   }
 
+  /** Corpus-wide exact paragraph deduplication (the ExactSubstr family of
+    * Lee et al. 2022, arXiv:2107.06499, at paragraph granularity): the
+    * corpus is split into fixed `chunkWords`-word paragraphs, every
+    * occurrence of a paragraph OTHER than its corpus-wide first occurrence
+    * (min (doc_id, position)) is removed — including repeats inside the
+    * same document — and each document is reassembled from its surviving
+    * paragraphs in order. Documents the corpus has already seen in full
+    * collapse to the empty string (and are reported with n_kept = 0), so
+    * this subsumes exact-document dedup.
+    *
+    * Scale shape: two shuffles, both content-sized — one window keyed by
+    * the paragraph (Spark partitions on the string's hash; equality inside
+    * the partition keeps the decision exact, unlike a pre-hashed key that
+    * would silently merge 64-bit collisions), one groupBy(doc_id) for
+    * reassembly. Paragraph text crosses the wire once per shuffle; no
+    * all-pairs stage exists anywhere. At 100 TB both shuffles partition
+    * evenly by construction (paragraph hashes and doc ids), and the
+    * reassembly state per doc is the doc itself.
+    */
+  def paragraphDedup(docs: DataFrame, chunkWords: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val nc = greatest(ceil(size(w).cast("double") / lit(chunkWords)), lit(1L))
+    val parts = Par.widen(docs).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), nc - 1),
+        i => array_join(slice(w, (i * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
+        .as(Seq("pos", "para")))
+
+    val firstWin = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))
+    val kept = parts.withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") === 1)
+
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), " ").as("text_dedup"))
+
+    docs.select(col("doc_id"), nc.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Distinct word k-shingles per document: (doc_id, shingle).
     * Distinctness is per-document, so it's enforced with a per-row
     * `array_distinct` BEFORE the explode — no shuffle, unlike a
