@@ -1348,6 +1348,16 @@ object SparkEntry {
       Text.wordlistFilter(Tables.documents(s, dir),
         lexicon = Seq("dup", "slow", "spark"), maxRatio = 0.10)),
 
+    // real payload decode beyond the header: exact integer stats over
+    // the full BMP data section
+    "multimodal_pixel_stats" -> ((s, dir) =>
+      Multimodal.pixelStats(Tables.documents(s, dir))),
+
+    // perceptual (difference-hash) image near-dup signal over decoded
+    // pixels; only (id, hash) ever shuffles
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Tables.documents(s, dir))),
+
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
       Distribute.saltedAgg(
@@ -3018,6 +3028,61 @@ object SparkEntry {
            CAST(len(list_filter(ws, x -> list_contains(['dup','slow','spark'], x)))
              AS DOUBLE) / len(ws) <= 0.10 AS keep
          FROM t""",
+
+    // the BMP data section is the doc's bytes cycled (encodeBmp), so the
+    // oracle reconstructs the stats from ascii codes: full cycles × total
+    // plus the remainder prefix; min/max over the covered prefix
+    "multimodal_pixel_stats" ->
+      """WITH d AS (SELECT doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS w,
+               CAST(8 + doc_id % 16 AS INT) AS h,
+               list_transform(string_split(text, ''), ch -> ascii(ch)) AS px,
+               length(text) AS len
+             FROM documents),
+         g AS (SELECT doc_id, px, len, (((w*3+3)//4)*4) * h AS datasize FROM d)
+         SELECT doc_id, CAST(datasize AS BIGINT) AS n_data_bytes,
+           CAST((datasize // len) * list_aggregate(px, 'sum')
+             + coalesce(list_aggregate(px[1 : datasize % len], 'sum'), 0)
+             AS BIGINT) AS pix_sum,
+           CAST(CASE WHEN datasize >= len THEN list_aggregate(px, 'min')
+                ELSE list_aggregate(px[1 : datasize], 'min') END AS INT) AS pix_min,
+           CAST(CASE WHEN datasize >= len THEN list_aggregate(px, 'max')
+                ELSE list_aggregate(px[1 : datasize], 'max') END AS INT) AS pix_max
+         FROM g""",
+
+    // same 9x8 point-sampled grayscale grid and bit layout as
+    // Multimodal.dHash, rebuilt from the encode parameters: pixel byte at
+    // data offset o is ascii(text[o % len]); grid entry (i, j) sits at
+    // 1-based index j*9+i+1; hash bit t compares entries t%8 and t%8+1 of
+    // row t//8
+    "multimodal_phash" ->
+      """WITH d AS (SELECT doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS w,
+               CAST(8 + doc_id % 16 AS INT) AS h,
+               list_transform(string_split(text, ''), ch -> ascii(ch)) AS px,
+               length(text) AS len
+             FROM documents),
+         g AS (SELECT doc_id, w, h, ((w*3+3)//4)*4 AS rowsize, px, len FROM d),
+         grid AS (SELECT doc_id, w, h,
+             list_transform(range(72), t ->
+               ( px[(((t % 9) * w // 9) * 3 + ((t // 9) * h // 8) * rowsize) % len + 1]
+               + px[((((t % 9) * w // 9) * 3 + ((t // 9) * h // 8) * rowsize) + 1) % len + 1]
+               + px[((((t % 9) * w // 9) * 3 + ((t // 9) * h // 8) * rowsize) + 2) % len + 1]
+               ) // 3) AS gg
+           FROM g),
+         ph AS (SELECT doc_id, w, h,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(64), t ->
+                 CASE WHEN gg[(t // 8) * 9 + (t % 8) + 2] > gg[(t // 8) * 9 + (t % 8) + 1]
+                      THEN (CASE WHEN t = 63
+                            THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                            ELSE (CAST(1 AS BIGINT) << CAST(t AS INT)) END)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS phash
+           FROM grid)
+         SELECT doc_id, phash, w AS width, h AS height,
+           count(*) OVER (PARTITION BY phash) AS n_same
+         FROM ph""",
 
     "salted_agg" ->
       """SELECT event_type,

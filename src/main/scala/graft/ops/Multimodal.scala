@@ -131,6 +131,101 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PHash(doc_id: Long, phash: Long, width: Int, height: Int)
+
+  /** dHash perceptual hash (Krawetz's difference hash, the standard
+    * near-dup signal for images) over REAL decoded BMP pixels: a 9×8
+    * grayscale grid is point-sampled from the pixel array (integer
+    * arithmetic only — (B+G+R)/3 at x = i·w/9, y = j·h/8; point sampling
+    * is this engine's deterministic stand-in for block averaging), and
+    * bit j·8+i of the 64-bit hash records whether brightness rises
+    * between horizontal neighbors. Identical-content images collide
+    * exactly; re-encoded/resized variants land within a small Hamming
+    * ball, searched with the same banded approach as [[TextDedup.simHashPairs]].
+    */
+  private[graft] def dHash(docId: Long, bytes: Array[Byte]): PHash = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def gray(xi: Int, yj: Int): Int = {
+      val off = 54 + yj * rowSize + xi * 3
+      ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)) / 3
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val g0 = gray(i * w / 9, j * h / 8)
+        val g1 = gray((i + 1) * w / 9, j * h / 8)
+        if (g1 > g0) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    PHash(docId, hash, w, h)
+  }
+
+  /** Image near-dup dedup signal on REAL payloads: encode each doc into a
+    * valid BMP, decode pixels partition-wise, compute [[dHash]], and count
+    * how many corpus images share each hash (the exact-perceptual-dup
+    * group size). The only shuffle moves (doc_id, 8-byte hash) — never
+    * pixels — the same shuffle-signatures-not-content rule as MinHash.
+    */
+  def perceptualHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val w = 16 + (b.doc_id % 32).toInt
+          val h = 8 + (b.doc_id % 16).toInt
+          dHash(b.doc_id, encodeBmp(w, h, b.blob))
+        }
+      }.toDF()
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    hashed.select(col("doc_id"), col("phash"), col("width"), col("height"),
+      count(lit(1)).over(grp).as("n_same"))
+  }
+
+  final case class PixelStats(doc_id: Long, n_data_bytes: Long, pix_sum: Long,
+                              pix_min: Int, pix_max: Int)
+
+  /** Stats over the FULL decoded BMP data section (not just the header):
+    * byte count, exact integer sum, min, max. The simplest real
+    * decode-the-payload aggregation — the seam where mean-brightness /
+    * histogram feature extraction runs in a production pipeline, with
+    * integer-exact output the oracle can predict analytically.
+    */
+  def pixelStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val w = 16 + (b.doc_id % 32).toInt
+          val h = 8 + (b.doc_id % 16).toInt
+          val bytes = encodeBmp(w, h, b.blob)
+          var s = 0L
+          var mn = 255
+          var mx = 0
+          var i = 54
+          while (i < bytes.length) {
+            val v = bytes(i) & 0xff
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          PixelStats(b.doc_id, (bytes.length - 54).toLong, s, mn, mx)
+        }
+      }.toDF()
+  }
+
   final case class WavFeatures(doc_id: Long, sample_rate: Int, channels: Int,
                                bits: Int, n_samples: Long, duration_ms: Long)
 

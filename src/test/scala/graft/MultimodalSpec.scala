@@ -45,4 +45,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) === ((5L, 21, 13, 24, 54L + ((21 * 3 + 3) / 4) * 4 * 13)))
     assert(out(40L) === ((40L, 24, 16, 24, 54L + ((24 * 3 + 3) / 4) * 4 * 16)))
   }
+
+  test("dHash: monotone rows hash all-ones, flat rows all-zeros, and it sees pixels") {
+    // flat image (every pixel byte equal): no gradient anywhere -> hash 0
+    val flat = Multimodal.dHash(1L, Multimodal.encodeBmp(18, 9, Array[Byte](7)))
+    assert(flat.phash === 0L && flat.width === 18 && flat.height === 9)
+    // strictly increasing bytes across the whole data section (16x2:
+    // dataSize = 48*2 = 96 fits one unwrapped byte ramp): gray(o) = o+1,
+    // so every horizontal neighbor pair rises -> all 64 bits set
+    val rising = Multimodal.dHash(2L,
+      Multimodal.encodeBmp(16, 2, Array.tabulate[Byte](96)(_.toByte)))
+    assert(rising.phash === -1L) // all 64 bits = two's-complement -1
+    // same dims, different pixels -> different hash (content-sensitive)
+    val other = Multimodal.dHash(3L,
+      Multimodal.encodeBmp(18, 9, "zqjxkvbw".getBytes))
+    assert(other.phash !== flat.phash)
+  }
+
+  test("perceptualHash groups identical content; pixelStats is exact") {
+    // same (text, dims) -> same pixels -> same phash; doc ids 7 and 519
+    // share dims (519 % 32 == 7 % 32, 519 % 16 == 7 % 16) and text
+    val docs = Seq((7L, "same pixels", "en"), (519L, "same pixels", "en"),
+      (39L, "other content", "en")).toDF("doc_id", "text", "lang")
+    val ph = Multimodal.perceptualHash(docs)
+      .as[(Long, Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(ph(7L)._2 === ph(519L)._2 && ph(7L)._5 === 2L && ph(519L)._5 === 2L)
+    assert(ph(39L)._5 === 1L)
+
+    val st = Multimodal.pixelStats(Seq((5L, "ab", "en")).toDF("doc_id", "text", "lang"))
+      .as[(Long, Long, Long, Int, Int)].collect().head
+    // doc 5: w=21 h=13, rowSize=64, dataSize=832; "ab" cycled: 416 a's+b's
+    assert(st === ((5L, 832L, 416L * ('a' + 'b'), 'a'.toInt, 'b'.toInt)))
+  }
 }
