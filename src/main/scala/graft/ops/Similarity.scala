@@ -250,9 +250,12 @@ object Similarity {
     * At 100 TB the knob is `nlist` ∝ corpus size so the expected cluster
     * population stays bounded (the paper runs 50k clusters for LAION-440M);
     * the per-cluster self-join then stays near-linear and AQE splits any
-    * skewed cluster. Returns every vector with its cluster, the max cosine
-    * to any earlier cluster-mate (NULL for the cluster's first member), and
-    * the keep decision.
+    * skewed cluster. The assignment subtree appears twice in the plan (once
+    * for the output rows, once under the pair join) — recomputing one
+    * projection-plus-broadcast-argmax scan is the right 100 TB trade
+    * against persisting the whole vector corpus. Returns every vector with
+    * its cluster, the max cosine to any earlier cluster-mate (NULL for the
+    * cluster's first member), and the keep decision.
     */
   def semDedup(embeddings: DataFrame, threshold: Double, nlist: Int = 16,
                kmeansIters: Int = 0): DataFrame = {
