@@ -1280,6 +1280,12 @@ object SparkEntry {
       graft.streaming.Streaming.streamStreamJoin(s, Tables.events(s, dir),
         windowSec = 3600L, tmp(dir, "stream_join_src"))),
 
+    // §2.9: LEFT OUTER stream-stream join — null rows require real
+    // watermark eviction (delay ≪ feed span; time-ordered file replay)
+    "streaming_join_outer" -> ((s, dir) =>
+      graft.streaming.Streaming.streamStreamJoinOuter(s, Tables.events(s, dir),
+        windowSec = 600L, delaySec = 3600L, tmp(dir, "stream_join_outer_src"))),
+
     // per-source mixture quotas (5/10/15 by source index mod 3), filled
     // in deterministic hash order
     "mixture_sample" -> ((s, dir) =>
@@ -1357,6 +1363,57 @@ object SparkEntry {
     // pixels; only (id, hash) ever shuffles
     "multimodal_phash" -> ((s, dir) =>
       Multimodal.perceptualHash(Tables.documents(s, dir))),
+
+    // audio features over the real PCM payload: energy, dynamic range,
+    // mean-crossing rate — all exact BIGINT, analytically oracle-checked
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(Tables.documents(s, dir))),
+
+    // CDC changelog application: I/U/D ops collapsed to final state,
+    // terminal deletes tombstone the key (the third merge shape)
+    "cdc_apply" -> ((s, dir) => {
+      val log = eventsBase(s, dir).withColumn("op",
+        when(col("event_id") % 10 === 0, "D")
+          .when(col("event_id") % 10 < 4, "I").otherwise("U"))
+      Changelog.cdcApply(log, eventKeys, col("ts"), Seq(col("event_id")),
+          col("op"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+    }),
+
+    // integer-exact PageRank over the customer–supplier order graph:
+    // fixed 10 iterations, scaled-integer mass (bit-reproducible)
+    "pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pageRank(s, edges)
+    }),
+
+    // HyperLogLog distinct customers per order priority, next to exact
+    // truth — m=64 registers/group, every step cross-engine bit-exact
+    "hll_distinct" -> ((s, dir) =>
+      Profile.hllDistinct(Tables.orders(s, dir),
+        group = col("o_orderpriority"), key = col("o_custkey"))
+        .select(col("g").as("o_orderpriority"), col("n_exact"),
+          col("hll_estimate"))),
+
+    // product quantization (IVF-PQ's compression half): 4 subspace
+    // codebooks, codes + mean assignment cosine as observable fidelity
+    "embedding_pq" -> ((s, dir) =>
+      Similarity.productQuantize(Tables.embeddings(s, dir))),
+
+    // explicit runtime-filter pruning: customers passing the bloom of
+    // high-value-order custkeys, false positives flagged via truth join
+    "bloom_semi_join" -> ((s, dir) =>
+      Distribute.bloomSemiJoin(
+        probe = Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        probeKey = col("c_custkey"),
+        build = Tables.orders(s, dir).filter(col("o_totalprice") > 490000),
+        buildKey = col("o_custkey"),
+        mBits = 16384, k = 3)),
 
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
@@ -2886,6 +2943,33 @@ object SparkEntry {
           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
           AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR""",
 
+    // append-mode outer-join semantics, reproduced: matched pairs emit on
+    // arrival; a null row emits iff the FINAL watermark
+    // (min of both streams' max ts − delay) closed the view's window
+    "streaming_join_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+               CAST(ts AS TIMESTAMP) AS view_ts
+             FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id AS pu, event_id AS purchase_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+             FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(view_ts) FROM v),
+                  (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 3600 SECONDS AS w),
+         m AS (SELECT v.user_id, view_id, view_ts, purchase_id, purchase_ts
+               FROM v JOIN p ON v.user_id = pu
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + INTERVAL 600 SECONDS),
+         um AS (SELECT v.user_id, view_id, view_ts,
+                  CAST(NULL AS BIGINT) AS purchase_id,
+                  CAST(NULL AS TIMESTAMP) AS purchase_ts
+                FROM v
+                WHERE NOT EXISTS (SELECT 1 FROM p WHERE pu = v.user_id
+                    AND purchase_ts >= view_ts
+                    AND purchase_ts <= view_ts + INTERVAL 600 SECONDS)
+                  AND view_ts + INTERVAL 600 SECONDS < (SELECT w FROM wm))
+         SELECT * FROM m UNION ALL SELECT * FROM um""",
+
     "mixture_sample" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,
@@ -3083,6 +3167,105 @@ object SparkEntry {
          SELECT doc_id, phash, w AS width, h AS height,
            count(*) OVER (PARTITION BY phash) AS n_same
          FROM ph""",
+
+    // data words reconstructed from the encode parameters: 16-bit LE
+    // pairs of the doc's ascii bytes cycled; the mean compare is the
+    // integer cross-multiply (w·n vs Σw), so every feature is exact
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id,
+               list_transform(string_split(text, ''),
+                 ch -> CAST(ascii(ch) AS BIGINT)) AS px,
+               CAST(length(text) AS BIGINT) AS len,
+               (100 + doc_id % 400) * (1 + doc_id % 2) AS nw
+             FROM documents),
+         s AS (SELECT doc_id, nw,
+                 list_transform(range(nw), k ->
+                   px[CAST((2*k) % len AS BIGINT) + 1]
+                     + 256 * px[CAST((2*k+1) % len AS BIGINT) + 1]) AS ws
+               FROM d),
+         t AS (SELECT doc_id, nw, ws, list_sum(ws) AS sm FROM s)
+         SELECT doc_id, nw AS n_words,
+           CAST(list_sum(list_transform(ws, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_min(ws) AS BIGINT) AS w_min,
+           CAST(list_max(ws) AS BIGINT) AS w_max,
+           CAST(len(list_filter(range(1, nw), k ->
+             (ws[k] * nw - sm) * (ws[k+1] * nw - sm) < 0)) AS BIGINT)
+             AS mean_crossings
+         FROM t""",
+
+    // same derived op column, latest-wins collapse, and tombstone filter
+    "cdc_apply" ->
+      """WITH log AS (SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op
+             FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+         SELECT user_id, event_type, event_id, ts, value
+         FROM r WHERE rn = 1 AND op <> 'D'""",
+
+    // the same integer PageRank recurrence, unrolled (Graph.pageRankOracleSql)
+    "pagerank" -> Graph.pageRankOracleSql(
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 5 = 0"""),
+
+    // identical hash (murmur-style finalizer), register build, and
+    // estimator arithmetic; every float literal CAST to DOUBLE (bare
+    // 0.709 parses as DECIMAL here)
+    "hll_distinct" ->
+      """WITH x1 AS (SELECT o_orderpriority AS g,
+               (o_custkey * 2654435761) % 2147483648 AS h1 FROM orders),
+         x2 AS (SELECT g,
+               (xor(h1, h1 >> 15) * 2246822519) % 2147483648 AS h2 FROM x1),
+         x AS (SELECT g, xor(h2, h2 >> 13) AS h FROM x2),
+         b AS (SELECT g, h // 33554432 AS bkt, h % 33554432 AS w FROM x),
+         r AS (SELECT g, bkt,
+                 max(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS M
+               FROM b GROUP BY 1, 2),
+         e AS (SELECT g, count(*) AS n_regs,
+                 sum(power(CAST(2 AS DOUBLE), -M)) AS z_used FROM r GROUP BY 1),
+         f AS (SELECT g, n_regs,
+                 z_used + CAST(64 - n_regs AS DOUBLE) AS z,
+                 64 - n_regs AS v FROM e),
+         est AS (SELECT g,
+             CASE WHEN CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z <= 160 AND v > 0
+                  THEN round(CAST(64 AS DOUBLE)
+                    * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+                  ELSE round(CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z, 6) END AS hll_estimate
+           FROM f),
+         ex AS (SELECT o_orderpriority AS g,
+                  count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
+         SELECT ex.g AS o_orderpriority, n_exact, hll_estimate
+         FROM ex JOIN est USING (g)""",
+
+    // per-subspace seed → decimal-exact Lloyd step → argmax encode,
+    // generated from the operator's own parameters
+    "embedding_pq" -> Similarity.productQuantizeOracleSql(),
+
+    // identical double-hash arithmetic; h = 3 distinct-position joins
+    // collapse to the all-bits-set test (probe keys are unique here, so
+    // the per-row hit count is exactly the explode fan-out)
+    "bloom_semi_join" ->
+      """WITH bset AS (SELECT DISTINCT o_custkey AS bk FROM orders
+                       WHERE o_totalprice > 490000),
+         bits AS (SELECT DISTINCT bit FROM bset, UNNEST([
+                    ((bk * 1000003 + 12345) % 2038074743) % 16384,
+                    ((bk * 999983 + 54321) % 2038074743) % 16384,
+                    ((bk * 824633 + 98765) % 2038074743) % 16384]) AS t(bit)),
+         pr AS (SELECT c_custkey, c_name, pos FROM customer, UNNEST([
+                    ((c_custkey * 1000003 + 12345) % 2038074743) % 16384,
+                    ((c_custkey * 999983 + 54321) % 2038074743) % 16384,
+                    ((c_custkey * 824633 + 98765) % 2038074743) % 16384]) AS t(pos)),
+         hits AS (SELECT c_custkey, c_name, count(*) AS h
+                  FROM pr JOIN bits ON pos = bit GROUP BY 1, 2)
+         SELECT c_custkey, c_name,
+           (c_custkey IN (SELECT bk FROM bset)) AS is_match
+         FROM hits WHERE h = 3""",
 
     "salted_agg" ->
       """SELECT event_type,

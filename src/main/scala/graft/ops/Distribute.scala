@@ -156,6 +156,50 @@ object Distribute {
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
   }
 
+  /** Bloom-filter pre-join pruning, the runtime-filter pattern made
+    * explicit: hash every build-side key into `k` of `mBits` positions
+    * (same arithmetic family as [[Profile.cmsEstimate]] — exact BIGINT,
+    * so the filter content is bit-reproducible across engines), reduce
+    * to the distinct set-bit table (≤ mBits rows regardless of build
+    * size), broadcast it, and keep the probe rows whose k positions are
+    * all set — as a CHAIN of k broadcast hash semi-joins, so the probe
+    * side streams through O(1) hash lookups and NEVER shuffles (a
+    * first cut counted hits via explode + groupBy; the plan audit
+    * showed that re-shuffles the exploded probe, which defeats the
+    * filter's whole purpose — pruning BEFORE any exchange). The output
+    * deliberately INCLUDES the false positives plus a ground-truth
+    * flag: at 100 TB the surviving candidate set (true matches +
+    * bounded FP leakage) is what the exact join afterwards actually
+    * sees, and the FP rate is itself oracle-verified. Spark's own
+    * `InjectRuntimeFilter` does this invisibly when stats allow; this
+    * operator is the engine-owned version with the behavior observable.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeKey: Column,
+                    build: DataFrame, buildKey: Column,
+                    mBits: Int = 8192, k: Int = 3): DataFrame = {
+    val p = 2038074743L
+    val aC = Seq(1000003L, 999983L, 824633L)
+    val bC = Seq(12345L, 54321L, 98765L)
+    require(k <= aC.length, s"bloomSemiJoin: at most ${aC.length} hashes")
+    def pos(i: Int, key: Column): Column =
+      pmod(pmod(key * lit(aC(i)) + lit(bC(i)), lit(p)), lit(mBits.toLong))
+
+    val bits = build.select(explode(array((0 until k).map(i =>
+        pos(i, buildKey)): _*)).as("bit")).distinct()
+    val truth = build.select(buildKey.as("__k")).distinct()
+
+    // k successive membership tests, each a broadcast semi-join of the
+    // same ≤mBits-row set-bit table — the probe is never exchanged
+    val pass = (0 until k).foldLeft(probe.withColumn("__k", probeKey)) {
+      (df, i) => df.join(broadcast(bits), pos(i, col("__k")) === col("bit"),
+        "left_semi")
+    }
+    pass.join(broadcast(truth).withColumn("__true", lit(true)),
+        Seq("__k"), "left")
+      .select(probe.columns.map(col) :+
+        coalesce(col("__true"), lit(false)).as("is_match"): _*)
+  }
+
   /** Co-located join via bucketed managed tables: both sides written
     * `bucketBy(n, key)` + `sortBy(key)`, then joined — the exchange
     * disappears from the plan (SortMergeJoin reads pre-bucketed files).

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational edge lists.
+  *
+  * The near-dup family already runs one graph algorithm (label
+  * propagation in [[TextDedup.dedupClusters]]); PageRank is the other
+  * canonical iterative workload — importance scoring over a link graph
+  * (document link graphs for crawl prioritization, entity graphs for
+  * canonical-record election).
+  *
+  * Determinism: all rank arithmetic is INTEGER, on ranks scaled to
+  * `scale` units of total mass — integer division is bit-reproducible
+  * across engines, partitionings, and summation orders, so a fixed
+  * iteration count yields a hash-exact result (the float formulation
+  * would accumulate order-dependent ulps in every per-node sum). The
+  * deliberate rounding-down of `div` loses a few units of mass per node
+  * per iteration (bounded by (outdeg+2)/scale relative error — ppb at
+  * the default scale), which a float implementation would also lose,
+  * just nondeterministically.
+  *
+  * Scale: per iteration, one equi-join of edges to the current ranks on
+  * src (both sides hash-partitioned on the join key — co-partitioned
+  * across iterations since edges are persisted post-shuffle) and one
+  * aggregation by dst. Edge and rank tables are the ONLY shuffled data;
+  * ranks are 2 columns regardless of graph payload width. Lineage is cut
+  * with `localCheckpoint` every 4 iterations (same discipline as
+  * dedupClusters) so a 50-iteration production run does not grow an
+  * unbounded plan.
+  */
+object Graph {
+
+  /** PageRank with damping 0.85 over the undirected graph given by
+    * `edges(src, dst)` (both directions are added here). Returns
+    * (node, rank) with rank in integer `scale` units; Σrank ≈ scale.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
+               scale: Long = 1000000000000L): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val deg = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val n = deg.count() // scalar graph metadata, not data rows
+    require(n > 0, "pageRank: empty graph")
+    val init = scale / n
+    val base = (15L * init) / 100L
+
+    var ranks = deg.select(col("node"), col("outdeg"),
+      lit(init).as("rank")).persist()
+    ranks.count()
+
+    for (i <- 1 to iterations) {
+      val contrib = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum(col("c")).as("s"))
+      var next = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .persist()
+      if (i % 4 == 0) next = next.localCheckpoint(true)
+      else next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank"))
+    ed.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** The DuckDB oracle for [[pageRank]]: the same integer recurrence
+    * unrolled into `iterations` chained CTEs over an `edges(src, dst)`
+    * CTE body. Generated here so the Spark operator and its oracle share
+    * one definition of the arithmetic (order of operations included).
+    */
+  def pageRankOracleSql(edgesCte: String, iterations: Int = 10,
+                        scale: Long = 1000000000000L): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT d.node, d.outdeg,
+         |   (SELECT (15 * ($scale // cnt)) // 100 FROM nn)
+         |     + (85 * COALESCE(s.s, 0)) // 100 AS rank
+         | FROM deg d LEFT JOIN (
+         |   SELECT ed.dst AS node, SUM(r.rank // r.outdeg) AS s
+         |   FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY 1) s
+         |   ON d.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       | ed AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       | deg AS (SELECT src AS node, count(*) AS outdeg FROM ed GROUP BY 1),
+       | nn AS (SELECT count(*) AS cnt FROM deg),
+       | r0 AS (SELECT node, outdeg,
+       |   (SELECT $scale // cnt FROM nn) AS rank FROM deg),
+       |$iters
+       |-- BIGINT, not the HUGEINT the sum chain infers: the harness's
+       |-- pandas bridge renders HUGEINT as float ("...0.0" strings)
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
+  }
+}

@@ -301,6 +301,61 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class AudioFeatures(doc_id: Long, n_words: Long, sum_sq: Long,
+                                 w_min: Long, w_max: Long, mean_crossings: Long)
+
+  /** Audio FEATURE extraction over the real PCM payload — the step after
+    * [[wavRoundTrip]]'s header parse: the data section is read as 16-bit
+    * little-endian words and folded into energy (Σw²), dynamic range
+    * (min/max word), and mean-crossing rate (the DC-biased analog of
+    * zero-crossing rate: printable-ASCII payload bytes keep every word
+    * positive, so crossings of the per-doc MEAN carry the signal
+    * structure; the compare is `w·n vs Σw` — integer-exact, no float
+    * mean). Every feature is exact BIGINT arithmetic, so the whole
+    * decode→feature path is oracle-verifiable analytically from the
+    * encode parameters. Partition-wise like every decode here; only the
+    * 6-column feature row leaves the task.
+    */
+  def audioFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100)
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val rate = rates((b.doc_id % 4).toInt)
+          val channels = 1 + (b.doc_id % 2).toInt
+          val nSamples = 100 + (b.doc_id % 400).toInt
+          val bytes = encodeWav(rate, channels, 16, nSamples, b.blob)
+          val dataSize = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(40)
+          val n = dataSize / 2
+          val words = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            words(i) = (bytes(44 + 2 * i) & 0xffL) |
+              ((bytes(44 + 2 * i + 1) & 0xffL) << 8)
+            i += 1
+          }
+          var sumSq = 0L; var sum = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          words.foreach { w =>
+            sumSq += w * w; sum += w
+            if (w < mn) mn = w; if (w > mx) mx = w
+          }
+          var crossings = 0L
+          i = 1
+          while (i < n) {
+            // strict sign change of (w·n − Σw): integer-exact mean compare
+            if ((words(i - 1) * n - sum) * (words(i) * n - sum) < 0) crossings += 1
+            i += 1
+          }
+          AudioFeatures(b.doc_id, n.toLong, sumSq, mn, mx, crossings)
+        }
+      }.toDF()
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, byte_offset: Long,
                          checksum: Long)
 

@@ -141,6 +141,64 @@ object Profile {
       .select(col("key"), col("n").as("exact_n"), col("cms_estimate"))
   }
 
+  /** HyperLogLog distinct-count estimation per group, demonstrated
+    * against exact truth — the fixed-size (m=64 registers/group)
+    * alternative to `count_distinct` when the key set itself is too
+    * large to shuffle. One scan builds the registers (groupBy (g,
+    * bucket) max-rho — map-side combined, at most m rows per group
+    * survive the exchange); the estimate folds 64 registers per group.
+    *
+    * Every arithmetic step is chosen to be bit-reproducible across
+    * engines so the sketch itself can be oracle-verified, not just
+    * bounded: a murmur-style multiply–xor–shift finalizer in exact
+    * BIGINT (a plain multiplicative hash left its low bits too
+    * structured — a spec-measured 40% miss; the 31-bit width keeps every
+    * product below 2^63), register index/remainder by integer div/mod,
+    * rho via binary-string length (Spark `bin` and DuckDB `bin` agree,
+    * no padding), 2^-M terms are exact powers of two whose per-group sum
+    * stays inside 53 bits (so float summation order cannot matter), and
+    * the one transcendental (ln in the small-range linear-counting
+    * correction) is rounded at 1e-6 — ten orders above cross-libm ulp
+    * noise. Spark's built-in `approx_count_distinct` is the production
+    * default; this is the same algorithm with the accuracy auditable.
+    */
+  def hllDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val m = 64L           // 6-bit bucket index
+    val wBits = 25        // remaining bits of the 31-bit hash
+    val alpha = 0.709     // standard HLL alpha for m = 64
+    val two31 = 2147483648L
+    val h1 = pmod(key * lit(2654435761L), lit(two31))
+    val h2 = pmod((col("__h1").bitwiseXOR(shiftright(col("__h1"), 15)))
+      * lit(2246822519L), lit(two31))
+    val h = col("__h2").bitwiseXOR(shiftright(col("__h2"), 13))
+    val bucket = expr(s"__h div ${1L << wBits}")
+    val w = pmod(col("__h"), lit(1L << wBits))
+    val rho = when(col("__w") === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(col("__w"))))
+
+    val regs = df.select(group.as("g"), h1.as("__h1"))
+      .withColumn("__h2", h2).withColumn("__h", h)
+      .withColumn("__b", bucket).withColumn("__w", w)
+      .select(col("g"), col("__b"), rho.as("__rho"))
+      .groupBy(col("g"), col("__b")).agg(max(col("__rho")).as("M"))
+
+    val est = regs.groupBy(col("g")).agg(
+      count(lit(1)).as("n_regs"),
+      sum(pow(lit(2.0), -col("M"))).as("z_used"))
+      .select(col("g"), col("n_regs"),
+        // empty registers contribute 2^0 = 1 each
+        (col("z_used") + (lit(m) - col("n_regs")).cast("double")).as("z"))
+      .withColumn("raw", lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("z"))
+      .withColumn("v", lit(m) - col("n_regs"))
+      .withColumn("hll_estimate", round(
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("raw")), 6))
+
+    val exact = df.groupBy(group.as("g")).agg(count_distinct(key).as("n_exact"))
+    exact.join(est.select(col("g"), col("hll_estimate")), "g")
+  }
+
   /** Per-column profile of numeric columns: min / max / null count /
     * distinct count, one output row per column — the schema-contract
     * companion (Quality.dqReport validates expectations; this MEASURES

@@ -295,6 +295,83 @@ object Streaming {
       col("purchase_id"), col("view_ts"), col("purchase_ts"))
   }
 
+  /** Write `df` into `path` as `buckets` event-time-range files with
+    * strictly ascending modification times, so a file-backed stream
+    * replays the feed in event-time order (FileStreamSource picks files
+    * by mtime). This is what a real time-partitioned ingest layout
+    * (hourly directories) gives a production stream for free — and it is
+    * the property that lets a watermark delay SHORTER than the feed's
+    * span drop nothing: each new file only carries timestamps at or
+    * above everything already seen on its stream.
+    */
+  private def writeTimeOrdered(df: DataFrame, tsCol: String, path: String,
+                               buckets: Int): Unit = {
+    val Array(mn, mx) = df.agg(min(col(tsCol)).cast("long"),
+      max(col(tsCol)).cast("long")).collect().head.toSeq.toArray.map(_.asInstanceOf[Long])
+    val span = math.max(mx - mn + 1, 1L)
+    val seen = scala.collection.mutable.Set[String]()
+    val base = System.currentTimeMillis()
+    for (i <- 0 until buckets) {
+      val lo = mn + span * i / buckets
+      val hi = mn + span * (i + 1) / buckets
+      df.filter(col(tsCol).cast("long") >= lo && col(tsCol).cast("long") < hi)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+      val dir = new java.io.File(path)
+      dir.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        .filterNot(f => seen.contains(f.getName))
+        .foreach { f => f.setLastModified(base + i * 1000L); seen += f.getName }
+    }
+  }
+
+  /** Stream-stream LEFT OUTER interval join: every view, with its
+    * in-window purchase or NULLs once no future purchase can match.
+    * Unlike [[streamStreamJoin]]'s inner shape, outer results REQUIRE
+    * watermark-driven state eviction — a view emits its null row only
+    * when the global watermark passes `view_ts + windowSec` — so this op
+    * runs with a delay far shorter than the feed span and relies on
+    * [[writeTimeOrdered]] event-time file order for zero late drops
+    * (exactly a production hourly-partitioned replay). Views still open
+    * when the feed ends never emit: the final result is matched pairs
+    * plus null rows for views the final watermark
+    * (min(max view_ts, max purchase_ts) − delay) closed — which is what
+    * the DuckDB oracle reproduces, making eviction itself verified.
+    */
+  def streamStreamJoinOuter(spark: SparkSession, events: DataFrame,
+                            windowSec: Long, delaySec: Long,
+                            scratch: String): DataFrame = withStatePartitions(spark, 8) {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    writeTimeOrdered(views, "view_ts", s"$scratch/views", 4)
+    writeTimeOrdered(purchases, "purchase_ts", s"$scratch/purchases", 4)
+
+    def src(schema: org.apache.spark.sql.types.StructType, path: String) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+    val vs = src(views.schema, s"$scratch/views")
+      .withWatermark("view_ts", s"$delaySec seconds")
+    val ps = src(purchases.schema, s"$scratch/purchases")
+      .withWatermark("purchase_ts", s"$delaySec seconds")
+
+    val name = nextName("graft_ssjoin_outer")
+    val query = vs.join(ps,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "left_outer")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name).select(col("user_id"), col("view_id"), col("view_ts"),
+      col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Per-key session state: the set of sessions seen so far (epoch micros
     * boundaries + event count), plus an update counter so the final
     * emission per key is identifiable.

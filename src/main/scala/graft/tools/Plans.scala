@@ -52,7 +52,11 @@ object Plans {
     "semdedup" -> "broadcast centroid argmax; one cent_id shuffle; pairwise stays in-cluster",
     "winnowing" -> "zero-shuffle projection: k-gram hash + window-min select per row",
     "char_entropy" -> "zero-shuffle projection; fixed fold order for portable doubles",
-    "multimodal_phash" -> "pixels decoded in-task; only (id, 8-byte hash) shuffles for group counts")
+    "multimodal_phash" -> "pixels decoded in-task; only (id, 8-byte hash) shuffles for group counts",
+    "cdc_apply" -> "one key shuffle: WindowGroupLimit-pruned latest-wins + tombstone filter",
+    "hll_distinct" -> "one scan to (group, bucket) registers — map-side combined, ≤64 rows/group survive",
+    "bloom_semi_join" -> "k chained broadcast semi-joins on the set-bit table; probe never exchanges",
+    "multimodal_audio" -> "partition-wise PCM decode + integer feature fold; only the 6-column row leaves the task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
