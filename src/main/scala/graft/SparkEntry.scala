@@ -1415,6 +1415,48 @@ object SparkEntry {
         buildKey = col("o_custkey"),
         mBits = 16384, k = 3)),
 
+    // record linkage: deterministic one-char-deletion typos resolved
+    // back to the canonical part catalog via prefix ∪ suffix blocking
+    // + Levenshtein verify (recall guarantee spec-asserted)
+    "entity_resolution" -> ((s, dir) =>
+      Linkage.resolveEntities(Tables.part(s, dir),
+        id = col("p_partkey"), name = col("p_name"))),
+
+    // market-basket association: part-pair co-occurrence within orders,
+    // support-thresholded, with PMI (ln rounded 1e-6, entropy convention)
+    "cooccur_pmi" -> ((s, dir) =>
+      Assoc.cooccurPmi(Tables.lineitem(s, dir),
+        basket = col("l_orderkey"), item = col("l_partkey"),
+        minSupport = 2)),
+
+    // per-user daily resample onto the corpus calendar: gap days get
+    // n=0, the day's closing value forward-fills across gaps
+    "ts_gapfill" -> ((s, dir) =>
+      Temporal.tsGapfill(eventsBase(s, dir), entity = col("user_id"),
+        ts = col("ts"), idCol = col("event_id"), value = col("value"))
+        .select(col("entity").as("user_id"), col("day"), col("n"),
+          col("close_ffill"))),
+
+    // robust outliers: > 3 MADs from the event-type median (exact-cents
+    // medians are dyadic rationals — bit-portable, no rounding)
+    "mad_outliers" -> ((s, dir) =>
+      Profile.madOutliers(eventsBase(s, dir), group = col("event_type"),
+        value = col("value"), idCols = Seq("event_id"))
+        .select(col("event_id"), col("g").as("event_type"), col("value"),
+          col("med"), col("mad"))),
+
+    // BPE trainer's first merge iteration: corpus-wide within-word
+    // character-pair counts, top-50 (count desc, pair asc)
+    "bpe_pairs" -> ((s, dir) =>
+      Text.bpePairs(Tables.documents(s, dir), topN = 50)),
+
+    // ANN index quality: recall@5 of the IVF index vs brute-force truth
+    // per probe — the eval run before trusting an index at scale
+    "ann_recall_eval" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annRecall(e, e.filter(col("vec_id") < 32), 5)
+    }),
+
     // skew-safe two-stage aggregation == the plain groupBy aggregate
     "salted_agg" -> ((s, dir) =>
       Distribute.saltedAgg(
@@ -3266,6 +3308,149 @@ object SparkEntry {
          SELECT c_custkey, c_name,
            (c_custkey IN (SELECT bk FROM bset)) AS is_match
          FROM hits WHERE h = 3""",
+
+    // same deterministic one-char deletion, prefix ∪ suffix blocking,
+    // and (lev, name, key) argmin; the window aggregates replay the
+    // Spark-side n_candidates/n_within audit
+    "entity_resolution" ->
+      """WITH dirty AS (SELECT p_partkey AS rec_id,
+               substr(p_name, 1,
+                 CAST(p_partkey % (length(p_name) - 1) AS INT)) ||
+               substr(p_name,
+                 CAST(p_partkey % (length(p_name) - 1) + 2 AS INT))
+                 AS dirty_name
+             FROM part),
+         catalog AS (SELECT p_name AS canon_name, min(p_partkey) AS canon_key
+                     FROM part GROUP BY 1),
+         cand AS (
+           SELECT DISTINCT rec_id, dirty_name, canon_name, canon_key
+           FROM (
+             SELECT rec_id, dirty_name, canon_name, canon_key
+             FROM dirty JOIN catalog
+               ON substr(dirty_name, 1, 3) = substr(canon_name, 1, 3)
+             UNION ALL
+             SELECT rec_id, dirty_name, canon_name, canon_key
+             FROM dirty JOIN catalog
+               ON substr(dirty_name, -3, 3) = substr(canon_name, -3, 3))),
+         v AS (SELECT rec_id, dirty_name, canon_name, canon_key,
+                 levenshtein(dirty_name, canon_name) AS lev FROM cand)
+         SELECT rec_id, dirty_name, canon_name AS match_name,
+           canon_key AS match_key, CAST(lev AS INT) AS lev,
+           count(*) OVER w AS n_candidates,
+           CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+             AS n_within
+         FROM v
+         WINDOW w AS (PARTITION BY rec_id)
+         QUALIFY row_number() OVER (PARTITION BY rec_id
+           ORDER BY lev, canon_name, canon_key) = 1""",
+
+    // same distinct-(basket, item) projection, pair expansion, support
+    // threshold, and 1e-6-rounded ln
+    "cooccur_pmi" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+         nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+         ic AS (SELECT i, count(*) AS n_i FROM items GROUP BY 1),
+         p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+               FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, n_ab, ca.n_i AS n_a, cb.n_i AS n_b,
+           round(ln(CAST(n_ab AS DOUBLE) * n_baskets
+             / (CAST(ca.n_i AS DOUBLE) * cb.n_i)), 6) AS pmi
+         FROM p JOIN ic ca ON item_a = ca.i JOIN ic cb ON item_b = cb.i
+         CROSS JOIN nb""",
+
+    // same corpus-span calendar, day-close argmax ((ts, id) tiebreak),
+    // and forward-fill window
+    "ts_gapfill" ->
+      """WITH ev AS (SELECT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             FROM events),
+         daily AS (SELECT user_id, day, count(*) AS n,
+               max(CASE WHEN rn = 1 THEN value END) AS close
+             FROM ev GROUP BY 1, 2),
+         cal AS (SELECT CAST(unnest(generate_series(
+               (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+               INTERVAL 1 DAY)) AS DATE) AS day),
+         grid AS (SELECT user_id, day
+                  FROM (SELECT DISTINCT user_id FROM daily) CROSS JOIN cal)
+         SELECT grid.user_id, grid.day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n,
+           last_value(daily.close IGNORE NULLS) OVER (
+             PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+         FROM grid LEFT JOIN daily
+           ON grid.user_id = daily.user_id AND grid.day = daily.day""",
+
+    // same exact-cents medians (dyadic rationals — no rounding needed)
+    // and 3-MAD flag
+    "mad_outliers" ->
+      """WITH r AS (SELECT event_id, event_type AS g, value,
+               CAST(round(value * 100) AS BIGINT) AS xc FROM events),
+         med AS (SELECT g, quantile_cont(xc, 0.5) AS med FROM r GROUP BY 1),
+         dev AS (SELECT r.*, med, abs(CAST(xc AS DOUBLE) - med) AS absdev
+                 FROM r JOIN med USING (g)),
+         mad AS (SELECT g, quantile_cont(absdev, 0.5) AS mad
+                 FROM dev GROUP BY 1)
+         SELECT event_id, g AS event_type, value, med, mad
+         FROM dev JOIN mad USING (g)
+         WHERE absdev > 3 * mad""",
+
+    // same within-word bigram expansion and (count desc, pair asc) rank
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         p AS (SELECT unnest(list_transform(range(1, length(w)),
+                 i -> substr(w, CAST(i AS INT), 2))) AS pair
+               FROM w WHERE length(w) >= 2),
+         c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+         SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+         FROM c
+         QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= 50""",
+
+    // exact top-k CTE + the embedding_ann oracle's IVF CTEs, joined:
+    // recall@5 per probe as an int/int division
+    "ann_recall_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         exact AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+           FROM (SELECT * FROM e WHERE vec_id < 32) q JOIN e c
+             ON q.vec_id <> c.vec_id
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                      c.vec_id ASC) <= 5),
+         cent AS (SELECT vec_id AS cent_id, v AS g FROM e WHERE vec_id < 16),
+         assigned AS (
+           SELECT e.vec_id AS neighbor_id, e.v AS c, cent_id
+           FROM e CROSS JOIN cent
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 1),
+         probed AS (
+           SELECT e.vec_id AS q_id, e.v AS q, cent_id FROM e CROSS JOIN cent
+           WHERE e.vec_id < 32
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, g) DESC, cent_id ASC) <= 4),
+         approx AS (SELECT q_id, neighbor_id FROM (
+           SELECT q_id, neighbor_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY list_cosine_similarity(q, c) DESC,
+                             neighbor_id ASC) AS rank
+           FROM probed JOIN assigned USING (cent_id)
+           WHERE q_id <> neighbor_id)
+           WHERE rank <= 5)
+         SELECT exact.q_id, count(*) AS n_true,
+           CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN approx.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+         FROM exact LEFT JOIN approx
+           ON exact.q_id = approx.q_id
+              AND exact.neighbor_id = approx.neighbor_id
+         GROUP BY exact.q_id""",
 
     "salted_agg" ->
       """SELECT event_type,

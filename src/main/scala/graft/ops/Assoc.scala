@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association mining over grouped facts: co-occurrence counts and PMI
+  * for item pairs that appear in the same basket — the market-basket /
+  * token-association shape (also the "which sources co-occur in dup
+  * clusters" diagnostic of an LLM-data pipeline). Extends the
+  * reference's plain GROUP BY audit counts
+  * (`/root/reference/pipeline/data_pipeline.py:117-124`) to
+  * second-order statistics.
+  *
+  * Scale: the pair space is generated per basket with a self-equi-join
+  * on the basket key, so expansion is Σ sz(b)² over baskets — bounded by
+  * the largest basket (13 on TPC-H lineitem, capped upstream in a real
+  * feed), never corpus². Counts are map-side-combined longs; the one
+  * `ln` per output row is rounded at 1e-6 (the [[Text.charEntropy]]
+  * convention) so the doubles are engine-portable.
+  */
+object Assoc {
+
+  /** Pairwise co-occurrence with pointwise mutual information.
+    * `minSupport` bounds the output to pairs seen at least that many
+    * times (the standard support threshold — at 100 TB it is what keeps
+    * the result table sized to the head of the distribution).
+    */
+  def cooccurPmi(facts: DataFrame, basket: Column, item: Column,
+                 minSupport: Long = 3): DataFrame = {
+    val items = facts.select(basket.as("b"), item.as("i")).distinct()
+    val nBaskets = items.groupBy().agg(
+      countDistinct(col("b")).as("n_baskets"))
+    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = items.as("l")
+      .join(items.as("r"), col("l.b") === col("r.b") &&
+                           col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val ca = itemCounts.select(col("i").as("item_a"), col("n_i").as("n_a"))
+    val cb = itemCounts.select(col("i").as("item_b"), col("n_i").as("n_b"))
+    pairs
+      .join(ca, "item_a")
+      .join(cb, "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(log(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+  }
+}

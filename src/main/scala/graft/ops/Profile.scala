@@ -87,6 +87,40 @@ object Profile {
       .select(idCols.map(col) :+ col("g") :+ col("value"): _*)
   }
 
+  /** Robust outlier detection: flag rows deviating more than `k` MADs
+    * (median absolute deviation) from their group median — the
+    * estimator monitoring pipelines reach for when the z-score's mean/σ
+    * are themselves dragged by the outliers being hunted (50% breakdown
+    * point vs 0%). Complements [[anomalyStats]]'s moment-based flags.
+    *
+    * Determinism: medians are computed over exact cents (longs), so
+    * every interpolated median is a dyadic rational (x.0/x.5, then
+    * quarters for the MAD) — exactly representable doubles that both
+    * engines land bit-identically; no rounding needed anywhere.
+    *
+    * Scale: two grouped exact percentiles + one broadcast join back.
+    * Exact percentile holds per-group value multisets (hash of distinct
+    * cents values), fine while per-group distinct cardinality is
+    * bounded (prices, latencies); for unbounded long-tail metrics the
+    * 100 TB swap-in is `approx_percentile`, same plan shape.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  idCols: Seq[String], k: Int = 3): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val rows = df.select(idCols.map(col) :+ group.as("g") :+
+      value.as("value") :+ cents.as("xc"): _*)
+    val med = rows.groupBy(col("g"))
+      .agg(percentile(col("xc"), lit(0.5)).as("med"))
+    val dev = rows.join(broadcast(med), "g")
+      .withColumn("absdev", abs(col("xc").cast("double") - col("med")))
+    val mad = dev.groupBy(col("g"))
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "g")
+      .filter(col("absdev") > lit(k.toDouble) * col("mad"))
+      .select(idCols.map(col) :+ col("g") :+ col("value") :+
+        col("med") :+ col("mad"): _*)
+  }
+
   /** Distribution-drift report between two row populations (side 0 vs
     * side 1) over a bucketed metric: per-bucket counts, shares, and the
     * absolute share gap — the per-bin body of a PSI/TVD drift monitor,

@@ -235,6 +235,33 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** ANN index-quality evaluation: recall@k of [[ivfTopK]] against the
+    * [[bruteForceTopK]] ground truth, per probe — the measurement every
+    * production ANN deployment runs before trusting an index (tune
+    * nlist/nprobe until the recall column clears the SLO). Both sides
+    * break similarity ties by neighbor id, so the "true top-k set" is
+    * well-defined and the recall is an exact int/int division.
+    *
+    * Scale: the probe set is the small side everywhere (same as the two
+    * underlying operators); the comparison join keys on
+    * (q_id, neighbor_id) — k rows per probe, nothing corpus-sized.
+    */
+  def annRecall(embeddings: DataFrame, probes: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(embeddings, probes, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, probes, k, nlist, nprobe)
+      .select(col("q_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus, then compare each vector only
     * against its OWN cluster's members — the pairwise work is quadratic in

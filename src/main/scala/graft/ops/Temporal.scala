@@ -237,4 +237,40 @@ object Temporal {
       col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
+
+  /** Time-series regularization: resample each entity's event stream
+    * onto the full corpus day calendar (gap days materialized with
+    * count 0) and forward-fill the day's closing value across the gaps
+    * — the resample+ffill step every per-entity daily feature pipeline
+    * runs before model training.
+    *
+    * Scale: the calendar is `days` rows (tiny — broadcast by
+    * construction as a cross join against the distinct-entity set, so
+    * the grid is entity-partitioned, never collected); the event feed
+    * is aggregated to (entity, day) BEFORE the grid join, so the
+    * expensive side shuffles once on the entity key and the
+    * forward-fill window sorts short per-entity day vectors. The
+    * closing value is `max_by(value, (ts, id))` — the id tiebreak makes
+    * it deterministic under equal timestamps, same discipline as
+    * [[eventTransitions]].
+    */
+  def tsGapfill(events: DataFrame, entity: Column, ts: Column,
+                idCol: Column, value: Column): DataFrame = {
+    val daily = events
+      .select(entity.as("entity"), ts.cast("date").as("day"),
+        ts.as("ts"), idCol.as("id"), value.as("v"))
+      .groupBy(col("entity"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("v"), struct(col("ts"), col("id"))).as("close"))
+    val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val calendar = span.select(
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = daily.select(col("entity")).distinct().crossJoin(calendar)
+    val filled = grid.join(daily, Seq("entity", "day"), "left")
+    val ffill = Window.partitionBy(col("entity")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.select(col("entity"), col("day"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      last(col("close"), ignoreNulls = true).over(ffill).as("close_ffill"))
+  }
 }

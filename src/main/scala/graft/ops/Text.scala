@@ -263,4 +263,28 @@ object Text {
       (hits.cast("double") / size(ws).cast("double")).as("hit_ratio"),
       (hits.cast("double") / size(ws).cast("double") <= maxRatio).as("keep"))
   }
+
+  /** Adjacent-symbol-pair frequencies at character granularity — the
+    * statistic a BPE tokenizer trainer computes for its merge decisions
+    * (Sennrich et al. 2016, the first merge iteration): count every
+    * within-word character bigram corpus-wide and rank the top
+    * candidates (count desc, pair asc tiebreak).
+    *
+    * Scale: one scan, two generator expansions (words, then bigrams),
+    * map-side-combined counts. The final ranking window is global but
+    * runs over the DISTINCT PAIR table, whose cardinality is bounded by
+    * alphabet² — constant in corpus size, so the single-partition sort
+    * never grows with the data.
+    */
+  def bpePairs(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    docs.select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
 }
