@@ -696,6 +696,12 @@ object SparkEntry {
       graft.streaming.Streaming.streamingDedup(s, eventsBase(s, dir),
         tmp(dir, "stream_dedup_src"))),
 
+    // the LLM ingest tick LIVE: streamed docs probe the maintained
+    // corpus MinHash index (stream-static joins, stateless verify)
+    "streaming_near_dup" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingNearDup(s,
+        Tables.documents(s, dir), tmp(dir, "stream_neardup_src"))),
+
     // analytic window-function surface: lag/lead/dense_rank/ntile/
     // percent_rank/cume_dist under one total order
     "window_funcs" -> ((s, dir) => {
@@ -1414,6 +1420,33 @@ object SparkEntry {
         build = Tables.orders(s, dir).filter(col("o_totalprice") > 490000),
         buildKey = col("o_custkey"),
         mBits = 16384, k = 3)),
+
+    // windowed funnel: view -> click within 24h -> purchase within 24h
+    // of the click; earliest-completion attribution per user
+    "funnel_windowed" -> ((s, dir) =>
+      Temporal.funnelWindowed(eventsBase(s, dir), user = col("user_id"),
+        ts = col("ts"), typeCol = col("event_type"),
+        steps = ("view", "click", "purchase"), windowSec = 86400L)),
+
+    // multi-source BFS over the same order graph as pagerank: min hop
+    // from the seed customers within 4 hops (blast-radius query)
+    "graph_bfs" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val seeds = edges.filter(
+          substring(col("src"), 2, 20).cast("long") % 97 === 0)
+        .select(col("src").as("node"))
+      Graph.bfsHops(s, edges, seeds)
+    }),
+
+    // key-skew diagnosis: top-20 heaviest part keys in order lines,
+    // share + running concentration (the pre-join straggler report)
+    "skew_diagnose" -> ((s, dir) =>
+      Distribute.skewDiagnose(Tables.lineitem(s, dir),
+        key = col("l_partkey"))),
 
     // record linkage: deterministic one-char-deletion typos resolved
     // back to the canonical part catalog via prefix ∪ suffix blocking
@@ -2325,6 +2358,23 @@ object SparkEntry {
          WHERE rank <= 5"""
   )
 
+  /** Exact corpus × batch (id%10 split) near-dup ground truth — shared
+    * by the batch ingest tick and its streaming twin.
+    */
+  private val crossSideNearDupOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+              FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                 WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT a AS doc_a, b AS doc_b,
+              CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5"""
+
   private val nearDupOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
@@ -3049,19 +3099,11 @@ object SparkEntry {
 
     // exact batch x corpus shingle-Jaccard ground truth — asserting the
     // incremental LSH tick's recall AND precision on the cross pairs
-    "near_dedup_incremental" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
-                FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle
-                   WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-                   GROUP BY a.doc_id, b.doc_id)
-         SELECT a AS doc_a, b AS doc_b,
-                CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""",
+    "near_dedup_incremental" -> crossSideNearDupOracle,
+
+    // the STREAMING ingest tick has the same exact ground truth as the
+    // batch one: corpus x batch near-dup pairs, any trigger slicing
+    "streaming_near_dup" -> crossSideNearDupOracle,
 
     // identical hash order, cumsum, and integer DIV as the Spark side;
     // the window SUM casts to BIGINT (DuckDB windowed sum is HUGEINT)
@@ -3253,6 +3295,54 @@ object SparkEntry {
                 's' || CAST(l_suppkey AS VARCHAR) AS dst
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderkey % 5 = 0"""),
+
+    // same anchored first-eligible-event chain and 24h interval bounds
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events),
+         a1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         a2 AS (SELECT e.user_id, min(ts) AS t2
+                FROM e JOIN a1 ON e.user_id = a1.user_id
+                WHERE event_type = 'click' AND ts >= t1
+                  AND ts <= t1 + INTERVAL 86400 SECOND
+                GROUP BY 1),
+         a3 AS (SELECT e.user_id, min(ts) AS t3
+                FROM e JOIN a2 ON e.user_id = a2.user_id
+                WHERE event_type = 'purchase' AND ts >= t2
+                  AND ts <= t2 + INTERVAL 86400 SECOND
+                GROUP BY 1)
+         SELECT a1.user_id, t1, t2, t3,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT)
+             AS reached_step
+         FROM a1 LEFT JOIN a2 ON a1.user_id = a2.user_id
+         LEFT JOIN a3 ON a1.user_id = a3.user_id""",
+
+    // the same graph construction, recursive-CTE min-hop (Graph.bfsOracleSql)
+    "graph_bfs" -> Graph.bfsOracleSql(
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 5 = 0""",
+      """SELECT DISTINCT src AS node FROM e0
+         WHERE CAST(substr(src, 2) AS BIGINT) % 97 = 0"""),
+
+    // same TakeOrdered survivors ((n desc, key) tiebreak) and cum window
+    "skew_diagnose" ->
+      """WITH c AS (SELECT l_partkey AS key, count(*) AS n
+                    FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c),
+         top AS (SELECT key, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, key) AS INT)
+                     AS rank
+                 FROM c ORDER BY n DESC, key LIMIT 20)
+         SELECT key, n, rank,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(CAST(sum(n) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS DOUBLE) / total AS cum_share
+         FROM top CROSS JOIN t""",
 
     // identical hash (murmur-style finalizer), register build, and
     // estimator arithmetic; every float literal CAST to DOUBLE (bare

@@ -220,4 +220,32 @@ object Distribute {
     spark.table(lt).join(spark.table(rt),
       col(leftKey) === col(rightKey))
   }
+
+  /** Key-skew diagnosis: the top-N heaviest keys with their share of all
+    * rows and the running concentration (cumulative share) — the report
+    * you run BEFORE choosing between a plain join, [[saltedAgg]]-style
+    * salting, or an AQE skew hint. A key owning >1/parallelism of the
+    * rows is the straggler signature.
+    *
+    * Scale: one map-side-combined count per key, then a distributed
+    * TakeOrdered (`orderBy.limit`) — the full key-count table is NEVER
+    * sorted through one partition; only the N survivors hit the final
+    * cum-share window. The total rides the counts' exchange. Shares are
+    * single divisions of exact longs.
+    */
+  def skewDiagnose(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("cum_share",
+        sum(col("n")).over(w.rowsBetween(Long.MinValue, 0)).cast("double") /
+          col("total"))
+      .select(col("key"), col("n"), col("rank"), col("share"),
+        col("cum_share"))
+  }
 }

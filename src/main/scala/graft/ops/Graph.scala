@@ -100,4 +100,63 @@ object Graph {
        |-- pandas bridge renders HUGEINT as float ("...0.0" strings)
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iterations""".stripMargin
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed node, explored
+    * to `maxHops` over the undirected graph of `edges(src, dst)` — the
+    * reachability/blast-radius query (which records does this entity
+    * touch within k relationships?). Returns (node, hop) for reached
+    * nodes only.
+    *
+    * Scale: classic frontier expansion — per hop, one equi-join of the
+    * CURRENT FRONTIER (not the visited set) against the persisted edge
+    * list, then an anti-join against visited; both shuffles are
+    * frontier-sized. Hop arithmetic is integer, so the result is
+    * hash-exact. Lineage is cut with `localCheckpoint` every 4 hops
+    * (the [[pageRank]]/dedupClusters discipline).
+    */
+  def bfsHops(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+              maxHops: Int = 4): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).persist()
+    visited.count()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      var next = ed.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .persist()
+      if (h % 4 == 0) next = next.localCheckpoint(true) else next.count()
+      val nv = visited.unionByName(next).persist()
+      nv.count()
+      visited.unpersist()
+      visited = nv
+      frontier = next
+    }
+    ed.unpersist()
+    visited
+  }
+
+  /** The DuckDB oracle for [[bfsHops]]: a recursive CTE over the same
+    * edges CTE body and seed predicate — min(hop) per reached node.
+    * Generated here so operator and oracle share one definition of the
+    * graph construction.
+    */
+  def bfsOracleSql(edgesCte: String, seedsSql: String,
+                   maxHops: Int = 4): String =
+    s"""WITH RECURSIVE e0 AS ($edgesCte),
+       | ed AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       | seeds AS ($seedsSql),
+       | walk AS (
+       |   SELECT node, 0 AS hop FROM seeds
+       |   UNION
+       |   SELECT ed.dst AS node, walk.hop + 1 AS hop
+       |   FROM walk JOIN ed ON ed.src = walk.node
+       |   WHERE walk.hop < $maxHops)
+       |SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node""".stripMargin
 }

@@ -238,6 +238,44 @@ object Temporal {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
 
+  /** Time-window-constrained funnel: the first `step1` event anchors the
+    * user's funnel; step 2 must occur within `windowSec` AFTER that
+    * anchor, step 3 within `windowSec` after the matched step 2 —
+    * earliest-completion semantics (each step matches its FIRST eligible
+    * event), the standard conversion-attribution rule. Unlike the plain
+    * first-touch funnel (`events_funnel`), an out-of-window step breaks
+    * the chain. Returns the per-user funnel table with matched
+    * timestamps and the furthest step reached.
+    *
+    * Scale: three aggregations on the user key; each re-scan is filtered
+    * to one event type BEFORE its shuffle, and all three shuffles share
+    * the user-key partitioning (co-partitioned joins downstream). All
+    * comparisons are microsecond-integer timestamp arithmetic.
+    */
+  def funnelWindowed(events: DataFrame, user: Column, ts: Column,
+                     typeCol: Column, steps: (String, String, String),
+                     windowSec: Long): DataFrame = {
+    val (s1, s2, s3) = steps
+    val e = events.select(user.as("user_id"), ts.as("ts"),
+      typeCol.as("et"))
+    val a1 = e.filter(col("et") === s1)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val a2 = e.filter(col("et") === s2).join(a1, "user_id")
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr(s"INTERVAL $windowSec SECONDS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val a3 = e.filter(col("et") === s3)
+      .join(a2, "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr(s"INTERVAL $windowSec SECONDS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    a1.join(a2, Seq("user_id"), "left").join(a3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1)).as("reached_step"))
+  }
+
   /** Time-series regularization: resample each entity's event stream
     * onto the full corpus day calendar (gap days materialized with
     * count 0) and forward-fill the day's closing value across the gaps

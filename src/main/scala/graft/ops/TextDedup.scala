@@ -450,6 +450,75 @@ object TextDedup {
     * SAME doc always lands in the same buckets across runs — which is
     * what lets a maintained corpus bucket table meet a fresh batch.
     */
+  /** The corpus-side banded bucket table (doc_id, band, key) a
+    * maintained near-dup index stores — built with the batch
+    * TypedImperativeAggregate. [[streamingBandsFor]] produces
+    * bucket-COMPATIBLE keys per row with no aggregation (same seed-42
+    * hash family re-derived as expressions), which is what lets a
+    * streaming ingest tick probe an index this table built.
+    */
+  private[graft] def corpusBucketTable(docs: DataFrame, k: Int = 3,
+                                       numHashes: Int = 64,
+                                       bands: Int = 32): DataFrame =
+    minhashBuckets(
+      shingles(docs, k).select(col("doc_id"), wordShingleHash.as("x")),
+      numHashes, bands, lshPrime)
+
+  /** Corpus-side shingle sets for exact-Jaccard verification of probe
+    * candidates: (doc_id, set, n). */
+  private[graft] def corpusShingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    shingles(docs, k).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+
+  /** The distinct word-k-shingle set of one document as an in-row array
+    * — the projection form of [[shingles]] (same strings, no explode),
+    * usable on a streaming Dataset. Empty array below k words.
+    */
+  private[graft] def shingleArray(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - lit(k)),
+        i => array_join(slice(w, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-row MinHash banding with ZERO aggregation: the seed-42 hash
+    * family of [[graft.functions.MinHashAgg]] re-derived as literal
+    * (a, b) pairs and folded over the in-row shingle array, then banded
+    * exactly like [[minhashBuckets]] — a document lands in the SAME
+    * (band, key) buckets whether it went through the batch aggregate or
+    * this projection. Returns array<struct<band, key>> to explode.
+    * This is what makes near-dup lookup possible inside a streaming
+    * query plan, where a groupBy-per-doc aggregation would force a
+    * watermark and break append mode.
+    */
+  private[graft] def streamingBandsFor(text: Column, k: Int = 3,
+                                       numHashes: Int = 64,
+                                       bands: Int = 32): Column = {
+    val p = lshPrime
+    val params = { // MUST mirror MinHashAgg.params: same seed, same draw order
+      val rnd = new scala.util.Random(42L)
+      Array.fill(numHashes)(
+        (math.abs(rnd.nextLong() % (p - 1)) + 1, math.abs(rnd.nextLong() % p)))
+    }
+    val xs = transform(shingleArray(text, k), s =>
+      aggregate(
+        transform(split(s, " "), wd => ascii(wd) * lit(31L) + length(wd)),
+        lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p)))
+    val sig = array(params.map { case (a, b) =>
+      aggregate(xs, lit(Long.MaxValue),
+        (m, x) => least(m, (x * lit(a) + lit(b)) % lit(p)))
+    }: _*)
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(
+          slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), "_").as("key"))
+    }: _*)
+  }
+
   private def minhashBuckets(hashed: DataFrame, numHashes: Int, bands: Int,
                              p: Long): DataFrame = {
     val sigs = hashed.groupBy(col("doc_id"))

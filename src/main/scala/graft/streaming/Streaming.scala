@@ -144,6 +144,81 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Streaming near-duplicate detection — the LLM ingest tick as a LIVE
+    * query: new documents stream in; each is probed against a
+    * maintained corpus near-dup index and emitted with its verified
+    * corpus near-dups.
+    *
+    * The index is [[graft.ops.TextDedup.corpusBucketTable]] (built by
+    * the batch MinHash aggregate — what a production pipeline persists
+    * and refreshes on a schedule); the stream computes bucket-COMPATIBLE
+    * band keys per row with [[graft.ops.TextDedup.streamingBandsFor]]
+    * (the same seed-42 hash family as pure expressions — a per-doc
+    * groupBy would force a watermarked aggregation and break append
+    * mode). Candidates come from a stream-static equi-join on
+    * (band, key); the exact-Jaccard verify is a second stream-static
+    * join against the corpus shingle sets plus an in-row intersection —
+    * the stream doc carries its own shingle array, so verification
+    * needs NO streaming state. The only stateful operator is the final
+    * dropDuplicates collapsing multi-band hits of the same pair
+    * (state = one tiny key per emitted pair; production bounds it with
+    * dropDuplicatesWithinWatermark on the ingest timestamp).
+    *
+    * Scale: per tick, cost tracks the BATCH (band keys: 8·numHashes
+    * bytes/doc; candidates: batch × corpus bucket collisions) — never
+    * corpus²; identical guarantees to the batch
+    * [[graft.ops.TextDedup.nearDupIncremental]], which shares the hash
+    * family, banding, and verify arithmetic.
+    */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame,
+                       scratch: String,
+                       threshold: Double = 0.5): DataFrame = {
+    import graft.ops.TextDedup
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+
+    // the maintained index: banded buckets + shingle sets (static side)
+    val buckets = TextDedup.corpusBucketTable(corpus)
+      .select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val sets = TextDedup.corpusShingleSets(corpus)
+      .select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("n").as("n_a"))
+
+    batch.repartition(4).write.mode("overwrite").parquet(scratch)
+
+    val name = nextName("graft_neardup")
+    val probe = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .select(col("doc_id").as("doc_b"),
+        TextDedup.shingleArray(col("text"), 3).as("set_b"),
+        explode(TextDedup.streamingBandsFor(col("text"))).as("bk"))
+      .select(col("doc_b"), col("set_b"), size(col("set_b")).as("n_b"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val query = probe
+      .join(buckets, Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b"), col("set_b"), col("n_b"))
+      .join(broadcast(sets), Seq("doc_a"))
+      // same size-ratio prune + exact intersection as verifyJaccard
+      .filter(col("n_a") >= lit(threshold) * col("n_b") &&
+              col("n_b") >= lit(threshold) * col("n_a"))
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
   /** Streaming anomaly monitor: baseline per-group moment stats are
     * trained on the batch corpus (one scan, broadcast); the live feed is
     * then flagged row-by-row with the same exact-decimal k-sigma
