@@ -320,13 +320,67 @@ object TextDedup {
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
                           maxDf: Int = 100): DataFrame = {
-    val sh = charShingles(docs, n).persist() // reused: candidates + verify
-    val lsh = lshCandidates(
-      sh.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x")),
-      numHashes = 64, bands = 32, p = lshPrime)
-    val rare = pairIntersections(sh, maxDf)
+    val numHashes = 64
+    val hashed = charShingles(docs, n)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x"))
+      .persist() // reused: signatures, rare index, int-set verify
+    val sigs = minhashSigs(hashed, numHashes, lshPrime)
+      .persist() // reused: banding + the prefilter
+    val lsh = bucketPairs(bandsOf(sigs, numHashes, bands = 32))
+    val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(lsh.unionByName(rare).distinct(), sh, threshold)
+
+    // Three-stage funnel between candidate generation and the exact
+    // decision. Char shingles are so dense that unrelated documents
+    // share a moderate baseline Jaccard, and 2-row bands then admit
+    // nearly every pair as a candidate — at 10× gate scale the exact
+    // verify intersected millions of ~10³-element sets (measured: this
+    // op alone was HALF the bench before the funnel).
+    //
+    // Stage 1 — signature agreement: the signatures are already in hand
+    // from banding and E[agreement] = J, so 64 integer compares per
+    // pair discard the far-below-threshold mass. Candidates are
+    // DEDUPLICATED first — the distinct shuffles 16-byte pairs, whereas
+    // running the sig joins on the multi-band-hit stream materializes
+    // two signature arrays per raw pair (measured 2× slower at sf0.1) —
+    // and the broadcast sides carry signatures as ints (the hash domain
+    // is < 2³¹), halving the per-pair bytes. Cutoff threshold−0.22
+    // keeps a true pair AT the threshold with
+    // P(miss) ≤ exp(−2·64·0.22²) ≈ 2e-3 (Hoeffding; vanishing above
+    // it) — the same probabilistic-recall regime as the LSH generator
+    // itself. Recall vs the uncapped all-pairs oracle is re-measured at
+    // sf0.1: 256/256, unchanged from the unfiltered round-6 fix.
+    val minAgree = math.max(0, math.ceil((threshold - 0.22) * numHashes)).toInt
+    val sigInts = sigs.select(col("doc_id"),
+      transform(col("sig"), v => v.cast("int")).as("sig"))
+    val pre = lsh.unionByName(rare).distinct()
+      .join(broadcast(sigInts.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(broadcast(sigInts.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree)
+      .select(col("doc_a"), col("doc_b"))
+
+    // Stage 2 — exact Jaccard over the HASHED shingle sets (longs):
+    // ~4× lighter than string sets in both shuffle bytes and compare
+    // cost. xxhash64 into a 2³¹ domain perturbs a ~10²-element set's
+    // Jaccard only via collisions (P ≈ |set|²/2³² ≈ 1e-5 per pair), so
+    // a 0.04 safety margin passes every near-threshold pair onward.
+    val iSets = hashed.groupBy(col("doc_id"))
+      .agg(collect_set(col("x")).as("iset"))
+      .select(col("doc_id"), col("iset"), size(col("iset")).as("ni"))
+    val nearExact = pre
+      .join(iSets.select(col("doc_id").as("doc_a"), col("iset").as("ia"),
+        col("ni").as("na")), "doc_a")
+      .join(iSets.select(col("doc_id").as("doc_b"), col("iset").as("ib"),
+        col("ni").as("nb")), "doc_b")
+      .withColumn("ii", size(array_intersect(col("ia"), col("ib"))))
+      .filter(col("ii").cast("double") / (col("na") + col("nb") - col("ii"))
+        >= threshold - 0.04)
+      .select(col("doc_a"), col("doc_b"))
+
+    // Stage 3 — the exact STRING-set decision (precision 1.0, the
+    // oracle's arithmetic) now touches only near-threshold survivors.
+    verifyJaccard(nearExact, charShingles(docs, n), threshold)
   }
 
   /** MinHash signature matrix + LSH banding candidates — the sub-quadratic
@@ -371,12 +425,16 @@ object TextDedup {
     */
   private def lshCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
                             p: Long): DataFrame =
-    minhashBuckets(hashed, numHashes, bands, p).groupBy(col("band"), col("key"))
+    bucketPairs(minhashBuckets(hashed, numHashes, bands, p)).distinct()
+
+  /** Bucket table (doc_id, band, key) → candidate pairs (doc_a < doc_b),
+    * NOT deduplicated across buckets. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
 
   /** Incremental near-dedup — the production ingest tick: flag each NEW
     * batch document that is a near-duplicate (word-shingle Jaccard ≥
@@ -520,10 +578,20 @@ object TextDedup {
   }
 
   private def minhashBuckets(hashed: DataFrame, numHashes: Int, bands: Int,
-                             p: Long): DataFrame = {
-    val sigs = hashed.groupBy(col("doc_id"))
+                             p: Long): DataFrame =
+    bandsOf(minhashSigs(hashed, numHashes, p), numHashes, bands)
+
+  /** One-pass MinHash signature table (doc_id, sig: array<long>) over
+    * pre-hashed shingles (doc_id, x). */
+  private def minhashSigs(hashed: DataFrame, numHashes: Int,
+                          p: Long): DataFrame =
+    hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
         .as("sig"))
+
+  /** Signature table → banded bucket table (doc_id, band, key). */
+  private def bandsOf(sigs: DataFrame, numHashes: Int,
+                      bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
