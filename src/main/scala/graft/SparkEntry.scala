@@ -1421,6 +1421,25 @@ object SparkEntry {
         buildKey = col("o_custkey"),
         mBits = 16384, k = 3)),
 
+    // materialized-view maintenance: the corpus agg table advanced by a
+    // new batch equals the full recompute (corpus never rescanned)
+    "incremental_agg_maintain" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val aggTable = Changelog.buildAgg(
+        e.filter(col("event_id") % 10 =!= 0), eventKeys, col("value"))
+      Changelog.maintainAgg(aggTable,
+          e.filter(col("event_id") % 10 === 0), eventKeys, col("value"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("s").cast("double").as("sum_value"), col("mn"), col("mx"))
+    }),
+
+    // sample-based join-size estimation vs exact truth: the pre-join
+    // quadratic-blowup guard (self-join of lineitem on partkey)
+    "join_cardinality_est" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      Distribute.joinCardinalityEst(l, col("l_partkey"), l, col("l_partkey"))
+    }),
+
     // windowed funnel: view -> click within 24h -> purchase within 24h
     // of the click; earliest-completion attribution per user
     "funnel_windowed" -> ((s, dir) =>
@@ -3295,6 +3314,26 @@ object SparkEntry {
                 's' || CAST(l_suppkey AS VARCHAR) AS dst
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderkey % 5 = 0"""),
+
+    // the invariant IS the oracle: maintained == full recompute over
+    // corpus ∪ batch (counts/sums/extrema are decomposable)
+    "incremental_agg_maintain" ->
+      """SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+           min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1, 2""",
+
+    // same portable key-space hash sample and integer products
+    "join_cardinality_est" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+                    GROUP BY 1),
+         s AS (SELECT k, c FROM c
+               WHERE (k * 1000003 % 1000000007) % 8 = 0)
+         SELECT
+           CAST((SELECT sum(c*c)*8 FROM s) AS BIGINT) AS est_pairs,
+           CAST((SELECT sum(c*c) FROM c) AS BIGINT) AS exact_pairs,
+           CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
+             / (SELECT sum(c*c) FROM c) AS est_ratio""",
 
     // same anchored first-eligible-event chain and 24h interval bounds
     "funnel_windowed" ->

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Change-data-capture (CDC) log application.
   *
@@ -58,4 +59,44 @@ object Changelog {
     upserts.unionByName(target.join(finalOps.select(keys.map(col): _*),
       keys, "left_anti"))
   }
+
+  /** Incremental aggregate maintenance — the materialized-view shape of
+    * incremental ETL: a per-key (n, sum) aggregate table built from the
+    * existing corpus is advanced by a NEW batch without re-reading the
+    * corpus. Counts and sums are decomposable, so
+    * maintain(agg(corpus), batch) == agg(corpus ∪ batch) exactly — the
+    * invariant the oracle checks (full recompute) and the whole point:
+    * at 100 TB the corpus is never rescanned, each tick aggregates only
+    * the batch (map-side combined) and full-outer-merges two key-sized
+    * tables. Money sums are DECIMAL (the engine's exact-money rule);
+    * min/max are also decomposable and ride along; AVG is derived at
+    * read time as sum/n, never stored.
+    */
+  def maintainAgg(aggTable: DataFrame, batch: DataFrame, keys: Seq[String],
+                  value: Column): DataFrame = {
+    val delta = batch
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast(DecimalType(38, 2))).as("s"),
+        min(value).as("mn"), max(value).as("mx"))
+    aggTable.select(keys.map(col) :+ col("n").as("n0") :+ col("s").as("s0")
+        :+ col("mn").as("mn0") :+ col("mx").as("mx0"): _*)
+      .join(delta, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+        (coalesce(col("s0"), lit(BigDecimal(0)).cast(DecimalType(38, 2))) +
+          coalesce(col("s"), lit(BigDecimal(0)).cast(DecimalType(38, 2))))
+          .cast(DecimalType(38, 2)).as("s"),
+        least(coalesce(col("mn0"), col("mn")), coalesce(col("mn"), col("mn0")))
+          .as("mn"),
+        greatest(coalesce(col("mx0"), col("mx")), coalesce(col("mx"), col("mx0")))
+          .as("mx")): _*)
+  }
+
+  /** Build the [[maintainAgg]] aggregate table from scratch. */
+  def buildAgg(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(value.cast(DecimalType(38, 2))).as("s"),
+        min(value).as("mn"), max(value).as("mx"))
 }

@@ -233,6 +233,38 @@ object Distribute {
     * cum-share window. The total rides the counts' exchange. Shares are
     * single divisions of exact longs.
     */
+  /** Join-cardinality estimation by correlated key sampling — the
+    * planner-adjacent guard run BEFORE an expensive join: sample the KEY
+    * SPACE with a deterministic hash (both sides keep the same keys, so
+    * per-key products survive intact — row-level Bernoulli sampling
+    * would break them), compute the exact output size on the 1/`rate`
+    * key slice, scale up. Estimating Σ cᴬ(k)·cᴮ(k) this way costs two
+    * filtered aggregations instead of the join itself; at 100 TB it is
+    * how you notice a quadratic key blowup (see [[skewDiagnose]])
+    * before paying for it. All arithmetic is integer-exact; the
+    * estimate, the exact truth, and their ratio ship in one row so the
+    * estimator's quality is itself oracle-verified.
+    */
+  def joinCardinalityEst(left: DataFrame, leftKey: Column,
+                         right: DataFrame, rightKey: Column,
+                         rate: Int = 8): DataFrame = {
+    // the engine's portable key hash (same family as Shard.splitCol)
+    def sampled(k: Column): Column =
+      pmod(pmod(k * lit(1000003L), lit(1000000007L)), lit(rate.toLong)) === 0
+    def counts(df: DataFrame, k: Column, as: String): DataFrame =
+      df.groupBy(k.as("k")).agg(count(lit(1)).as(as))
+    val exact = counts(left, leftKey, "ca")
+      .join(counts(right, rightKey, "cb"), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+    val est = counts(left.filter(sampled(leftKey)), leftKey, "ca")
+      .join(counts(right.filter(sampled(rightKey)), rightKey, "cb"), "k")
+      .agg((sum(col("ca") * col("cb")) * rate).as("est_pairs"))
+    est.crossJoin(exact)
+      .select(col("est_pairs"), col("exact_pairs"),
+        (col("est_pairs").cast("double") / col("exact_pairs"))
+          .as("est_ratio"))
+  }
+
   def skewDiagnose(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Changelog, Distribute}
+
+/** Round-6 sixth wave: incremental aggregate maintenance and join
+  * cardinality estimation.
+  */
+class Wave6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("maintainAgg == full recompute, including keys seen only on one " +
+       "side of the tick") {
+    val corpus = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val batch = Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v") // c is new
+    val maintained = Changelog.maintainAgg(
+        Changelog.buildAgg(corpus, Seq("k"), col("v")),
+        batch, Seq("k"), col("v"))
+      .select(col("k"), col("n"), col("s").cast("double"), col("mn"), col("mx"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val full = Changelog.buildAgg(corpus.unionByName(batch), Seq("k"), col("v"))
+      .select(col("k"), col("n"), col("s").cast("double"), col("mn"), col("mx"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(maintained === full)
+    assert(maintained.map(_._1) === Set("a", "b", "c"))
+  }
+
+  test("joinCardinalityEst: rate=1 degenerates to the exact count") {
+    // self-join sizes: key x (3 rows) -> 9, key y (2 rows) -> 4
+    val df = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
+    val out = Distribute.joinCardinalityEst(df, col("k"), df, col("k"),
+        rate = 1)
+      .as[(Long, Long, Double)].head()
+    assert(out === ((13L, 13L, 1.0)))
+  }
+
+  test("joinCardinalityEst: the estimate is sample-scaled and unbiased " +
+       "over the key space") {
+    val df = (1L to 64L).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val (est, exact, ratio) = Distribute.joinCardinalityEst(
+      df, col("k"), df, col("k"), rate = 8)
+      .as[(Long, Long, Double)].head()
+    assert(exact === 64 * 9)
+    assert(est % 8 === 0 && est > 0)
+    assert(ratio === est.toDouble / exact)
+  }
+}
