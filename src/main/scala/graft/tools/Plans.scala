@@ -17,7 +17,7 @@ object Plans {
     "asof_join_native" -> "custom AsOfJoin exec: key exchange + in-partition sort-merge",
     "embedding_near_dup" -> "LSH bucket self-join; broadcast vector verify; no cartesian",
     "simhash_pairs" -> "signature-carrying bucket self-join; xor verify in-task",
-    "near_dedup_chars" -> "LSH-banding ∪ rare-shingle candidates + exact set verify",
+    "near_dedup_chars" -> "LSH ∪ rare-shingle candidates through a staged funnel: int-sig agreement → hashed-set Jaccard → exact string verify",
     "near_dedup_incremental" -> "batch × corpus bucket equi-join; never corpus²",
     "pack_sequences" -> "one shuffle to shards; per-shard window cumsum; DIV binning",
     "split_leak_pairs" -> "near-dup pairs + pure-projection split labels (no extra join)",
@@ -56,7 +56,18 @@ object Plans {
     "cdc_apply" -> "one key shuffle: WindowGroupLimit-pruned latest-wins + tombstone filter",
     "hll_distinct" -> "one scan to (group, bucket) registers — map-side combined, ≤64 rows/group survive",
     "bloom_semi_join" -> "k chained broadcast semi-joins on the set-bit table; probe never exchanges",
-    "multimodal_audio" -> "partition-wise PCM decode + integer feature fold; only the 6-column row leaves the task")
+    "multimodal_audio" -> "partition-wise PCM decode + integer feature fold; only the 6-column row leaves the task",
+    "entity_resolution" -> "prefix ∪ suffix blocking as two broadcast joins of the distinct-name catalog; Levenshtein only on candidates",
+    "cooccur_pmi" -> "per-basket pair self-equi-join (bounded by basket size); counts map-side combined",
+    "ts_gapfill" -> "daily agg shuffles the feed once on the entity key; calendar grid joins entity-partitioned",
+    "mad_outliers" -> "two grouped exact percentiles + broadcast joins back; no row-level shuffle",
+    "bpe_pairs" -> "two generator expansions, map-side-combined counts; final window over alphabet²-bounded pairs",
+    "ann_recall_eval" -> "exact and IVF top-k share the probe broadcast; comparison joins k-rows-per-probe",
+    "graph_bfs" -> "per-hop frontier × edges equi-join + anti-join visited; frontier-sized shuffles",
+    "skew_diagnose" -> "TakeOrdered survivors only; key-count table never single-partition sorted",
+    "funnel_windowed" -> "three type-filtered aggs share the user-key partitioning",
+    "incremental_agg_maintain" -> "batch-only aggregation + full-outer merge of key-sized tables; corpus never rescanned",
+    "join_cardinality_est" -> "two filtered aggregations replace the join; sample pushed below the shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
