@@ -1421,6 +1421,11 @@ object SparkEntry {
         buildKey = col("o_custkey"),
         mBits = 16384, k = 3)),
 
+    // the corpus-release governance row: sizes, dup pairs, clusters,
+    // token budget before/after the canonical cut
+    "curation_report" -> ((s, dir) =>
+      TextDedup.curationReport(Tables.documents(s, dir))),
+
     // materialized-view maintenance: the corpus agg table advanced by a
     // new batch equals the full recompute (corpus never rescanned)
     "incremental_agg_maintain" -> ((s, dir) => {
@@ -3314,6 +3319,32 @@ object SparkEntry {
                 's' || CAST(l_suppkey AS VARCHAR) AS dst
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderkey % 5 = 0"""),
+
+    // the same composed stages: sha256 groups, the exact near-dup pair
+    // set, recursive-CTE components, canonical-doc token sum
+    "curation_report" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         lbl AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+                 GROUP BY d.doc_id)
+         SELECT
+           (SELECT count(*) FROM documents) AS n_docs,
+           CAST((SELECT sum(len(string_split(text, ' ')))
+                 FROM documents) AS BIGINT) AS tokens_total,
+           (SELECT count(DISTINCT sha256(text)) FROM documents)
+             AS n_exact_unique,
+           (SELECT count(*) FROM p) AS n_near_pairs,
+           (SELECT count(DISTINCT cluster_id) FROM lbl) AS n_clusters,
+           CAST((SELECT sum(len(string_split(text, ' ')))
+                 FROM documents JOIN lbl USING (doc_id)
+                 WHERE doc_id = cluster_id) AS BIGINT) AS tokens_retained""",
 
     // the invariant IS the oracle: maintained == full recompute over
     // corpus ∪ batch (counts/sums/extrema are decomposable)

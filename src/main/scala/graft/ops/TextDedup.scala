@@ -467,6 +467,38 @@ object TextDedup {
     verifyJaccard(candidates, shC.unionByName(shB), threshold)
   }
 
+  /** The whole curation pipeline's governance numbers in one row — what
+    * a corpus release ships next to the data: corpus size, exact-unique
+    * count, verified near-dup pairs, connected near-dup clusters
+    * (= retained canonical docs), and the token budget before/after the
+    * cut. Composes [[contentHashDedup]], [[nearDupJaccard]], and
+    * [[dedupClusters]]; each number is an exact integer so the whole
+    * report is oracle-verifiable end-to-end.
+    *
+    * Scale: strictly the union of its parts' plans (hash-groupBy +
+    * inverted-index candidates + edge-sized label propagation); the
+    * report aggregations are one extra scan of the cluster table and
+    * one of the corpus.
+    */
+  def curationReport(docs: DataFrame): DataFrame = {
+    val toks = sum(size(split(col("text"), " ")).cast("long"))
+    val pairs = nearDupJaccard(docs).persist()
+    val clusters = dedupClusters(docs, pairs)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      toks.as("tokens_total"))
+    val exact = contentHashDedup(docs)
+      .agg(count(lit(1)).as("n_exact_unique"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_near_pairs"))
+    val clus = clusters.agg(
+      countDistinct(col("cluster_id")).as("n_clusters"))
+    val kept = docs.join(
+        clusters.filter(col("doc_id") === col("cluster_id"))
+          .select(col("doc_id")), "doc_id")
+      .agg(toks.as("tokens_retained"))
+    base.crossJoin(exact).crossJoin(nPairs).crossJoin(clus).crossJoin(kept)
+  }
+
   /** Split leak guard: near-duplicate pairs that STRADDLE train/val/test
     * splits — the eval-integrity audit a curation pipeline runs after
     * any hash split, because a test doc with a train-side near-dup

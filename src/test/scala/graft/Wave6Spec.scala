@@ -28,6 +28,20 @@ class Wave6Spec extends AnyFunSuite {
     assert(maintained.map(_._1) === Set("a", "b", "c"))
   }
 
+  test("curationReport: stage counts are mutually consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = SparkEntry.queries("curation_report")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nDocs, tokensTotal, nExact, nPairs, nClusters, tokensKept) = r
+    assert(nDocs === docs.count())
+    assert(nExact <= nDocs) // exact dedup can only shrink
+    // every near-dup pair merges at least one doc away, and a cluster
+    // of size s accounts for at most s(s-1)/2 pairs
+    assert(nClusters < nDocs && nClusters >= nDocs - nPairs)
+    assert(tokensKept <= tokensTotal && tokensKept > 0)
+    assert(nPairs > 0)
+  }
+
   test("joinCardinalityEst: rate=1 degenerates to the exact count") {
     // self-join sizes: key x (3 rows) -> 9, key y (2 rows) -> 4
     val df = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
