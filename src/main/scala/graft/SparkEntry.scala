@@ -696,6 +696,14 @@ object SparkEntry {
       graft.streaming.Streaming.streamingDedup(s, eventsBase(s, dir),
         tmp(dir, "stream_dedup_src"))),
 
+    // the materialized view maintained LIVE (foreachBatch accumulate;
+    // decomposable aggs make the result trigger-slicing-independent)
+    "streaming_agg_maintain" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingAggMaintain(s, eventsBase(s, dir),
+        eventKeys, tmp(dir, "stream_aggm_src"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("s").cast("double").as("sum_value"), col("mn"), col("mx"))),
+
     // the LLM ingest tick LIVE: streamed docs probe the maintained
     // corpus MinHash index (stream-static joins, stateless verify)
     "streaming_near_dup" -> ((s, dir) =>
@@ -3345,6 +3353,14 @@ object SparkEntry {
            CAST((SELECT sum(len(string_split(text, ' ')))
                  FROM documents JOIN lbl USING (doc_id)
                  WHERE doc_id = cluster_id) AS BIGINT) AS tokens_retained""",
+
+    // same invariant as the batch op: the live view == full recompute,
+    // however the triggers sliced the feed
+    "streaming_agg_maintain" ->
+      """SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+           min(value) AS mn, max(value) AS mx
+         FROM events GROUP BY 1, 2""",
 
     // the invariant IS the oracle: maintained == full recompute over
     // corpus ∪ batch (counts/sums/extrema are decomposable)

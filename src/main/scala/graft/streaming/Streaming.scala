@@ -119,6 +119,55 @@ object Streaming {
     target
   }
 
+  /** Materialized-view maintenance as a LIVE query: the per-key
+    * aggregate table ([[graft.ops.Changelog.maintainAgg]]) is advanced
+    * by each micro-batch inside `foreachBatch` — the streaming face of
+    * incremental ETL, and a different state pattern from
+    * [[streamingUpsert]]'s latest-wins replace: aggregates ACCUMULATE,
+    * so the merge is a full-outer combine of decomposable (n, sum, min,
+    * max), never a re-aggregation of history. Because the aggregates
+    * are decomposable, the final table provably equals the batch
+    * recompute regardless of how triggers slice the feed (the
+    * split-independence property the batch spec asserts) — which is
+    * exactly why the oracle can be the full recompute.
+    *
+    * Scale: per tick, one map-side-combined aggregation of the batch +
+    * one key-sized full-outer merge; the view is key-cardinality-sized
+    * state, the feed is never retained.
+    */
+  def streamingAggMaintain(spark: SparkSession, events: DataFrame,
+                           keys: Seq[String],
+                           scratch: String): DataFrame = withStatePartitions(spark, 8) {
+    import graft.ops.Changelog
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    var view = Changelog.buildAgg(
+      base.filter(col("event_id") % 2 === 0), keys, col("value")).persist()
+    view.count()
+
+    val feed = base.filter(col("event_id") % 2 === 1)
+    feed.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val query = spark.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = Changelog.maintainAgg(view, batch, keys, col("value"))
+          .persist()
+        next.count() // materialize before dropping the old snapshot
+        view.unpersist()
+        view = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    view
+  }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

@@ -42,6 +42,24 @@ class Wave6Spec extends AnyFunSuite {
     assert(nPairs > 0)
   }
 
+  test("streamingAggMaintain: the live view equals the batch recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, sf)
+    val live = graft.streaming.Streaming.streamingAggMaintain(spark, e,
+        Seq("user_id", "event_type"),
+        s"/tmp/graft-test-aggm-${System.nanoTime()}")
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("s").cast("double"), col("mn"), col("mx"))
+      .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+    val batch = Changelog.buildAgg(e, Seq("user_id", "event_type"),
+        col("value"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("s").cast("double"), col("mn"), col("mx"))
+      .as[(Long, String, Long, Double, Double, Double)].collect().toSet
+    assert(live === batch)
+    assert(live.nonEmpty)
+  }
+
   test("joinCardinalityEst: rate=1 degenerates to the exact count") {
     // self-join sizes: key x (3 rows) -> 9, key y (2 rows) -> 4
     val df = Seq(1L, 1L, 1L, 2L, 2L).toDF("k")
