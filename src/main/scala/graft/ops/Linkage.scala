@@ -34,9 +34,12 @@ object Linkage {
     * multimodal encode parameters).
     */
   def dirtyName(id: Column, name: Column): Column = {
-    val pos = (id % (length(name) - 1) + 1).cast("int")
-    concat(name.substr(lit(1), pos - 1),
-           name.substr(pos + 1, length(name)))
+    val pos = (id % greatest(length(name) - 1, lit(1)) + 1).cast("int")
+    // names shorter than 2 chars have nothing to delete (and len-1 = 0
+    // would make the modulus throw under ANSI); pass them through
+    when(length(name) < 2, name)
+      .otherwise(concat(name.substr(lit(1), pos - 1),
+        name.substr(pos + 1, length(name))))
   }
 
   /** Link each dirty record to its best catalog entity. Output: one row
