@@ -596,17 +596,29 @@ object TextDedup {
       aggregate(
         transform(split(s, " "), wd => ascii(wd) * lit(31L) + length(wd)),
         lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(p)))
-    val sig = array(params.map { case (a, b) =>
-      aggregate(xs, lit(Long.MaxValue),
-        (m, x) => least(m, (x * lit(a) + lit(b)) % lit(p)))
-    }: _*)
+    // ONE fold building the whole signature array — 64 separate
+    // aggregate() nodes each re-embedding the shingle expression made
+    // the tree so large that Structured Streaming's PER-TRIGGER
+    // re-analysis dominated the query (measured: minutes per run at
+    // sf0.1); the zip_with form is the same arithmetic at 1/64th the
+    // tree size, and the hash params travel as one array-of-struct
+    // literal
+    val ab = typedLit(params.toSeq)
+    val sig = aggregate(xs,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc, ab,
+        (m, pr) => least(m,
+          (x * pr.getField("_1") + pr.getField("_2")) % lit(p))))
     val rowsPerBand = numHashes / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array_join(transform(
-          slice(sig, b * rowsPerBand + 1, rowsPerBand),
-          v => v.cast("string")), "_").as("key"))
-    }: _*)
+    // bind the signature to a lambda variable so it appears (and is
+    // evaluated) ONCE: 32 band structs each embedding the whole fold
+    // would re-run it 32x per row and re-inflate the expression tree
+    flatten(transform(array(sig), s =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.cast("int").as("band"),
+          array_join(transform(
+            slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), "_").as("key")))))
   }
 
   private def minhashBuckets(hashed: DataFrame, numHashes: Int, bands: Int,

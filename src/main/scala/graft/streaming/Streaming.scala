@@ -227,12 +227,18 @@ object Streaming {
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
 
-    // the maintained index: banded buckets + shingle sets (static side)
+    // the maintained index: banded buckets + shingle sets (static side).
+    // Persisted: a static DataFrame inside a streaming query is
+    // re-evaluated EVERY trigger otherwise — the index must be built
+    // once, which is also precisely what the production shape does
     val buckets = TextDedup.corpusBucketTable(corpus)
       .select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .persist()
     val sets = TextDedup.corpusShingleSets(corpus)
       .select(col("doc_id").as("doc_a"), col("set").as("set_a"),
         col("n").as("n_a"))
+      .persist()
+    buckets.count(); sets.count()
 
     batch.repartition(4).write.mode("overwrite").parquet(scratch)
 
