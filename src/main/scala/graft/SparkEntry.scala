@@ -1434,6 +1434,34 @@ object SparkEntry {
     "curation_report" -> ((s, dir) =>
       TextDedup.curationReport(Tables.documents(s, dir))),
 
+    // stride-1 duplicated-span metric (ExactSubstr proper): share of
+    // each doc's 8-word windows first seen elsewhere
+    "exactsubstr_report" -> ((s, dir) =>
+      TextDedup.exactSubstrReport(Tables.documents(s, dir))),
+
+    // contrastive hard-negative mining: top-5 nearest DIFFERENT-label
+    // vectors per probe (the decision-boundary examples)
+    "hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 32), 5)
+    }),
+
+    // Spark 4 VARIANT semi-structured path next to json_funcs' string
+    // path: parse once, typed extraction
+    "variant_funcs" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "long")
+          .as("k_long"),
+        try_variant_get(parse_json(col("props")), "$.missing", "long")
+          .as("missing_long"),
+        schema_of_variant(parse_json(col("props"))).as("v_schema"))),
+
+    // per-segment language ID: code-switching docs the whole-doc
+    // classifier misses
+    "segment_langid" -> ((s, dir) =>
+      Text.segmentLangId(Tables.documents(s, dir))),
+
     // materialized-view maintenance: the corpus agg table advanced by a
     // new batch equals the full recompute (corpus never rescanned)
     "incremental_agg_maintain" -> ((s, dir) => {
@@ -3327,6 +3355,91 @@ object SparkEntry {
                 's' || CAST(l_suppkey AS VARCHAR) AS dst
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderkey % 5 = 0"""),
+
+    // same stride-1 window expansion and first-occurrence rule
+    "exactsubstr_report" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, t.g AS pos,
+                 array_to_string(ws[g+1:g+8], ' ') AS gram
+               FROM w, UNNEST(range(len(ws) - 7)) AS t(g)
+               WHERE len(ws) >= 8),
+         f AS (SELECT doc_id,
+                 CASE WHEN row_number() OVER (PARTITION BY gram
+                        ORDER BY doc_id, pos) > 1 THEN 1 ELSE 0 END AS dup
+               FROM g),
+         r AS (SELECT doc_id, count(*) AS nw,
+                 CAST(sum(dup) AS BIGINT) AS nd FROM f GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN nw IS NULL THEN 0.0
+                ELSE CAST(nd AS DOUBLE) / nw END AS dup_ratio
+         FROM documents d LEFT JOIN r USING (doc_id)""",
+
+    // the brute-force top-k oracle with the different-label constraint
+    "hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                    FROM embeddings)
+         SELECT q.vec_id AS q_id, q.label AS q_label,
+                c.vec_id AS neg_id, c.label AS neg_label,
+                list_cosine_similarity(q.v, c.v) AS sim,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                           c.vec_id ASC) AS rank
+         FROM e q JOIN e c
+           ON q.vec_id <> c.vec_id AND q.label <> c.label
+         WHERE q.vec_id < 32
+         QUALIFY rank <= 5""",
+
+    // typed extraction through DuckDB's JSON path; the variant schema
+    // of the constant-shape props is a literal
+    "variant_funcs" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT)
+             AS missing_long,
+           'OBJECT<k: BIGINT>' AS v_schema
+         FROM events""",
+
+    // same chunking, marker scores, prediction rule, and
+    // (count desc, lang asc) majority
+    "segment_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         segs AS (SELECT doc_id,
+             array_to_string(
+               ws[CAST(i*16+1 AS BIGINT):CAST(i*16+16 AS BIGINT)], ' ')
+               AS seg
+           FROM w, UNNEST(range(CAST(greatest(ceil(len(ws) / 16.0), 1)
+             AS BIGINT))) AS t(i)),
+         scored AS (SELECT doc_id,
+             len(list_filter(string_split(seg, ' '),
+               x -> x IN ('the', 'a'))) AS s_en,
+             len(list_filter(string_split(seg, ' '),
+               x -> x IN ('la', 'el'))) AS s_es,
+             len(list_filter(string_split(seg, ' '),
+               x -> x IN ('der', 'die'))) AS s_de
+           FROM segs),
+         pred AS (SELECT doc_id,
+             CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es THEN 'de'
+                  WHEN s_en > 0 AND s_en >= s_es THEN 'en'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS seg_lang
+           FROM scored),
+         cnt AS (SELECT doc_id, seg_lang, count(*) AS n
+                 FROM pred GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments,
+                   count(DISTINCT CASE WHEN seg_lang <> 'und'
+                         THEN seg_lang END) AS n_langs
+                 FROM cnt GROUP BY 1),
+         m AS (SELECT doc_id, seg_lang AS majority_lang,
+                 CAST(n AS BIGINT) AS n_majority FROM cnt
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n DESC, seg_lang) = 1)
+         SELECT agg.doc_id, n_segments, majority_lang, n_majority,
+           (n_langs > 1) AS is_mixed
+         FROM agg JOIN m USING (doc_id)""",
 
     // the same composed stages: sha256 groups, the exact near-dup pair
     // set, recursive-CTE components, canonical-doc token sum

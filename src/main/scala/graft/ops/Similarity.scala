@@ -235,6 +235,33 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: each probe's top-k
+    * most-similar vectors with a DIFFERENT label — the examples that sit
+    * closest to the decision boundary, which is what a contrastive or
+    * reranker training loop asks its data pipeline for. Same plan shape
+    * as [[bruteForceTopK]] (probes broadcast, corpus streamed once, the
+    * label inequality rides the codegen'd filter); at corpus scale the
+    * IVF candidate generator slots in front unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, probes: DataFrame,
+                    k: Int): DataFrame = {
+    val q = withVec(probes, "q_id", "q")
+      .join(probes.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+    val c = withVec(embeddings, "neg_id", "c")
+      .join(embeddings.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), "neg_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neg_id").asc)
+    broadcast(q).crossJoin(c)
+      .filter(col("q_label") =!= col("neg_label"))
+      .withColumn("sim", cosine(col("q"), col("c"), col("q_norm"), col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("neg_id"), col("neg_label"),
+        col("sim"), col("rank"))
+  }
+
   /** ANN index-quality evaluation: recall@k of [[ivfTopK]] against the
     * [[bruteForceTopK]] ground truth, per probe — the measurement every
     * production ANN deployment runs before trusting an index (tune

@@ -167,6 +167,50 @@ object Text {
       .drop("s_en", "s_es", "s_de")
   }
 
+  /** Per-segment language ID + mixed-document detection: the document is
+    * chunked into fixed `chunkWords`-word segments, each scored with the
+    * same marker heuristic as [[langId]], and the doc-level report says
+    * how many segments exist, the majority prediction (count desc, lang
+    * asc tiebreak), and whether the doc MIXES languages — the
+    * code-switching signal corpus-level language ID misses (a document
+    * that is half English, half German classifies "en" whole-doc and
+    * pollutes both monolingual corpora).
+    *
+    * Scale: one generator expansion + a doc-keyed rollup; marker scoring
+    * is a codegen'd projection per segment. Exact integer counts
+    * throughout.
+    */
+  def segmentLangId(docs: DataFrame, chunkWords: Int = 16): DataFrame = {
+    val w = words(col("text"))
+    val nc = greatest(ceil(size(w).cast("double") / lit(chunkWords)), lit(1L))
+    def score(seg: Column, markers: Seq[String]): Column =
+      size(filter(split(seg, " "), t => t.isin(markers.map(lit): _*)))
+    val segs = Par.widen(docs).select(col("doc_id"),
+      explode(transform(sequence(lit(0L), nc - 1),
+        i => array_join(slice(w, (i * chunkWords + 1).cast("int"),
+          lit(chunkWords)), " "))).as("seg"))
+    val sEn = score(col("seg"), Seq("the", "a"))
+    val sEs = score(col("seg"), Seq("la", "el"))
+    val sDe = score(col("seg"), Seq("der", "die"))
+    val pred = when(sDe > 0 && sDe >= sEn && sDe >= sEs, "de")
+      .when(sEn > 0 && sEn >= sEs, "en")
+      .when(sEs > 0, "es")
+      .otherwise("und")
+    segs.select(col("doc_id"), pred.as("seg_lang"))
+      .groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_segments"),
+        // (-n, lang) min = count desc with lang ASC tiebreak
+        min(struct((-col("n")).as("neg_n"), col("seg_lang"))).as("top"),
+        countDistinct(when(col("seg_lang") =!= "und", col("seg_lang")))
+          .as("n_langs"))
+      .select(col("doc_id"), col("n_segments"),
+        col("top.seg_lang").as("majority_lang"),
+        (-col("top.neg_n")).as("n_majority"),
+        (col("n_langs") > 1).as("is_mixed"))
+  }
+
   /** Rolling polynomial fingerprint over word tokens:
     * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents

@@ -80,6 +80,47 @@ object TextDedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Duplicated-span report at STRIDE 1 (the exact-substring signal of
+    * Lee et al. 2022 proper, where [[paragraphDedup]] is the
+    * chunk-aligned apply): every w-word window of every document,
+    * attributed corpus-wide to its first occurrence (min (doc_id, pos));
+    * a document's dup_ratio is the share of its windows seen earlier
+    * elsewhere — the metric a curation pipeline thresholds on before
+    * paying for span surgery. Stride 1 catches UNALIGNED copying
+    * (quotes, shifted boilerplate) that chunk-aligned dedup misses.
+    *
+    * Scale: one content-sized shuffle (the window keyed by its text —
+    * same reasoning as [[paragraphDedup]]: string equality inside the
+    * partition keeps the decision exact) plus a doc-keyed rollup.
+    * Stride-1 expansion is w× the corpus in shuffle bytes — the known
+    * price of the exact signal; production amortizes it by computing
+    * this once per corpus snapshot.
+    */
+  def exactSubstrReport(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val grams = Par.widen(docs)
+      .filter(size(ws) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(ws) - lit(w)),
+          i => array_join(slice(ws, i + 1, lit(w)), " ")))
+          .as(Seq("pos", "gram")))
+    val firstWin = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id"), col("pos"))
+    val flagged = grams
+      .withColumn("is_dup", (row_number().over(firstWin) > 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("is_dup")).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows").isNull, lit(0.0d))
+          .otherwise(col("n_dup").cast("double") / col("n_windows"))
+          .as("dup_ratio"))
+  }
+
   /** Distinct word k-shingles per document: (doc_id, shingle).
     * Distinctness is per-document, so it's enforced with a per-row
     * `array_distinct` BEFORE the explode — no shuffle, unlike a
