@@ -1481,12 +1481,35 @@ object SparkEntry {
       Distribute.joinCardinalityEst(l, col("l_partkey"), l, col("l_partkey"))
     }),
 
+    // per-user EWMA of the value stream (α=0.5 dyadic — exact halvings
+    // keep the fold bit-portable)
+    "ewma_smooth" -> ((s, dir) =>
+      Temporal.ewmaSmooth(eventsBase(s, dir), entity = col("user_id"),
+        ts = col("ts"), idCol = col("event_id"), value = col("value"))
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("last_value"), col("ewma"))),
+
     // windowed funnel: view -> click within 24h -> purchase within 24h
     // of the click; earliest-completion attribution per user
     "funnel_windowed" -> ((s, dir) =>
       Temporal.funnelWindowed(eventsBase(s, dir), user = col("user_id"),
         ts = col("ts"), typeCol = col("event_type"),
         steps = ("view", "click", "purchase"), windowSec = 86400L)),
+
+    // weighted shortest paths (4 Bellman-Ford rounds): min total
+    // quantity from the seed customers over the order graph
+    "shortest_path" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val seeds = edges.filter(
+          substring(col("src"), 2, 20).cast("long") % 97 === 0)
+        .select(col("src").as("node"))
+      Graph.shortestPaths(s, edges, seeds)
+    }),
 
     // multi-source BFS over the same order graph as pagerank: min hop
     // from the seed customers within 4 hops (blast-radius query)
@@ -3495,6 +3518,17 @@ object SparkEntry {
            CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
              / (SELECT sum(c*c) FROM c) AS est_ratio""",
 
+    // same (ts, id)-ordered fold; DuckDB list_reduce seeds with the
+    // first element, matching the Spark side's seed-x1 recurrence
+    "ewma_smooth" ->
+      """WITH o AS (SELECT user_id,
+               list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vs,
+               count(*) AS n_events
+             FROM events GROUP BY 1)
+         SELECT user_id, n_events, vs[-1] AS last_value,
+           list_reduce(vs, (s, x) -> s * 0.5 + x * 0.5) AS ewma
+         FROM o""",
+
     // same anchored first-eligible-event chain and 24h interval bounds
     "funnel_windowed" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
@@ -3517,6 +3551,16 @@ object SparkEntry {
              AS reached_step
          FROM a1 LEFT JOIN a2 ON a1.user_id = a2.user_id
          LEFT JOIN a3 ON a1.user_id = a3.user_id""",
+
+    // the same min-weight edges and unrolled relaxation rounds
+    "shortest_path" -> Graph.shortestPathsOracleSql(
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                min(CAST(l_quantity AS BIGINT)) AS w
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 5 = 0 GROUP BY 1, 2""",
+      """SELECT DISTINCT src AS node FROM e0
+         WHERE CAST(substr(src, 2) AS BIGINT) % 97 = 0"""),
 
     // the same graph construction, recursive-CTE min-hop (Graph.bfsOracleSql)
     "graph_bfs" -> Graph.bfsOracleSql(

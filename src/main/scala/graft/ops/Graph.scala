@@ -141,6 +141,65 @@ object Graph {
     visited
   }
 
+  /** Multi-source shortest paths over a WEIGHTED undirected graph:
+    * `rounds` Bellman-Ford relaxations from the seed set — min total
+    * edge weight within that hop budget (the weighted sibling of
+    * [[bfsHops]]; think cheapest connection, not just reachability).
+    * Weights are integers (cents/quantities — the engine's exact-money
+    * rule), so every relaxation is a min over exact sums and the result
+    * is hash-exact at any partitioning.
+    *
+    * Scale: per round, one equi-join of the CURRENT distance table
+    * against the persisted edge list + a min-aggregation — both
+    * distance-table-sized; parallel edges collapse to their min weight
+    * up front. Same `localCheckpoint` lineage discipline as
+    * [[pageRank]].
+    */
+  def shortestPaths(spark: SparkSession, edges: DataFrame,
+                    seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).persist()
+    dist.count()
+    for (r <- 1 to rounds) {
+      val relax = ed.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      var next = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist()
+      if (r % 4 == 0) next = next.localCheckpoint(true) else next.count()
+      dist.unpersist()
+      dist = next
+    }
+    ed.unpersist()
+    dist
+  }
+
+  /** The DuckDB oracle for [[shortestPaths]]: the same relaxation
+    * unrolled into `rounds` chained CTEs. */
+  def shortestPathsOracleSql(edgesCte: String, seedsSql: String,
+                             rounds: Int = 4): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |   SELECT node, dist FROM d${i - 1}
+         |   UNION ALL
+         |   SELECT ed.dst AS node, d.dist + ed.w AS dist
+         |   FROM d${i - 1} d JOIN ed ON ed.src = d.node)
+         | GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       | ed AS (SELECT src, dst, min(w) AS w FROM
+       |   (SELECT src, dst, w FROM e0
+       |    UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+       | seeds AS ($seedsSql),
+       | d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$iters
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds""".stripMargin
+  }
+
   /** The DuckDB oracle for [[bfsHops]]: a recursive CTE over the same
     * edges CTE body and seed predicate — min(hop) per reached node.
     * Generated here so operator and oracle share one definition of the

@@ -238,6 +238,41 @@ object Temporal {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
 
+  /** Per-entity exponential smoothing (EWMA) of an ordered value stream,
+    * as one aggregation: each entity's (ts, id, value) rows are
+    * collected, sorted, and folded left-to-right with
+    * `s ← (1−α)·s + α·x` — the classic smoothing/forecast-baseline
+    * primitive. α defaults to 0.5, a DYADIC coefficient: halving a
+    * double is exact, so every fold step is one exact scale plus one
+    * correctly-rounded add — a fixed sequential rounding sequence both
+    * engines reproduce bit-identically (the same reasoning as
+    * [[graft.ops.Text.charEntropy]]'s fixed fold order). Returns the
+    * final smoothed level and the last raw value per entity.
+    *
+    * Scale: one shuffle on the entity key; per-entity history is
+    * collected into the aggregation buffer, so this is for BOUNDED
+    * per-entity streams (sessions, daily rollups). For unbounded
+    * histories run it over [[tsGapfill]]'s daily table — the fold input
+    * is then calendar-sized, not event-sized.
+    */
+  def ewmaSmooth(events: DataFrame, entity: Column, ts: Column,
+                 idCol: Column, value: Column,
+                 alpha: Double = 0.5): DataFrame = {
+    val ordered = array_sort(collect_list(
+      struct(ts.as("ts"), idCol.as("id"), value.as("v"))))
+    events
+      .groupBy(entity.as("entity"))
+      .agg(count(lit(1)).as("n_events"), ordered.as("xs"))
+      .select(col("entity"), col("n_events"),
+        element_at(col("xs"), -1).getField("v").as("last_value"),
+        // standard seed: s1 = x1, then fold x2..xn
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("v"),
+          (s, x) => s * lit(1.0 - alpha) + x.getField("v") * lit(alpha))
+          .as("ewma"))
+  }
+
   /** Time-window-constrained funnel: the first `step1` event anchors the
     * user's funnel; step 2 must occur within `windowSec` AFTER that
     * anchor, step 3 within `windowSec` after the matched step 2 —
