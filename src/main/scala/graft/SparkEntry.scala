@@ -1481,6 +1481,25 @@ object SparkEntry {
       Distribute.joinCardinalityEst(l, col("l_partkey"), l, col("l_partkey"))
     }),
 
+    // snapshot regression diff: adds/removes/changes between two loads
+    // (old = drop %5 keys; new = drop %7 keys, value bumped on %9)
+    "snapshot_diff" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val old = e.filter(col("event_id") % 5 =!= 0)
+      val nw = e.filter(col("event_id") % 7 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 9 === 0, col("value") + 1)
+            .otherwise(col("value")))
+      Changelog.snapshotDiff(old, nw, keys = Seq("event_id"),
+        payload = Seq("user_id", "event_type", "value"))
+    }),
+
+    // ranked retrieval: top-20 docs for a 3-term query, score =
+    // sum tf/df in fixed expression order (engine-portable doubles)
+    "search_ranked" -> ((s, dir) =>
+      Text.searchRanked(Tables.documents(s, dir),
+        terms = Seq("batch", "scan", "hash"))),
+
     // per-user EWMA of the value stream (α=0.5 dyadic — exact halvings
     // keep the fold bit-portable)
     "ewma_smooth" -> ((s, dir) =>
@@ -3517,6 +3536,56 @@ object SparkEntry {
            CAST((SELECT sum(c*c) FROM c) AS BIGINT) AS exact_pairs,
            CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
              / (SELECT sum(c*c) FROM c) AS est_ratio""",
+
+    // same key split, payload hash compare, and change-only filter
+    "snapshot_diff" ->
+      """WITH o AS (SELECT event_id,
+               sha256(CAST(user_id AS VARCHAR) || event_type
+                 || CAST(value AS VARCHAR)) AS h
+             FROM events WHERE event_id % 5 <> 0),
+         n AS (SELECT event_id,
+               sha256(CAST(user_id AS VARCHAR) || event_type
+                 || CAST(CASE WHEN event_id % 9 = 0 THEN value + 1
+                              ELSE value END AS VARCHAR)) AS h
+             FROM events WHERE event_id % 7 <> 0)
+         SELECT event_id, status FROM (
+           SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+         WHERE status <> 'unchanged'""",
+
+    // same conditional tf columns, broadcast df scalars, and
+    // fixed-order score expression
+    "search_ranked" ->
+      """WITH h AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('batch', 'scan', 'hash')),
+         tf AS (SELECT doc_id,
+             CAST(sum(CASE WHEN w = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_batch,
+             CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_scan,
+             CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tf_hash
+           FROM h GROUP BY 1),
+         df AS (SELECT
+             count(DISTINCT CASE WHEN w = 'batch' THEN doc_id END) AS dfb,
+             count(DISTINCT CASE WHEN w = 'scan' THEN doc_id END) AS dfs,
+             count(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS dfh
+           FROM h)
+         SELECT doc_id, tf_batch, tf_scan, tf_hash,
+           CAST(tf_batch AS DOUBLE) / dfb + CAST(tf_scan AS DOUBLE) / dfs
+             + CAST(tf_hash AS DOUBLE) / dfh AS score,
+           CAST(row_number() OVER (ORDER BY
+             CAST(tf_batch AS DOUBLE) / dfb + CAST(tf_scan AS DOUBLE) / dfs
+               + CAST(tf_hash AS DOUBLE) / dfh DESC, doc_id) AS INT)
+             AS rank
+         FROM tf CROSS JOIN df
+         QUALIFY rank <= 20""",
 
     // same (ts, id)-ordered fold; DuckDB list_reduce seeds with the
     // first element, matching the Spark side's seed-x1 recurrence

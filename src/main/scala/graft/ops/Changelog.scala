@@ -93,6 +93,31 @@ object Changelog {
           .as("mx")): _*)
   }
 
+  /** Snapshot regression diff — what changed between two loads of the
+    * same table: keys only in the new snapshot (`added`), only in the
+    * old (`removed`), and present in both with different payloads
+    * (`changed`). Unchanged rows are filtered out — at 100 TB they are
+    * almost all the rows, and a diff must be change-sized. Payload
+    * comparison is a sha2 over the concatenated payload
+    * columns — 64 bytes per row through the join regardless of row
+    * width.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   payload: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+
+        sha2(concat_ws("", payload.map(c => col(c).cast("string")): _*), 256)
+          .as(as): _*)
+    val j = hashed(oldDf, "h_old")
+      .join(hashed(newDf, "h_new"), keys, "full_outer")
+    j.select(keys.map(col) :+
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"): _*)
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Build the [[maintainAgg]] aggregate table from scratch. */
   def buildAgg(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
     df.groupBy(keys.map(col): _*)

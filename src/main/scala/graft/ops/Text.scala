@@ -211,6 +211,45 @@ object Text {
         (col("n_langs") > 1).as("is_mixed"))
   }
 
+  /** Ranked retrieval over an inverted-index view: score each document
+    * for a LITERAL term list by Σ tf(term)/df(term) (tf-idf's shape with
+    * the rare-term boost as an exact rational instead of a
+    * transcendental log) and return the top `k`. The per-term
+    * tf-columns are conditional counts in ONE projection, the df
+    * scalars ride a broadcast, and the score sums in FIXED expression
+    * order — no aggregation-order nondeterminism, so the doubles are
+    * engine-portable with no rounding.
+    *
+    * Scale: tf is one map-side-combined aggregation over (doc, term)
+    * filtered to the query terms BEFORE the shuffle; df is a few
+    * broadcast scalars; top-k is a distributed TakeOrdered. This is the
+    * query-side half of a search index — the build side is the same
+    * posting aggregation [[TextDedup]] uses for candidate generation.
+    */
+  def searchRanked(docs: DataFrame, terms: Seq[String],
+                   k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "literal term list")
+    val hits = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms.map(lit): _*))
+    val tfCols = terms.map(t =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tf = hits.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.map(t =>
+      countDistinct(when(col("w") === t, col("doc_id"))).as(s"df_$t"))
+    val df = hits.agg(dfCols.head, dfCols.tail: _*)
+    val score = terms.map(t =>
+      col(s"tf_$t").cast("double") / col(s"df_$t")).reduce(_ + _)
+    tf.crossJoin(broadcast(df))
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+
+        score.as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   /** Rolling polynomial fingerprint over word tokens:
     * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents

@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Graph, Temporal}
+import graft.ops.{Changelog, Graph, Temporal, Text}
 
-/** Round-6 eighth wave: EWMA smoothing and weighted shortest paths. */
+/** Round-6 eighth wave: EWMA smoothing, weighted shortest paths,
+  * snapshot diff, and ranked retrieval.
+  */
 class Wave8Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -54,5 +56,28 @@ class Wave8Spec extends AnyFunSuite {
     val out = Graph.shortestPaths(spark, edges, Seq("a").toDF("node"), 2)
       .as[(String, Long)].collect().toMap
     assert(out === Map("a" -> 0L, "b" -> 3L))
+  }
+
+  test("snapshotDiff emits exactly the adds/removes/changes") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p")
+    val nw = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "p")
+    val out = Changelog.snapshotDiff(old, nw, Seq("k"), Seq("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("searchRanked: more query-term occurrences rank higher; ties " +
+       "break by doc id") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),   // tf(alpha)=2
+      (2L, "alpha gamma"),        // tf(alpha)=1
+      (3L, "beta beta beta"),     // tf(beta)=3
+      (4L, "gamma gamma")         // no query terms
+    ).toDF("doc_id", "text")
+    val out = Text.searchRanked(docs, Seq("alpha", "beta"), k = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    // df(alpha)=2, df(beta)=2 -> scores: d1=2/2+1/2=1.5, d3=3/2=1.5, d2=0.5
+    assert(out(1L) === 1 && out(3L) === 2 && out(2L) === 3) // tie: doc 1 < 3
+    assert(!out.contains(4L))
   }
 }
