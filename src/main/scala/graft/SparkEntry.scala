@@ -1481,6 +1481,32 @@ object SparkEntry {
       Distribute.joinCardinalityEst(l, col("l_partkey"), l, col("l_partkey"))
     }),
 
+    // BM25 retrieval: the lexical-search baseline over the same
+    // inverted-index view (idf rounded 1e-6, fixed-order scoring)
+    "search_bm25" -> ((s, dir) =>
+      Text.searchBm25(Tables.documents(s, dir),
+        terms = Seq("batch", "scan", "hash"))),
+
+    // config-driven DQ: a rule catalog evaluated in ONE scan
+    "dq_rules" -> ((s, dir) =>
+      Quality.rulesReport(eventsBase(s, dir), Seq(
+        Quality.DqRule("value_not_null", "value", "not_null"),
+        Quality.DqRule("value_nonneg", "value", "min", 0.0),
+        Quality.DqRule("value_cap_300", "value", "max", 300.0,
+          maxViolations = 100),
+        Quality.DqRule("user_positive", "user_id", "positive")))),
+
+    // weekday-seasonal anomaly baseline: same exact-decimal k-sigma
+    // machinery, grouped by (event_type, day-of-week)
+    "anomaly_seasonal" -> ((s, dir) =>
+      Profile.anomalyOutliers(
+        eventsBase(s, dir).withColumn("season",
+          concat_ws("|", col("event_type"),
+            dayofweek(col("ts").cast("date")).cast("string"))),
+        group = col("season"), value = col("value"),
+        idCols = Seq("event_id"))
+        .select(col("event_id"), col("g").as("season"), col("value"))),
+
     // snapshot regression diff: adds/removes/changes between two loads
     // (old = drop %5 keys; new = drop %7 keys, value bumped on %9)
     "snapshot_diff" -> ((s, dir) => {
@@ -3536,6 +3562,89 @@ object SparkEntry {
            CAST((SELECT sum(c*c) FROM c) AS BIGINT) AS exact_pairs,
            CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
              / (SELECT sum(c*c) FROM c) AS est_ratio""",
+
+    // same idf rounding, k1/b constants, and fixed-order scoring
+    "search_bm25" ->
+      """WITH lens AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         h AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('batch', 'scan', 'hash')),
+         tf AS (SELECT doc_id,
+             CAST(sum(CASE WHEN w = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfb,
+             CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfs,
+             CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfh
+           FROM h GROUP BY 1),
+         dfs AS (SELECT
+             count(DISTINCT CASE WHEN w = 'batch' THEN doc_id END) AS dfb,
+             count(DISTINCT CASE WHEN w = 'scan' THEN doc_id END) AS dfs,
+             count(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS dfh
+           FROM h),
+         sc AS (SELECT doc_id, dl, tfb, tfs, tfh,
+             round(ln((n_docs - dfb + 0.5) / (dfb + 0.5) + 1.0), 6)
+               * (CAST(tfb AS DOUBLE) * 2.2)
+               / (CAST(tfb AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0), 6)
+               * (CAST(tfs AS DOUBLE) * 2.2)
+               / (CAST(tfs AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfh + 0.5) / (dfh + 0.5) + 1.0), 6)
+               * (CAST(tfh AS DOUBLE) * 2.2)
+               / (CAST(tfh AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS score
+           FROM tf JOIN lens USING (doc_id) CROSS JOIN dfs CROSS JOIN st)
+         SELECT doc_id, dl, tfb AS tf_batch, tfs AS tf_scan,
+           tfh AS tf_hash, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rank
+         FROM sc
+         QUALIFY rank <= 20""",
+
+    // same single-scan conditional counts and tolerances
+    "dq_rules" ->
+      """WITH w AS (SELECT count(*) AS n_rows,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN user_id <= 0 THEN 1 ELSE 0 END) AS v4
+           FROM events)
+         SELECT rule, n_rows, n_violations, (n_violations <= tol) AS passed
+         FROM (
+           SELECT 'value_not_null' AS rule, n_rows,
+             CAST(v1 AS BIGINT) AS n_violations, 0 AS tol FROM w
+           UNION ALL SELECT 'value_nonneg', n_rows,
+             CAST(v2 AS BIGINT), 0 FROM w
+           UNION ALL SELECT 'value_cap_300', n_rows,
+             CAST(v3 AS BIGINT), 100 FROM w
+           UNION ALL SELECT 'user_positive', n_rows,
+             CAST(v4 AS BIGINT), 0 FROM w)""",
+
+    // the anomaly_zscore decimal arithmetic with a composite
+    // (event_type, day-of-week) season key
+    "anomaly_seasonal" ->
+      """WITH x AS (SELECT event_id,
+               event_type || '|'
+                 || CAST(dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 1
+                         AS VARCHAR) AS season,
+               value, CAST(round(value * 100) AS BIGINT) AS xc
+             FROM events),
+         st AS (SELECT season, count(*) AS n,
+                  sum(CAST(xc AS HUGEINT)) AS s,
+                  sum(CAST(xc AS HUGEINT) * CAST(xc AS HUGEINT)) AS ss
+                FROM x GROUP BY 1)
+         SELECT event_id, x.season, value
+         FROM x JOIN st USING (season)
+         WHERE (CAST(n AS HUGEINT) * xc - s) * (CAST(n AS HUGEINT) * xc - s) * 4 >
+               (CAST(n AS HUGEINT) * ss - s * s) * 9""",
 
     // same key split, payload hash compare, and change-only filter
     "snapshot_diff" ->

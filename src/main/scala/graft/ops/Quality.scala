@@ -25,6 +25,43 @@ object Quality {
   final case class DqContract(requiredCols: Seq[String], keys: Seq[String],
                               minRows: Long = 5) // threshold: data_pipeline.py:119
 
+  /** One declarative rule: a named violation condition over a column,
+    * expressed as data (kind + bound), not code — what lets a catalog
+    * of hundreds of checks live in a config table and deploy without a
+    * code change (the dbt-tests / Great-Expectations shape).
+    */
+  final case class DqRule(name: String, column: String, kind: String,
+                          bound: Double = 0.0,
+                          maxViolations: Long = 0) {
+    def violation: Column = kind match {
+      case "not_null" => col(column).isNull
+      case "min"      => col(column) < bound
+      case "max"      => col(column) > bound
+      case "positive" => col(column) <= 0
+      case other => throw new IllegalArgumentException(
+        s"unknown rule kind '$other'")
+    }
+  }
+
+  /** Evaluate a rule catalog in ONE scan: every rule compiles to a
+    * conditional count in the same aggregate, so 500 rules still read
+    * the feed once (the whole point at 100 TB). Output: one row per
+    * rule with its violation count and pass/fail against the rule's
+    * tolerance.
+    */
+  def rulesReport(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "empty rule catalog")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(col("n_rows"), explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"),
+          coalesce(col(r.name), lit(0L)).as("n_violations"),
+          lit(r.maxViolations).as("tolerance"))): _*)).as("r"))
+      .select(col("r.rule"), col("n_rows"), col("r.n_violations"),
+        (col("r.n_violations") <= col("r.tolerance")).as("passed"))
+  }
+
   /** One row per check: (check_name, metric, passed). */
   def dqReport(df: DataFrame, contract: DqContract): DataFrame = {
     val missing = contract.requiredCols.filterNot(df.columns.contains)

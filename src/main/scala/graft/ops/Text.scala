@@ -250,6 +250,56 @@ object Text {
           .orderBy(col("score").desc, col("doc_id").asc)))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones) — the standard
+    * lexical-search baseline, over the same inverted-index view as
+    * [[searchRanked]]: idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    * rounded at 1e-6 (the engine's transcendental convention), tf
+    * saturation k1 = 1.2, length normalization b = 0.75 against the
+    * corpus mean length. All divisions and the final per-term sum run
+    * in FIXED expression order on both engines, so beyond the one
+    * rounded ln every double is a deterministic function of exact
+    * integers.
+    *
+    * Scale: identical plan to [[searchRanked]] (filtered tf
+    * aggregation, broadcast scalars, TakeOrdered) plus one corpus
+    * length scan that a production index precomputes.
+    */
+  def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "literal term list")
+    val lens = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w").isin(terms.map(lit): _*))
+    val tfCols = terms.map(t =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tf = hits.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.map(t =>
+      countDistinct(when(col("w") === t, col("doc_id"))).as(s"df_$t"))
+    val dfs = hits.agg(dfCols.head, dfCols.tail: _*)
+    def idf(t: String): Column = round(log(
+      (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)) + lit(1.0)), 6)
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / col("avgdl"))
+    val score = terms.map { t =>
+      val tfd = col(s"tf_$t").cast("double")
+      idf(t) * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+    }.reduce(_ + _)
+    tf.join(lens, "doc_id")
+      .crossJoin(broadcast(dfs.crossJoin(stats)))
+      .select(col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+
+        score.as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   /** Rolling polynomial fingerprint over word tokens:
     * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents
