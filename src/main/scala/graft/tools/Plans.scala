@@ -67,7 +67,13 @@ object Plans {
     "skew_diagnose" -> "TakeOrdered survivors only; key-count table never single-partition sorted",
     "funnel_windowed" -> "three type-filtered aggs share the user-key partitioning",
     "incremental_agg_maintain" -> "batch-only aggregation + full-outer merge of key-sized tables; corpus never rescanned",
-    "join_cardinality_est" -> "two filtered aggregations replace the join; sample pushed below the shuffle")
+    "join_cardinality_est" -> "two filtered aggregations replace the join; sample pushed below the shuffle",
+    "exactsubstr_report" -> "stride-1 window expansion; one content-sized first-occurrence window + doc rollup",
+    "search_bm25" -> "filtered tf agg + broadcast df/length scalars; TakeOrdered top-k",
+    "dq_rules" -> "any-size rule catalog folds to ONE aggregate scan",
+    "snapshot_diff" -> "full-outer join of 64-byte payload hashes; change-sized output",
+    "shortest_path" -> "per-round distance-table-sized relaxation join + min agg",
+    "ewma_smooth" -> "one entity-key shuffle; ordered in-buffer fold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
