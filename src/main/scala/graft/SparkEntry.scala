@@ -1481,6 +1481,33 @@ object SparkEntry {
       Distribute.joinCardinalityEst(l, col("l_partkey"), l, col("l_partkey"))
     }),
 
+    // SCD2 MERGE: a mid-January change batch applied to the dimension
+    // built from earlier history == the full rebuild (history rows
+    // never re-shuffled)
+    "scd2_merge" -> ((s, dir) => {
+      val e = eventsBase(s, dir)
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("valid_from").asc, col("id").asc)
+      val dim = e.filter(col("ts") < cutoff)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id").as("id"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+      Temporal.scd2Merge(dim, e.filter(col("ts") >= cutoff),
+          keys = Seq("user_id", "event_type"), ts = col("ts"),
+          idCol = col("event_id"), payload = Seq("value"))
+        .select(col("user_id"), col("event_type"), col("id").as("event_id"),
+          col("value"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+    }),
+
+    // per-source discriminative terms (c-TF-IDF shape): top-5 terms by
+    // tf_source * n_sources / source_df, exact-rational score
+    "source_topterms" -> ((s, dir) =>
+      Text.sourceTopTerms(Tables.documents(s, dir), topK = 5)),
+
     // BM25 retrieval: the lexical-search baseline over the same
     // inverted-index view (idf rounded 1e-6, fixed-order scoring)
     "search_bm25" -> ((s, dir) =>
@@ -3562,6 +3589,33 @@ object SparkEntry {
            CAST((SELECT sum(c*c) FROM c) AS BIGINT) AS exact_pairs,
            CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
              / (SELECT sum(c*c) FROM c) AS est_ratio""",
+
+    // the incremental-equals-full invariant IS the oracle: the merged
+    // dimension equals a rebuild over ALL events
+    "scd2_merge" ->
+      s"""WITH base AS ($evBase)
+          SELECT user_id, event_type, event_id, value,
+            ts AS valid_from,
+            lead(ts) OVER w AS valid_to,
+            lead(ts) OVER w IS NULL AS is_current
+          FROM base
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC)""",
+
+    // same tf / source-df aggregation and exact-rational score
+    "source_topterms" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         tf AS (SELECT source, w, count(*) AS tf FROM t GROUP BY 1, 2),
+         sdf AS (SELECT w, count(*) AS source_df FROM tf GROUP BY 1),
+         ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents)
+         SELECT source, w AS term, tf, source_df,
+           CAST(tf * n_sources AS DOUBLE) / source_df AS score,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY CAST(tf * n_sources AS DOUBLE) / source_df DESC, w)
+             AS INT) AS rank
+         FROM tf JOIN sdf USING (w) CROSS JOIN ns
+         QUALIFY rank <= 5""",
 
     // same idf rounding, k1/b constants, and fixed-order scoring
     "search_bm25" ->

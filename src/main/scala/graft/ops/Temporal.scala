@@ -238,6 +238,43 @@ object Temporal {
         sum(col("n")).over(Window.partitionBy(col("prev_type"))))
   }
 
+  /** Apply a change batch to an existing SCD2 dimension (the
+    * MERGE-INTO-slowly-changing-dimension pattern): closed history rows
+    * pass through untouched; each key's OPEN row re-enters the
+    * versioning window together with the batch's changes, so the open
+    * row closes at the key's first batch change and the batch chains
+    * into new versions, the last one open. Because versioning is a pure
+    * (ts, id)-ordered lead() per key, the merged table provably equals
+    * a full rebuild over history ∪ batch — the incremental-equals-full
+    * invariant ([[graft.ops.Changelog.maintainAgg]]'s discipline), and
+    * exactly what the oracle checks.
+    *
+    * Scale: history (the bulk of an SCD2 table) is NEVER shuffled —
+    * only open rows + the batch enter the window, both
+    * change-sized. The reference's MERGE
+    * (`/root/reference/pipeline/data_pipeline.py:159-206`) overwrites
+    * in place; SCD2 is the auditable upgrade.
+    */
+  def scd2Merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
+                ts: Column, idCol: Column,
+                payload: Seq[String]): DataFrame = {
+    val history = dim.filter(!col("is_current"))
+    val open = dim.filter(col("is_current"))
+      .select(keys.map(col) ++ payload.map(col) :+
+        col("valid_from") :+ col("id"): _*)
+    val changes = batch
+      .select(keys.map(col) ++ payload.map(col) :+
+        ts.as("valid_from") :+ idCol.as("id"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("valid_from").asc, col("id").asc)
+    val versioned = open.unionByName(changes)
+      .select(keys.map(col) ++ payload.map(col) :+ col("id") :+
+        col("valid_from") :+
+        lead(col("valid_from"), 1).over(w).as("valid_to") :+
+        lead(col("valid_from"), 1).over(w).isNull.as("is_current"): _*)
+    history.unionByName(versioned)
+  }
+
   /** Per-entity exponential smoothing (EWMA) of an ordered value stream,
     * as one aggregation: each entity's (ts, id, value) rows are
     * collected, sorted, and folded left-to-right with

@@ -300,6 +300,40 @@ object Text {
           .orderBy(col("score").desc, col("doc_id").asc)))
   }
 
+  /** Per-source discriminative terms — the c-TF-IDF topic-signature
+    * shape (what BERTopic computes per cluster): score each (source,
+    * term) by tf_in_source · n_sources / source_df(term), so terms
+    * concentrated in few sources outrank corpus-common ones; top `topK`
+    * per source. The score is ONE division of exact integers —
+    * engine-portable with no rounding.
+    *
+    * Scale: one (source, term) aggregation (map-side combined), the
+    * per-term source-df as a second key-sized aggregation joined back,
+    * and a per-source top-k window (WindowGroupLimit prunes before the
+    * sort).
+    */
+  def sourceTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val terms = docs.select(col("source"),
+      explode(words(col("text"))).as("w"))
+    val tf = terms.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val sdf = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("source_df"))
+    val nSources = docs.agg(
+      countDistinct(col("source")).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("w").asc)
+    tf.join(sdf, "w")
+      .crossJoin(broadcast(nSources))
+      .withColumn("score",
+        (col("tf") * col("n_sources")).cast("double") / col("source_df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("w").as("term"), col("tf"),
+        col("source_df"), col("score"), col("rank"))
+  }
+
   /** Rolling polynomial fingerprint over word tokens:
     * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents
