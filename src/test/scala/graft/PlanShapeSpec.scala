@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the round-6 continuation
+  * operators — the executable form of the scale claims in OPERATORS.md
+  * and PLANS.md (a broadcast that silently becomes a shuffle join, or a
+  * top-k that becomes a global sort, is a scale regression correctness
+  * tests can't see).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("entity_resolution: catalog blockings are broadcast joins, " +
+       "never cartesian") {
+    val p = plan("entity_resolution")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("skew_diagnose and the retrieval top-ks use distributed " +
+       "TakeOrdered, not a global sort of the key table") {
+    assert(plan("skew_diagnose").contains("TakeOrderedAndProject"))
+    assert(plan("search_bm25").contains("TakeOrderedAndProject"))
+    assert(plan("search_ranked").contains("TakeOrderedAndProject"))
+  }
+
+  test("cooccur_pmi: basket pair expansion is an equi-join (the only " +
+       "nested-loop join is the 1-row totals scalar)") {
+    val p = plan("cooccur_pmi")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("mad_outliers: group stats come back as broadcast joins") {
+    val p = plan("mad_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_cardinality_est never runs the estimated join itself") {
+    val p = plan("join_cardinality_est")
+    // the join being sized would be lineitem x lineitem on partkey;
+    // the estimator's own joins are on pre-aggregated key-count tables,
+    // whose plans contain aggregates BELOW every join
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dq_rules: the whole rule catalog folds into one scan") {
+    val p = plan("dq_rules")
+    // one FileScan of events, however many rules are registered
+    assert("FileScan".r.findAllIn(p).size === 1)
+  }
+}
