@@ -32,16 +32,46 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rebind `df` into a CHILD session whose shuffle partitioning is
+    * sized to the GRAPH (~1 partition per 500k rows, min 2), not the
+    * session default: every iterative graph op here runs 4–10 rounds of
+    * joins over tables that are tiny next to the corpus, and paying a
+    * full session-width shuffle fan-out per round is pure task-schedule
+    * overhead (the [[graft.ops.TextDedup.dedupClusters]] discipline —
+    * isolated SQLConf, shared context and cache, caller's conf
+    * untouched). Results are integer-exact and therefore identical at
+    * any partitioning.
+    */
+  private def graphSession(parent: SparkSession, nRows: Long,
+                           rowsPerPartition: Long = 500000L): SparkSession = {
+    val sessionParts = scala.util.Try(
+      parent.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val parts = math.max(2L,
+      math.min(sessionParts, nRows / rowsPerPartition + 1L))
+    val child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    child
+  }
+
+  /** Re-root a DataFrame's plan in `s` so it plans under that session's
+    * conf (same SparkContext; the RDD lineage carries over). */
+  private def rebind(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.rdd, df.schema)
+
   /** PageRank with damping 0.85 over the undirected graph given by
     * `edges(src, dst)` (both directions are added here). Returns
     * (node, rank) with rank in integer `scale` units; Σrank ≈ scale.
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
                scale: Long = 1000000000000L): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
+    val ed0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // pagerank touches every edge every round (unlike the frontier
+    // ops), so give it more slots: ~10k edges per partition
+    val child = graphSession(edges.sparkSession, ed0.count(), 10000L)
+    val ed = rebind(child, ed0).persist()
     val deg = ed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist()
@@ -68,7 +98,7 @@ object Graph {
       ranks = next
     }
     val out = ranks.select(col("node"), col("rank"))
-    ed.unpersist(); deg.unpersist()
+    ed.unpersist(); deg.unpersist(); ed0.unpersist()
     out
   }
 
@@ -116,11 +146,13 @@ object Graph {
     */
   def bfsHops(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
               maxHops: Int = 4): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"))
+    val ed0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var visited = seeds.select(col("node")).distinct()
+    val child = graphSession(edges.sparkSession, ed0.count())
+    val ed = rebind(child, ed0).persist()
+    var visited = rebind(child, seeds.select(col("node")).distinct())
       .withColumn("hop", lit(0)).persist()
     visited.count()
     var frontier = visited
@@ -137,7 +169,7 @@ object Graph {
       visited = nv
       frontier = next
     }
-    ed.unpersist()
+    ed.unpersist(); ed0.unpersist()
     visited
   }
 
@@ -157,11 +189,13 @@ object Graph {
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame,
                     seeds: DataFrame, rounds: Int = 4): DataFrame = {
-    val ed = edges.select(col("src"), col("dst"), col("w"))
+    val ed0 = edges.select(col("src"), col("dst"), col("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist()
-    var dist = seeds.select(col("node")).distinct()
+    val child = graphSession(edges.sparkSession, ed0.count())
+    val ed = rebind(child, ed0).persist()
+    var dist = rebind(child, seeds.select(col("node")).distinct())
       .withColumn("dist", lit(0L)).persist()
     dist.count()
     for (r <- 1 to rounds) {
@@ -174,7 +208,7 @@ object Graph {
       dist.unpersist()
       dist = next
     }
-    ed.unpersist()
+    ed.unpersist(); ed0.unpersist()
     dist
   }
 
