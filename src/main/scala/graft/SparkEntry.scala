@@ -1597,6 +1597,19 @@ object SparkEntry {
       Graph.bfsHops(s, edges, seeds)
     }),
 
+    // per-node triangle count over the part co-purchase graph (parts
+    // co-ordered in the same order) — degree-ordered orientation, each
+    // triangle counted at exactly one vertex
+    "triangle_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey"))
+      val edges = li.select(col("k"), col("l_partkey").as("a"))
+        .join(li.select(col("k"), col("l_partkey").as("b")), Seq("k"))
+        .select(col("a"), col("b"))
+      Graph.triangleCount(s, edges)
+    }),
+
     // key-skew diagnosis: top-20 heaviest part keys in order lines,
     // share + running concentration (the pre-join straggler report)
     "skew_diagnose" -> ((s, dir) =>
@@ -3802,6 +3815,13 @@ object SparkEntry {
          WHERE o_orderkey % 5 = 0""",
       """SELECT DISTINCT src AS node FROM e0
          WHERE CAST(substr(src, 2) AS BIGINT) % 97 = 0"""),
+
+    // same co-purchase edges, canonical x<y<z 3-way join (Graph.triangleOracleSql)
+    "triangle_count" -> Graph.triangleOracleSql(
+      """SELECT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey
+         WHERE l1.l_orderkey % 3 = 0"""),
 
     // same TakeOrdered survivors ((n desc, key) tiebreak) and cum window
     "skew_diagnose" ->

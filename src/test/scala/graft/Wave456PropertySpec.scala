@@ -58,6 +58,45 @@ class Wave456PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount: K4 + pendant, and random graphs vs brute force") {
+    // K4 {a,b,c,d} has 4 triangles, every K4 node sits in 3; pendant e
+    // hangs off a with none
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val got = Graph.triangleCount(spark, (k4 :+ ("a", "e")).toDF("a", "b"))
+      .as[(String, Long, Long)].collect()
+      .map { case (n, d, t) => n -> ((d, t)) }.toMap
+    assert(got("a") === ((4L, 3L)) && got("b") === ((3L, 3L)) &&
+      got("c") === ((3L, 3L)) && got("d") === ((3L, 3L)) &&
+      got("e") === ((1L, 0L)))
+
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(8)
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n), rnd.nextInt(n)))
+      val canon = edges.collect {
+        case (x, y) if x != y => (math.min(x, y), math.max(x, y))
+      }.toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      val tris = for {
+        x <- nodes.toSeq; y <- nodes.toSeq; z <- nodes.toSeq
+        if x < y && y < z &&
+          canon((x, y)) && canon((y, z)) && canon((x, z))
+      } yield (x, y, z)
+      val ref = nodes.map { v =>
+        v.toLong -> (canon.count(e => e._1 == v || e._2 == v).toLong,
+          tris.count(t => t._1 == v || t._2 == v || t._3 == v).toLong)
+      }.toMap
+      val gotR = Graph.triangleCount(spark,
+          edges.toDF("a", "b").select(col("a").cast("long").as("a"),
+            col("b").cast("long").as("b")))
+        .as[(Long, Long, Long)].collect()
+        .map { case (v, d, t) => v -> (d, t) }.toMap
+      assert(gotR === ref)
+    }
+  }
+
   test("funnelWindowed matches a plain-Scala fold on random event logs") {
     val types = Seq("view", "click", "purchase", "other")
     for (_ <- 1 to 4) {
