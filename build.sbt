@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for ~200 queries x several generated codegen classes per
+  // bench pass x 3 passes: the JDK 17 default 240 MB code cache is
+  // marginal there, and a full cache silently disables the JIT for
+  // everything compiled after
+  "-XX:ReservedCodeCacheSize=512m",
 )

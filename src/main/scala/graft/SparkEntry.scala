@@ -49,6 +49,12 @@ object SparkEntry {
         .select(col("o_orderkey"), col("g").as("o_orderpriority"),
           col("value").as("o_totalprice"))),
 
+    // two-arm A/B readout: hash-parity assignment over users, per-unit
+    // event-value totals, Welch z on exact-decimal moment sums
+    "ab_test" -> ((s, dir) =>
+      Profile.abTestReport(Tables.events(s, dir),
+        unit = col("user_id"), metric = col("value"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -1699,6 +1705,15 @@ object SparkEntry {
         ("customer", Tables.customer(s, dir), col("c_custkey"))), forget)
     }),
 
+    // k-anonymity audit: event cells (type, day, value-bucket) whose
+    // equivalence class is smaller than k=5 — the re-identification
+    // risk report of a privacy release gate
+    "k_anonymity" -> ((s, dir) =>
+      Scrub.kAnonymity(Tables.events(s, dir), Seq(
+        col("event_type"),
+        col("ts").cast("date").as("day"),
+        floor(col("value") / 50).cast("long").as("vbucket")), k = 5)),
+
     // referential-integrity audit over the star schema's FK edges
     "ref_integrity" -> ((s, dir) =>
       Quality.refIntegrity(Seq(
@@ -1804,6 +1819,32 @@ object SparkEntry {
 
     // round 5: k = num/den = 3/2 sigma, exact cents arithmetic in HUGEINT
     // mirroring the Spark op's DECIMAL(38,0): den^2*dev^2 > num^2*(n*ss - s^2)
+    // same per-unit cents totals, hash-parity arms, fixed-shape Welch z
+    "ab_test" ->
+      """WITH pu AS (SELECT user_id AS u,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
+             FROM events GROUP BY 1),
+           a AS (SELECT (u * 1000003 % 1000000007) % 2 AS arm, s FROM pu),
+           b AS (SELECT arm, count(*) AS n, CAST(sum(s) AS DOUBLE) AS ts,
+                   CAST(sum(s * s) AS DOUBLE) AS tss
+                 FROM a GROUP BY 1),
+           w AS (SELECT
+               max(CASE WHEN arm = 0 THEN n END) AS n0,
+               max(CASE WHEN arm = 1 THEN n END) AS n1,
+               max(CASE WHEN arm = 0 THEN ts END) AS s0,
+               max(CASE WHEN arm = 1 THEN ts END) AS s1,
+               max(CASE WHEN arm = 0 THEN tss END) AS q0,
+               max(CASE WHEN arm = 1 THEN tss END) AS q1
+             FROM b)
+         SELECT n0 AS n_control, n1 AS n_treatment,
+           round(s0 / n0 / 100.0, 6) AS mean_control,
+           round(s1 / n1 / 100.0, 6) AS mean_treatment,
+           round(s1 / n1 / 100.0 - s0 / n0 / 100.0, 6) AS diff,
+           round((s1 / n1 / 100.0 - s0 / n0 / 100.0)
+             / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0) / n1
+                  + ((q0 - s0 * s0 / n0) / (n0 - 1) / 10000.0) / n0), 6) AS welch_z
+         FROM w""",
+
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
                CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders),
@@ -4103,6 +4144,13 @@ object SparkEntry {
            CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 1 ELSE 0 END) AS BIGINT),
            CAST(sum(CASE WHEN c_custkey IN (SELECT fid FROM f) THEN 0 ELSE 1 END) AS BIGINT)
          FROM customer""",
+
+    // same quasi-identifier cells, HAVING < k
+    "k_anonymity" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(floor(value / 50) AS BIGINT) AS vbucket,
+           count(*) AS n, count(*) AS at_risk
+         FROM events GROUP BY 1, 2, 3 HAVING count(*) < 5""",
 
     "join_q5_shape" ->
       """SELECT n_name,

@@ -261,4 +261,54 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Two-arm A/B experiment readout with hash-bucketed assignment and a
+    * Welch z statistic. Units are assigned to arms by
+    * [[Shard.portableHash]] parity (membership is a pure function of the
+    * unit id — the same growth-stable property as train/test splits), the
+    * metric is aggregated PER UNIT first (events within a unit are
+    * correlated; unit totals are the i.i.d. observations a z-test needs),
+    * then per arm.
+    *
+    * Determinism: unit totals and per-arm moment sums (n, Σs, Σs²) are
+    * exact-decimal cents (the [[anomalyStats]] discipline — no
+    * order-dependent float accumulation in any shuffle). Only the final
+    * 1-row mean/variance/z arithmetic is IEEE double, in a fixed
+    * expression shape shared with the oracle, rounded at 1e-6. Moment
+    * sums stay exactly double-representable below 2^53 cents² — ~$10M
+    * per-unit totals; past that, widen to cents→dollars before squaring.
+    *
+    * Scale: one shuffle on unit, one map-side-combined aggregate on arm
+    * (2 groups), one 2-row final reduce. Nothing downstream of the first
+    * aggregate sees data-sized rows.
+    */
+  def abTestReport(df: DataFrame, unit: Column, metric: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(metric * lit(100)).cast("long").cast(big)
+    val perUnit = df.select(unit.as("u"), cents.as("c"))
+      .groupBy(col("u")).agg(sum(col("c")).as("s"))
+      .withColumn("arm", pmod(Shard.portableHash(col("u")), lit(2)))
+    val byArm = perUnit.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("s")).as("ts"),
+      sum(col("s") * col("s")).as("tss"))
+    def pick(a: Int, c: String) = first(when(col("arm") === a, col(c)), ignoreNulls = true)
+    val one = byArm.agg(
+      pick(0, "n").as("n0"), pick(1, "n").as("n1"),
+      pick(0, "ts").cast("double").as("s0"), pick(1, "ts").cast("double").as("s1"),
+      pick(0, "tss").cast("double").as("q0"), pick(1, "tss").cast("double").as("q1"))
+    val r6 = (c: Column) => round(c, 6)
+    // fixed shape: mean = s/n/100; var = (q - s*s/n) / (n-1) / 10000
+    val m0 = col("s0") / col("n0") / lit(100.0)
+    val m1 = col("s1") / col("n1") / lit(100.0)
+    val v0 = (col("q0") - col("s0") * col("s0") / col("n0")) /
+      (col("n0") - lit(1)) / lit(10000.0)
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) /
+      (col("n1") - lit(1)) / lit(10000.0)
+    one.select(
+      col("n0").as("n_control"), col("n1").as("n_treatment"),
+      r6(m0).as("mean_control"), r6(m1).as("mean_treatment"),
+      r6(m1 - m0).as("diff"),
+      r6((m1 - m0) / sqrt(v1 / col("n1") + v0 / col("n0"))).as("welch_z"))
+  }
 }

@@ -96,4 +96,26 @@ object Scrub {
           x => x.getField("word")), " ").as("clean_text"),
         count(col("word")).as("n_kept"))
   }
+
+  /** k-anonymity audit: group rows by a quasi-identifier tuple and emit
+    * every equivalence class smaller than `k` — the cells where a row's
+    * quasi-identifiers suffice to re-identify an individual (Sweeney's
+    * k-anonymity criterion; the release gate that belongs next to
+    * [[piiRedact]] and [[gdprDeleteAudit]] in a governance pipeline).
+    * Output: the quasi-identifier columns + `n` (class size) + `at_risk`
+    * (= n, the rows that would need suppression or generalization),
+    * violating classes only.
+    *
+    * Scale: ONE hash aggregate over the quasi-identifier key — the same
+    * shuffle any groupBy pays, map-side partials included; output is
+    * violation-sized, not data-sized. Class sizes are integers, so the
+    * report is bit-reproducible.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .withColumn("at_risk", col("n"))
+  }
 }

@@ -73,7 +73,10 @@ object Plans {
     "dq_rules" -> "any-size rule catalog folds to ONE aggregate scan",
     "snapshot_diff" -> "full-outer join of 64-byte payload hashes; change-sized output",
     "shortest_path" -> "per-round distance-table-sized relaxation join + min agg",
-    "ewma_smooth" -> "one entity-key shuffle; ordered in-buffer fold")
+    "ewma_smooth" -> "one entity-key shuffle; ordered in-buffer fold",
+    "triangle_count" -> "degree-ordered orientation: id-pair wedge join ⋈ canonical edges; graph-sized child-session partitioning",
+    "k_anonymity" -> "one map-side-combined quasi-identifier aggregate; violation-sized output",
+    "ab_test" -> "unit shuffle → 2-group arm agg → 1-row fixed-shape Welch arithmetic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

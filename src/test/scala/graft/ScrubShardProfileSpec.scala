@@ -215,6 +215,41 @@ class ScrubShardProfileSpec extends AnyFunSuite {
       without.as[(Long, String)].collect().toSet)
   }
 
+  test("kAnonymity emits exactly the sub-k classes with their sizes") {
+    val d = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1))
+      .toDF("qi1", "qi2")
+    val out = Scrub.kAnonymity(d, Seq(col("qi1"), col("qi2")), k = 3)
+      .as[(String, Int, Long, Long)].collect().toSet
+    // ("a",1) has 3 rows (>= k, suppressed from report); the others are at risk
+    assert(out === Set(("a", 2, 1L, 1L), ("b", 1, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymity(d, Seq(col("qi1")), k = 1)
+    }
+  }
+
+  test("abTestReport matches a plain-Scala Welch z on a random feed") {
+    val rnd = new scala.util.Random(7)
+    val ev = Seq.fill(400)(
+      (rnd.nextInt(40).toLong + 1, math.round(rnd.nextDouble() * 1e4) / 100.0))
+    val got = Profile.abTestReport(ev.toDF("user_id", "value"),
+        col("user_id"), col("value"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    // reference: per-unit cent totals, hash-parity arms, Welch z
+    val perUnit = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      (u * 1000003L % 1000000007L) % 2 -> es.map(e => math.round(e._2 * 100)).sum
+    }
+    def arm(a: Long) = {
+      val s = perUnit.filter(_._1 == a).map(_._2.toDouble)
+      val (n, t, q) = (s.length.toDouble, s.sum, s.map(x => x * x).sum)
+      (n, t / n / 100.0, (q - t * t / n) / (n - 1) / 10000.0)
+    }
+    val ((n0, m0, v0), (n1, m1, v1)) = (arm(0), arm(1))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got._1 === n0.toLong && got._2 === n1.toLong)
+    assert(math.abs(got._3 - r6(m0)) < 1e-9 && math.abs(got._4 - r6(m1)) < 1e-9)
+    assert(math.abs(got._6 - r6((m1 - m0) / math.sqrt(v1 / n1 + v0 / n0))) < 1e-9)
+  }
+
   test("profileNumeric: one row per column with min/max/nulls/distinct") {
     val d = Seq((Some(1L), Some(10.0)), (Some(5L), None), (Some(5L), Some(-2.5)))
       .toDF("a", "b")
