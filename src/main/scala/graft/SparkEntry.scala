@@ -150,6 +150,11 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       TextDedup.sourceOverlap(Tables.documents(s, dir))),
 
+    // union-mergeable per-source MinHash sketches: pairwise Jaccard
+    // estimate next to exact posting-list truth
+    "source_minhash_sim" -> ((s, dir) =>
+      TextDedup.sourceMinhashSim(Tables.documents(s, dir))),
+
     // count-min sketch estimates vs exact truth for the top-10 keys
     "cms_estimate" -> ((s, dir) =>
       Profile.cmsEstimate(Tables.events(s, dir), col("user_id"), topN = 10)),
@@ -2046,6 +2051,10 @@ object SparkEntry {
          SELECT src_a, src_b, inter,
            CAST(inter AS DOUBLE) / (za.n + zb.n - inter) AS jaccard
          FROM i JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b""",
+
+    // same portable shingle hash + seed-42 family as literals
+    // (TextDedup.sourceMinhashSimOracleSql)
+    "source_minhash_sim" -> TextDedup.sourceMinhashSimOracleSql(),
 
     // sqrt is IEEE-exact in both engines; the normalizer folds per-lang
     // terms in lang order (list_reduce) to mirror the Spark fold

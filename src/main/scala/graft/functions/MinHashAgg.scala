@@ -26,11 +26,8 @@ case class MinHashAgg(child: Expression, numHashes: Int, prime: Long,
                       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  @transient private lazy val params: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)(
-      (math.abs(rnd.nextLong() % (prime - 1)) + 1, math.abs(rnd.nextLong() % prime)))
-  }
+  @transient private lazy val params: Array[(Long, Long)] =
+    MinHashAgg.hashParams(numHashes, prime, seed)
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -85,6 +82,18 @@ case class MinHashAgg(child: Expression, numHashes: Int, prime: Long,
 }
 
 object MinHashAgg {
+  /** The (a, b) universal-hash family for a given seed — THE single
+    * derivation shared by the aggregate, the streaming per-row banding
+    * projection, and generated oracle SQL (which embeds these as
+    * literals). One draw order; change it and every maintained signature
+    * table breaks.
+    */
+  def hashParams(numHashes: Int, prime: Long, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)(
+      (math.abs(rnd.nextLong() % (prime - 1)) + 1, math.abs(rnd.nextLong() % prime)))
+  }
+
   /** Column API: aggregate a LongType shingle-hash column into the
     * signature array.
     */

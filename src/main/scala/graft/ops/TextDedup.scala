@@ -276,6 +276,109 @@ object TextDedup {
       .select(col("src_a"), col("src_b"), col("inter"), col("jaccard"))
   }
 
+  /** Per-source MinHash sketches with pairwise Jaccard ESTIMATES next to
+    * exact truth. The sketch property that matters at 100 TB: a MinHash
+    * signature is UNION-MERGEABLE (min over docs of per-shingle mins ==
+    * min over the union set), so per-partition — or per-day, or
+    * per-shard — signatures combine into a corpus-level similarity
+    * matrix with no rescan, exactly how [[graft.functions.MinHashAgg]]'s
+    * partial-aggregate merge already combines them across tasks. The
+    * exact side reuses [[sourceOverlap]]'s posting-list intersection
+    * (per-shingle pair space bounded by source count, never corpus²), so
+    * the one output reports estimate vs truth per pair — the estimator's
+    * measured error is itself oracle-verified.
+    *
+    * Scale: the sketch path is one map-side-combined aggregate to
+    * `numSources × numHashes` longs; pairwise comparison is
+    * sources²-bounded. Shingle hashing uses the engine-portable
+    * [[wordShingleHash]] (not xxhash64) so generated oracle SQL can
+    * replay the identical hash family from
+    * [[graft.functions.MinHashAgg.hashParams]] literals.
+    */
+  def sourceMinhashSim(docs: DataFrame, k: Int = 3,
+                       numHashes: Int = 64): DataFrame = {
+    val p = lshPrime
+    val ss = docs.select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - lit(k)),
+        i => array_join(slice(col("w"), i + 1, lit(k)), " ")))).as("shingle"))
+      .distinct()
+      .persist()
+    val sigs = ss.select(col("source"), wordShingleHash.as("x"))
+      .groupBy(col("source"))
+      .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
+        .as("sig"))
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(pairsOf(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val est = sigs.select(col("source").as("src_a"), col("sig").as("siga"))
+      .join(sigs.select(col("source").as("src_b"), col("sig").as("sigb")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("mt"))
+    sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("mt").cast("double") / numHashes, 6).as("est_sim"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("exact_sim"))
+  }
+
+  /** The DuckDB oracle for [[sourceMinhashSim]]: the identical portable
+    * shingle hash (first-char·31+len word fold) and the seed-42 hash
+    * family embedded as literal (i, a, b) rows from
+    * [[graft.functions.MinHashAgg.hashParams]] — operator and oracle
+    * share one parameterization, so the ESTIMATE is bit-checked, not
+    * just the exact side.
+    */
+  def sourceMinhashSimOracleSql(k: Int = 3, numHashes: Int = 64): String = {
+    val p = lshPrime
+    val paramRows = graft.functions.MinHashAgg.hashParams(numHashes, p, 42L)
+      .zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+       | sh AS (SELECT DISTINCT source, array_to_string(words[g+1:g+$k], ' ') AS shingle
+       |        FROM w, UNNEST(range(len(words) - ${k - 1})) AS t(g)
+       |        WHERE len(words) >= $k),
+       | hx AS (SELECT source,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split(shingle, ' '),
+       |              wd -> CAST(ord(wd) * 31 + len(wd) AS BIGINT))),
+       |            (acc, v) -> (acc * 1000003 + v) % $p) AS x
+       |        FROM sh),
+       | pr(i, a, b) AS (VALUES $paramRows),
+       | sig AS (SELECT source, i, min((a * x + b) % $p) AS m
+       |         FROM hx CROSS JOIN pr GROUP BY 1, 2),
+       | mt AS (SELECT sa.source AS src_a, sb.source AS src_b,
+       |          sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS mt
+       |        FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+       |        GROUP BY 1, 2),
+       | sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       | iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |        GROUP BY 1, 2)
+       |SELECT za.source AS src_a, zb.source AS src_b,
+       |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+       |  CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+       |  round(CAST(mt.mt AS DOUBLE) / $numHashes, 6) AS est_sim,
+       |  round(CAST(coalesce(iv.inter, 0) AS DOUBLE)
+       |    / (za.n + zb.n - coalesce(iv.inter, 0)), 6) AS exact_sim
+       |FROM sz za JOIN sz zb ON za.source < zb.source
+       |LEFT JOIN iv ON iv.src_a = za.source AND iv.src_b = zb.source
+       |JOIN mt ON mt.src_a = za.source AND mt.src_b = zb.source""".stripMargin
+  }
+
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold —
     * catches quote/prefix duplication that Jaccard misses (a paragraph
     * wholly contained in a much longer doc has high containment but low
@@ -628,11 +731,7 @@ object TextDedup {
                                        numHashes: Int = 64,
                                        bands: Int = 32): Column = {
     val p = lshPrime
-    val params = { // MUST mirror MinHashAgg.params: same seed, same draw order
-      val rnd = new scala.util.Random(42L)
-      Array.fill(numHashes)(
-        (math.abs(rnd.nextLong() % (p - 1)) + 1, math.abs(rnd.nextLong() % p)))
-    }
+    val params = graft.functions.MinHashAgg.hashParams(numHashes, p, 42L)
     val xs = transform(shingleArray(text, k), s =>
       aggregate(
         transform(split(s, " "), wd => ascii(wd) * lit(31L) + length(wd)),

@@ -221,4 +221,31 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(byQ.keySet === Set(0L, 1L, 2L, 3L))
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3)))
   }
+
+  test("sourceMinhashSim: identical sources estimate 1.0; disjoint near 0; " +
+       "estimate tracks exact within MinHash sampling error") {
+    val mk = (src: String, texts: Seq[String], base: Long) =>
+      texts.zipWithIndex.map { case (t, i) => (base + i, t, src) }
+    val common = (0 until 30).map(i => s"w$i x$i y$i z$i q$i r$i")
+    val other = (0 until 30).map(i => s"aa$i bb$i cc$i dd$i ee$i ff$i")
+    val d = (mk("s1", common, 0) ++ mk("s2", common, 100) ++
+        mk("s3", other, 200))
+      .toDF("doc_id", "text", "source")
+    val out = TextDedup.sourceMinhashSim(d)
+      .select("src_a", "src_b", "est_sim", "exact_sim")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out(("s1", "s2")) === ((1.0, 1.0)))   // same shingle set
+    assert(out(("s1", "s3"))._2 === 0.0)         // disjoint truth
+    assert(out(("s1", "s3"))._1 <= 0.05)         // sketch near zero
+    // half/half mixture: exact = 30/(30+30+30) = 1/3; 64 hashes gives
+    // stderr ~ sqrt(J(1-J)/64) ~ 0.06 — assert within 4 sigma
+    val mixed = (mk("m1", common ++ other, 300) ++ mk("m2", common, 500))
+      .toDF("doc_id", "text", "source")
+    val mix = TextDedup.sourceMinhashSim(mixed)
+      .select("src_a", "src_b", "est_sim", "exact_sim")
+      .as[(String, String, Double, Double)].collect().head
+    assert(mix._4 === 0.5) // |A∩B| = common's 120 shingles, |A∪B| = 240
+    assert(math.abs(mix._3 - mix._4) < 0.25)
+  }
 }
