@@ -1425,6 +1425,12 @@ object SparkEntry {
         .select(col("g").as("o_orderpriority"), col("n_exact"),
           col("hll_estimate"))),
 
+    // trailing-7-day distinct users per day from HLL register merges:
+    // raw feed scanned once; window logic runs on the sketch table
+    "hll_sliding" -> ((s, dir) =>
+      Profile.hllSlidingDistinct(Tables.events(s, dir),
+        ts = col("ts"), key = col("user_id"))),
+
     // product quantization (IVF-PQ's compression half): 4 subspace
     // codebooks, codes + mean assignment cosine as observable fidelity
     "embedding_pq" -> ((s, dir) =>
@@ -3919,6 +3925,40 @@ object SparkEntry {
                   count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
          SELECT ex.g AS o_orderpriority, n_exact, hll_estimate
          FROM ex JOIN est USING (g)""",
+
+    // same registers per day, max-merged over the trailing window
+    "hll_sliding" ->
+      """WITH ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               user_id FROM events),
+         x1 AS (SELECT day, (user_id * 2654435761) % 2147483648 AS h1 FROM ev),
+         x2 AS (SELECT day,
+               (xor(h1, h1 >> 15) * 2246822519) % 2147483648 AS h2 FROM x1),
+         x AS (SELECT day, xor(h2, h2 >> 13) AS h FROM x2),
+         b AS (SELECT day, h // 33554432 AS bkt, h % 33554432 AS w FROM x),
+         r AS (SELECT day, bkt,
+                 max(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS M
+               FROM b GROUP BY 1, 2),
+         days AS (SELECT DISTINCT day FROM r),
+         mg AS (SELECT d.day, r.bkt, max(M) AS M
+                FROM days d JOIN r ON r.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1, 2),
+         e AS (SELECT day, count(*) AS n_regs,
+                 sum(power(CAST(2 AS DOUBLE), -M)) AS z_used FROM mg GROUP BY 1),
+         f AS (SELECT day, n_regs,
+                 z_used + CAST(64 - n_regs AS DOUBLE) AS z,
+                 64 - n_regs AS v FROM e),
+         est AS (SELECT day,
+             CASE WHEN CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z <= 160 AND v > 0
+                  THEN round(CAST(64 AS DOUBLE)
+                    * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+                  ELSE round(CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z, 6) END AS hll_estimate
+           FROM f),
+         ex AS (SELECT d.day, count(DISTINCT e2.user_id) AS n_exact
+                FROM days d JOIN ev e2 ON e2.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1)
+         SELECT ex.day, n_exact, hll_estimate FROM ex JOIN est USING (day)""",
 
     // per-subspace seed → decimal-exact Lloyd step → argmax encode,
     // generated from the operator's own parameters

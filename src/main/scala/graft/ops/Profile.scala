@@ -196,41 +196,86 @@ object Profile {
     * noise. Spark's built-in `approx_count_distinct` is the production
     * default; this is the same algorithm with the accuracy auditable.
     */
-  def hllDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
-    val m = 64L           // 6-bit bucket index
-    val wBits = 25        // remaining bits of the 31-bit hash
-    val alpha = 0.709     // standard HLL alpha for m = 64
+  private val hllM = 64L      // 6-bit bucket index
+  private val hllWBits = 25   // remaining bits of the 31-bit hash
+  private val hllAlpha = 0.709 // standard HLL alpha for m = 64
+
+  /** The bit-reproducible HLL row projection (see [[hllDistinct]] for
+    * the derivation of every arithmetic choice): key → (bucket, rho) as
+    * pure expressions shared by the per-group and sliding-window
+    * variants — same hash, so their register tables are merge-compatible.
+    */
+  private def hllBucketRho(key: Column): (Column, Column) = {
     val two31 = 2147483648L
     val h1 = pmod(key * lit(2654435761L), lit(two31))
-    val h2 = pmod((col("__h1").bitwiseXOR(shiftright(col("__h1"), 15)))
-      * lit(2246822519L), lit(two31))
-    val h = col("__h2").bitwiseXOR(shiftright(col("__h2"), 13))
-    val bucket = expr(s"__h div ${1L << wBits}")
-    val w = pmod(col("__h"), lit(1L << wBits))
-    val rho = when(col("__w") === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(col("__w"))))
+    val h2 = pmod((h1.bitwiseXOR(shiftright(h1, 15))) * lit(2246822519L),
+      lit(two31))
+    val h = h2.bitwiseXOR(shiftright(h2, 13))
+    // h is non-negative and < 2^31, so div 2^wBits == logical shift
+    val bucket = shiftright(h, hllWBits)
+    val w = pmod(h, lit(1L << hllWBits))
+    val rho = when(w === 0, lit(hllWBits + 1))
+      .otherwise(lit(hllWBits + 1) - length(bin(w)))
+    (bucket, rho)
+  }
 
-    val regs = df.select(group.as("g"), h1.as("__h1"))
-      .withColumn("__h2", h2).withColumn("__h", h)
-      .withColumn("__b", bucket).withColumn("__w", w)
-      .select(col("g"), col("__b"), rho.as("__rho"))
-      .groupBy(col("g"), col("__b")).agg(max(col("__rho")).as("M"))
-
-    val est = regs.groupBy(col("g")).agg(
+  /** Registers (groupCols..., M) → (groupCols..., hll_estimate): the
+    * fold + small-range linear-counting correction, rounded 1e-6.
+    */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_regs"),
       sum(pow(lit(2.0), -col("M"))).as("z_used"))
-      .select(col("g"), col("n_regs"),
-        // empty registers contribute 2^0 = 1 each
-        (col("z_used") + (lit(m) - col("n_regs")).cast("double")).as("z"))
-      .withColumn("raw", lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("z"))
-      .withColumn("v", lit(m) - col("n_regs"))
+      // empty registers contribute 2^0 = 1 each
+      .withColumn("z",
+        col("z_used") + (lit(hllM) - col("n_regs")).cast("double"))
+      .withColumn("raw",
+        lit(hllAlpha) * lit(hllM.toDouble) * lit(hllM.toDouble) / col("z"))
+      .withColumn("v", lit(hllM) - col("n_regs"))
       .withColumn("hll_estimate", round(
-        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        when(col("raw") <= lit(2.5 * hllM) && col("v") > 0,
+          lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("v").cast("double")))
           .otherwise(col("raw")), 6))
+      .select(groupCols.map(col) :+ col("hll_estimate"): _*)
 
+  def hllDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val (bucket, rho) = hllBucketRho(key)
+    val regs = df.select(group.as("g"), bucket.as("__b"), rho.as("__rho"))
+      .groupBy(col("g"), col("__b")).agg(max(col("__rho")).as("M"))
     val exact = df.groupBy(group.as("g")).agg(count_distinct(key).as("n_exact"))
-    exact.join(est.select(col("g"), col("hll_estimate")), "g")
+    exact.join(hllEstimate(regs, Seq("g")), "g")
+  }
+
+  /** Trailing-`windowDays` distinct keys per day via HLL register
+    * MERGES — the query exact `count_distinct` cannot do without
+    * rescanning every overlapping window. The raw feed is scanned ONCE
+    * into a per-(day, bucket) register table (≤ 64 rows/day); each
+    * day's trailing window is then a max-merge over that SKETCH table
+    * (days × windowDays × 64 rows — data-independent), which is the
+    * mergeability HLL exists for: per-day partials roll up into any
+    * window, rolling or calendar, with no second pass over the data.
+    * Exact truth per window is emitted next to the estimate (that side
+    * DOES pay the windowDays× replication — it is the verification
+    * crutch, not the production path). Same hash family as
+    * [[hllDistinct]], so maintained daily registers serve both.
+    */
+  def hllSlidingDistinct(df: DataFrame, ts: Column, key: Column,
+                         windowDays: Int = 7): DataFrame = {
+    val (bucket, rho) = hllBucketRho(key)
+    val day = ts.cast("date")
+    val regs = df.select(day.as("day"), bucket.as("__b"), rho.as("__rho"))
+      .groupBy(col("day"), col("__b")).agg(max(col("__rho")).as("M"))
+      .persist()
+    val days = regs.select(col("day")).distinct()
+    val merged = days.as("d").join(regs.as("r"),
+        datediff(col("d.day"), col("r.day")).between(0, windowDays - 1))
+      .select(col("d.day").as("day"), col("__b"), col("M"))
+      .groupBy(col("day"), col("__b")).agg(max(col("M")).as("M"))
+    val exact = days.as("d").join(
+        df.select(day.as("day2"), key.as("k")).as("x"),
+        datediff(col("d.day"), col("x.day2")).between(0, windowDays - 1))
+      .groupBy(col("d.day").as("day")).agg(count_distinct(col("k")).as("n_exact"))
+    exact.join(hllEstimate(merged, Seq("day")), "day")
   }
 
   /** Per-column profile of numeric columns: min / max / null count /

@@ -227,6 +227,27 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("hllSlidingDistinct: merged-register window estimate == single-shot " +
+       "estimate on the window's raw slice (mergeability)") {
+    val ev = for (d <- 0 until 10; u <- 0 until (20 + 3 * d))
+      yield (d, (d * 37 + u * 13) % 200L)
+    val df = ev.toDF("dn", "user_id")
+      .select(date_add(lit("2024-01-01").cast("date"), col("dn")).as("ts"),
+        col("user_id"), col("dn"))
+    val slid = Profile.hllSlidingDistinct(df, col("ts").cast("timestamp"),
+        col("user_id"), windowDays = 7)
+      .select(col("day").cast("string"), col("n_exact"), col("hll_estimate"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // last day's trailing window = days 3..9; a fresh single-shot sketch
+    // over exactly that slice must produce the identical estimate
+    val oneShot = Profile.hllDistinct(
+        df.filter(col("dn") >= 3), lit("w"), col("user_id"))
+      .select(col("n_exact"), col("hll_estimate"))
+      .as[(Long, Double)].collect().head
+    assert(slid("2024-01-10") === ((oneShot._1, oneShot._2)))
+    assert(slid.size === 10)
+  }
+
   test("abTestReport matches a plain-Scala Welch z on a random feed") {
     val rnd = new scala.util.Random(7)
     val ev = Seq.fill(400)(
