@@ -715,6 +715,13 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("n"),
           col("s").cast("double").as("sum_value"), col("mn"), col("mx"))),
 
+    // daily-distinct HLL registers maintained live in foreachBatch:
+    // trigger-slicing-independent by max-merge associativity, final
+    // estimates equal the batch recompute bit-for-bit
+    "streaming_hll" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingHllMaintain(s, eventsBase(s, dir),
+        tmp(dir, "stream_hll_src"))),
+
     // the LLM ingest tick LIVE: streamed docs probe the maintained
     // corpus MinHash index (stream-static joins, stateless verify)
     "streaming_near_dup" -> ((s, dir) =>
@@ -3925,6 +3932,33 @@ object SparkEntry {
                   count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
          SELECT ex.g AS o_orderpriority, n_exact, hll_estimate
          FROM ex JOIN est USING (g)""",
+
+    // the maintained register table == batch recompute (max-merge is
+    // associative): same per-day register pipeline, no window
+    "streaming_hll" ->
+      """WITH ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               user_id FROM events),
+         x1 AS (SELECT day, (user_id * 2654435761) % 2147483648 AS h1 FROM ev),
+         x2 AS (SELECT day,
+               (xor(h1, h1 >> 15) * 2246822519) % 2147483648 AS h2 FROM x1),
+         x AS (SELECT day, xor(h2, h2 >> 13) AS h FROM x2),
+         b AS (SELECT day, h // 33554432 AS bkt, h % 33554432 AS w FROM x),
+         r AS (SELECT day, bkt,
+                 max(CASE WHEN w = 0 THEN 26 ELSE 26 - length(bin(w)) END) AS M
+               FROM b GROUP BY 1, 2),
+         e AS (SELECT day, count(*) AS n_regs,
+                 sum(power(CAST(2 AS DOUBLE), -M)) AS z_used FROM r GROUP BY 1),
+         f AS (SELECT day, n_regs,
+                 z_used + CAST(64 - n_regs AS DOUBLE) AS z,
+                 64 - n_regs AS v FROM e)
+         SELECT day,
+             CASE WHEN CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z <= 160 AND v > 0
+                  THEN round(CAST(64 AS DOUBLE)
+                    * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+                  ELSE round(CAST(0.709 AS DOUBLE) * CAST(64 AS DOUBLE)
+                    * CAST(64 AS DOUBLE) / z, 6) END AS hll_estimate
+         FROM f""",
 
     // same registers per day, max-merged over the trailing window
     "hll_sliding" ->

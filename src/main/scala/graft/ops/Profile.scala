@@ -222,7 +222,7 @@ object Profile {
   /** Registers (groupCols..., M) → (groupCols..., hll_estimate): the
     * fold + small-range linear-counting correction, rounded 1e-6.
     */
-  private def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n_regs"),
       sum(pow(lit(2.0), -col("M"))).as("z_used"))
@@ -259,13 +259,31 @@ object Profile {
     * crutch, not the production path). Same hash family as
     * [[hllDistinct]], so maintained daily registers serve both.
     */
+  /** The per-(day, bucket) HLL register table — the maintained daily
+    * partial that [[hllSlidingDistinct]] windows over and
+    * [[graft.streaming.Streaming]] merges into live.
+    */
+  private[graft] def hllDailyRegs(df: DataFrame, ts: Column,
+                                  key: Column): DataFrame = {
+    val (bucket, rho) = hllBucketRho(key)
+    df.select(ts.cast("date").as("day"), bucket.as("__b"), rho.as("__rho"))
+      .groupBy(col("day"), col("__b")).agg(max(col("__rho")).as("M"))
+  }
+
+  /** Max-merge a register delta into a maintained register view — union
+    * + re-max, associative and idempotent, so any batching of the feed
+    * yields the identical table (the property the streaming maintenance
+    * invariant rests on).
+    */
+  private[graft] def hllMergeRegs(view: DataFrame, delta: DataFrame): DataFrame =
+    view.select(col("day"), col("__b"), col("M"))
+      .unionByName(delta.select(col("day"), col("__b"), col("M")))
+      .groupBy(col("day"), col("__b")).agg(max(col("M")).as("M"))
+
   def hllSlidingDistinct(df: DataFrame, ts: Column, key: Column,
                          windowDays: Int = 7): DataFrame = {
-    val (bucket, rho) = hllBucketRho(key)
     val day = ts.cast("date")
-    val regs = df.select(day.as("day"), bucket.as("__b"), rho.as("__rho"))
-      .groupBy(col("day"), col("__b")).agg(max(col("__rho")).as("M"))
-      .persist()
+    val regs = hllDailyRegs(df, ts, key).persist()
     val days = regs.select(col("day")).distinct()
     val merged = days.as("d").join(regs.as("r"),
         datediff(col("d.day"), col("r.day")).between(0, windowDays - 1))

@@ -168,6 +168,49 @@ object Streaming {
     view
   }
 
+  /** LIVE daily-distinct sketch maintenance: the HLL register table of
+    * [[graft.ops.Profile.hllDailyRegs]] is the maintained state; each
+    * micro-batch max-merges its own registers in (union + re-max —
+    * associative and idempotent, so ANY trigger slicing of the feed
+    * yields the identical table, and the final estimates equal a batch
+    * recompute over the full feed bit-for-bit). This is the production
+    * shape for streaming distinct counts: state is days × 64 longs
+    * regardless of feed volume, and the same maintained table serves
+    * point, calendar, and sliding windows ([[graft.ops.Profile
+    * .hllSlidingDistinct]]) without touching the raw feed again.
+    */
+  def streamingHllMaintain(spark: SparkSession, events: DataFrame,
+                           scratch: String): DataFrame = withStatePartitions(spark, 8) {
+    import graft.ops.Profile
+    val base = events.select(col("event_id"), col("ts"), col("user_id"))
+    var view = Profile.hllDailyRegs(
+      base.filter(col("event_id") % 2 === 0), col("ts"), col("user_id"))
+      .persist()
+    view.count()
+
+    val feed = base.filter(col("event_id") % 2 === 1)
+    feed.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val query = spark.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = Profile.hllMergeRegs(view,
+          Profile.hllDailyRegs(batch, col("ts"), col("user_id"))).persist()
+        next.count() // materialize before dropping the old snapshot
+        view.unpersist()
+        view = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    Profile.hllEstimate(view, Seq("day"))
+  }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

@@ -248,6 +248,27 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(slid.size === 10)
   }
 
+  test("hllMergeRegs: any batching of the feed folds to the single-shot " +
+       "register table") {
+    val rnd = new scala.util.Random(3)
+    val ev = Seq.fill(300)((rnd.nextInt(5), rnd.nextInt(400).toLong))
+    val mk = (rows: Seq[(Int, Long)]) => Profile.hllDailyRegs(
+      rows.toDF("dn", "user_id")
+        .select(date_add(lit("2024-03-01").cast("date"), col("dn"))
+          .cast("timestamp").as("ts"), col("user_id")),
+      col("ts"), col("user_id"))
+    val cuts = Seq(70, 180) // 3 uneven batches
+    val folded = Seq(ev.slice(0, cuts(0)), ev.slice(cuts(0), cuts(1)),
+        ev.drop(cuts(1)))
+      .map(mk).reduce(Profile.hllMergeRegs)
+    val single = mk(ev)
+    val f = folded.select(col("day").cast("string"), col("__b"), col("M"))
+      .as[(String, Long, Int)].collect().toSet
+    val s = single.select(col("day").cast("string"), col("__b"), col("M"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(f === s)
+  }
+
   test("abTestReport matches a plain-Scala Welch z on a random feed") {
     val rnd = new scala.util.Random(7)
     val ev = Seq.fill(400)(
