@@ -301,6 +301,14 @@ object SparkEntry {
     "quality_score" -> ((s, dir) =>
       Text.qualityScore(Tables.documents(s, dir))),
 
+    // quality-proportional deterministic sampling (upsample good docs):
+    // keep iff hash(id) mod 1000 < floor(score * 1000) — no shuffle
+    "quality_sample" -> ((s, dir) =>
+      Shard.qualityWeightedSample(
+        Text.qualityScore(Tables.documents(s, dir)),
+        col("doc_id"), col("score"))
+        .select(col("doc_id"), col("n_words"), col("score"))),
+
     "lang_id" -> ((s, dir) =>
       Text.langId(Tables.documents(s, dir))),
 
@@ -2300,6 +2308,24 @@ object SparkEntry {
                                       w -> w IN ('the', 'a'))) AS DOUBLE)
                    / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
                FROM documents)""",
+
+    // same score arithmetic; the keep rule is exact integer hashing on
+    // the bit-identical double (floor lands identically cross-engine)
+    "quality_sample" ->
+      """WITH q AS (SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               0.5 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+                 + 0.3 * ttr + 0.2 * (1.0 - stop_ratio) AS score
+             FROM (SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          w -> w IN ('the', 'a'))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+                   FROM documents))
+         SELECT doc_id, n_words, score FROM q
+         WHERE (doc_id * 1000003 % 1000000007) % 1000 < floor(score * 1000)""",
 
     "lang_id" ->
       """SELECT doc_id, lang,

@@ -128,6 +128,24 @@ object Shard {
         pmod(col("cum_before"), lit(budget)).as("bin_offset"))
   }
 
+  /** Quality-weighted corpus sampling: keep each row with probability
+    * proportional to a per-row score in [0, 1] — the standard curation
+    * move that UPSAMPLES high-quality documents into a training mix —
+    * decided DETERMINISTICALLY: keep iff
+    * `portableHash(id) mod granularity < floor(score · granularity)`.
+    * Membership is a pure function of (id, own score): reproducible
+    * across runs and partitionings, stable as the corpus grows (the
+    * [[splitCol]] property), zero shuffles — a filter at scan speed.
+    * Score doubles are fixed-shape arithmetic (see
+    * [[graft.ops.Text.qualityScore]]), so `floor` lands identically in
+    * any engine and the sample itself is oracle-verifiable.
+    */
+  def qualityWeightedSample(scored: DataFrame, id: Column, score: Column,
+                            granularity: Int = 1000): DataFrame =
+    scored.filter(
+      pmod(portableHash(id), lit(granularity.toLong)) <
+        floor(score * granularity).cast("long"))
+
   /** Deterministic global shuffle + sharding for training order: shard =
     * hash mod nShards, position = rank of (hash, id) within the shard.
     * One hash-partition exchange + per-shard sort — never a global sort.

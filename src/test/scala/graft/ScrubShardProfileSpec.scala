@@ -215,6 +215,22 @@ class ScrubShardProfileSpec extends AnyFunSuite {
       without.as[(Long, String)].collect().toSet)
   }
 
+  test("qualityWeightedSample: score 1 keeps all, 0 keeps none, higher " +
+       "score never drops a kept row") {
+    val d = (1L to 400L).map(i => (i, (i % 11).toDouble / 10.0)).toDF("id", "sc")
+    def kept(scale: Double) = Shard.qualityWeightedSample(
+        d.withColumn("sc", least(lit(1.0), col("sc") + scale)), col("id"), col("sc"))
+      .select("id").as[Long].collect().toSet
+    assert(Shard.qualityWeightedSample(
+      d.withColumn("sc", lit(1.0)), col("id"), col("sc")).count() === 400L)
+    assert(Shard.qualityWeightedSample(
+      d.withColumn("sc", lit(0.0)), col("id"), col("sc")).count() === 0L)
+    val base = kept(0.0)
+    val boosted = kept(0.3)
+    assert(base.subsetOf(boosted))
+    assert(boosted.size > base.size)
+  }
+
   test("kAnonymity emits exactly the sub-k classes with their sizes") {
     val d = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1))
       .toDF("qi1", "qi2")
