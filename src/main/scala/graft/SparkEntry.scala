@@ -93,6 +93,28 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))
         .select(col("vec_id"), array_join(col("codes"), ",").as("codes"))),
 
+    // per-dimension mean/min/max — the mean-centering prep table
+    // (decimal-exact sums, one division rounded 1e-6)
+    "embedding_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
+
+    // per-source top-25% quality retention: integer rank cut within
+    // each stratum (a global score threshold would empty weak domains)
+    "quality_cut" -> ((s, dir) =>
+      Shard.qualityTopCut(
+        Text.qualityScore(Tables.documents(s, dir), keep = Seq("source")),
+        stratum = col("source"), score = col("score"),
+        id = col("doc_id"), keepPct = 25)
+        .select(col("doc_id"), col("source"), col("n_words"), col("score"))),
+
+    // CUSUM changepoint per event type: the day where cumulative
+    // deviation from the series mean peaks, in scaled-integer BIGINT
+    "changepoint_cusum" -> ((s, dir) =>
+      Profile.changepointCusum(eventsBase(s, dir),
+        group = col("event_type"), ts = col("ts"))
+        .select(col("g").as("event_type"), col("change_day"),
+          col("s_scaled"), col("n_days"), col("n_events"))),
+
     // zone-map file pruning over a range-sorted layout == the plain filter
     "zonemap_prune" -> ((s, dir) =>
       Distribute.zonemapPrune(s,
@@ -1958,6 +1980,66 @@ object SparkEntry {
                 ELSE floor((CAST(embedding[i+1] AS DOUBLE) - mins[i+1]) * 255.0
                            / (maxs[i+1] - mins[i+1])) END AS INT)), ',') AS codes
          FROM embeddings, arr""",
+
+    // decimal-exact per-dim sums, one rounded division; min/max are
+    // stored values (exact float→double, no arithmetic)
+    "embedding_dim_stats" ->
+      """SELECT pos - 1 AS dim, count(*) AS n,
+           round(CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS mean_v,
+           min(val) AS min_v, max(val) AS max_v
+         FROM (SELECT unnest(embedding::DOUBLE[]) AS val,
+                 generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         GROUP BY 1""",
+
+    // same score CTE as quality_score/quality_sample; the cut is exact
+    // integer window-rank arithmetic (rn*100 <= n*keepPct)
+    "quality_cut" ->
+      """WITH q AS (SELECT doc_id, source,
+               CAST(n_words AS BIGINT) AS n_words,
+               0.5 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+                 + 0.3 * ttr + 0.2 * (1.0 - stop_ratio) AS score
+             FROM (SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_words,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          w -> w IN ('the', 'a'))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+                   FROM documents)),
+         r AS (SELECT q.*,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM q)
+         SELECT doc_id, source, n_words, score FROM r
+         WHERE rn * 100 <= n * 25""",
+
+    // scaled-integer CUSUM: S_t*n = n*cumsum_t - t*total stays BIGINT,
+    // so the argmax day is bit-reproducible (earliest-day tiebreak)
+    "changepoint_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                 count(*) AS c
+               FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, day,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day ASC) AS BIGINT) AS t,
+                 CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+               FROM d),
+         s AS (SELECT event_type, day,
+                 n_days * cs - t * total AS s_scaled, n_days, total FROM c),
+         p AS (SELECT *, max(abs(s_scaled)) OVER (PARTITION BY event_type) AS peak
+               FROM s),
+         f AS (SELECT event_type, day, s_scaled, n_days, total
+               FROM p WHERE abs(s_scaled) = peak)
+         SELECT event_type, day AS change_day, s_scaled, n_days,
+                total AS n_events
+         FROM (SELECT f.*, row_number() OVER (PARTITION BY event_type
+                 ORDER BY day ASC) AS rn FROM f)
+         WHERE rn = 1""",
 
     "zonemap_prune" ->
       """SELECT event_id, user_id, value FROM events

@@ -296,6 +296,40 @@ object Profile {
     exact.join(hllEstimate(merged, Seq("day")), "day")
   }
 
+  /** CUSUM changepoint detection over a per-group daily count series:
+    * find the day where the cumulative deviation from the series mean
+    * peaks — the classic "when did this feed's volume shift" diagnostic
+    * (a level change before day t* pushes every prefix sum the same
+    * direction, so |S_t| is maximized at the shift). The statistic is
+    * kept in SCALED INTEGERS: with t = day index, S_t·n = n·cumsum_t −
+    * t·total is exact BIGINT (the rational mean never materializes), so
+    * the argmax is bit-reproducible across engines — no float
+    * accumulation can flip which day wins. Ties break to the earliest
+    * day. Cost: one (group, day) count aggregation, then three window
+    * phases that all share ONE hash exchange on the group; everything
+    * after the first aggregate is days×groups-sized, never data-sized.
+    */
+  def changepointCusum(df: DataFrame, group: Column, ts: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(group.as("g"), ts.cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("g"))
+    val cum = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cs", sum(col("c")).over(wOrd))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("s_scaled",
+        col("n_days") * col("cs") - col("t") * col("total"))
+    cum.withColumn("peak", max(abs(col("s_scaled"))).over(wAll))
+      .filter(abs(col("s_scaled")) === col("peak"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("day").as("change_day"), col("s_scaled"),
+        col("n_days"), col("total").as("n_events"))
+  }
+
   /** Per-column profile of numeric columns: min / max / null count /
     * distinct count, one output row per column — the schema-contract
     * companion (Quality.dqReport validates expectations; this MEASURES

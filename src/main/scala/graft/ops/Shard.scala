@@ -146,6 +146,31 @@ object Shard {
       pmod(portableHash(id), lit(granularity.toLong)) <
         floor(score * granularity).cast("long"))
 
+  /** Per-stratum quality cut: keep the top `keepPct`% of rows within
+    * each stratum by score — the per-domain curation rule ("retain each
+    * domain's best quarter") that a GLOBAL score threshold cannot
+    * express, because score distributions differ wildly across sources
+    * and a global cut would empty the weakest domain entirely. The keep
+    * decision is exact integer arithmetic on window ranks
+    * (`rn · 100 ≤ n · keepPct`, i.e. floor(n·pct/100) rows survive), so
+    * it is engine-portable with no float percentile anywhere; the score
+    * ordering is made total with an id tiebreak. Cost: ONE hash
+    * exchange on the stratum — both window frames (rank and partition
+    * count) ride the same partitioning. At 100 TB a skewed stratum is
+    * the usual hazard; here the window holds rank counters, not row
+    * buffers, and a giant domain just means a long sorted run.
+    */
+  def qualityTopCut(df: DataFrame, stratum: Column, score: Column,
+                    id: Column, keepPct: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(score.desc, id.asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") * lit(100L) <= col("__n") * lit(keepPct.toLong))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic global shuffle + sharding for training order: shard =
     * hash mod nShards, position = rank of (hash, id) within the shard.
     * One hash-partition exchange + per-shard sort — never a global sort.

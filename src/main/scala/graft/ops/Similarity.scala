@@ -364,6 +364,27 @@ object Similarity {
         }).as("codes"))
   }
 
+  /** Per-dimension embedding distribution stats — the mean-centering /
+    * feature-scaling prep table (n, mean, min, max per dimension) a
+    * pipeline computes before whitening, PCA, or quantizer training.
+    * Means are DECIMAL(38,18)-exact sums divided once at the end
+    * (rounded 1e-6 — the repo's one-division convention), so the table
+    * is engine-portable; min/max are stored values, no arithmetic.
+    * Scale: one scan, one (dim)-keyed aggregation whose exchange
+    * carries dim-count×partitions partial rows — map-side combine does
+    * all the work; output is dim-count rows regardless of corpus size.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_v"),
+        col("min_v"), col("max_v"))
+
   /** Product quantization (the compression half of IVF-PQ, Jégou et al.
     * 2011): the vector is split into `nSub` contiguous subvectors, each
     * quantized independently against its own `k`-entry codebook, so a

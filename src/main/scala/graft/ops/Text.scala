@@ -129,18 +129,20 @@ object Text {
 
   /** Heuristic quality score: length saturation + lexical diversity +
     * stopword penalty. Weights are arbitrary but fixed; the point is the
-    * operator shape (single-pass scoring for corpus filtering).
+    * operator shape (single-pass scoring for corpus filtering). `keep`
+    * names extra input columns to carry through the projection (e.g.
+    * `source` for per-stratum cuts downstream).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w).cast("double")
     val ttr = size(array_distinct(w)).cast("double") / nWords
     val stopRatio =
       size(filter(w, t => t.isin(stopwords.map(lit): _*))).cast("double") / nWords
-    docs.select(col("doc_id"),
+    docs.select((col("doc_id") +: keep.map(col)) ++ Seq(
         nWords.cast("long").as("n_words"),
         ttr.as("ttr"),
-        stopRatio.as("stop_ratio"))
+        stopRatio.as("stop_ratio")): _*)
       .withColumn("score",
         lit(0.5) * least(lit(1.0), col("n_words").cast("double") / lit(200.0)) +
         lit(0.3) * col("ttr") +

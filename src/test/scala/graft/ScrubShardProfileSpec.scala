@@ -231,6 +231,48 @@ class ScrubShardProfileSpec extends AnyFunSuite {
     assert(boosted.size > base.size)
   }
 
+  test("qualityTopCut keeps exactly floor(n*pct/100) top-score rows per stratum") {
+    // stratum a: 10 rows scores 0.1..1.0; stratum b: 7 rows 0.1..0.7
+    val d = ((1 to 10).map(i => ("a", i.toLong, i / 10.0)) ++
+      (1 to 7).map(i => ("b", 100L + i, i / 10.0))).toDF("src", "id", "sc")
+    val out = Shard.qualityTopCut(d, col("src"), col("sc"), col("id"), keepPct = 25)
+      .as[(String, Long, Double)].collect()
+    val byS = out.groupBy(_._1)
+    // floor(10*0.25)=2, floor(7*0.25)=1 — and they are the TOP scores
+    assert(byS("a").map(_._2).sorted.toSeq === Seq(9L, 10L))
+    assert(byS("b").map(_._2).toSeq === Seq(107L))
+  }
+
+  test("qualityTopCut tie at the cut line resolves by id, deterministically") {
+    val d = (1L to 8L).map(i => ("s", i, 0.5)).toDF("src", "id", "sc")
+    val out = Shard.qualityTopCut(d, col("src"), col("sc"), col("id"), keepPct = 50)
+      .as[(String, Long, Double)].collect().map(_._2).sorted.toSeq
+    assert(out === Seq(1L, 2L, 3L, 4L)) // all-equal scores: lowest ids win
+  }
+
+  test("changepointCusum finds the level-shift day in scaled integers") {
+    // counts 1,1,1,5,5,5 -> mean 3; |S| peaks on day 3 (last pre-shift day)
+    val rows = (1 to 6).flatMap { day =>
+      val n = if (day <= 3) 1 else 5
+      (1 to n).map(i => ("a", java.sql.Timestamp.valueOf(f"2024-01-0$day 12:00:0$i")))
+    }
+    val out = Profile.changepointCusum(rows.toDF("g", "ts"), col("g"), col("ts"))
+      .as[(String, java.sql.Date, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (_, day, s, nDays, total) = out.head
+    assert(day.toString === "2024-01-03")
+    assert((s, nDays, total) === ((-36L, 6L, 18L))) // 6*3 - 3*18
+  }
+
+  test("changepointCusum flat series: |S|=0 everywhere, earliest day wins") {
+    val rows = (1 to 4).map(d =>
+      ("b", java.sql.Timestamp.valueOf(s"2024-02-0$d 00:00:00")))
+    val out = Profile.changepointCusum(rows.toDF("g", "ts"), col("g"), col("ts"))
+      .as[(String, java.sql.Date, Long, Long, Long)].collect()
+    assert(out.head._2.toString === "2024-02-01")
+    assert(out.head._3 === 0L)
+  }
+
   test("kAnonymity emits exactly the sub-k classes with their sizes") {
     val d = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1))
       .toDF("qi1", "qi2")

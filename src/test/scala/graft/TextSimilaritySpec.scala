@@ -157,6 +157,16 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(fp(1L) !== fp(2L))
   }
 
+  test("dimStats: exact per-dimension n/mean/min/max") {
+    val e = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)),
+      (3L, Array(2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(e)
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0) === ((3L, 2.0, 1.0, 3.0)))
+    assert(out(1) === ((3L, 4.0, 2.0, 6.0)))
+  }
+
   test("LSH cosine near-dup has full recall vs the exact all-pairs result") {
     // sf0.1 carries 14 pairs barely above the 0.5 threshold (cos .50-.60)
     // — the worst case for hyperplane LSH recall; seed is fixed, so a pass
