@@ -115,6 +115,34 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("change_day"),
           col("s_scaled"), col("n_days"), col("n_events"))),
 
+    // Holt level+trend smoothing of each event type's daily volume:
+    // dyadic α=β=1/2 fold is bit-reproducible; the oracle replays the
+    // identical recurrence as a per-group recursive CTE
+    "holt_forecast" -> ((s, dir) =>
+      Temporal.holtForecast(eventsBase(s, dir), group = col("event_type"),
+        ts = col("ts"))
+        .select(col("g").as("event_type"), col("n_days"), col("level"),
+          col("trend"), col("forecast"))),
+
+    // first-touch channel attribution: conversion revenue credited to
+    // each user's acquisition event type, exact-cents money
+    "attribution_first" -> ((s, dir) =>
+      Temporal.attributionFirstTouch(eventsBase(s, dir),
+        user = col("user_id"), ts = col("ts"), idCol = col("event_id"),
+        channel = col("event_type"), value = col("value"))),
+
+    // 7-day rolling median of daily volume per event type — burst-robust
+    // smoothing; even frames average two longs (dyadic, exact)
+    "rolling_median" -> ((s, dir) =>
+      Profile.rollingMedian(eventsBase(s, dir), group = col("event_type"),
+        ts = col("ts"))
+        .select(col("g").as("event_type"), col("day"), col("c"), col("med"))),
+
+    // distinct-n corpus diversity per source (n = 1..3) — the
+    // repetitiveness/degeneracy readout before any pairwise dedup
+    "ngram_diversity" -> ((s, dir) =>
+      Text.ngramDiversity(Tables.documents(s, dir))),
+
     // zone-map file pruning over a range-sorted layout == the plain filter
     "zonemap_prune" -> ((s, dir) =>
       Distribute.zonemapPrune(s,
@@ -744,6 +772,19 @@ object SparkEntry {
         eventKeys, tmp(dir, "stream_aggm_src"))
         .select(col("user_id"), col("event_type"), col("n"),
           col("s").cast("double").as("sum_value"), col("mn"), col("mx"))),
+
+    // CDC replication LIVE: tombstone-retaining latest-wins state per
+    // micro-batch — slicing-independent, equals the batch cdc_apply
+    // collapse of the full log (its oracle verifies the stream)
+    "streaming_cdc_apply" -> ((s, dir) => {
+      val log = eventsBase(s, dir).withColumn("op",
+        when(col("event_id") % 10 === 0, "D")
+          .when(col("event_id") % 10 < 4, "I").otherwise("U"))
+      graft.streaming.Streaming.streamingCdcApply(s, log, eventKeys,
+        tmp(dir, "stream_cdc_src"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+    }),
 
     // daily-distinct HLL registers maintained live in foreachBatch:
     // trigger-slicing-independent by max-merge associativity, final
@@ -2040,6 +2081,92 @@ object SparkEntry {
          FROM (SELECT f.*, row_number() OVER (PARTITION BY event_type
                  ORDER BY day ASC) AS rn FROM f)
          WHERE rn = 1""",
+
+    // the identical Holt recurrence replayed as a per-group recursive
+    // CTE: same init (l1=x1, b1=x2-x1), same association order inside
+    // every fold step, dyadic halvings exact — bit-identical doubles
+    "holt_forecast" ->
+      """WITH RECURSIVE
+         d0 AS (SELECT event_type AS g,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2),
+         d AS (SELECT g, x,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+                   AS BIGINT) AS t,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_days
+               FROM d0),
+         r AS (
+           SELECT d1.g, CAST(1 AS BIGINT) AS t,
+                  d1.x AS l, coalesce(d2.x - d1.x, 0.0) AS b, d1.n_days
+           FROM d d1 LEFT JOIN d d2 ON d2.g = d1.g AND d2.t = 2
+           WHERE d1.t = 1
+           UNION ALL
+           SELECT d.g, r.t + 1,
+                  0.5 * d.x + 0.5 * (r.l + r.b),
+                  0.5 * ((0.5 * d.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+                  r.n_days
+           FROM r JOIN d ON d.g = r.g AND d.t = r.t + 1)
+         SELECT g AS event_type, n_days, l AS level, b AS trend,
+                l + 7.0 * b AS forecast
+         FROM r WHERE t = n_days""",
+
+    // same first-event window, same exact-cents revenue sum cast to
+    // double once at the end
+    "attribution_first" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         f AS (SELECT user_id, event_type AS first_channel
+               FROM (SELECT user_id, event_type, row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                     FROM e)
+               WHERE rn = 1),
+         p AS (SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                   AS cents,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+               FROM e GROUP BY 1)
+         SELECT first_channel, count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converters,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         FROM f JOIN p USING (user_id) GROUP BY 1""",
+
+    // DuckDB's windowed median interpolates even frames as the mean of
+    // the two middle BIGINTs — the same dyadic value the operator forms
+    "rolling_median" ->
+      """WITH d AS (SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             FROM events GROUP BY 1, 2)
+         SELECT event_type, day, c,
+           median(c) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+         FROM d""",
+
+    // same per-n gram expansion; ratio is one exact-long division
+    "ngram_diversity" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+                    FROM documents),
+         u1 AS (SELECT source, unnest(ws) AS gram FROM w),
+         u2 AS (SELECT source, array_to_string(ws[g+1:g+2], ' ') AS gram
+                FROM w, UNNEST(range(len(ws) - 1)) AS t(g)
+                WHERE len(ws) >= 2),
+         u3 AS (SELECT source, array_to_string(ws[g+1:g+3], ' ') AS gram
+                FROM w, UNNEST(range(len(ws) - 2)) AS t(g)
+                WHERE len(ws) >= 3)
+         SELECT source, 1 AS n, count(*) AS total,
+           count(DISTINCT gram) AS n_distinct,
+           CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS distinct_ratio
+         FROM u1 GROUP BY 1
+         UNION ALL
+         SELECT source, 2, count(*), count(DISTINCT gram),
+           CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+         FROM u2 GROUP BY 1
+         UNION ALL
+         SELECT source, 3, count(*), count(DISTINCT gram),
+           CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+         FROM u3 GROUP BY 1""",
 
     "zonemap_prune" ->
       """SELECT event_id, user_id, value FROM events
@@ -3753,6 +3880,20 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
            min(value) AS mn, max(value) AS mx
          FROM events GROUP BY 1, 2""",
+
+    // the streamed tombstone-retaining state filtered of deletes equals
+    // the batch latest-wins collapse of the FULL changelog (associative
+    // + idempotent max-version merge), so cdc_apply's oracle verifies it
+    "streaming_cdc_apply" ->
+      """WITH log AS (SELECT user_id, event_type, event_id,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op
+             FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+         SELECT user_id, event_type, event_id, ts, value
+         FROM r WHERE rn = 1 AND op <> 'D'""",
 
     // the invariant IS the oracle: maintained == full recompute over
     // corpus ∪ batch (counts/sums/extrema are decomposable)

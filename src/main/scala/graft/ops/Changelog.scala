@@ -60,6 +60,40 @@ object Changelog {
       keys, "left_anti"))
   }
 
+  /** Advance a TOMBSTONE-RETAINING CDC state by one batch: the state
+    * keeps every key's newest change image INCLUDING deletes (the `op`
+    * column survives), and the batch wins a key iff its newest change is
+    * strictly newer than the state's. Because "keep the max-version row
+    * per key" is associative, commutative, and idempotent, ANY slicing
+    * of a changelog into batches — in any order, with replays — lands
+    * the identical state, and filtering `op != 'D'` at read time equals
+    * [[cdcApply]] over the full log. Retaining tombstones is what makes
+    * out-of-order application safe: dropping a deleted key outright
+    * (as [[cdcMerge]]'s one-shot semantics do) would let a late-arriving
+    * OLDER update resurrect it.
+    *
+    * Scale: one latest-wins window on the batch (batch-sized), then a
+    * key full-outer join of two key-sized tables; rows travel as one
+    * packed struct so the join carries each image once regardless of
+    * column count.
+    */
+  def cdcAdvance(state: DataFrame, batch: DataFrame, keys: Seq[String],
+                 seqCols: Seq[String]): DataFrame = {
+    val cols = state.columns.toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(seqCols.map(col(_).desc): _*)
+    val newest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    def pack(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    def ver(c: Column): Column = struct(seqCols.map(c.getField): _*)
+    pack(state, "__s").join(pack(newest, "__b"), keys, "full_outer")
+      .select(when(col("__s").isNull ||
+          (col("__b").isNotNull && ver(col("__b")) > ver(col("__s"))),
+        col("__b")).otherwise(col("__s")).as("__r"))
+      .select(cols.map(n => col("__r").getField(n).as(n)): _*)
+  }
+
   /** Incremental aggregate maintenance — the materialized-view shape of
     * incremental ETL: a per-key (n, sum) aggregate table built from the
     * existing corpus is advanced by a NEW batch without re-reading the

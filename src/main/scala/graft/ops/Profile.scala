@@ -330,6 +330,40 @@ object Profile {
         col("n_days"), col("total").as("n_events"))
   }
 
+  /** Rolling 7-day median of each group's daily count series — the
+    * robust smoothing companion to [[changepointCusum]] (a single spike
+    * day moves a rolling MEAN by spike/7 but leaves the rolling median
+    * untouched — exactly the property a volume monitor wants under
+    * bursty feeds). The median over a ≤`window`-element frame of LONG
+    * counts is sort-then-middle: odd frames pick an element (exact),
+    * even frames average two longs — a dyadic rational (x.0/x.5),
+    * exactly representable, so both engines land the double
+    * bit-identically ([[madOutliers]]' argument). No rounding anywhere.
+    *
+    * Scale: the window runs over the DAILY table (calendar-sized), one
+    * hash exchange on the group; the frame buffer is `window` longs. The
+    * sort-per-frame is O(w log w) on ≤7 elements — noise.
+    */
+  def rollingMedian(df: DataFrame, group: Column, ts: Column,
+                    window: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(group.as("g"), ts.cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val frame = array_sort(collect_list(col("c")).over(w))
+    val n = size(frame)
+    // element_at wants INT positions; the halvings are exact (each
+    // branch only fires when its numerator is even), so the casts are
+    // pure type adjustments, never value changes
+    val mid = ((n + 1) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    val med = when(n % 2 === 1, element_at(frame, mid).cast("double"))
+      .otherwise((element_at(frame, lo) + element_at(frame, lo + 1))
+        .cast("double") / lit(2.0))
+    daily.select(col("g"), col("day"), col("c"), med.as("med"))
+  }
+
   /** Per-column profile of numeric columns: min / max / null count /
     * distinct count, one output row per column — the schema-contract
     * companion (Quality.dqReport validates expectations; this MEASURES

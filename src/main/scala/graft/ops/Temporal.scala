@@ -383,4 +383,93 @@ object Temporal {
       coalesce(col("n"), lit(0L)).as("n"),
       last(col("close"), ignoreNulls = true).over(ffill).as("close_ffill"))
   }
+
+  /** Holt's linear (double-exponential) smoothing over each group's
+    * daily count series: level + trend, the forecast baseline one step
+    * richer than [[ewmaSmooth]] (which cannot follow a trending feed —
+    * its lag is proportional to the slope; Holt's trend term removes
+    * it). Standard init l₁=x₁, b₁=x₂−x₁; then
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    * forecast = lₙ + h·bₙ.
+    *
+    * Determinism: α=β=1/2 are DYADIC — every multiply by 1/2 is an
+    * exact exponent decrement, so each fold step is a fixed sequence of
+    * correctly-rounded adds both engines reproduce bit-identically (the
+    * [[ewmaSmooth]] argument, extended to a two-component state). The
+    * oracle replays the identical recurrence as a per-group recursive
+    * CTE — same association order, same doubles. No rounding needed.
+    *
+    * Scale: the fold input is the DAILY table (calendar-sized, not
+    * event-sized) — one count aggregation over the feed, then a
+    * per-group sorted fold in one aggregation buffer. Groups fold
+    * independently; a year of days is a 365-element array per group.
+    */
+  def holtForecast(events: DataFrame, group: Column, ts: Column,
+                   horizon: Int = 7): DataFrame = {
+    val daily = events.groupBy(group.as("g"), ts.cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val xsCol = array_sort(collect_list(struct(col("day"), col("x"))))
+    def l(s: Column) = s.getField("l")
+    def b(s: Column) = s.getField("b")
+    daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"), xsCol.as("xs"))
+      .select(col("g"), col("n_days"),
+        // fold from element 2: with init (l₁=x₁, b₁=x₂−x₁) the t=2 step
+        // lands l₂ = ½x₂ + ½(x₁+(x₂−x₁)) = x₂ EXACTLY (counts are
+        // integers, so x₁+(x₂−x₁) reconstructs x₂ without rounding) —
+        // the textbook init, reached through the uniform recurrence
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          struct(
+            element_at(col("xs"), 1).getField("x").as("l"),
+            // try_: a single-day group has no x₂ (ANSI element_at throws)
+            (coalesce(try_element_at(col("xs"), lit(2)).getField("x"),
+              element_at(col("xs"), 1).getField("x")) -
+              element_at(col("xs"), 1).getField("x")).as("b")),
+          (s, e) => {
+            // newL appears twice; it is the SAME expression both times,
+            // so both engines evaluate the identical rounding sequence
+            val x = e.getField("x")
+            val newL = lit(0.5) * x + lit(0.5) * (l(s) + b(s))
+            struct(newL.as("l"),
+              (lit(0.5) * (newL - l(s)) + lit(0.5) * b(s)).as("b"))
+          }).as("st"))
+      .select(col("g"), col("n_days"),
+        l(col("st")).as("level"), b(col("st")).as("trend"),
+        (l(col("st")) + lit(horizon.toDouble) * b(col("st")))
+          .as("forecast"))
+  }
+
+  /** First-touch attribution: every user's conversion revenue is
+    * credited to the channel of their FIRST event (ts, id ordered — the
+    * acquisition touchpoint), the standard marketing-attribution
+    * readout. Revenue is the exact-cents sum of the user's `purchase`
+    * events ([[graft.ops.Profile]] money discipline: cents as
+    * DECIMAL(38,0), ONE cast to double at the end — a corpus-scale
+    * revenue sum stays well inside double's 2^53 exact-integer range).
+    *
+    * Scale: two aggregations that share the user-key exchange shape —
+    * first-touch via min_by (map-side combined, no window buffer), the
+    * revenue sum map-side combined; the channel rollup output is
+    * channel-count-sized. No event-sized window state anywhere.
+    */
+  def attributionFirstTouch(events: DataFrame, user: Column, ts: Column,
+                            idCol: Column, channel: Column, value: Column,
+                            convType: String = "purchase"): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = events
+      .select(user.as("u"), ts.as("ts"), idCol.as("id"),
+        channel.as("ch"), value.as("v"))
+      .groupBy(col("u"))
+      .agg(
+        min_by(col("ch"), struct(col("ts"), col("id"))).as("first_channel"),
+        sum(when(col("ch") === convType,
+          round(col("v") * lit(100)).cast("long")).otherwise(0L).cast(big))
+          .as("cents"),
+        max(when(col("ch") === convType, 1L).otherwise(0L)).as("converted"))
+    perUser.groupBy(col("first_channel"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converters"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("revenue"))
+  }
 }

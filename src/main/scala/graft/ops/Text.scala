@@ -456,4 +456,39 @@ object Text {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
   }
+
+  /** Per-source n-gram diversity (distinct-n): distinct / total n-gram
+    * ratios for n = 1..`maxN` — the corpus-level repetitiveness readout
+    * (a templated or model-generated source shows high duplication, i.e.
+    * LOW distinct-n, long before any pairwise dedup runs; Li et al. 2016
+    * introduced distinct-1/2 exactly as this degeneracy signal). One
+    * output row per (source, n).
+    *
+    * Scale: one scan per n over the corpus (union of `maxN` branches —
+    * each its own gram expansion; gram width differs so they cannot
+    * share one explode), each branch a two-level aggregate: totals are
+    * map-side-combined longs; the distinct count shuffles (source, gram)
+    * once. The ratio is ONE exact-long IEEE division — deterministic,
+    * no rounding ([[Text]] object doc).
+    */
+  def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val branches = (1 to maxN).map { n =>
+      val ws = words(col("text"))
+      val grams =
+        if (n == 1) docs.select(col("source"), explode(ws).as("gram"))
+        else docs
+          .filter(size(ws) >= n)
+          .select(col("source"),
+            explode(transform(sequence(lit(0), size(ws) - lit(n)),
+              i => array_join(slice(ws, i + 1, lit(n)), " "))).as("gram"))
+      grams.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
+        .select(col("source"), lit(n).as("n"), col("total"),
+          col("n_distinct"),
+          (col("n_distinct").cast("double") / col("total")).as("distinct_ratio"))
+    }
+    branches.reduce(_ unionByName _)
+  }
 }

@@ -168,6 +168,60 @@ object Streaming {
     view
   }
 
+  /** LIVE CDC replication: a key snapshot maintained in foreachBatch by
+    * [[graft.ops.Changelog.cdcAdvance]] — each micro-batch's changes
+    * merge in latest-wins per key, deletes retained as TOMBSTONES so
+    * any trigger slicing (or replay, or reordering) of the changelog
+    * lands the identical state; the returned view filters tombstones
+    * and provably equals [[graft.ops.Changelog.cdcApply]] over the full
+    * log — which is exactly why the batch `cdc_apply` oracle verifies
+    * the streamed result. The third live-maintenance shape next to
+    * [[streamingAggMaintain]] (accumulate) and [[streamingUpsert]]
+    * (replace): REPLICATE, with deletes.
+    *
+    * Scale: per tick, one batch-sized latest-wins window + one
+    * key-sized full-outer struct merge; state is key-cardinality-sized
+    * (plus tombstones, compactable once all producers pass their seq).
+    */
+  def streamingCdcApply(spark: SparkSession, log: DataFrame,
+                        keys: Seq[String],
+                        scratch: String): DataFrame = withStatePartitions(spark, 8) {
+    import graft.ops.Changelog
+    val base = log.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("op"))
+    val seqCols = Seq("ts", "event_id")
+    def collapse(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(seqCols.map(col(_).desc): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    var view = collapse(base.filter(col("event_id") % 2 === 0)).persist()
+    view.count()
+
+    val feed = base.filter(col("event_id") % 2 === 1)
+    feed.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val query = spark.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = Changelog.cdcAdvance(view, batch, keys, seqCols).persist()
+        next.count() // materialize before dropping the old snapshot
+        view.unpersist()
+        view = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    view.filter(col("op") =!= "D").drop("op")
+  }
+
   /** LIVE daily-distinct sketch maintenance: the HLL register table of
     * [[graft.ops.Profile.hllDailyRegs]] is the maintained state; each
     * micro-batch max-merges its own registers in (union + re-max —
