@@ -143,6 +143,22 @@ object SparkEntry {
     "ngram_diversity" -> ((s, dir) =>
       Text.ngramDiversity(Tables.documents(s, dir))),
 
+    // cohort LTV curve: cumulative exact-cents revenue per first-seen
+    // week cohort, divided by cohort size only at the end
+    "cohort_ltv" -> ((s, dir) =>
+      Temporal.cohortLtv(eventsBase(s, dir), user = col("user_id"),
+        ts = col("ts"), channel = col("event_type"), value = col("value"))),
+
+    // pair-cosine histogram on a vec_id%20 key-space sample — the
+    // dedup-threshold calibration sweep (a statistic, not pair recovery)
+    "similarity_histogram" -> ((s, dir) =>
+      Similarity.similarityHistogram(Tables.embeddings(s, dir))),
+
+    // survivorship golden record per customer: recency-wins fields via
+    // max_by version structs, exact-decimal lifetime spend
+    "golden_record" -> ((s, dir) =>
+      Relational.goldenRecord(Tables.orders(s, dir))),
+
     // zone-map file pruning over a range-sorted layout == the plain filter
     "zonemap_prune" -> ((s, dir) =>
       Distribute.zonemapPrune(s,
@@ -2167,6 +2183,57 @@ object SparkEntry {
          SELECT source, 3, count(*), count(DISTINCT gram),
            CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
          FROM u3 GROUP BY 1""",
+
+    // same cohort grid as retention_cohorts; money = exact cents until
+    // the two final divisions; windowed sums cast off HUGEINT
+    "cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               event_type AS ch, value AS v FROM events),
+         c AS (SELECT u, CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+               FROM b GROUP BY 1),
+         sz AS (SELECT cohort_week, count(*) AS cohort_users FROM c GROUP BY 1),
+         cell AS (SELECT c.cohort_week,
+                 CAST(floor(date_diff('day', c.cohort_week, b.day) / 7) AS INT)
+                   AS week_offset,
+                 count(DISTINCT b.u) AS n_active,
+                 sum(CASE WHEN ch = 'purchase'
+                     THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END) AS cents
+               FROM b JOIN c ON b.u = c.u GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(sum(cents) OVER (PARTITION BY cohort_week
+                   ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum_cents FROM cell)
+         SELECT cohort_week, week_offset, sz.cohort_users, n_active,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+           CAST(cum_cents AS DOUBLE) / 100.0 / sz.cohort_users AS ltv
+         FROM cum JOIN sz USING (cohort_week)""",
+
+    // identical left-fold cosine doubles, so floor-bucketing can never
+    // straddle a boundary differently across engines
+    "similarity_histogram" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (SELECT list_cosine_similarity(a.v, b.v) AS cos
+               FROM e a JOIN e b ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id),
+         g AS (SELECT CAST(floor(cos * 10.0) AS BIGINT) AS bucket,
+                 count(*) AS n_pairs FROM p GROUP BY 1)
+         SELECT bucket, CAST(bucket AS DOUBLE) / 10.0 AS lo, n_pairs,
+           CAST(n_pairs AS DOUBLE) / (SELECT count(*) FROM p) AS share
+         FROM g""",
+
+    // recency-wins fields via the same (orderdate, orderkey) version
+    // order; lifetime spend through DECIMAL before the double cast
+    "golden_record" ->
+      """WITH v AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         SELECT o_custkey,
+           max(CASE WHEN rn = 1 THEN o_orderstatus END) AS latest_status,
+           max(CASE WHEN rn = 1 THEN o_orderpriority END) AS latest_priority,
+           CAST(min(o_orderdate) AS DATE) AS first_order_day,
+           max(o_totalprice) AS top_order_value,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS lifetime_spend,
+           count(*) AS n_orders
+         FROM v GROUP BY 1""",
 
     "zonemap_prune" ->
       """SELECT event_id, user_id, value FROM events

@@ -186,4 +186,30 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .withColumn("revenue", col("revenue").cast("double"))
   }
+
+  /** Survivorship / golden record: collapse an entity's conflicting
+    * records into one row under per-field rules — the MDM merge that
+    * follows entity resolution ([[graft.ops.TextDedup]]'s clusters say
+    * WHICH records are one entity; this decides what the merged entity
+    * SAYS). Rules here: recency-wins for status and priority (max_by
+    * over the (ts, id) version order — deterministic under equal
+    * timestamps), extremum for first-seen/top-value, exact-DECIMAL sum
+    * for lifetime spend.
+    *
+    * Scale: ONE map-side-combined aggregation on the entity key —
+    * max_by carries a single (value, version) candidate per partition,
+    * never a window buffer; no shuffle beyond the key exchange.
+    */
+  def goldenRecord(orders: DataFrame): DataFrame = {
+    val ver = struct(col("o_orderdate"), col("o_orderkey"))
+    orders.groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderstatus"), ver).as("latest_status"),
+        max_by(col("o_orderpriority"), ver).as("latest_priority"),
+        min(col("o_orderdate").cast("date")).as("first_order_day"),
+        max(col("o_totalprice")).as("top_order_value"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("lifetime_spend"),
+        count(lit(1)).as("n_orders"))
+  }
 }

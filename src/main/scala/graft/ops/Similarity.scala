@@ -481,4 +481,45 @@ object Similarity {
        |    (a, b) -> a + b) / $nSub, 6) AS mean_sub_sim
        |FROM u GROUP BY vec_id""".stripMargin
   }
+
+  /** Pair-similarity histogram on a deterministic key-space sample —
+    * the threshold-calibration sweep run BEFORE committing a dedup
+    * threshold: bucket counts of cos(a,b) at width 1/`halfBins` over
+    * [-1,1] tell you where the corpus's duplicate mass sits (a bimodal
+    * histogram separates near-dup mass from background; the valley is
+    * the threshold). Probes are `vec_id % sampleMod == 0` — the
+    * [[graft.ops.Distribute]] key-space-sampling philosophy (growth-
+    * stable, reproducible, and unbiased for a hash-assigned id space),
+    * so the pair space is corpus²/sampleMod, not corpus².
+    *
+    * Determinism: cosines are the engine-portable left-fold doubles
+    * (object doc), bucket = floor(cos·halfBins) is one multiply + floor
+    * on bit-identical inputs — no boundary ambiguity POSSIBLE, because
+    * the two engines never disagree on the input double. `share` is one
+    * division by the total pair count.
+    *
+    * Scale: probes broadcast, corpus streamed once (the
+    * [[bruteForceTopK]] shape); output is ≤ 2·halfBins+1 rows. At
+    * 100 TB raise `sampleMod` so probes stay broadcast-sized — the
+    * histogram is a STATISTIC; its variance shrinks with probe count,
+    * not with pair recovery.
+    */
+  def similarityHistogram(embeddings: DataFrame, sampleMod: Int = 20,
+                          halfBins: Int = 10): DataFrame = {
+    val a = withVec(embeddings.filter(col("vec_id") % sampleMod === 0),
+      "vec_a", "va")
+    val b = withVec(embeddings, "vec_b", "vb")
+    val pairs = broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .select(cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm"))
+        .as("cos"))
+    val wAll = Window.partitionBy(lit(1))
+    pairs
+      .select(floor(col("cos") * lit(halfBins.toDouble)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        col("n_pairs").cast("double") / sum(col("n_pairs")).over(wAll))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(halfBins.toDouble)).as("lo"),
+        col("n_pairs"), col("share"))
+  }
 }

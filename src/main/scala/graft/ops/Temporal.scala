@@ -472,4 +472,54 @@ object Temporal {
         sum(col("converted")).as("n_converters"),
         (sum(col("cents")).cast("double") / lit(100.0)).as("revenue"))
   }
+
+  /** Cohort LTV curve: users cohorted by first-seen week
+    * ([[retentionCohorts]]' grid), each (cohort, week-offset) cell
+    * carrying that week's conversion revenue, the RUNNING total, and
+    * LTV = cumulative revenue / cohort size — the payback-period table
+    * every growth team reads. Money stays exact cents (DECIMAL sums)
+    * until the final division; cumulative sums are window sums of exact
+    * integers, so the curve is engine-portable with two IEEE divisions
+    * per cell as the only float ops.
+    *
+    * Scale: the user-key aggregation (first day + per-user-week cents)
+    * dominates and map-side combines; everything after is
+    * cohort×offset-sized. The cumulative window partitions by cohort —
+    * hundreds of rows per partition, never data-sized.
+    */
+  def cohortLtv(events: DataFrame, user: Column, ts: Column,
+                channel: Column, value: Column,
+                convType: String = "purchase"): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = events.select(user.as("u"), ts.cast("date").as("day"),
+      channel.as("ch"), value.as("v"))
+    val cohorts = base.groupBy(col("u"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("u"),
+        date_trunc("week", col("first_day")).cast("date").as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = base.join(cohorts, "u")
+      .groupBy(col("cohort_week"),
+        // floor() before the int cast: double->int casting truncates in
+        // Spark but rounds in DuckDB; floor makes both exact
+        floor(datediff(col("day"), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
+      .agg(count_distinct(col("u")).as("n_active"),
+        sum(when(col("ch") === convType,
+          round(col("v") * lit(100)).cast("long")).otherwise(0L).cast(big))
+          .as("cents"))
+    val wCum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        col("n_active"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("cum_cents").cast("double") / lit(100.0)).as("cum_revenue"),
+        (col("cum_cents").cast("double") / lit(100.0) / col("cohort_users"))
+          .as("ltv"))
+  }
 }
