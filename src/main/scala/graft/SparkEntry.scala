@@ -55,6 +55,29 @@ object SparkEntry {
       Profile.abTestReport(Tables.events(s, dir),
         unit = col("user_id"), metric = col("value"))),
 
+    // per-type OLS trend of daily event cents vs day offset: exact
+    // integer normal-equation sums, one rounded division per coefficient
+    "regression_ols" -> ((s, dir) =>
+      Profile.olsTrend(Tables.events(s, dir), group = col("event_type"),
+        ts = col("ts"), value = col("value"))),
+
+    // Benford first-digit audit of order totals: 9-row digit law screen
+    "benford_digits" -> ((s, dir) =>
+      Profile.benfordDigits(Tables.orders(s, dir), col("o_totalprice"))),
+
+    // per-nation revenue concentration: exact-integer Gini + top-decile
+    "gini_concentration" -> ((s, dir) =>
+      Relational.giniConcentration(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
+
+    // RFM quartile segmentation over a total order (metric, custkey)
+    "rfm_segments" -> ((s, dir) =>
+      Temporal.rfmSegments(Tables.orders(s, dir))),
+
+    // kNN label vote over exact cosine neighbors of the %25 probe slice
+    "knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -1949,6 +1972,128 @@ object SparkEntry {
              / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1) / 10000.0) / n1
                   + ((q0 - s0 * s0 / n0) / (n0 - 1) / 10000.0) / n0), 6) AS welch_z
          FROM w""",
+
+    // exact BIGINT normal-equation sums (x centered at the group's first
+    // day keeps every product < 2^63); one rounded division per coefficient
+    "regression_ols" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+           c AS (SELECT g, day, y,
+                   min(day) OVER (PARTITION BY g) AS first_day FROM daily),
+           s AS (SELECT g, first_day, count(*) AS n,
+                   CAST(sum(date_diff('day', first_day, day)) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(date_diff('day', first_day, day) * y) AS BIGINT) AS sxy,
+                   CAST(sum(date_diff('day', first_day, day)
+                          * date_diff('day', first_day, day)) AS BIGINT) AS sxx
+                 FROM c GROUP BY 1, 2)
+         SELECT g, first_day, n AS n_days,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS intercept
+         FROM s""",
+
+    // expected_share rounded FIRST (nine log10 constants, none near a
+    // 1e-6 boundary), chi2 from the rounded constant in a fixed shape
+    "benford_digits" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+           c AS (SELECT digit, count(*) AS n_obs FROM d
+                 WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+           t AS (SELECT digit, n_obs,
+                   CAST(sum(n_obs) OVER () AS BIGINT) AS n_total,
+                   round(log10(1 + 1.0 / digit), 6) AS expected_share FROM c)
+         SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+           expected_share,
+           round((CAST(n_obs AS DOUBLE) - expected_share * CAST(n_total AS DOUBLE))
+               * (CAST(n_obs AS DOUBLE) - expected_share * CAST(n_total AS DOUBLE))
+               / (expected_share * CAST(n_total AS DOUBLE)), 6) AS chi2_component
+         FROM t""",
+
+    // exact-integer Lorenz arithmetic: rank by (spend, custkey), Gini =
+    // (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)); top decile = the integer
+    // tail i > n - n // 10 of the same ranking
+    "gini_concentration" ->
+      """WITH sp AS (SELECT o_custkey AS custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS spend
+             FROM orders GROUP BY 1),
+           bn AS (SELECT n_name AS nation, custkey, spend
+                  FROM sp JOIN customer ON custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey),
+           r AS (SELECT nation, custkey, spend,
+                   row_number() OVER (PARTITION BY nation
+                     ORDER BY spend, custkey) AS i,
+                   count(*) OVER (PARTITION BY nation) AS n_part
+                 FROM bn),
+           a AS (SELECT nation, count(*) AS n_customers,
+                   CAST(sum(spend) AS BIGINT) AS sx,
+                   CAST(sum(i * spend) AS BIGINT) AS six,
+                   CAST(sum(CASE WHEN i > n_part - n_part // 10
+                            THEN spend ELSE 0 END) AS BIGINT) AS top_x
+                 FROM r GROUP BY 1)
+         SELECT nation, n_customers, CAST(sx AS DOUBLE) AS total_cents,
+           CASE WHEN n_customers * sx = 0 THEN NULL
+                ELSE round(CAST(2 * six - (n_customers + 1) * sx AS DOUBLE)
+                         / CAST(n_customers * sx AS DOUBLE), 6) END AS gini,
+           CASE WHEN sx = 0 THEN NULL
+                ELSE round(CAST(top_x AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+                END AS top_decile_share
+         FROM a""",
+
+    // ntile over total orders (metric, custkey): identical integer bucket
+    // arithmetic in both engines; monetary through DECIMAL then one
+    // double conversion
+    "rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS monetary
+             FROM orders GROUP BY 1),
+           r AS (SELECT o_custkey, frequency, monetary,
+                   date_diff('day', last_day, max(last_day) OVER ())
+                     AS recency_days
+                 FROM pc),
+           sc AS (SELECT o_custkey, recency_days, frequency, monetary,
+                    ntile(4) OVER (ORDER BY recency_days DESC, o_custkey)
+                      AS r_score,
+                    ntile(4) OVER (ORDER BY frequency ASC, o_custkey)
+                      AS f_score,
+                    ntile(4) OVER (ORDER BY monetary ASC, o_custkey)
+                      AS m_score
+                  FROM r)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+         FROM sc""",
+
+    // exact-cosine kNN vote: rank ties on neighbor id, vote ties on the
+    // smaller label — every step total-ordered
+    "knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           topk AS (
+             SELECT q.vec_id AS q_id, q.label AS true_label,
+                    c.label AS n_label
+             FROM e q JOIN e c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 25 = 0
+             QUALIFY row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) <= 5),
+           votes AS (SELECT q_id, true_label, n_label, count(*) AS n_votes
+                     FROM topk GROUP BY 1, 2, 3)
+         SELECT q_id, true_label, n_label AS pred_label, n_votes,
+           CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+         FROM votes
+         QUALIFY row_number() OVER (PARTITION BY q_id
+           ORDER BY n_votes DESC, n_label ASC) = 1""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

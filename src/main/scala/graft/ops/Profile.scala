@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -441,5 +442,90 @@ object Profile {
       r6(m0).as("mean_control"), r6(m1).as("mean_treatment"),
       r6(m1 - m0).as("diff"),
       r6((m1 - m0) / sqrt(v1 / col("n1") + v0 / col("n0"))).as("welch_z"))
+  }
+
+  /** Per-group ordinary-least-squares trend of daily totals vs day
+    * index — the "is this metric drifting" primitive behind capacity
+    * planning and data-volume monitoring (extends the reference's plain
+    * audit counts, `/root/reference/pipeline/data_pipeline.py:219-242`,
+    * to a fitted direction).
+    *
+    * Determinism: the closed-form normal equations are evaluated over
+    * EXACT integer sums — x is the day offset from the group's first
+    * day (centering keeps every product far below 2^63), y is exact
+    * daily cents, and n/Σx/Σy/Σxy/Σx² accumulate in DECIMAL(38,0). Each
+    * of slope and intercept is then ONE decimal→double conversion pair
+    * and ONE IEEE division, rounded at 1e-6 — the [[abTestReport]]
+    * convention. `intercept` is the fitted value (in cents) AT the
+    * group's first day (x = 0). Groups with a single day (denominator
+    * n·Σx² − (Σx)² = 0) emit NULL slope/intercept rather than NaN.
+    *
+    * Scale: one shuffle to the (group, day) daily table, a window min
+    * over the group-sized daily table, one map-side-combined final
+    * aggregate. Nothing after the first aggregate is data-sized.
+    */
+  def olsTrend(df: DataFrame, group: Column, ts: Column,
+               value: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(value * lit(100)).cast("long").cast(big)
+    val daily = df.select(group.as("g"), ts.cast("date").as("day"),
+        cents.as("c"))
+      .groupBy(col("g"), col("day")).agg(sum(col("c")).as("y"))
+    val wg = Window.partitionBy(col("g"))
+    val centered = daily
+      .withColumn("first_day", min(col("day")).over(wg))
+      .withColumn("x", datediff(col("day"), col("first_day"))
+        .cast("long").cast(big))
+    val sums = centered.groupBy(col("g"), col("first_day")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nB = col("n").cast(big)
+    val den = nB * col("sxx") - col("sx") * col("sx")
+    def fit(num: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    sums.select(col("g"), col("first_day"), col("n").as("n_days"),
+      fit(nB * col("sxy") - col("sx") * col("sy")).as("slope"),
+      fit(col("sy") * col("sxx") - col("sx") * col("sxy")).as("intercept"))
+  }
+
+  /** Benford first-digit audit over a money column — the classic
+    * fabricated-data / feed-corruption screen: organically-grown
+    * magnitudes follow P(d) = log10(1 + 1/d); a synthetic or truncated
+    * feed does not. Output: one row per leading digit with the observed
+    * count/share, the Benford expectation, and that digit's χ²
+    * contribution.
+    *
+    * Determinism: counts are exact longs; `expected_share` is rounded
+    * at 1e-6 FIRST (the nine log10 constants are nowhere near a
+    * rounding boundary, so libm ulp differences cannot flip them) and
+    * the χ² component is then computed from the rounded constant in a
+    * fixed expression shape — multiply, subtract, square via `x*x`,
+    * one division — rounded at 1e-6.
+    *
+    * Scale: a 9-group map-side-combined aggregate over a projection;
+    * the window total runs over 9 rows.
+    */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.select(digit.as("digit"))
+      .filter(col("digit").between(1, 9)) // zero/negative rows carry no leading digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val wAll = Window.partitionBy(lit(1))
+    val expected = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+    val expN = col("expected_share") * col("n_total").cast("double")
+    val diff = col("n_obs").cast("double") - expN
+    counts
+      .withColumn("n_total", sum(col("n_obs")).over(wAll))
+      .withColumn("expected_share", expected)
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        col("expected_share"),
+        round(diff * diff / expN, 6).as("chi2_component"))
   }
 }

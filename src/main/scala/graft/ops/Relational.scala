@@ -212,4 +212,64 @@ object Relational {
           .cast("double").as("lifetime_spend"),
         count(lit(1)).as("n_orders"))
   }
+
+  /** Revenue-concentration audit per nation: the Gini coefficient and
+    * top-decile share of customer lifetime spend — the "how skewed is
+    * this key" statistic that decides whether a downstream join needs
+    * salting, and (on a corpus) whether a handful of sources dominate a
+    * training mix. Output: one row per nation.
+    *
+    * Determinism: spend is exact cents; customers rank by
+    * (spend, custkey) so ties are total-ordered; the Gini numerator
+    * 2·Σi·xᵢ − (n+1)·Σx and denominator n·Σx accumulate in
+    * DECIMAL(38,0) (every product < 2^63 while per-nation spend stays
+    * under ~$9e16 — document-scale safe), and each emitted ratio is ONE
+    * decimal→double conversion pair + ONE IEEE division, rounded 1e-6.
+    * The top decile is the integer-arithmetic tail i > n − n/10
+    * (floor division) of the same ranking — no percentile
+    * interpolation.
+    *
+    * Scale: one shuffle to per-customer spend, one window ranking
+    * partitioned by nation (customer-sized, spread across nations), one
+    * map-side-combined final aggregate to |nations| rows.
+    */
+  def giniConcentration(orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(col("o_totalprice") * lit(100)).cast("long").cast(big)
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents).as("spend"))
+    val byNation = spend
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey").as("custkey"),
+        col("spend"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("spend").asc, col("custkey").asc)
+    val wn = Window.partitionBy(col("nation"))
+    val ranked = byNation
+      .withColumn("i", row_number().over(w).cast("long").cast(big))
+      .withColumn("n_part", count(lit(1)).over(wn))
+    val agg = ranked.groupBy(col("nation")).agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("spend")).as("sx"),
+      sum(col("i") * col("spend")).as("six"),
+      sum(when(col("i") > (col("n_part") - expr("n_part div 10"))
+          .cast("long").cast(big), col("spend"))
+        .otherwise(lit(0).cast(big))).as("top_x"))
+    val nB = col("n_customers").cast(big)
+    val den = nB * col("sx")
+    def ratio(num: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    agg.select(col("nation"), col("n_customers"),
+      col("sx").cast("double").as("total_cents"),
+      ratio(lit(2).cast(big) * col("six") - (nB + lit(1).cast(big)) * col("sx"))
+        .as("gini"),
+      when(col("sx") === 0, lit(null).cast("double"))
+        .otherwise(round(col("top_x").cast("double") /
+          col("sx").cast("double"), 6)).as("top_decile_share"))
+  }
 }

@@ -522,4 +522,52 @@ object Similarity {
         (col("bucket").cast("double") / lit(halfBins.toDouble)).as("lo"),
         col("n_pairs"), col("share"))
   }
+
+  /** k-nearest-neighbor label classification over the embedding corpus:
+    * each probe (the deterministic `vec_id % sampleMod` key-space
+    * slice) is classified by the majority label of its k exact cosine
+    * neighbors — the standard embedding-quality probe (a corpus whose
+    * kNN accuracy collapses has noisy labels or collapsed vectors), and
+    * the evaluation half of a weak-labeling pipeline. One row per
+    * probe: true label, predicted label, vote count, correct flag.
+    *
+    * Determinism: cosine is the left-fold [[dot]] (bit-identical to
+    * DuckDB's list_cosine_similarity); neighbor rank ties break on
+    * neighbor id and vote ties on the smaller label, so every step is
+    * total-ordered.
+    *
+    * Scale: the [[bruteForceTopK]] shape — probes broadcast, corpus
+    * streamed once; the vote aggregation sees probes·k rows. Raise
+    * `sampleMod` so probes stay broadcast-sized; for an all-rows
+    * classification swap the candidate generator to [[ivfTopK]]'s
+    * centroid equi-join (same vote stage).
+    */
+  def knnClassify(embeddings: DataFrame, sampleMod: Int = 25,
+                  k: Int = 5): DataFrame = {
+    val q = Par.widen(embeddings.filter(col("vec_id") % sampleMod === 0))
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = Par.widen(embeddings)
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    val topk = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("n_label").asc)
+    topk.groupBy(col("q_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("n_votes"),
+        when(col("n_label") === col("true_label"), lit(1))
+          .otherwise(lit(0)).as("correct"))
+  }
 }

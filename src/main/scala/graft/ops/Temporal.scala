@@ -522,4 +522,52 @@ object Temporal {
         (col("cum_cents").cast("double") / lit(100.0) / col("cohort_users"))
           .as("ltv"))
   }
+
+  /** RFM customer segmentation: quartile scores for Recency (days since
+    * last order, vs the feed's last day), Frequency (order count) and
+    * Monetary (exact-decimal lifetime spend), concatenated into the
+    * classic "444" segment label — the standard activation/churn
+    * cut that marketing and retention pipelines key on.
+    *
+    * Determinism: every score is `ntile(4)` over a TOTAL order (metric,
+    * then custkey) — ntile's bucket arithmetic is integer and identical
+    * across engines, and each ordering ends in the unique key so equal
+    * metrics cannot permute. Orderings put the BEST value last so score
+    * 4 always reads "best" (most recent / most frequent / biggest
+    * spend). Monetary is an exact DECIMAL(18,2) sum; its one
+    * decimal→double conversion is the same IEEE value in both engines.
+    *
+    * Scale: one map-side-combined aggregate to the per-customer table;
+    * the global-max-day window and three ntile rankings then run on
+    * |customers| rows in a single ordered partition — the
+    * oracle-checkable exact-quartile semantics. On a 100 TB feed the
+    * same scores come from range-partitioned sort + precomputed quartile
+    * BOUNDARIES (one 3-value broadcast per metric); the single-partition
+    * window here is the small-table formulation, not the cluster plan.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+    val wAll = Window.partitionBy(lit(1))
+    val wr = Window.partitionBy(lit(1))
+      .orderBy(col("recency_days").desc, col("o_custkey").asc)
+    val wf = Window.partitionBy(lit(1))
+      .orderBy(col("frequency").asc, col("o_custkey").asc)
+    val wm = Window.partitionBy(lit(1))
+      .orderBy(col("monetary").asc, col("o_custkey").asc)
+    perCust
+      .withColumn("recency_days",
+        datediff(max(col("last_day")).over(wAll), col("last_day")))
+      .withColumn("r_score", ntile(4).over(wr))
+      .withColumn("f_score", ntile(4).over(wf))
+      .withColumn("m_score", ntile(4).over(wm))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
 }
