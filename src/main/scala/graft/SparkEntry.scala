@@ -78,6 +78,34 @@ object SparkEntry {
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
 
+    // per-flag winsorized mean: discrete rank-selected p05/p95 cut values
+    "winsorized_stats" -> ((s, dir) =>
+      Profile.winsorizedStats(Tables.lineitem(s, dir),
+        group = col("l_returnflag"), value = col("l_extendedprice"))),
+
+    // one-scan Pearson matrix over four lineitem metrics, exact moments
+    "corr_matrix" -> ((s, dir) =>
+      Profile.corrMatrix(Tables.lineitem(s, dir), Seq(
+        "quantity" -> col("l_quantity"), "price" -> col("l_extendedprice"),
+        "discount" -> col("l_discount"), "tax" -> col("l_tax")))),
+
+    // directional association rules over order baskets of parts
+    "market_basket" -> ((s, dir) =>
+      Assoc.marketBasket(Tables.lineitem(s, dir),
+        basket = col("l_orderkey"), item = col("l_partkey"),
+        minSupport = 2)),
+
+    // per-user temporal lag/delta/rolling features on one sort
+    "lag_features" -> ((s, dir) =>
+      Features.lagFeatures(Tables.events(s, dir), key = col("user_id"),
+        ts = col("ts"), id = col("event_id"), value = col("value"))),
+
+    // leave-one-out target encoding of event_type against value
+    "target_encoding" -> ((s, dir) =>
+      Features.targetEncode(Tables.events(s, dir),
+        category = col("event_type"), id = col("event_id"),
+        target = col("value"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2094,6 +2122,124 @@ object SparkEntry {
          FROM votes
          QUALIFY row_number() OVER (PARTITION BY q_id
            ORDER BY n_votes DESC, n_label ASC) = 1""",
+
+    // discrete rank-selected cuts (k = ceil(p*n) in integer arithmetic);
+    // tie order cannot change the selected VALUE (ordering is by c only)
+    "winsorized_stats" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+           r AS (SELECT g, c,
+                   row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n_part
+                 FROM x),
+           k AS (SELECT g, c,
+                   (n_part * 5 + 99) // 100 AS k05,
+                   (n_part * 95 + 99) // 100 AS k95, rn FROM r),
+           cuts AS (SELECT g, c,
+                   max(CASE WHEN rn = k05 THEN c END)
+                     OVER (PARTITION BY g) AS p05,
+                   max(CASE WHEN rn = k95 THEN c END)
+                     OVER (PARTITION BY g) AS p95
+                 FROM k)
+         SELECT g, count(*) AS n,
+           CAST(max(p05) AS BIGINT) AS p05_cents,
+           CAST(max(p95) AS BIGINT) AS p95_cents,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6) AS mean_raw,
+           round(CAST(sum(greatest(p05, least(p95, c))) AS DOUBLE)
+             / count(*) / 100.0, 6) AS mean_winsorized
+         FROM cuts GROUP BY 1""",
+
+    // exact integer moment sums; r evaluated as num/sqrt(d1*d2) with the
+    // d1*d2 product formed in DOUBLE (exact would overflow 38 digits)
+    "corr_matrix" ->
+      """WITH x AS (SELECT
+               CAST(round(l_quantity * 100) AS BIGINT) AS mq,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS mp,
+               CAST(round(l_discount * 100) AS BIGINT) AS md,
+               CAST(round(l_tax * 100) AS BIGINT) AS mt FROM lineitem),
+           s AS (SELECT count(*) AS n,
+               sum(mq) AS s_q, sum(mp) AS s_p, sum(md) AS s_d, sum(mt) AS s_t,
+               sum(mq*mq) AS q_q, sum(mp*mp) AS q_p, sum(md*md) AS q_d,
+               sum(mt*mt) AS q_t,
+               sum(mq*mp) AS p_qp, sum(mq*md) AS p_qd, sum(mq*mt) AS p_qt,
+               sum(mp*md) AS p_pd, sum(mp*mt) AS p_pt, sum(md*mt) AS p_dt
+             FROM x)
+         SELECT 'quantity_price' AS pair,
+           round(CAST(n*p_qp - s_q*s_p AS DOUBLE)
+             / sqrt(CAST(n*q_q - s_q*s_q AS DOUBLE)
+                  * CAST(n*q_p - s_p*s_p AS DOUBLE)), 6) AS corr, n FROM s
+         UNION ALL SELECT 'quantity_discount',
+           round(CAST(n*p_qd - s_q*s_d AS DOUBLE)
+             / sqrt(CAST(n*q_q - s_q*s_q AS DOUBLE)
+                  * CAST(n*q_d - s_d*s_d AS DOUBLE)), 6), n FROM s
+         UNION ALL SELECT 'quantity_tax',
+           round(CAST(n*p_qt - s_q*s_t AS DOUBLE)
+             / sqrt(CAST(n*q_q - s_q*s_q AS DOUBLE)
+                  * CAST(n*q_t - s_t*s_t AS DOUBLE)), 6), n FROM s
+         UNION ALL SELECT 'price_discount',
+           round(CAST(n*p_pd - s_p*s_d AS DOUBLE)
+             / sqrt(CAST(n*q_p - s_p*s_p AS DOUBLE)
+                  * CAST(n*q_d - s_d*s_d AS DOUBLE)), 6), n FROM s
+         UNION ALL SELECT 'price_tax',
+           round(CAST(n*p_pt - s_p*s_t AS DOUBLE)
+             / sqrt(CAST(n*q_p - s_p*s_p AS DOUBLE)
+                  * CAST(n*q_t - s_t*s_t AS DOUBLE)), 6), n FROM s
+         UNION ALL SELECT 'discount_tax',
+           round(CAST(n*p_dt - s_d*s_t AS DOUBLE)
+             / sqrt(CAST(n*q_d - s_d*s_d AS DOUBLE)
+                  * CAST(n*q_t - s_t*s_t AS DOUBLE)), 6), n FROM s""",
+
+    // both directions per qualifying pair; lift's n_ab*N product exact
+    "market_basket" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+           nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+           ic AS (SELECT i, count(*) AS n_i FROM it GROUP BY 1),
+           pr AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+                  FROM it l JOIN it r ON l.b = r.b AND l.i < r.i
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+           dir AS (SELECT item_a, item_b, n_ab FROM pr
+                   UNION ALL SELECT item_b, item_a, n_ab FROM pr)
+         SELECT d.item_a, d.item_b, d.n_ab, a.n_i AS n_a, b.n_i AS n_b,
+           nb.n_baskets,
+           CAST(d.n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+           CAST(d.n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE) AS confidence,
+           CAST(d.n_ab * nb.n_baskets AS DOUBLE)
+             / CAST(a.n_i * b.n_i AS DOUBLE) AS lift
+         FROM dir d JOIN ic a ON d.item_a = a.i
+           JOIN ic b ON d.item_b = b.i, nb""",
+
+    // exact-cents rolling windows: double rolling sums would round
+    // differently under DuckDB's segment-tree aggregation
+    "lag_features" ->
+      """SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+           value,
+           lag(value) OVER w AS lag1_value,
+           CAST(round(value * 100) AS BIGINT)
+             - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS delta_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w3 AS BIGINT)
+             AS rolling3_sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w3 AS DOUBLE)
+             / count(*) OVER w3 / 100.0 AS rolling3_mean
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id),
+           w3 AS (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+
+    // per-category sums broadcast back; LOO = (S - x)/(n - 1)/100 in
+    // fixed-order divisions of exact inputs
+    "target_encoding" ->
+      """WITH x AS (SELECT event_id AS id, event_type AS cat, value,
+               CAST(round(value * 100) AS BIGINT) AS c FROM events),
+           s AS (SELECT cat, count(*) AS n_cat,
+                   CAST(sum(c) AS BIGINT) AS s_cat FROM x GROUP BY 1)
+         SELECT id, cat, value AS target,
+           CASE WHEN n_cat = 1 THEN NULL
+                ELSE CAST(s_cat - c AS DOUBLE) / (n_cat - 1) / 100.0
+                END AS loo_mean
+         FROM x JOIN s USING (cat)""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

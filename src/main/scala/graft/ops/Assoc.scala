@@ -48,4 +48,53 @@ object Assoc {
         round(log(col("n_ab").cast("double") * col("n_baskets") /
           (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
   }
+
+  /** Directional association rules A→B with support / confidence /
+    * lift — the market-basket surface proper ([[cooccurPmi]] is the
+    * symmetric information-theoretic variant; recommenders and
+    * cross-sell pipelines consume THIS parameterization). Each
+    * qualifying unordered pair emits both directions.
+    *
+    * Determinism: all counts are exact longs; support and confidence
+    * are single int/int IEEE divisions; lift forms the exact integer
+    * product n_ab·N (DECIMAL-safe) before its one division — every
+    * double is a fixed-shape function of exact integers, no rounding
+    * needed.
+    *
+    * Scale: the [[cooccurPmi]] pair space (Σ basket², bounded by the
+    * largest basket, never corpus²); `minSupport` keeps the output to
+    * the head of the distribution.
+    */
+  def marketBasket(facts: DataFrame, basket: Column, item: Column,
+                   minSupport: Long = 3): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val items = facts.select(basket.as("b"), item.as("i")).distinct()
+    val nBaskets = items.groupBy().agg(
+      countDistinct(col("b")).as("n_baskets"))
+    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = items.as("l")
+      .join(items.as("r"), col("l.b") === col("r.b") &&
+                           col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    // both directions of each unordered pair
+    val directed = pairs.unionByName(pairs.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"), col("n_ab")))
+    val ca = itemCounts.select(col("i").as("item_a"), col("n_i").as("n_a"))
+    val cb = itemCounts.select(col("i").as("item_b"), col("n_i").as("n_b"))
+    directed
+      .join(ca, "item_a")
+      .join(cb, "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab").cast(big) * col("n_baskets").cast(big)).cast("double")
+          / (col("n_a").cast(big) * col("n_b").cast(big)).cast("double"))
+          .as("lift"))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ML feature-engineering operators: the last mile between a curated
+  * event feed and a training table. The reference stops at loading
+  * cleaned rows (`/root/reference/pipeline/data_pipeline.py:242`);
+  * a production training pipeline then derives per-entity temporal
+  * features and encoded categoricals — these are that surface.
+  */
+object Features {
+
+  /** Per-key temporal lag features: previous value, exact-cents delta,
+    * and a trailing 3-event rolling sum/mean — the standard
+    * feature-vector prefix for sequence models and gradient-boosted
+    * trees.
+    *
+    * Determinism: the window orders by (ts, id) — a total order — and
+    * every accumulated quantity is exact integer cents (a rolling SUM
+    * of doubles would round differently under DuckDB's segment-tree
+    * aggregation vs Spark's running add). The rolling mean is
+    * cents→double then two fixed-order IEEE divisions of exact inputs.
+    *
+    * Scale: ONE shuffle on the key; all three features ride the same
+    * sort (WindowExec evaluates the lag and both frames in one pass).
+    */
+  def lagFeatures(df: DataFrame, key: Column, ts: Column, id: Column,
+                  value: Column): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+    val w3 = w.rowsBetween(-2, 0)
+    df.select(key.as("k"), ts.as("ts"), id.as("id"), value.as("value"),
+        cents.as("c"))
+      .withColumn("lag1_value", lag(col("value"), 1).over(w))
+      .withColumn("delta_cents", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("rolling3_sum_cents", sum(col("c")).over(w3))
+      .withColumn("rolling3_n", count(lit(1)).over(w3))
+      .select(col("k"), col("ts"), col("id"), col("value"),
+        col("lag1_value"), col("delta_cents"), col("rolling3_sum_cents"),
+        (col("rolling3_sum_cents").cast("double") / col("rolling3_n")
+          / lit(100.0)).as("rolling3_mean"))
+  }
+
+  /** Leave-one-out target encoding of a categorical: each row gets the
+    * mean target of its OWN category computed WITHOUT the row itself —
+    * the encoding that feeds a target-aware categorical into a model
+    * without leaking the row's label into its feature. Categories with
+    * a single row emit NULL (no peers to average).
+    *
+    * Determinism: per-category Σtarget accumulates in exact
+    * DECIMAL(38,0) cents; the per-row (S − x)/(n − 1)/100 is two
+    * fixed-order IEEE divisions of exact inputs — no rounding needed.
+    *
+    * Scale: one map-side-combined aggregate to |categories| rows,
+    * broadcast back over the feed — the [[Profile.flagAnomalies]]
+    * join shape; the feed is never shuffled.
+    */
+  def targetEncode(df: DataFrame, category: Column, id: Column,
+                   target: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(target * lit(100)).cast("long").cast(big)
+    val stats = df.select(category.as("cat"), cents.as("c"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("c")).as("s_cat"))
+    df.select(id.as("id"), category.as("cat"), target.as("target"),
+        cents.as("c"))
+      .join(broadcast(stats), "cat")
+      .select(col("id"), col("cat"), col("target"),
+        when(col("n_cat") === 1, lit(null).cast("double"))
+          .otherwise((col("s_cat") - col("c")).cast("double")
+            / (col("n_cat") - lit(1)) / lit(100.0)).as("loo_mean"))
+  }
+}

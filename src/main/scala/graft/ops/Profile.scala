@@ -528,4 +528,94 @@ object Profile {
         col("expected_share"),
         round(diff * diff / expN, 6).as("chi2_component"))
   }
+
+  /** Per-group winsorized mean: clamp values to the group's discrete
+    * [p05, p95] before averaging — the outlier-robust location metric
+    * monitoring dashboards quote next to the raw mean. One row per
+    * group: n, both percentile cut values, raw and winsorized means.
+    *
+    * Determinism: percentiles are DISCRETE rank selections over exact
+    * cents — the k-th smallest with k = ceil(p·n) in integer
+    * arithmetic — so no interpolation, no float percentile; equal cents
+    * make the selected VALUE independent of tie order. Means are exact
+    * decimal sums, then the fixed sum/n/100 division chain rounded 1e-6
+    * (the [[abTestReport]] shape).
+    *
+    * Scale: one shuffle for the per-group sort (WindowExec ranks and
+    * counts in a single pass), one map-side-combined final aggregate.
+    * For unbounded groups the 100 TB swap-in is `approx_percentile`
+    * cuts broadcast against an unsorted scan, same output contract.
+    */
+  def winsorizedStats(df: DataFrame, group: Column,
+                      value: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(value * lit(100)).cast("long")
+    val w = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wg = Window.partitionBy(col("g"))
+    val ranked = df.select(group.as("g"), cents.as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_part", count(lit(1)).over(wg))
+      .withColumn("k05", expr("(n_part * 5 + 99) div 100"))
+      .withColumn("k95", expr("(n_part * 95 + 99) div 100"))
+      // cut values as whole-partition window maxima: the ranking, the
+      // counts and both cuts all ride ONE sort — no second scan/join
+      .withColumn("p05_cents",
+        max(when(col("rn") === col("k05"), col("c"))).over(wg))
+      .withColumn("p95_cents",
+        max(when(col("rn") === col("k95"), col("c"))).over(wg))
+    ranked.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(big)).as("s_raw"),
+        max(col("p05_cents")).as("p05_cents"),
+        max(col("p95_cents")).as("p95_cents"),
+        sum(greatest(col("p05_cents"), least(col("p95_cents"), col("c")))
+          .cast(big)).as("s_win"))
+      .select(col("g"), col("n"), col("p05_cents"), col("p95_cents"),
+        round(col("s_raw").cast("double") / col("n") / lit(100.0), 6)
+          .as("mean_raw"),
+        round(col("s_win").cast("double") / col("n") / lit(100.0), 6)
+          .as("mean_winsorized"))
+  }
+
+  /** Pairwise Pearson correlation between a set of money/ratio metrics,
+    * in ONE scan — the feature-redundancy screen run before training
+    * (two metrics at |r| ≈ 1 carry one signal) and the drift check
+    * between supposedly-coupled feed columns.
+    *
+    * Determinism: every metric is scaled to exact integer units (×100)
+    * and all 2nd-order moment sums accumulate in DECIMAL(38,0); each
+    * pair's r is then evaluated in ONE fixed expression shape —
+    * num/sqrt(d1·d2) with num/d1/d2 each a single exact→double
+    * conversion (the d1·d2 product is formed in DOUBLE: exact decimals
+    * would overflow 38 digits) — rounded at 1e-6, ten orders above the
+    * conversion's ulp.
+    *
+    * Scale: one map-side-combined aggregate to a single row of 2+3k
+    * sums, exploded to k(k−1)/2 output rows on the driver-sized result;
+    * the input is scanned exactly once.
+    */
+  def corrMatrix(df: DataFrame, metrics: Seq[(String, Column)]): DataFrame = {
+    val big = DecimalType(38, 0)
+    val scaled = df.select(metrics.map { case (n, c) =>
+      round(c * lit(100)).cast("long").cast(big).as(n) }: _*)
+    val pairs = for {
+      i <- metrics.indices; j <- metrics.indices if i < j
+    } yield (metrics(i)._1, metrics(j)._1)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+      metrics.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+      metrics.map { case (n, _) => sum(col(n) * col(n)).as(s"q_$n") } ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"p_${a}_$b") }
+    val one = scaled.agg(sums.head, sums.tail: _*)
+    val nB = col("n").cast(big)
+    def den(m: String): Column =
+      (nB * col(s"q_$m") - col(s"s_$m") * col(s"s_$m")).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(s"${a}_$b").as("pair"),
+        round((nB * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double") / sqrt(den(a) * den(b)), 6).as("corr"))
+    }
+    one.select(col("n"), explode(array(rows: _*)).as("pc"))
+      .select(col("pc.pair").as("pair"), col("pc.corr").as("corr"), col("n"))
+  }
 }
