@@ -106,6 +106,33 @@ object SparkEntry {
         category = col("event_type"), id = col("event_id"),
         target = col("value"))),
 
+    // hash-deterministic contrastive negatives minus accidental positives
+    "negative_sampling" -> ((s, dir) =>
+      Features.negativeSampling(
+        Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey")),
+        user = col("o_custkey"), item = col("l_partkey"),
+        items = Tables.part(s, dir), itemKey = col("p_partkey"))),
+
+    // mergeable histogram p50/p95 sketch with the exact truth beside it
+    "histogram_quantiles" -> ((s, dir) =>
+      Profile.histogramQuantiles(Tables.orders(s, dir),
+        group = col("o_orderpriority"), value = col("o_totalprice"))),
+
+    // frequent 3-step behavioral paths over the totally-ordered stream
+    "sequence_ngrams" -> ((s, dir) =>
+      Temporal.sequenceNgrams(Tables.events(s, dir), user = col("user_id"),
+        ts = col("ts"), id = col("event_id"), step = col("event_type"))),
+
+    // observation/outcome-window churn labels from the feed's own clock
+    "churn_label" -> ((s, dir) =>
+      Temporal.churnLabel(Tables.events(s, dir), user = col("user_id"),
+        ts = col("ts"))),
+
+    // per-dim (x - median)/IQR normalization, discrete-rank quartiles
+    "robust_scale" -> ((s, dir) =>
+      Similarity.robustScale(Tables.embeddings(s, dir))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2240,6 +2267,101 @@ object SparkEntry {
                 ELSE CAST(s_cat - c AS DOUBLE) / (n_cat - 1) / 100.0
                 END AS loo_mean
          FROM x JOIN s USING (cat)""",
+
+    // candidate = pure function of (user, item, j) through the portable
+    // hash; collisions with true positives anti-joined away
+    "negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           mx AS (SELECT max(p_partkey) AS np FROM part),
+           js AS (SELECT unnest(range(4)) AS j),
+           cand AS (SELECT u, p, j,
+               1 + ((u * 31 + p * 4 + j) * 1000003 % 1000000007) % np AS neg
+             FROM pos, mx, js)
+         SELECT c.u AS custkey, c.p AS pos_part, c.j, c.neg AS neg_part
+         FROM cand c ANTI JOIN pos q ON c.u = q.u AND c.neg = q.p""",
+
+    // sketch: integer bucket counts + cumulative first-reach; truth:
+    // discrete rank selection — both all-integer
+    "histogram_quantiles" ->
+      """WITH x AS (SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+           r AS (SELECT g, c,
+                   row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n_part FROM x),
+           t AS (SELECT g, count(*) AS n,
+                   max(CASE WHEN rn = (n_part * 50 + 99) // 100 THEN c END)
+                     AS true_p50_cents,
+                   max(CASE WHEN rn = (n_part * 95 + 99) // 100 THEN c END)
+                     AS true_p95_cents
+                 FROM r GROUP BY 1),
+           h AS (SELECT g, c // 1000000 AS bucket, count(*) AS n_b
+                 FROM x GROUP BY 1, 2),
+           cm AS (SELECT g, bucket,
+                   CAST(sum(n_b) OVER (PARTITION BY g ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM h),
+           e AS (SELECT cm.g,
+                   (min(CASE WHEN cum * 100 >= t.n * 50 THEN bucket END) + 1)
+                     * 1000000 AS est_p50_cents,
+                   (min(CASE WHEN cum * 100 >= t.n * 95 THEN bucket END) + 1)
+                     * 1000000 AS est_p95_cents
+                 FROM cm JOIN t ON cm.g = t.g GROUP BY cm.g, t.n)
+         SELECT t.g, t.n, true_p50_cents, est_p50_cents,
+           true_p95_cents, est_p95_cents
+         FROM t JOIN e ON t.g = e.g""",
+
+    // two lags over the (ts, id) total order; support threshold keeps
+    // the head
+    "sequence_ngrams" ->
+      """WITH s AS (SELECT user_id AS u, event_type AS s,
+               lag(event_type, 2) OVER w AS s1,
+               lag(event_type, 1) OVER w AS s2
+             FROM events
+             WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+         SELECT s1 || '>' || s2 || '>' || s AS path, count(*) AS n,
+           count(DISTINCT u) AS n_users
+         FROM s WHERE s1 IS NOT NULL GROUP BY 1 HAVING count(*) >= 5""",
+
+    // windows pinned to the feed's own max day; exact distinct-day counts
+    "churn_label" ->
+      """WITH d AS (SELECT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+           m AS (SELECT max(day) AS max_day FROM d),
+           f AS (SELECT u, day, max_day FROM d, m WHERE day >= max_day - 13),
+           a AS (SELECT u,
+                   count(DISTINCT CASE WHEN day <= max_day - 7 THEN day END)
+                     AS days_w1,
+                   count(DISTINCT CASE WHEN day > max_day - 7 THEN day END)
+                     AS days_w2
+                 FROM f GROUP BY 1)
+         SELECT u AS user_id, days_w1, days_w2,
+           CASE WHEN days_w2 = 0 THEN 1 ELSE 0 END AS churned
+         FROM a WHERE days_w1 > 0""",
+
+    // discrete-rank quartiles; the scale step is one sub + one div of
+    // bit-identical doubles — no rounding
+    "robust_scale" ->
+      """WITH x AS (SELECT vec_id, pos - 1 AS dim, val AS x
+               FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                     FROM embeddings)),
+           r AS (SELECT dim, x,
+                   row_number() OVER (PARTITION BY dim ORDER BY x) AS rn,
+                   count(*) OVER (PARTITION BY dim) AS n_part FROM x),
+           c AS (SELECT dim,
+                   max(CASE WHEN rn = (n_part * 25 + 99) // 100 THEN x END)
+                     AS q1,
+                   max(CASE WHEN rn = (n_part * 50 + 99) // 100 THEN x END)
+                     AS med,
+                   max(CASE WHEN rn = (n_part * 75 + 99) // 100 THEN x END)
+                     AS q3
+                 FROM r GROUP BY 1)
+         SELECT x.vec_id, x.dim, x.x,
+           CASE WHEN q3 = q1 THEN NULL
+                ELSE (x.x - med) / (q3 - q1) END AS x_scaled
+         FROM x JOIN c ON x.dim = c.dim""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

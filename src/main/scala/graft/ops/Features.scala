@@ -73,4 +73,39 @@ object Features {
           .otherwise((col("s_cat") - col("c")).cast("double")
             / (col("n_cat") - lit(1)) / lit(100.0)).as("loo_mean"))
   }
+
+  /** Deterministic negative sampling for contrastive / two-tower
+    * training: every observed (user, item) positive spawns `k`
+    * pseudo-random candidate negatives from the item key space, and
+    * candidates that collide with a TRUE positive of the same user are
+    * dropped (the standard "sampled negatives minus accidental hits"
+    * semantics). No RNG anywhere — the candidate is a pure function of
+    * (user, item, j) through the engine's portable hash, so the same
+    * training set regenerates bit-identically on any cluster, any
+    * partitioning, any day ([[Shard.splitCol]] philosophy).
+    *
+    * Scale: positives×k is a projection (explode + hash, no shuffle);
+    * the collision filter is one left-anti join on (user, candidate)
+    * against the positive set — key-sized, broadcastable when the
+    * interaction table's distinct half fits. `itemCount` must be the
+    * CONTIGUOUS item-id domain size (TPC-H part keys are 1..P).
+    */
+  def negativeSampling(interactions: DataFrame, user: Column, item: Column,
+                       items: DataFrame, itemKey: Column,
+                       k: Int = 4): DataFrame = {
+    val pos = interactions.select(user.as("u"), item.as("p")).distinct()
+    val domain = items.agg(max(itemKey).as("np"))
+    val cand = pos
+      .crossJoin(broadcast(domain))
+      .select(col("u"), col("p"), col("np"),
+        explode(sequence(lit(0L), lit(k.toLong - 1))).as("j"))
+      .withColumn("neg",
+        lit(1) + pmod(Shard.portableHash(
+          col("u") * lit(31L) + col("p") * lit(k.toLong) + col("j")),
+          col("np")))
+    cand.join(pos.select(col("u"), col("p").as("neg")),
+        Seq("u", "neg"), "left_anti")
+      .select(col("u").as("custkey"), col("p").as("pos_part"), col("j"),
+        col("neg").as("neg_part"))
+  }
 }

@@ -618,4 +618,54 @@ object Profile {
     one.select(col("n"), explode(array(rows: _*)).as("pc"))
       .select(col("pc.pair").as("pair"), col("pc.corr").as("corr"), col("n"))
   }
+
+  /** Mergeable histogram quantile sketch, with the exact answer beside
+    * it — the distributed-percentile pattern at 100 TB: an equi-width
+    * bucket count table is ONE map-side-combined aggregate (and merges
+    * associatively across feeds/days, the [[hllDistinct]] discipline),
+    * so p50/p95 estimates need NO global sort; the estimate's error is
+    * bounded by the bucket width. The exact rank-selected truth
+    * ([[winsorizedStats]] discipline) is computed next to it so the
+    * sketch's error is itself oracle-verified.
+    *
+    * Determinism: everything is integer — cents, `div`-bucketing,
+    * cumulative counts, ceil(p·n) ranks, bucket upper edges. The
+    * estimate for quantile p is the upper edge of the first bucket
+    * whose cumulative count reaches ceil(p·n).
+    */
+  def histogramQuantiles(df: DataFrame, group: Column, value: Column,
+                         bucketCents: Long = 1000000L): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val w = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wg = Window.partitionBy(col("g"))
+    val ranked = df.select(group.as("g"), cents.as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_part", count(lit(1)).over(wg))
+      .withColumn("k50", expr("(n_part * 50 + 99) div 100"))
+      .withColumn("k95", expr("(n_part * 95 + 99) div 100"))
+    val truth = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      max(when(col("rn") === col("k50"), col("c"))).as("true_p50_cents"),
+      max(when(col("rn") === col("k95"), col("c"))).as("true_p95_cents"))
+    // the sketch path: bucket counts (no sort), cumulative over the
+    // |buckets|-sized table, first bucket reaching each rank
+    val wb = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = df.select(group.as("g"),
+        (cents / lit(bucketCents)).cast("long").as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("n_b"))
+      .withColumn("cum", sum(col("n_b")).over(wb))
+    val est = hist.join(broadcast(truth.select(col("g"), col("n"))), "g")
+      .groupBy(col("g")).agg(
+        min(when(col("cum") * 100 >= col("n") * 50, col("bucket")))
+          .as("b50"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("bucket")))
+          .as("b95"))
+      .select(col("g"),
+        ((col("b50") + 1) * bucketCents).as("est_p50_cents"),
+        ((col("b95") + 1) * bucketCents).as("est_p95_cents"))
+    truth.join(est, "g")
+      .select(col("g"), col("n"), col("true_p50_cents"),
+        col("est_p50_cents"), col("true_p95_cents"), col("est_p95_cents"))
+  }
 }

@@ -570,4 +570,44 @@ object Similarity {
         when(col("n_label") === col("true_label"), lit(1))
           .otherwise(lit(0)).as("correct"))
   }
+
+  /** Robust per-dimension scaling of the embedding corpus:
+    * (x − median) / IQR per dimension — the outlier-proof
+    * normalization ([[dimStats]] gives mean/min/max; a handful of
+    * corrupt vectors drag a mean/σ scaler, but not the quartiles).
+    * Output: one row per (vec_id, dim) with the raw and scaled value;
+    * dimensions with IQR = 0 emit NULL.
+    *
+    * Determinism: quartiles are DISCRETE rank selections (k = ceil(p·n),
+    * the [[graft.ops.Profile.winsorizedStats]] discipline) over the
+    * float-derived doubles — selected VALUES are tie-order-independent —
+    * and the scale step is one subtraction + one division of
+    * bit-identical doubles in both engines; no rounding anywhere.
+    *
+    * Scale: one posexplode projection, one per-dim window sort (64
+    * partitions — at corpus scale swap the exact ranks for
+    * approx_percentile cuts, same contract), one broadcast join back.
+    */
+  def robustScale(embeddings: DataFrame): DataFrame = {
+    val exploded = Par.widen(embeddings)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"))
+    val wd = Window.partitionBy(col("dim"))
+    val cuts = exploded
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_part", count(lit(1)).over(wd))
+      .withColumn("k25", expr("(n_part * 25 + 99) div 100"))
+      .withColumn("k50", expr("(n_part * 50 + 99) div 100"))
+      .withColumn("k75", expr("(n_part * 75 + 99) div 100"))
+      .groupBy(col("dim")).agg(
+        max(when(col("rn") === col("k25"), col("x"))).as("q1"),
+        max(when(col("rn") === col("k50"), col("x"))).as("med"),
+        max(when(col("rn") === col("k75"), col("x"))).as("q3"))
+    exploded.join(broadcast(cuts), "dim")
+      .select(col("vec_id"), col("dim"), col("x"),
+        when(col("q3") === col("q1"), lit(null).cast("double"))
+          .otherwise((col("x") - col("med")) / (col("q3") - col("q1")))
+          .as("x_scaled"))
+  }
 }

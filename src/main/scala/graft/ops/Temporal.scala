@@ -570,4 +570,66 @@ object Temporal {
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")).as("segment"))
   }
+
+  /** Frequent 3-step behavioral paths: each user's event stream in
+    * (ts, id) order yields its sliding event-type trigrams, counted
+    * corpus-wide with the distinct-user breadth beside the raw count —
+    * the path-mining extension of [[eventTransitions]] (bigram Markov
+    * counts) that product analytics reads as "the journeys users
+    * actually take".
+    *
+    * Determinism: the trigram is a pure function of the totally-ordered
+    * stream (two lags over (ts, id)); counts are exact longs;
+    * `minCount` bounds the output to the head (at 100 TB the tail of
+    * k-grams is the data — the support threshold is what keeps the
+    * result table sized to what a human reads).
+    *
+    * Scale: one shuffle on the user key for the lag windows, one
+    * map-side-combined count on the path string. No joins.
+    */
+  def sequenceNgrams(events: DataFrame, user: Column, ts: Column,
+                     id: Column, step: Column,
+                     minCount: Long = 5): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+    events.select(user.as("u"), ts.as("ts"), id.as("id"), step.as("s"))
+      .withColumn("s1", lag(col("s"), 2).over(w))
+      .withColumn("s2", lag(col("s"), 1).over(w))
+      .filter(col("s1").isNotNull)
+      .select(col("u"),
+        concat_ws(">", col("s1"), col("s2"), col("s")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("n_users"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Churn label generation: users active in the trailing-but-one week
+    * (w1 = days max−13..max−7) get label 1 iff they are silent in the
+    * final week (w2 = days max−6..max) — the standard
+    * observation/outcome-window labeling that turns an event feed into
+    * a supervised training table. Only w1-active users are emitted
+    * (the labelable population).
+    *
+    * Determinism: both windows derive from the feed's own max day (no
+    * wall clock — the [[graft.ops.Meta]] pinned-clock rule); activity
+    * is exact distinct-day counts.
+    *
+    * Scale: one 1-row max-day aggregate broadcast back, then one
+    * map-side-combined per-user aggregate over the 14-day slice —
+    * the date filter prunes everything older at the scan.
+    */
+  def churnLabel(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val days = events.select(user.as("u"), ts.cast("date").as("day"))
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    days.crossJoin(broadcast(maxDay))
+      .filter(col("day") >= date_sub(col("max_day"), 13))
+      .groupBy(col("u"))
+      .agg(
+        countDistinct(when(col("day") <= date_sub(col("max_day"), 7),
+          col("day"))).as("days_w1"),
+        countDistinct(when(col("day") > date_sub(col("max_day"), 7),
+          col("day"))).as("days_w2"))
+      .filter(col("days_w1") > 0)
+      .select(col("u").as("user_id"), col("days_w1"), col("days_w2"),
+        when(col("days_w2") === 0, lit(1)).otherwise(lit(0)).as("churned"))
+  }
 }
