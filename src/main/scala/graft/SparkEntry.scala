@@ -133,6 +133,27 @@ object SparkEntry {
     "robust_scale" -> ((s, dir) =>
       Similarity.robustScale(Tables.embeddings(s, dir))),
 
+    // duration-weighted mean of piecewise-constant per-user values
+    "time_weighted_avg" -> ((s, dir) =>
+      Temporal.timeWeightedAvg(Tables.events(s, dir), key = col("user_id"),
+        ts = col("ts"), id = col("event_id"), value = col("value"))),
+
+    // rank-based percentile transform within event_type
+    "quantile_normalize" -> ((s, dir) =>
+      Features.quantileNormalize(Tables.events(s, dir),
+        group = col("event_type"), id = col("event_id"),
+        value = col("value"))),
+
+    // exact scaled-integer trend/seasonal/residual split of daily totals
+    "seasonal_decompose" -> ((s, dir) =>
+      Temporal.seasonalDecompose(Tables.events(s, dir),
+        group = col("event_type"), ts = col("ts"), value = col("value"))),
+
+    // per-key counts merged live in foreachBatch == batch heavy hitters
+    "streaming_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingHeavyHitters(s,
+        eventsBase(s, dir), tmp(dir, "stream_hh_src"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2362,6 +2383,70 @@ object SparkEntry {
            CASE WHEN q3 = q1 THEN NULL
                 ELSE (x.x - med) / (q3 - q1) END AS x_scaled
          FROM x JOIN c ON x.dim = c.dim""",
+
+    // whole-second durations: floor(b) - floor(a) counts the same
+    // boundaries as date_diff('second') for fractional timestamps
+    "time_weighted_avg" ->
+      """WITH x AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+               event_id AS id,
+               CAST(round(value * 100) AS BIGINT) AS c FROM events),
+           h AS (SELECT u, c, date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY u ORDER BY ts, id)) AS dur
+                 FROM x),
+           f AS (SELECT u, c, dur FROM h WHERE dur IS NOT NULL)
+         SELECT u AS key, count(*) AS n_holds,
+           CAST(sum(dur) AS BIGINT) AS total_seconds,
+           CASE WHEN sum(dur) = 0 THEN NULL
+                ELSE CAST(sum(dur * c) AS DOUBLE)
+                   / CAST(sum(dur) AS BIGINT) / 100.0 END AS twap
+         FROM f GROUP BY 1""",
+
+    // rank() over cents only — ties share a rank, tie order cannot leak
+    "quantile_normalize" ->
+      """WITH x AS (SELECT event_type AS g, event_id AS id, value,
+               CAST(round(value * 100) AS BIGINT) AS c FROM events),
+           r AS (SELECT g, id, value,
+                   rank() OVER (PARTITION BY g ORDER BY c) AS rk,
+                   count(*) OVER (PARTITION BY g) AS n_part FROM x)
+         SELECT g, id, value,
+           CASE WHEN n_part = 1 THEN NULL
+                ELSE CAST(rk - 1 AS DOUBLE) / CAST(n_part - 1 AS DOUBLE)
+                END AS q_norm
+         FROM r""",
+
+    // units of cents/700 keep every component integer until one final
+    // division; weekday = epoch-day mod 7 (no engine dow convention)
+    "seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+           t AS (SELECT g, day, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                     AS t7,
+                   row_number() OVER (PARTITION BY g ORDER BY day) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n_part
+                 FROM daily),
+           i AS (SELECT g, day, c, t7, 7 * c - t7 AS r7,
+                   date_diff('day', DATE '1970-01-01', day) % 7 AS wd
+                 FROM t WHERE rn >= 4 AND rn <= n_part - 3),
+           s AS (SELECT g, wd, count(*) AS n_wd,
+                   CAST(sum(r7) AS BIGINT) AS s_r7
+                 FROM i GROUP BY 1, 2)
+         SELECT i.g, i.day,
+           CAST(c AS DOUBLE) / 100.0 AS value,
+           CAST(t7 AS DOUBLE) / 700.0 AS trend,
+           CAST(s_r7 AS DOUBLE) / (n_wd * 700) AS seasonal,
+           CAST(r7 AS DOUBLE) / 700.0
+             - CAST(s_r7 AS DOUBLE) / (n_wd * 700) AS residual
+         FROM i JOIN s ON i.g = s.g AND i.wd = s.wd""",
+
+    // trigger-slicing-invariant count merges == the batch recompute
+    "streaming_heavy_hitters" ->
+      """SELECT user_id AS key, count(*) AS n,
+           CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+         FROM events GROUP BY user_id
+         ORDER BY n DESC, key ASC LIMIT 10""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -108,4 +108,33 @@ object Features {
       .select(col("u").as("custkey"), col("p").as("pos_part"), col("j"),
         col("neg").as("neg_part"))
   }
+
+  /** Quantile (rank) normalization of a numeric feature within its
+    * group: each row maps to its percentile position
+    * (rank − 1)/(n − 1) ∈ [0, 1] — the distribution-free transform that
+    * makes features comparable across groups with different scales
+    * (and the first half of cross-sample quantile normalization).
+    * Singleton groups emit NULL (no span to place the row on).
+    *
+    * Determinism: `rank()` orders by exact cents ONLY, so ties share a
+    * rank and the result is independent of tie order; the percentile is
+    * one int/int IEEE division — the explicit formula rather than
+    * engine `percent_rank` so the n = 1 case is pinned by contract.
+    *
+    * Scale: one shuffle on the group for the rank window; the count
+    * rides the same partition. No joins.
+    */
+  def quantileNormalize(df: DataFrame, group: Column, id: Column,
+                        value: Column): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wg = Window.partitionBy(col("g"))
+    df.select(group.as("g"), id.as("id"), value.as("value"),
+        round(value * lit(100)).cast("long").as("c"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("n_part", count(lit(1)).over(wg))
+      .select(col("g"), col("id"), col("value"),
+        when(col("n_part") === 1, lit(null).cast("double"))
+          .otherwise((col("rk") - lit(1)).cast("double")
+            / (col("n_part") - lit(1)).cast("double")).as("q_norm"))
+  }
 }

@@ -632,4 +632,90 @@ object Temporal {
       .select(col("u").as("user_id"), col("days_w1"), col("days_w2"),
         when(col("days_w2") === 0, lit(1)).otherwise(lit(0)).as("churned"))
   }
+
+  /** Time-weighted average value per key (TWAP): each observation's
+    * value holds until the NEXT observation, so the mean weights each
+    * value by its holding duration — the correct average for
+    * piecewise-constant state (a price, a gauge, a fleet size), where
+    * the plain mean over-counts bursts of updates. The final
+    * observation has no successor and is excluded (no holding window).
+    *
+    * Determinism: durations are whole epoch seconds (floor(b) − floor(a)
+    * counts the same second boundaries in both engines even for
+    * fractional timestamps); the duration×cents products accumulate in
+    * DECIMAL(38,0); the TWAP is one exact→double conversion pair and a
+    * fixed /total/100 division chain. Keys whose total duration is 0
+    * (all observations in one second) emit NULL.
+    *
+    * Scale: one shuffle on the key for the lead window, one
+    * map-side-combined aggregate. Nothing downstream is data-sized.
+    */
+  def timeWeightedAvg(events: DataFrame, key: Column, ts: Column,
+                      id: Column, value: Column): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+    val holds = events.select(key.as("u"), ts.as("ts"), id.as("id"),
+        round(value * lit(100)).cast("long").as("c"))
+      .withColumn("dur",
+        lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
+      .filter(col("dur").isNotNull)
+    holds.groupBy(col("u")).agg(
+        count(lit(1)).as("n_holds"),
+        sum(col("dur")).as("total_seconds"),
+        sum(col("dur").cast(big) * col("c").cast(big)).as("sw"))
+      .select(col("u").as("key"), col("n_holds"), col("total_seconds"),
+        when(col("total_seconds") === 0, lit(null).cast("double"))
+          .otherwise(col("sw").cast("double") / col("total_seconds")
+            / lit(100.0)).as("twap"))
+  }
+
+  /** Classical seasonal decomposition of per-group daily totals —
+    * value = trend + seasonal + residual — in EXACT scaled-integer
+    * arithmetic: the trend is a centered 7-slot rolling mean, so
+    * working in units of cents/700 makes every component an integer
+    * until one final division. Only interior days (full 7-slot frame)
+    * are emitted — a partial frame is not a 7-day mean.
+    *
+    * Determinism: t7 (the 7-day cents sum) and r7 = 7·c − t7 are exact
+    * longs; the weekday is pure integer arithmetic (epoch-day mod 7 —
+    * no engine dayofweek convention); the per-(group, weekday) seasonal
+    * sum accumulates in DECIMAL(38,0). Each emitted double is a fixed
+    * chain over exact inputs: trend = t7/700, seasonal = Σr7/(n·700),
+    * residual = r7/700 − seasonal.
+    *
+    * Scale: one shuffle to the daily table; the rolling window and the
+    * weekday aggregation run on days×groups-sized data. At 100 TB the
+    * daily table IS the small output of the first aggregate — the
+    * decomposition costs nothing beyond it.
+    */
+  def seasonalDecompose(events: DataFrame, group: Column, ts: Column,
+                        value: Column): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events.select(group.as("g"), ts.cast("date").as("day"),
+        round(value * lit(100)).cast("long").as("c"))
+      .groupBy(col("g"), col("day")).agg(sum(col("c")).as("c"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("day"))
+    val w7 = wOrd.rowsBetween(-3, 3)
+    val wg = Window.partitionBy(col("g"))
+    val interior = daily
+      .withColumn("t7", sum(col("c")).over(w7))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_part", count(lit(1)).over(wg))
+      .filter(col("rn") >= 4 && col("rn") <= col("n_part") - 3)
+      .withColumn("r7", lit(7) * col("c") - col("t7"))
+      .withColumn("wd",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7)))
+    val seasonal = interior.groupBy(col("g"), col("wd")).agg(
+      count(lit(1)).as("n_wd"),
+      sum(col("r7").cast(big)).as("s_r7"))
+    interior.join(seasonal, Seq("g", "wd"))
+      .select(col("g"), col("day"),
+        (col("c").cast("double") / lit(100.0)).as("value"),
+        (col("t7").cast("double") / lit(700.0)).as("trend"),
+        (col("s_r7").cast("double") / (col("n_wd") * lit(700L)))
+          .as("seasonal"),
+        (col("r7").cast("double") / lit(700.0)
+          - col("s_r7").cast("double") / (col("n_wd") * lit(700L)))
+          .as("residual"))
+  }
 }

@@ -265,6 +265,57 @@ object Streaming {
     Profile.hllEstimate(view, Seq("day"))
   }
 
+  /** Heavy hitters maintained LIVE: per-key exact counts merged in
+    * foreachBatch (count tables union+re-sum — associative and
+    * commutative, so any trigger slicing lands the same state, the
+    * [[streamingHllMaintain]] / CDC-merge discipline), with the batch
+    * [[graft.ops.Profile.heavyHitters]] top-N/share selection applied
+    * to the final state. Result hash-equals the batch recompute over
+    * the same feed.
+    *
+    * Scale: per-batch state is |distinct keys| rows, never feed-sized;
+    * at production cardinalities the same loop maintains a
+    * [[graft.ops.Profile.cmsEstimate]] sketch instead — identical
+    * merge shape, bounded state.
+    */
+  def streamingHeavyHitters(spark: SparkSession, events: DataFrame,
+                            scratch: String,
+                            topN: Int = 10): DataFrame = withStatePartitions(spark, 8) {
+    val base = events.select(col("event_id"), col("user_id"))
+    var view = base.limit(0)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+      .persist()
+    view.count()
+
+    base.repartition(3).write.mode("overwrite").parquet(scratch)
+
+    val query = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(scratch)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bc = batch.groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val next = view.unionByName(bc)
+          .groupBy(col("key")).agg(sum(col("n")).as("n")).persist()
+        next.count() // materialize before dropping the old snapshot
+        view.unpersist()
+        view = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    val total = view.agg(sum(col("n")).as("total"))
+    view.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topN)
+      .select(col("key"), col("n"), col("share"))
+  }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch
