@@ -154,6 +154,26 @@ object SparkEntry {
       graft.streaming.Streaming.streamingHeavyHitters(s,
         eventsBase(s, dir), tmp(dir, "stream_hh_src"))),
 
+    // Mann-Whitney AUC: does event value separate purchases from the rest
+    "auc_rank" -> ((s, dir) =>
+      Profile.aucRank(Tables.events(s, dir),
+        label = col("event_type") === "purchase", metric = col("value"))),
+
+    // CUPED: pre-period covariate-adjusted A/B means, hash-parity arms
+    "cuped_adjust" -> ((s, dir) =>
+      Profile.cupedAdjust(Tables.events(s, dir), unit = col("user_id"),
+        ts = col("ts"), metric = col("value"), cutoff = "2024-01-16")),
+
+    // per-cell MI relevance of $50 value buckets vs event_type
+    "feature_mi" -> ((s, dir) =>
+      Features.featureMi(Tables.events(s, dir), feature = col("value"),
+        label = col("event_type"))),
+
+    // priority sampling of orders by totalprice, IEEE-exact keys
+    "weighted_sample" -> ((s, dir) =>
+      Shard.weightedSample(Tables.orders(s, dir), id = col("o_orderkey"),
+        weight = col("o_totalprice"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2447,6 +2467,102 @@ object SparkEntry {
            CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
          FROM events GROUP BY user_id
          ORDER BY n DESC, key ASC LIMIT 10""",
+
+    // doubled average ranks stay integer: 2*avg_rank = 2*cum + t + 1
+    "auc_rank" ->
+      """WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events),
+           g AS (SELECT c, count(*) AS t, CAST(sum(y) AS BIGINT) AS p
+                 FROM x GROUP BY 1),
+           w AS (SELECT c, t, p,
+                   COALESCE(CAST(sum(t) OVER (ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS cum FROM g),
+           a AS (SELECT CAST(sum(p) AS HUGEINT) AS npos,
+                   CAST(sum(t - p) AS HUGEINT) AS nneg,
+                   CAST(sum(CAST(p AS HUGEINT)
+                     * (2 * CAST(cum AS HUGEINT) + t + 1)) AS HUGEINT) AS r2
+                 FROM w)
+         SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+           CASE WHEN npos = 0 OR nneg = 0 THEN NULL
+                ELSE round(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+                       / CAST(2 * npos * nneg AS DOUBLE), 6) END AS auc
+         FROM a""",
+
+    // theta from pooled exact moments; fixed IEEE op sequence, round 6
+    "cuped_adjust" ->
+      """WITH pu AS (SELECT user_id AS u,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+             FROM events GROUP BY 1),
+           a AS (SELECT (u * 1000003 % 1000000007) % 2 AS arm, x, y FROM pu),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                   CAST(sum(x * y) AS HUGEINT) AS sxy,
+                   CAST(sum(x * x) AS HUGEINT) AS sxx FROM a),
+           b AS (SELECT arm, count(*) AS na,
+                   CAST(sum(x) AS DOUBLE) AS sxa,
+                   CAST(sum(y) AS DOUBLE) AS sya FROM a GROUP BY 1),
+           w AS (SELECT
+               max(CASE WHEN arm = 0 THEN na END) AS n0,
+               max(CASE WHEN arm = 1 THEN na END) AS n1,
+               max(CASE WHEN arm = 0 THEN sxa END) AS x0,
+               max(CASE WHEN arm = 1 THEN sxa END) AS x1,
+               max(CASE WHEN arm = 0 THEN sya END) AS y0,
+               max(CASE WHEN arm = 1 THEN sya END) AS y1
+             FROM b),
+           t AS (SELECT w.*,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+             FROM w, m)
+         SELECT n0 AS n_control, n1 AS n_treatment,
+           round(theta, 6) AS theta,
+           round(y0 / n0 / 100.0, 6) AS mean_control,
+           round(y1 / n1 / 100.0, 6) AS mean_treatment,
+           round((y0 / n0 - theta * (x0 / n0 - xbar)) / 100.0, 6) AS adj_control,
+           round((y1 / n1 - theta * (x1 / n1 - xbar)) / 100.0, 6) AS adj_treatment,
+           round((y1 / n1 - theta * (x1 / n1 - xbar)) / 100.0
+               - (y0 / n0 - theta * (x0 / n0 - xbar)) / 100.0, 6) AS diff_adjusted
+         FROM t""",
+
+    // per-cell MI: one division feeding one ln — no cross-row double sum
+    "feature_mi" ->
+      """WITH x AS (SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 5)
+                 AS bucket, event_type AS label FROM events),
+           c AS (SELECT bucket, label, count(*) AS n FROM x GROUP BY 1, 2),
+           t AS (SELECT bucket, label, n,
+                   CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_b,
+                   CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS n_t,
+                   CAST(sum(n) OVER () AS BIGINT) AS n_all FROM c)
+         SELECT bucket, label, n,
+           round(CAST(n * n_all AS DOUBLE) / CAST(n_b * n_t AS DOUBLE), 6)
+             AS lift,
+           round(CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)
+             * ln(CAST(n * n_all AS DOUBLE) / CAST(n_b * n_t AS DOUBLE)), 6)
+             AS mi_contrib
+         FROM t""",
+
+    // priority = w*1e6/(hash+1): two IEEE-exact ops, portable ordering;
+    // output the exact integer hash, not the >15-sig-digit priority
+    "weighted_sample" ->
+      """WITH x AS (SELECT o_orderkey AS id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+             FROM orders),
+           p AS (SELECT id, w_cents,
+               CAST(w_cents AS DOUBLE) * 1000000.0
+                 / CAST((id * 1000003 % 1000000007) + 1 AS DOUBLE) AS pr,
+               (id * 1000003 % 1000000007) + 1 AS u_hash
+             FROM x),
+           r AS (SELECT id, w_cents, u_hash, pr,
+               row_number() OVER (ORDER BY pr DESC, id ASC) AS rk FROM p)
+         SELECT CAST(rk AS BIGINT) AS rk, id, w_cents, u_hash
+         FROM r WHERE rk <= 200""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

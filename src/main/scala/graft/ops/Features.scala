@@ -137,4 +137,43 @@ object Features {
           .otherwise((col("rk") - lit(1)).cast("double")
             / (col("n_part") - lit(1)).cast("double")).as("q_norm"))
   }
+
+  /** Mutual-information feature-relevance table: bucket a numeric
+    * feature into fixed-width cents bins (top bin open-ended) and emit,
+    * per (bucket, label) cell, the exact count, the lift
+    * n*N / (n_b * n_t), and the cell's MI contribution
+    * (n/N) * ln(lift) — the ranking signal behind "which feature
+    * actually separates the classes" in curation and filter design.
+    *
+    * Per-cell output on purpose: summing ln terms across cells would
+    * make the result depend on a floating-point fold ORDER; each cell's
+    * value here is a fixed two-op IEEE sequence (one division feeding
+    * one ln, one multiply), rounded at 1e-6 — the engine's ln
+    * convention. All counts are exact via three window sums over the
+    * CELL table (|buckets| x |labels| rows, not the corpus); the single
+    * corpus-sized shuffle is the cell groupBy.
+    */
+  def featureMi(df: DataFrame, feature: Column, label: Column,
+                bucketCents: Long = 5000L, maxBucket: Int = 5): DataFrame = {
+    val cents = round(feature * lit(100)).cast("long")
+    val cells = df
+      .select(least((cents / lit(bucketCents)).cast("long"),
+          lit(maxBucket.toLong)).as("bucket"),
+        label.as("label"))
+      .groupBy(col("bucket"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wb = Window.partitionBy(col("bucket"))
+    val wt = Window.partitionBy(col("label"))
+    val wAll = Window.partitionBy()
+    val lift = (col("n") * col("n_all")).cast("double") /
+      (col("n_b") * col("n_t")).cast("double")
+    cells
+      .withColumn("n_b", sum(col("n")).over(wb))
+      .withColumn("n_t", sum(col("n")).over(wt))
+      .withColumn("n_all", sum(col("n")).over(wAll))
+      .select(col("bucket"), col("label"), col("n"),
+        round(lift, 6).as("lift"),
+        round(col("n").cast("double") / col("n_all").cast("double")
+          * log(lift), 6).as("mi_contrib"))
+  }
 }

@@ -668,4 +668,109 @@ object Profile {
       .select(col("g"), col("n"), col("true_p50_cents"),
         col("est_p50_cents"), col("true_p95_cents"), col("est_p95_cents"))
   }
+
+  /** ROC AUC of a numeric score against a binary label via the
+    * Mann-Whitney rank sum — the standard eval primitive for "does this
+    * feature separate the classes" (quality filters, dedup thresholds,
+    * model scores) without materializing a curve.
+    *
+    * Ties get average ranks. With cum = #rows strictly below a distinct
+    * cents value and t = #rows at it, every member's DOUBLED average
+    * rank is the integer 2*cum + t + 1, so the whole statistic stays in
+    * exact integer arithmetic: AUC = (2*R_pos - n_pos*(n_pos+1)) /
+    * (2*n_pos*n_neg), ONE decimal->double division, rounded 1e-6 (the
+    * [[abTestReport]] convention).
+    *
+    * Scale shape: the shuffle reduces to the DISTINCT score domain
+    * (cents values — bounded, corpus-size-independent), and the global
+    * cumulative sum runs over that domain-sized table, not the corpus.
+    * NULL AUC when either class is empty.
+    */
+  def aucRank(df: DataFrame, label: Column, metric: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(metric * lit(100)).cast("long")
+    val byC = df.select(cents.as("c"), label.cast("int").cast("long").as("y"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("t"), sum(col("y")).as("p"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byC
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .agg(
+        sum(col("p")).cast(big).as("npos"),
+        sum(col("t") - col("p")).cast(big).as("nneg"),
+        sum(col("p").cast(big) *
+          (lit(2).cast(big) * col("cum").cast(big)
+            + col("t").cast(big) + lit(1).cast(big))).as("r2"))
+    agg.select(
+      col("npos").cast("long").as("n_pos"),
+      col("nneg").cast("long").as("n_neg"),
+      when(col("npos") === 0 || col("nneg") === 0, lit(null).cast("double"))
+        .otherwise(round(
+          (col("r2") - col("npos") * (col("npos") + lit(1).cast(big)))
+            .cast("double")
+            / (lit(2).cast(big) * col("npos") * col("nneg")).cast("double"),
+          6)).as("auc"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013): adjust each
+    * unit's post-period metric by its own PRE-period covariate,
+    * y_adj = y - theta*(x - x_bar), theta = cov(x,y)/var(x) pooled over
+    * all units. The arm split is the same hash-parity assignment as
+    * [[abTestReport]]; the pre/post boundary is a caller-supplied cutoff
+    * timestamp.
+    *
+    * Determinism: n/Σx/Σy/Σxy/Σx² and the per-arm sums accumulate as
+    * exact integer cents in DECIMAL(38,0); theta, the means, and the
+    * adjusted means are then a FIXED sequence of IEEE double ops
+    * (identical in any engine) rounded at 1e-6. One shuffle to the unit,
+    * one to the arm; the moment join is a broadcast of one row.
+    */
+  def cupedAdjust(df: DataFrame, unit: Column, ts: Column, metric: Column,
+                  cutoff: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(metric * lit(100)).cast("long")
+    val perUnit = df
+      .select(unit.as("u"), ts.as("ts"), cents.as("c"))
+      .groupBy(col("u"))
+      .agg(
+        sum(when(col("ts") < lit(cutoff).cast("timestamp"), col("c"))
+          .otherwise(lit(0L))).cast(big).as("x"),
+        sum(when(col("ts") >= lit(cutoff).cast("timestamp"), col("c"))
+          .otherwise(lit(0L))).cast(big).as("y"))
+      .withColumn("arm", pmod(Shard.portableHash(col("u")), lit(2)))
+    val moments = perUnit.agg(
+      count(lit(1)).cast(big).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val byArm = perUnit.groupBy(col("arm")).agg(
+      count(lit(1)).as("na"),
+      sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+    def pick(a: Int, c: String) = first(when(col("arm") === a, col(c)), ignoreNulls = true)
+    val one = byArm.agg(
+      pick(0, "na").as("n0"), pick(1, "na").as("n1"),
+      pick(0, "sxa").cast("double").as("x0"), pick(1, "sxa").cast("double").as("x1"),
+      pick(0, "sya").cast("double").as("y0"), pick(1, "sya").cast("double").as("y1"))
+      .crossJoin(broadcast(moments))
+    // fixed shape: theta from pooled moments, xbar global, means per arm
+    val theta = (col("n").cast("double") * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      (col("n").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val r6 = (c: Column) => round(c, 6)
+    def adj(y: Column, x: Column, na: Column) =
+      (y / na - theta * (x / na - xbar)) / lit(100.0)
+    val m0 = col("y0") / col("n0") / lit(100.0)
+    val m1 = col("y1") / col("n1") / lit(100.0)
+    val a0 = adj(col("y0"), col("x0"), col("n0"))
+    val a1 = adj(col("y1"), col("x1"), col("n1"))
+    one.select(
+      col("n0").as("n_control"), col("n1").as("n_treatment"),
+      r6(theta).as("theta"),
+      r6(m0).as("mean_control"), r6(m1).as("mean_treatment"),
+      r6(a0).as("adj_control"), r6(a1).as("adj_treatment"),
+      r6(a1 - a0).as("diff_adjusted"))
+  }
 }

@@ -187,4 +187,40 @@ object Shard {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("h")
   }
+
+  /** Deterministic weight-proportional sampling without replacement
+    * (priority sampling, Duffield et al.): each row's priority is
+    * w / u for a hash-derived uniform u, and the k highest-priority
+    * rows are the sample — heavier rows proportionally more likely,
+    * identical selection on every run and engine.
+    *
+    * The classic Efraimidis-Spirakis key u^(1/w) needs a transcendental
+    * (pow/ln) whose last-ulp behavior is libm-specific, so ORDERING by
+    * it is not portable. Priority sampling needs only
+    * w * 1e6 / (hash+1): two IEEE-exact double ops with bit-identical
+    * results in any engine, so the induced order (and the sample) is
+    * exactly reproducible; ties broken by id. The global top-k is a
+    * per-partition top-k + k-row merge (TakeOrderedAndProject), never a
+    * full sort — the 100-TB shape.
+    *
+    * The output carries the exact integer hash, NOT the priority: a
+    * priority near w*1e6 can need >15 significant digits, where decimal
+    * ROUNDING of a double is engine-specific even though the double
+    * itself (and thus the order — verified by the emitted ranks) is
+    * bit-identical. Everything emitted is integer-exact.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     k: Int = 200): DataFrame = {
+    val cents = round(weight * lit(100)).cast("long")
+    val pr = cents.cast("double") * lit(1000000.0) /
+      (portableHash(id) + lit(1L)).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("id").asc)
+    df.select(id.as("id"), cents.as("w_cents"), pr.as("priority"),
+        (portableHash(id) + lit(1L)).as("u_hash"))
+      .orderBy(col("priority").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("id"), col("w_cents"), col("u_hash"))
+  }
 }
