@@ -174,6 +174,29 @@ object SparkEntry {
       Shard.weightedSample(Tables.orders(s, dir), id = col("o_orderkey"),
         weight = col("o_totalprice"))),
 
+    // delta-method CI for purchase revenue per event (unit = user)
+    "ratio_metric_ci" -> ((s, dir) =>
+      Profile.ratioMetricCi(Tables.events(s, dir), unit = col("user_id"),
+        num = when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)),
+        den = lit(1L))),
+
+    // hash-derived truncated-Poisson(1) weights, rank CI over B=40 means
+    "poisson_bootstrap" -> ((s, dir) =>
+      Profile.poissonBootstrap(Tables.events(s, dir),
+        unit = col("user_id"), metric = col("value"))),
+
+    // MDE at current arm sizes from exact pooled moments
+    "power_mde" -> ((s, dir) =>
+      Profile.powerMde(Tables.events(s, dir), unit = col("user_id"),
+        metric = col("value"))),
+
+    // pre-period-quintile strata, per-stratum arm means and lift
+    "propensity_strata" -> ((s, dir) =>
+      Profile.propensityStrata(Tables.events(s, dir),
+        unit = col("user_id"), ts = col("ts"), metric = col("value"),
+        cutoff = "2024-01-16")),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2563,6 +2586,124 @@ object SparkEntry {
                row_number() OVER (ORDER BY pr DESC, id ASC) AS rk FROM p)
          SELECT CAST(rk AS BIGINT) AS rk, id, w_cents, u_hash
          FROM r WHERE rk <= 200""",
+
+    // per-unit (x,y) pairs; fixed IEEE sequence mirroring ratioMetricCi
+    "ratio_metric_ci" ->
+      """WITH pu AS (SELECT user_id AS u,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                 AS HUGEINT) AS y,
+               CAST(count(*) AS HUGEINT) AS x
+             FROM events GROUP BY 1),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy FROM pu),
+           t AS (SELECT CAST(n AS BIGINT) AS n_units,
+               CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 100.0 AS r,
+               CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS rc,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+               CAST(n AS DOUBLE) AS nd,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxy
+             FROM m),
+           s AS (SELECT n_units, r,
+               sqrt((vy - 2.0 * rc * cxy + rc * rc * vx) / nd)
+                 / xbar / 100.0 AS se
+             FROM t)
+         SELECT n_units, round(r, 6) AS ratio, round(se, 6) AS se,
+           round(r - 1.96 * se, 6) AS ci_lo,
+           round(r + 1.96 * se, 6) AS ci_hi
+         FROM s""",
+
+    // fixed exp(-1) integer thresholds; replicate means exact ratios;
+    // CI = exact rank 2 / 39 of the 40 ascending replicate means
+    "poisson_bootstrap" ->
+      """WITH pu AS (SELECT user_id AS u,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+             FROM events GROUP BY 1),
+           e AS (SELECT u, s, CAST(t.b AS BIGINT) AS b
+                 FROM pu, range(40) t(b)),
+           h AS (SELECT b, s,
+                   (u * 131 + b) * 1000003 % 1000000007 AS h FROM e),
+           ww AS (SELECT b, s,
+                   CASE WHEN h < 367879444 THEN 0
+                        WHEN h < 735758887 THEN 1
+                        WHEN h < 919698609 THEN 2 ELSE 3 END AS w FROM h),
+           rm AS (SELECT b, CAST(sum(w) AS HUGEINT) AS nw,
+                   CAST(sum(w * s) AS HUGEINT) AS sw FROM ww GROUP BY 1),
+           mb AS (SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0
+                   AS mean_b FROM rm WHERE nw > 0),
+           rk AS (SELECT b, mean_b,
+                   row_number() OVER (ORDER BY mean_b, b) AS rn FROM mb),
+           pt AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(s) AS HUGEINT) AS tot FROM pu)
+         SELECT (SELECT count(*) FROM rk) AS n_replicates,
+           round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+           round((SELECT mean_b FROM rk WHERE rn = 2), 6) AS ci_lo,
+           round((SELECT mean_b FROM rk WHERE rn = 39), 6) AS ci_hi
+         FROM pt""",
+
+    // z constants as ONE literal each side; pooled var in exact cents
+    "power_mde" ->
+      """WITH pu AS (SELECT user_id AS u,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS s
+             FROM events GROUP BY 1),
+           a AS (SELECT (u * 1000003 % 1000000007) % 2 AS arm, s FROM pu),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(s) AS HUGEINT) AS sy,
+               CAST(sum(s * s) AS HUGEINT) AS syy,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             FROM a),
+           t AS (SELECT n0, n1, sy, n,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0
+                 AS vp FROM m)
+         SELECT n0, n1, round(sqrt(vp), 6) AS pooled_sd,
+           round(2.801585 * sqrt(vp / n1 + vp / n0), 6) AS mde_abs,
+           round(2.801585 * sqrt(vp / n1 + vp / n0)
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 6) AS mde_rel
+         FROM t""",
+
+    // quintiles of pre-period cents, deterministic (x, u) rank order
+    "propensity_strata" ->
+      """WITH pu AS (SELECT user_id AS u,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) AS y
+             FROM events GROUP BY 1),
+           a AS (SELECT u, x, y,
+                   (u * 1000003 % 1000000007) % 2 AS arm FROM pu),
+           r AS (SELECT *, row_number() OVER (ORDER BY x, u) AS rn,
+                   count(*) OVER () AS n_all FROM a),
+           s AS (SELECT *, (rn - 1) * 5 // n_all AS stratum FROM r),
+           g AS (SELECT stratum, count(*) AS n,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS HUGEINT) AS sy0,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT) AS sy1
+             FROM s GROUP BY 1)
+         SELECT CAST(stratum AS BIGINT) AS stratum, n, n0, n1,
+           CASE WHEN n0 = 0 THEN NULL
+                ELSE round(CAST(sy0 AS DOUBLE) / n0 / 100.0, 6)
+                END AS mean_control,
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE round(CAST(sy1 AS DOUBLE) / n1 / 100.0, 6)
+                END AS mean_treatment,
+           CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE round(CAST(sy1 AS DOUBLE) / n1 / 100.0
+                       - CAST(sy0 AS DOUBLE) / n0 / 100.0, 6)
+                END AS diff
+         FROM g""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

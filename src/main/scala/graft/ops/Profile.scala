@@ -773,4 +773,192 @@ object Profile {
       r6(a0).as("adj_control"), r6(a1).as("adj_treatment"),
       r6(a1 - a0).as("diff_adjusted"))
   }
+
+  /** Delta-method confidence interval for a RATIO metric (revenue per
+    * event, CTR, items per order) — the classic A/B trap: units are
+    * users but the metric's denominator is event count, so the naive
+    * per-event variance is wrong. Var(ΣY/ΣX) is taken over per-unit
+    * (x_i, y_i) pairs: se² = (v_y - 2r·c_xy + r²·v_x) / (n·x̄²).
+    *
+    * n/Σx/Σy/Σxy/Σxx/Σyy accumulate as exact integer cents in
+    * DECIMAL(38,0); r, the variances, and the ±1.96·se bounds are a
+    * fixed IEEE sequence (sqrt is correctly rounded, portable) rounded
+    * 1e-6. One shuffle to the unit, then a one-row reduce.
+    */
+  def ratioMetricCi(df: DataFrame, unit: Column, num: Column,
+                    den: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perUnit = df
+      .select(unit.as("u"), round(num * lit(100)).cast("long").as("yc"),
+        den.cast("long").as("xc"))
+      .groupBy(col("u"))
+      .agg(sum(col("yc")).cast(big).as("y"),
+        sum(col("xc")).cast(big).as("x"))
+    val m = perUnit.agg(
+      count(lit(1)).cast(big).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val r = syD / sxD / lit(100.0) // dollars per denominator unit
+    val xbar = sxD / nD
+    val vx = (col("sxx").cast("double") - sxD * sxD / nD) / (nD - lit(1.0))
+    val vy = (col("syy").cast("double") - syD * syD / nD) / (nD - lit(1.0))
+    val cxy = (col("sxy").cast("double") - sxD * syD / nD) / (nD - lit(1.0))
+    val rCents = syD / sxD
+    val seExpr = sqrt((vy - lit(2.0) * rCents * cxy + rCents * rCents * vx)
+      / nD) / xbar / lit(100.0)
+    val r6 = (c: Column) => round(c, 6)
+    m.select(
+      col("n").cast("long").as("n_units"),
+      r6(r).as("ratio"),
+      r6(seExpr).as("se"),
+      r6(r - lit(1.96) * seExpr).as("ci_lo"),
+      r6(r + lit(1.96) * seExpr).as("ci_hi"))
+  }
+
+  /** Deterministic Poisson bootstrap CI (the resampling scheme that
+    * actually runs at fleet scale — Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams"): every unit gets, per
+    * replicate b, a weight drawn from a truncated Poisson(1) via the
+    * portable hash of (unit, b) against FIXED integer thresholds
+    * (exp(-1)-derived literals — no runtime transcendentals), so the
+    * whole resample is a pure projection: no sampling state, no
+    * coordination, identical on every engine and partitioning.
+    *
+    * Replicate means are exact-integer ratios (Σw·y / Σw in
+    * DECIMAL(38,0)), and the CI is an exact RANK over the B replicate
+    * means — lo = 2nd of B=40 ascending, hi = 39th (the 2.5th/97.5th
+    * percentile convention for B=40). Scale shape: the B× explosion
+    * happens AFTER the per-unit reduce, so it multiplies the unit
+    * table, never the corpus.
+    */
+  def poissonBootstrap(df: DataFrame, unit: Column, metric: Column,
+                       reps: Int = 40): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perUnit = df
+      .select(unit.as("u"), round(metric * lit(100)).cast("long").as("c"))
+      .groupBy(col("u")).agg(sum(col("c")).as("s"))
+    val exploded = perUnit
+      .withColumn("b", explode(lit((0 until reps).toArray)))
+      .withColumn("h",
+        pmod((col("u") * lit(131L) + col("b")) * lit(1000003L),
+          lit(1000000007L)))
+      .withColumn("w",
+        when(col("h") < 367879444L, 0L)
+          .when(col("h") < 735758887L, 1L)
+          .when(col("h") < 919698609L, 2L)
+          .otherwise(3L))
+    val repMeans = exploded.groupBy(col("b")).agg(
+      sum(col("w")).cast(big).as("nw"),
+      sum(col("w") * col("s")).cast(big).as("sw"))
+      // an all-zero-weight replicate (prob (1/e)^units) has no mean —
+      // dropped identically on both engines; n_replicates reports it
+      .filter(col("nw") > 0)
+      .select(col("b"),
+        (col("sw").cast("double") / col("nw").cast("double") / lit(100.0))
+          .as("mean_b"))
+    val w = Window.orderBy(col("mean_b"), col("b"))
+    val ranked = repMeans.withColumn("rn", row_number().over(w))
+    val loRank = math.max(1, (reps * 25 + 999) / 1000) + 1 // 2 for B=40
+    val hiRank = reps - loRank + 1                         // 39 for B=40
+    val point = perUnit.agg(count(lit(1)).cast(big).as("n"),
+      sum(col("s")).cast(big).as("tot"))
+    val r6 = (c: Column) => round(c, 6)
+    ranked.agg(
+      count(lit(1)).as("n_replicates"),
+      max(when(col("rn") === loRank, col("mean_b"))).as("lo"),
+      max(when(col("rn") === hiRank, col("mean_b"))).as("hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicates"),
+        r6(col("tot").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean"),
+        r6(col("lo")).as("ci_lo"), r6(col("hi")).as("ci_hi"))
+  }
+
+  /** Minimum detectable effect for a two-arm test at the CURRENT arm
+    * sizes — the "is this experiment even worth running" readout:
+    * mde = (z_{0.975} + z_{0.8}) * sqrt(var/n1 + var/n0) with the z
+    * constants as literals (1.959964, 0.841621) and the pooled variance
+    * from exact DECIMAL(38,0) cents moments. Arms are the same
+    * hash-parity assignment as [[abTestReport]]. One sqrt, rounded 1e-6.
+    */
+  def powerMde(df: DataFrame, unit: Column, metric: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(metric * lit(100)).cast("long")
+    val perUnit = df.select(unit.as("u"), cents.as("c"))
+      .groupBy(col("u")).agg(sum(col("c")).cast(big).as("s"))
+      .withColumn("arm", pmod(Shard.portableHash(col("u")), lit(2)))
+    val m = perUnit.agg(
+      count(lit(1)).cast(big).as("n"),
+      sum(col("s")).as("sy"), sum(col("s") * col("s")).as("syy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val nD = col("n").cast("double")
+    val varPooled = (col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double") / nD) /
+      (nD - lit(1.0)) / lit(10000.0)
+    val mde = lit(2.801585) * // z_{0.975} + z_{0.8}, one literal so both
+      // engines parse the identical double (no constant-fold ambiguity)
+      sqrt(varPooled / col("n1") + varPooled / col("n0"))
+    val r6 = (c: Column) => round(c, 6)
+    m.select(col("n0"), col("n1"),
+      r6(sqrt(varPooled)).as("pooled_sd"),
+      r6(mde).as("mde_abs"),
+      r6(mde / (col("sy").cast("double") / nD / lit(100.0)))
+        .as("mde_rel"))
+  }
+
+  /** Stratified treatment-effect table: units are bucketed into
+    * quintiles of a PRE-period covariate (deterministic rank with id
+    * tiebreak), and each stratum reports its own arm means and lift —
+    * the confounder-adjusted readout when randomization is suspect.
+    * One row per stratum on purpose: a cross-stratum weighted ATE would
+    * sum doubles in nondeterministic order; the 5-row table carries the
+    * exact per-stratum pieces instead.
+    */
+  def propensityStrata(df: DataFrame, unit: Column, ts: Column,
+                       metric: Column, cutoff: String,
+                       strata: Int = 5): DataFrame = {
+    val cents = round(metric * lit(100)).cast("long")
+    val perUnit = df
+      .select(unit.as("u"), ts.as("ts"), cents.as("c"))
+      .groupBy(col("u"))
+      .agg(
+        sum(when(col("ts") < lit(cutoff).cast("timestamp"), col("c"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit(cutoff).cast("timestamp"), col("c"))
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(Shard.portableHash(col("u")), lit(2)))
+    val w = Window.orderBy(col("x"), col("u"))
+    val wn = Window.partitionBy()
+    val bucketed = perUnit
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_all", count(lit(1)).over(wn))
+      // stratum s gets ranks (s*n)/k+1 .. ((s+1)*n)/k — integer DIV
+      .withColumn("stratum",
+        expr(s"(rn - 1) * ${strata}L div n_all"))
+    val r6 = (c: Column) => round(c, 6)
+    bucketed.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+      .select(col("stratum"), col("n"), col("n0"), col("n1"),
+        // a small stratum can hold only one arm — NULL, not a crash
+        when(col("n0") === 0, lit(null).cast("double")).otherwise(
+          r6(col("sy0").cast("double") / col("n0") / lit(100.0)))
+          .as("mean_control"),
+        when(col("n1") === 0, lit(null).cast("double")).otherwise(
+          r6(col("sy1").cast("double") / col("n1") / lit(100.0)))
+          .as("mean_treatment"),
+        when(col("n0") === 0 || col("n1") === 0,
+          lit(null).cast("double")).otherwise(
+          r6(col("sy1").cast("double") / col("n1") / lit(100.0)
+            - col("sy0").cast("double") / col("n0") / lit(100.0)))
+          .as("diff"))
+  }
 }
