@@ -197,6 +197,21 @@ object SparkEntry {
         unit = col("user_id"), ts = col("ts"), metric = col("value"),
         cutoff = "2024-01-16")),
 
+    // interpolated Kneser-Ney bigram LM; D=3/4 keeps terms rational
+    "kneser_ney_lm" -> ((s, dir) =>
+      Text.kneserNeyLm(Tables.documents(s, dir), topN = 20)),
+
+    // KMV/theta sketch: distinct + pairwise union/intersection estimates
+    "kmv_sketch" -> ((s, dir) =>
+      Profile.kmvSketch(Tables.events(s, dir), group = col("event_type"),
+        id = col("user_id"))),
+
+    // exact quantity-weighted price percentiles per returnflag
+    "weighted_quantiles" -> ((s, dir) =>
+      Profile.weightedQuantiles(Tables.lineitem(s, dir),
+        group = col("l_returnflag"), value = col("l_extendedprice"),
+        weight = col("l_quantity"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2704,6 +2719,90 @@ object SparkEntry {
                        - CAST(sy0 AS DOUBLE) / n0 / 100.0, 6)
                 END AS diff
          FROM g""",
+
+    // contexts/continuations from the bigram TYPE table; D = 3/4
+    "kneser_ney_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+           bg AS (SELECT words[g+1] AS w1, words[g+2] AS w2
+                  FROM w, UNNEST(range(len(words) - 1)) AS t(g)
+                  WHERE len(words) >= 2),
+           pc AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+           cx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c_w1,
+                   count(*) AS t_w1 FROM pc GROUP BY 1),
+           cn AS (SELECT w2, count(*) AS cont_w2 FROM pc GROUP BY 1),
+           tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM pc)
+         SELECT pc.w1, pc.w2, pc.n, c_w1, t_w1, cont_w2,
+           round(CAST(4 * CAST(pc.n AS HUGEINT) - 3 AS DOUBLE)
+               / CAST(4 * CAST(c_w1 AS HUGEINT) AS DOUBLE)
+             + CAST(3 * CAST(t_w1 AS HUGEINT) * cont_w2 AS DOUBLE)
+               / CAST(4 * CAST(c_w1 AS HUGEINT) * tt AS DOUBLE), 6) AS p_kn
+         FROM pc JOIN cx USING (w1) JOIN cn USING (w2) CROSS JOIN tt
+         ORDER BY pc.n DESC, pc.w1 ASC, pc.w2 ASC LIMIT 20""",
+
+    // k smallest distinct hashes per set; (k-1)*M/h_k estimator
+    "kmv_sketch" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g,
+               user_id * 1000003 % 1000000007 AS h FROM events),
+           r AS (SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                 FROM d),
+           sk AS (SELECT g, h FROM r WHERE rk <= 64),
+           e AS (SELECT g, count(*) AS kk, max(h) AS hk
+                 FROM sk GROUP BY 1),
+           est AS (SELECT g, CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+                     ELSE CAST(kk - 1 AS DOUBLE) * 1000000007.0
+                       / CAST(hk AS DOUBLE) END AS est FROM e),
+           gp AS (SELECT a.g AS ga, b.g AS gb
+                  FROM (SELECT DISTINCT g FROM sk) a,
+                       (SELECT DISTINCT g FROM sk) b WHERE a.g < b.g),
+           pu AS (SELECT ga, gb, h FROM gp JOIN sk ON sk.g = gp.ga
+                  UNION
+                  SELECT ga, gb, h FROM gp JOIN sk ON sk.g = gp.gb),
+           uk AS (SELECT ga, gb, h,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+                  FROM pu),
+           ukk AS (SELECT ga, gb, h FROM uk WHERE rk <= 64),
+           m0 AS (SELECT ukk.ga, ukk.gb, ukk.h,
+                   CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                        THEN 1 ELSE 0 END AS bothm
+                  FROM ukk
+                  LEFT JOIN sk sa ON sa.g = ukk.ga AND sa.h = ukk.h
+                  LEFT JOIN sk sb ON sb.g = ukk.gb AND sb.h = ukk.h),
+           m AS (SELECT ga, gb, count(*) AS ku, max(h) AS hku,
+                   CAST(sum(bothm) AS BIGINT) AS n_both
+                 FROM m0 GROUP BY 1, 2)
+         SELECT m.ga, m.gb, n_both,
+           round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+           round(CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+             ELSE CAST(ku - 1 AS DOUBLE) * 1000000007.0
+               / CAST(hku AS DOUBLE) END, 6) AS est_union,
+           round(CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE)
+             * (CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+                 ELSE CAST(ku - 1 AS DOUBLE) * 1000000007.0
+                   / CAST(hku AS DOUBLE) END), 6) AS est_inter
+         FROM m JOIN est ea ON ea.g = m.ga JOIN est eb ON eb.g = m.gb""",
+
+    // weights pre-summed per distinct value; integer cumsum thresholds
+    "weighted_quantiles" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+           v AS (SELECT g, c, CAST(sum(w) AS BIGINT) AS wv
+                 FROM x GROUP BY 1, 2),
+           cu AS (SELECT g, c, wv,
+               CAST(sum(wv) OVER (PARTITION BY g ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(wv) OVER (PARTITION BY g) AS BIGINT) AS tot
+             FROM v)
+         SELECT g, max(tot) AS total_weight,
+           CAST(min(CASE WHEN cum * 4 >= tot THEN c END) AS DOUBLE) / 100.0
+             AS p25,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN c END) AS DOUBLE) / 100.0
+             AS p50,
+           CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN c END) AS DOUBLE)
+             / 100.0 AS p75
+         FROM cu GROUP BY 1""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -911,6 +911,104 @@ object Profile {
         .as("mde_rel"))
   }
 
+  /** K-minimum-values (theta-style) distinct sketch with pairwise set
+    * intersection — the third sketch in the family next to HLL
+    * (distinct counts) and CMS (frequencies): KMV is the one that
+    * supports SET OPERATIONS, estimating |A∪B| and |A∩B| from two
+    * k-row summaries without ever joining the underlying sets.
+    *
+    * Per group, the sketch is the k smallest DISTINCT portable hashes;
+    * the rank-(le-literal-k) filter compiles to WindowGroupLimit, so
+    * every partition pre-prunes to its own k-mins before the exchange —
+    * the mergeable-sketch behavior, enforced by the optimizer. Distinct
+    * estimate: (k-1)*M/h_k (exact count when a group has fewer than k
+    * distinct values). For a pair, the k smallest of the two sketches'
+    * union give the union estimate, and the fraction of that k-set
+    * present in both sketches scales it to the intersection. Hashes are
+    * exact integers; each estimate is one division, rounded 1e-6.
+    */
+  def kmvSketch(df: DataFrame, group: Column, id: Column,
+                k: Int = 64): DataFrame = {
+    val modulus = 1000000007L
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    val sk = df.select(group.as("g"), Shard.portableHash(id).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val est = sk.groupBy(col("g")).agg(
+      count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      .select(col("g"), col("kk"),
+        when(col("kk") < k, col("kk").cast("double"))
+          .otherwise((col("kk") - 1).cast("double") * lit(modulus.toDouble)
+            / col("hk").cast("double")).as("est"))
+    // pairwise: union the two k-sets, re-take the k smallest. The pair
+    // list is |groups|² rows and each union at most 2k hashes — tiny.
+    val a = sk.select(col("g").as("ga"), col("h"))
+    val b = sk.select(col("g").as("gb"), col("h"))
+    val gs = sk.select(col("g")).distinct()
+    val gPairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val pairs = gPairs.join(a, "ga").select(col("ga"), col("gb"), col("h"))
+      .union(gPairs.join(b, "gb").select(col("ga"), col("gb"), col("h")))
+      .distinct()
+    val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val unionK = pairs.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= k)
+    val inA = a.withColumn("in_a", lit(1))
+    val inB = b.withColumn("in_b", lit(1))
+    val marked = unionK
+      .join(inA, Seq("ga", "h"), "left")
+      .join(inB, Seq("gb", "h"), "left")
+    val byPair = marked.groupBy(col("ga"), col("gb")).agg(
+      count(lit(1)).as("ku"), max(col("h")).as("hku"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+        .otherwise(0L)).as("n_both"))
+    val estU = when(col("ku") < k, col("ku").cast("double"))
+      .otherwise((col("ku") - 1).cast("double") * lit(modulus.toDouble)
+        / col("hku").cast("double"))
+    val r6 = (c: Column) => round(c, 6)
+    byPair
+      .join(est.select(col("g").as("ga"), col("est").as("est_a")), "ga")
+      .join(est.select(col("g").as("gb"), col("est").as("est_b")), "gb")
+      .select(col("ga"), col("gb"), col("n_both"),
+        r6(col("est_a")).as("est_a"), r6(col("est_b")).as("est_b"),
+        r6(estU).as("est_union"),
+        r6(col("n_both").cast("double") / col("ku").cast("double")
+          * estU).as("est_inter"))
+  }
+
+  /** Exact WEIGHTED percentiles per group — "the median order value
+    * weighted by quantity" class of question, where every row counts
+    * w times. Sorting happens on the DISTINCT (group, value) table
+    * (weights pre-summed per value — bounded by the value domain, not
+    * the row count); a running weight cumsum then picks the smallest
+    * value whose cumulative weight covers p·W, entirely in integer
+    * arithmetic (4·cum >= p·4·W comparisons — no division anywhere).
+    */
+  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
+                        weight: Column): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val byVal = df.select(group.as("g"), cents.as("c"),
+        weight.cast("long").as("w"))
+      .groupBy(col("g"), col("c")).agg(sum(col("w")).as("wv"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("g"))
+    byVal
+      .withColumn("cum", sum(col("wv")).over(wc))
+      .withColumn("tot", sum(col("wv")).over(wg))
+      .groupBy(col("g")).agg(
+        max(col("tot")).as("total_weight"),
+        min(when(col("cum") * 4 >= col("tot"), col("c"))).as("p25c"),
+        min(when(col("cum") * 2 >= col("tot"), col("c"))).as("p50c"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("c"))).as("p75c"))
+      .select(col("g"), col("total_weight"),
+        (col("p25c").cast("double") / lit(100.0)).as("p25"),
+        (col("p50c").cast("double") / lit(100.0)).as("p50"),
+        (col("p75c").cast("double") / lit(100.0)).as("p75"))
+  }
+
   /** Stratified treatment-effect table: units are bucketed into
     * quintiles of a PRE-period covariate (deterministic rank with id
     * tiebreak), and each stratum reports its own arm means and lift —

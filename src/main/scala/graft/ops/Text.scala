@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for LLM training-data pipelines (SURVEY §2.8
   * [EXT]): per-document statistics, token counting, quality scoring,
@@ -69,6 +70,58 @@ object Text {
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
       .limit(topN)
       .select(col("w1"), col("w2"), col("n"), col("p_cond"))
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    * actually works for LM-based quality scoring (raw MLE as in
+    * [[bigramLm]] assigns zero mass to unseen continuations; KN backs
+    * off to HOW MANY contexts a word continues, not how often).
+    *
+    * The discount is fixed at D = 3/4 so every term stays RATIONAL:
+    * p_kn = (4c-3)/(4*c_w1) + 3*t_w1*cont_w2 / (4*c_w1*T), with
+    * c = bigram count, c_w1 = context count, t_w1 = distinct
+    * continuations of w1, cont_w2 = distinct contexts preceding w2,
+    * T = total bigram TYPES. Each term is ONE division of exact
+    * integer products (DECIMAL(38,0) guards the triple product), the
+    * sum is one add, rounded 1e-6 — fully portable doubles.
+    *
+    * Scale shape: three aggregations over the bigram stream (pair,
+    * context, continuation) — all partial-agg friendly — and the
+    * type-count reduce; the top-N report is TakeOrdered, never a
+    * global sort.
+    */
+  def kneserNeyLm(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val big = DecimalType(38, 0)
+    val w = words(col("text"))
+    val bigrams = Par.widen(docs)
+      .filter(size(w) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(w) - lit(2)),
+        i => struct(element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = pairCounts.groupBy(col("w1")).agg(
+      sum(col("n")).as("c_w1"), count(lit(1)).as("t_w1"))
+    val cont = pairCounts.groupBy(col("w2")).agg(
+      count(lit(1)).as("cont_w2"))
+    val types = pairCounts.agg(count(lit(1)).as("tt"))
+    val joined = pairCounts.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+    val term1 = (lit(4).cast(big) * col("n").cast(big)
+      - lit(3).cast(big)).cast("double") /
+      (lit(4).cast(big) * col("c_w1").cast(big)).cast("double")
+    val term2 = (lit(3).cast(big) * col("t_w1").cast(big)
+      * col("cont_w2").cast(big)).cast("double") /
+      (lit(4).cast(big) * col("c_w1").cast(big)
+        * col("tt").cast(big)).cast("double")
+    joined
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("n"), col("c_w1"),
+        col("t_w1"), col("cont_w2"),
+        round(term1 + term2, 6).as("p_kn"))
   }
 
   /** Vocabulary coverage: the fraction of a document's token occurrences
