@@ -212,6 +212,28 @@ object SparkEntry {
         group = col("l_returnflag"), value = col("l_extendedprice"),
         weight = col("l_quantity"))),
 
+    // k=3 core of the customer-supplier graph, iterative degree peel
+    "k_core" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.kCore(s, edges, k = 3)
+    }),
+
+    // deterministic 15% MLM masking by (doc_id, position) hash
+    "mlm_mask" -> ((s, dir) =>
+      Text.mlmMask(Tables.documents(s, dir))),
+
+    // Cohen's kappa between the char-length and word-count raters
+    "rater_agreement" -> ((s, dir) =>
+      Quality.raterAgreement(Tables.documents(s, dir),
+        raterA = col("n_chars") >= 300,
+        raterB = size(split(col("text"), " ")) >= 60)),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2803,6 +2825,56 @@ object SparkEntry {
            CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN c END) AS DOUBLE)
              / 100.0 AS p75
          FROM cu GROUP BY 1""",
+
+    // unrolled peel; idempotent at fixpoint so extra rounds are no-ops
+    "k_core" -> Graph.kCoreOracleSql(
+      """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 5 = 0""", k = 3),
+
+    // same (doc_id, pos) hash; string_agg ORDER BY pos rebuilds the doc
+    "mlm_mask" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+             FROM documents),
+           x AS (SELECT doc_id, g AS pos, words[g+1] AS tok,
+                   ((doc_id * 131 + g) * 1000003 % 1000000007) % 100 < 15
+                     AS m
+                 FROM w, UNNEST(range(len(words))) AS t(g))
+         SELECT doc_id,
+           string_agg(CASE WHEN m THEN '[MASK]' ELSE tok END,
+             ' ' ORDER BY pos) AS masked_text,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           coalesce(string_agg(CASE WHEN m THEN pos || ':' || tok END,
+             ',' ORDER BY pos), '') AS labels
+         FROM x GROUP BY 1""",
+
+    // integer kappa form: one division of exact products per column
+    "rater_agreement" ->
+      """WITH x AS (SELECT
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0
+                 END AS b
+             FROM documents),
+           m AS (SELECT
+               CAST(sum(a * b) AS BIGINT) AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+             FROM x),
+           t AS (SELECT n11, n10, n01, n00,
+               n11 + n10 + n01 + n00 AS n,
+               n11 + n00 AS agree,
+               (n11 + n10) * (n11 + n01)
+                 + (n00 + n01) * (n00 + n10) AS margins
+             FROM m)
+         SELECT n11, n10, n01, n00,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST(margins AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+           CASE WHEN n * n = margins THEN NULL
+                ELSE round(CAST(n * agree - margins AS DOUBLE)
+                       / CAST(n * n - margins AS DOUBLE), 6) END AS kappa
+         FROM t""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -343,4 +343,80 @@ object Graph {
        |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
        |       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles
        |FROM deg d LEFT JOIN tc t ON t.node = d.node""".stripMargin
+
+  /** k-core decomposition for a FIXED k: iteratively peel nodes of
+    * degree < k until the remaining subgraph is stable; the survivors
+    * are the k-core — the standard "dense engagement backbone" cut for
+    * community mining and spam-ring detection. Returns each surviving
+    * node with its degree INSIDE the core.
+    *
+    * Each round is one degree aggregation + two semi-joins, all sized
+    * to the CURRENT edge set (monotonically shrinking); convergence is
+    * detected by edge count and non-convergence within `maxRounds`
+    * fails loudly rather than returning a half-peeled graph. Peeling
+    * is order-independent (removing any sub-k node never raises
+    * another node's degree), so the fixpoint — and the output — is
+    * deterministic regardless of partitioning or round batching.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int,
+            maxRounds: Int = 12): DataFrame = {
+    val ed0 = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val child = graphSession(edges.sparkSession, ed0.count())
+    var ed = rebind(child, ed0).persist()
+    var nEdges = ed.count()
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      round += 1
+      val keep = ed.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      var next = ed
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+        .select(col("src"), col("dst"))
+        .persist()
+      if (round % 4 == 0) next = next.localCheckpoint(true)
+      val nNext = next.count()
+      ed.unpersist()
+      ed = next
+      stable = nNext == nEdges
+      nEdges = nNext
+    }
+    require(stable, s"kCore: no fixpoint after $maxRounds rounds")
+    val out = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+    ed0.unpersist()
+    out
+  }
+
+  /** The DuckDB oracle for [[kCore]]: the peel unrolled `rounds` times
+    * over the same undirected-distinct edge CTE. Once the fixpoint is
+    * reached the filter is IDEMPOTENT, so unrolling more rounds than
+    * the Spark side needed changes nothing — the two sides agree as
+    * long as the Spark run converged (which it asserts).
+    */
+  def kCoreOracleSql(edgesCte: String, k: Int, rounds: Int = 12): String = {
+    // each round references its predecessor three times — MATERIALIZED
+    // stops DuckDB's CTE inlining from re-expanding the chain 3^rounds
+    // times (which re-opens the parquet scan until fd exhaustion)
+    val iters = (1 to rounds).map { i =>
+      s"""keep$i AS MATERIALIZED (SELECT src FROM ed${i - 1}
+         |   GROUP BY src HAVING count(*) >= $k),
+         | ed$i AS MATERIALIZED (SELECT src, dst FROM ed${i - 1}
+         | WHERE src IN (SELECT src FROM keep$i)
+         |   AND dst IN (SELECT src FROM keep$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesCte),
+       | ed0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM e0
+       |    UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+       |$iters
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM ed$rounds GROUP BY 1""".stripMargin
+  }
 }

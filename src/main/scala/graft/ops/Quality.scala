@@ -167,4 +167,38 @@ object Quality {
         .select(lit(name).as("relationship"),
           col("n_orphan_rows"), col("n_orphan_keys"))
     }.reduce(_ unionByName _)
+
+  /** Cohen's kappa between two boolean raters — the chance-corrected
+    * agreement readout for validating automated quality filters
+    * against each other (or against a labeled sample) before either
+    * one gates a corpus release.
+    *
+    * With the contingency counts n11/n10/n01/n00 all exact, kappa has
+    * the integer form (N·agree − Σ marginal products) /
+    * (N² − Σ marginal products): every emitted double is ONE division
+    * of exact integer products, rounded 1e-6. One map-side-combined
+    * aggregation over the corpus; one-row output.
+    */
+  def raterAgreement(df: DataFrame, raterA: Column,
+                     raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean"); val b = raterB.cast("boolean")
+    val m = df.select(
+      when(a && b, 1L).otherwise(0L).as("c11"),
+      when(a && !b, 1L).otherwise(0L).as("c10"),
+      when(!a && b, 1L).otherwise(0L).as("c01"),
+      when(!a && !b, 1L).otherwise(0L).as("c00"))
+      .agg(sum(col("c11")).as("n11"), sum(col("c10")).as("n10"),
+        sum(col("c01")).as("n01"), sum(col("c00")).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val agree = col("n11") + col("n00")
+    val margins = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n00") + col("n01")) * (col("n00") + col("n10"))
+    val r6 = (c: Column) => round(c, 6)
+    m.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      r6(agree.cast("double") / n.cast("double")).as("po"),
+      r6(margins.cast("double") / (n * n).cast("double")).as("pe"),
+      when(n * n === margins, lit(null).cast("double"))
+        .otherwise(r6((n * agree - margins).cast("double")
+          / (n * n - margins).cast("double"))).as("kappa"))
+  }
 }

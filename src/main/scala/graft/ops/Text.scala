@@ -544,4 +544,32 @@ object Text {
     }
     branches.reduce(_ unionByName _)
   }
+
+  /** Deterministic MLM masking: select ~`maskPct`% of token POSITIONS
+    * by the portable hash of (doc_id, position) and emit the masked
+    * text plus a "pos:token" label string — the text-side prep for
+    * masked-language-model training, reproducible across runs, engines,
+    * and partitionings (no RNG, no per-task state).
+    *
+    * Pure projection: the token array is built, masked, and re-joined
+    * per row with array higher-order functions — the corpus is never
+    * exploded, so this runs at scan speed with zero shuffles.
+    */
+  def mlmMask(docs: DataFrame, maskPct: Int = 15): DataFrame = {
+    val toks = words(col("text"))
+    def flag(pos: Column, id: Column): Column =
+      pmod(pmod((id * lit(131L) + pos) * lit(1000003L),
+        lit(1000000007L)), lit(100L)) < maskPct
+    val idx = sequence(lit(0L), size(toks).cast("long") - lit(1L))
+    val maskedArr = zip_with(toks, idx,
+      (t, i) => when(flag(i, col("doc_id")), lit("[MASK]")).otherwise(t))
+    val labelArr = zip_with(toks, idx,
+      (t, i) => when(flag(i, col("doc_id")),
+        concat(i.cast("string"), lit(":"), t)))
+    docs.select(
+      col("doc_id"),
+      array_join(maskedArr, " ").as("masked_text"),
+      size(filter(labelArr, c => c.isNotNull)).cast("long").as("n_masked"),
+      array_join(filter(labelArr, c => c.isNotNull), ",").as("labels"))
+  }
 }
