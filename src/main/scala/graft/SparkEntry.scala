@@ -234,6 +234,21 @@ object SparkEntry {
         raterA = col("n_chars") >= 300,
         raterB = size(split(col("text"), " ")) >= 60)),
 
+    // top principal direction, 6 integer-exact power-iteration steps
+    "pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir))),
+
+    // l-diversity: k-anonymous classes can still leak a shared secret
+    "l_diversity" -> ((s, dir) =>
+      Scrub.lDiversity(Tables.events(s, dir),
+        quasi = Seq(col("event_type"), col("ts").cast("date").as("day")),
+        sensitive = col("user_id"), l = 45)),
+
+    // rendezvous sharding 8->9: movement matrix, ~1/9 keys move
+    "rendezvous_hash" -> ((s, dir) =>
+      Shard.rendezvousHash(Tables.orders(s, dir),
+        id = col("o_orderkey"))),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2875,6 +2890,37 @@ object SparkEntry {
                 ELSE round(CAST(n * agree - margins AS DOUBLE)
                        / CAST(n * n - margins AS DOUBLE), 6) END AS kappa
          FROM t""",
+
+    // unrolled integer power iteration shared with the operator
+    "pca_power" -> Similarity.pcaPowerOracleSql(),
+
+    // distinct sensitive values per quasi-identifier class
+    "l_diversity" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l_div
+         FROM events GROUP BY 1, 2
+         HAVING count(DISTINCT user_id) < 45""",
+
+    // argmax by (weight DESC, shard DESC) == the struct array_max;
+    // weight is squared mod M — nonlinear in s (see rendezvousHash doc)
+    "rendezvous_hash" ->
+      """WITH x AS (SELECT o_orderkey AS id FROM orders),
+           p AS (SELECT id, CAST(t.s AS BIGINT) AS s,
+                   (id * 1000003 + t.s * 7919 + 13) % 1000000007 AS xm
+                 FROM x, range(9) t(s)),
+           a AS (SELECT id, s, (xm * xm) % 1000000007 AS w FROM p),
+           o8 AS (SELECT id, s AS old_shard FROM
+                   (SELECT id, s, row_number() OVER (PARTITION BY id
+                      ORDER BY w DESC, s DESC) AS rk
+                    FROM a WHERE s < 8) WHERE rk = 1),
+           n9 AS (SELECT id, s AS new_shard FROM
+                   (SELECT id, s, row_number() OVER (PARTITION BY id
+                      ORDER BY w DESC, s DESC) AS rk
+                    FROM a) WHERE rk = 1)
+         SELECT old_shard, new_shard, count(*) AS n,
+           old_shard <> new_shard AS moved
+         FROM o8 JOIN n9 USING (id) GROUP BY 1, 2""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,

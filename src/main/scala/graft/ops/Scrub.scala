@@ -118,4 +118,20 @@ object Scrub {
       .filter(col("n") < k)
       .withColumn("at_risk", col("n"))
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s necessary complement: a
+    * class can be large (k-anonymous) yet still leak if every member
+    * shares the same SENSITIVE value. Reports each quasi-identifier
+    * class whose count of distinct sensitive values is below `l`,
+    * with both the class size and its diversity. One map-side-
+    * combined aggregation; violation-sized output.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(sensitive).as("l_div"))
+      .filter(col("l_div") < l)
+  }
 }

@@ -209,6 +209,42 @@ object Shard {
     * itself (and thus the order — verified by the emitted ranks) is
     * bit-identical. Everything emitted is integer-exact.
     */
+  /** Rendezvous (highest-random-weight) sharding with a resharding
+    * impact report: each key goes to the shard maximizing a portable
+    * hash of (key, shard), so growing the fleet from `nOld` to `nNew`
+    * shards moves ONLY the keys whose new shard wins their old argmax —
+    * ~1/nNew of them — instead of the (nNew−1)/nNew a mod-N scheme
+    * reshuffles. Returns the (old_shard, new_shard) movement matrix
+    * with exact counts.
+    *
+    * Both assignments are computed per row with array higher-order
+    * functions (argmax = array_max over (weight, shard) structs — no
+    * explode, no per-key shuffle); the only exchange is the final
+    * matrix-sized aggregation. Ties break to the higher shard via the
+    * struct's second field, identically on any engine.
+    *
+    * The weight must be NONLINEAR in the shard index: a first cut used
+    * (k·31 + s)·1000003 mod M, which is linear in s, so the newest
+    * shard's weight was almost always the running maximum and ~99% of
+    * keys "moved" — the opposite of the rendezvous property. Squaring
+    * mod M breaks the linearity (measured movement ≈ 1/nNew).
+    */
+  def rendezvousHash(df: DataFrame, id: Column, nOld: Int = 8,
+                     nNew: Int = 9): DataFrame = {
+    def weightOf(s: Column): Column = {
+      val x = pmod(id * lit(1000003L) + s * lit(7919L) + lit(13L),
+        lit(1000000007L))
+      pmod(x * x, lit(1000000007L))
+    }
+    def argmax(n: Int): Column =
+      array_max(transform(sequence(lit(0L), lit(n.toLong - 1)),
+        s => struct(weightOf(s).as("w"), s.as("s")))).getField("s")
+    df.select(argmax(nOld).as("old_shard"), argmax(nNew).as("new_shard"))
+      .groupBy(col("old_shard"), col("new_shard"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+  }
+
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      k: Int = 200): DataFrame = {
     val cents = round(weight * lit(100)).cast("long")

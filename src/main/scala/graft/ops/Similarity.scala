@@ -610,4 +610,80 @@ object Similarity {
           .otherwise((col("x") - col("med")) / (col("q3") - col("q1")))
           .as("x_scaled"))
   }
+
+  /** Top principal direction of the embedding matrix by power
+    * iteration — run ENTIRELY in integer arithmetic so the result is
+    * bit-reproducible on any engine, partitioning, or run: vectors are
+    * quantized to 1e-6 (the [[quantizeInt8]] float→round discipline),
+    * each step computes u = Xv and w = Xᵀu as exact DECIMAL(38,0)
+    * sums, and renormalization is the INTEGER map
+    * v' = (w + s)·1e6 div s − 1e6 with s = max|w| — a truncating
+    * division on a non-negative dividend, which floor-divides
+    * identically everywhere (a negative dividend would trunc in Spark
+    * but floor in DuckDB — the +s shift sidesteps the mismatch).
+    *
+    * Scale shape: two corpus-sized aggregations per step (the matvec
+    * pair), both map-side combinable; v is dim-sized and broadcast
+    * into each join. A degenerate s = 0 collapses v to zero on both
+    * engines instead of dividing by zero. Fixed `iterations` — this
+    * reports the 6-step iterate (deterministic), not a convergence
+    * claim; loadings are emitted at 1e-6 scale plus one rounded
+    * division for the double view.
+    */
+  def pcaPower(embeddings: DataFrame, iterations: Int = 6): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = embeddings
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
+    var v = e.select(col("dim")).distinct()
+      .withColumn("v", lit(1000000L).cast(big))
+    for (_ <- 1 to iterations) {
+      val u = e.join(broadcast(v), "dim")
+        .groupBy(col("id"))
+        .agg(sum(col("q").cast(big) * col("v")).as("u"))
+      val w = e.join(u, "id")
+        .groupBy(col("dim"))
+        .agg(sum(col("u") * col("q").cast(big)).as("w"))
+      val s = w.agg(max(abs(col("w"))).as("s"))
+      v = w.crossJoin(broadcast(s))
+        .select(col("dim"),
+          when(col("s") === 0, lit(0L).cast(big))
+            .otherwise(expr("(w + s) * 1000000 div s - 1000000")
+              .cast(big)).as("v"))
+    }
+    v.select(col("dim"), col("v").cast("long").as("loading_q"),
+      round(col("v").cast("double") / lit(1000000.0), 6).as("loading"))
+  }
+
+  /** The DuckDB oracle for [[pcaPower]]: the same integer recurrence
+    * unrolled, MATERIALIZED per step (each step reads its predecessor
+    * twice — inlining would re-expand the scan exponentially).
+    * Generated beside the operator so both sides share one definition
+    * of the arithmetic, shift included.
+    */
+  def pcaPowerOracleSql(iterations: Int = 6): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""u$i AS MATERIALIZED (SELECT id, CAST(sum(q * v) AS HUGEINT) AS u
+         |   FROM e JOIN v${i - 1} USING (dim) GROUP BY 1),
+         | w$i AS MATERIALIZED (SELECT dim, CAST(sum(u * q) AS HUGEINT) AS w
+         |   FROM e JOIN u$i USING (id) GROUP BY 1),
+         | s$i AS (SELECT max(abs(w)) AS s FROM w$i),
+         | v$i AS MATERIALIZED (SELECT dim,
+         |   CASE WHEN s = 0 THEN CAST(0 AS HUGEINT)
+         |        ELSE (w + s) * 1000000 // s - 1000000 END AS v
+         |   FROM w$i, s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, CAST(g AS BIGINT) AS dim,
+       |   CAST(round(CAST(embedding[g + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |     AS q
+       | FROM embeddings, UNNEST(range(len(embedding))) AS t(g)),
+       | v0 AS MATERIALIZED (SELECT DISTINCT dim,
+       |   CAST(1000000 AS HUGEINT) AS v FROM e),
+       |$steps
+       |SELECT dim, CAST(v AS BIGINT) AS loading_q,
+       |  round(CAST(v AS DOUBLE) / 1000000.0, 6) AS loading
+       |FROM v$iterations""".stripMargin
+  }
 }
