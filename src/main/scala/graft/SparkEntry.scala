@@ -249,6 +249,30 @@ object SparkEntry {
       Shard.rendezvousHash(Tables.orders(s, dir),
         id = col("o_orderkey"))),
 
+    // NDCG@5 of exact-cosine retrieval, relevance = label match
+    "ndcg_eval" -> ((s, dir) =>
+      Eval.ndcgEval(Tables.embeddings(s, dir))),
+
+    // gains table: activity-ranked user deciles vs purchase capture
+    "decile_lift" -> ((s, dir) =>
+      Eval.decileLift(Tables.events(s, dir), unit = col("user_id"),
+        positive = col("event_type") === "purchase")),
+
+    // kNN confusion cells with class totals and per-cell P/R
+    "eval_confusion" -> ((s, dir) =>
+      Eval.confusionMatrix(Tables.embeddings(s, dir))),
+
+    // chi-squared independence cells, same $50 buckets as feature_mi
+    "chi2_independence" -> ((s, dir) =>
+      Eval.chi2Independence(Tables.events(s, dir),
+        feature = col("value"), label = col("event_type"))),
+
+    // reliability bins: click-share score vs purchase rate per bin
+    "calibration_bins" -> ((s, dir) =>
+      Eval.calibrationBins(Tables.events(s, dir), unit = col("user_id"),
+        scoreEvent = col("event_type") === "click",
+        positive = col("event_type") === "purchase")),
+
     // 2-D Pareto frontier of parts: cheapest price for the largest size
     "skyline_pareto" -> ((s, dir) =>
       Relational.skylinePareto(Tables.part(s, dir),
@@ -2921,6 +2945,120 @@ object SparkEntry {
          SELECT old_shard, new_shard, count(*) AS n,
            old_shard <> new_shard AS moved
          FROM o8 JOIN n9 USING (id) GROUP BY 1, 2""",
+
+    // DCG gain literals generated by the same Scala computation the
+    // operator uses — neither engine evaluates its own log2
+    "ndcg_eval" -> Eval.ndcgOracleSql(),
+
+    // integer rank -> integer decile cut; one rounded division per rate
+    "decile_lift" ->
+      """WITH pu AS (SELECT user_id AS u, count(*) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS pos
+             FROM events GROUP BY 1),
+           r AS (SELECT u, score, pos,
+                   row_number() OVER (ORDER BY score DESC, u ASC) AS rn,
+                   count(*) OVER () AS n_units
+                 FROM pu),
+           b AS (SELECT ((rn - 1) * 10) // n_units AS decile,
+                   count(*) AS n_units, sum(pos) AS positives
+                 FROM r GROUP BY 1),
+           t AS (SELECT decile, n_units, positives,
+                   sum(positives) OVER () AS tot_pos,
+                   sum(n_units) OVER () AS tot_units,
+                   sum(positives) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_pos
+                 FROM b)
+         SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(positives AS BIGINT) AS positives,
+           round(CAST(positives AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+             AS pos_rate,
+           round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6)
+             AS cum_capture,
+           round(CAST(positives * tot_units AS DOUBLE)
+               / CAST(n_units * tot_pos AS DOUBLE), 6) AS lift
+         FROM t""",
+
+    // knn_classify's vote CTE + cell/margin counts; P/R are one
+    // integer division each, rounded 1e-6
+    "eval_confusion" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           topk AS (
+             SELECT q.vec_id AS q_id, q.label AS true_label,
+                    c.label AS n_label
+             FROM e q JOIN e c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 25 = 0
+             QUALIFY row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) <= 5),
+           votes AS (SELECT q_id, true_label, n_label, count(*) AS n_votes
+                     FROM topk GROUP BY 1, 2, 3),
+           preds AS (SELECT q_id, true_label, n_label AS pred_label
+                     FROM votes
+                     QUALIFY row_number() OVER (PARTITION BY q_id
+                       ORDER BY n_votes DESC, n_label ASC) = 1),
+           cells AS (SELECT true_label, pred_label, count(*) AS n
+                     FROM preds GROUP BY 1, 2),
+           m AS (SELECT true_label, pred_label, n,
+                   sum(n) OVER (PARTITION BY true_label) AS true_total,
+                   sum(n) OVER (PARTITION BY pred_label) AS pred_total
+                 FROM cells)
+         SELECT true_label, pred_label, CAST(n AS BIGINT) AS n,
+           CAST(true_total AS BIGINT) AS true_total,
+           CAST(pred_total AS BIGINT) AS pred_total,
+           round(CAST(n AS DOUBLE) / CAST(pred_total AS DOUBLE), 6)
+             AS precision,
+           round(CAST(n AS DOUBLE) / CAST(true_total AS DOUBLE), 6)
+             AS recall
+         FROM m""",
+
+    // (o*n - r*c)^2 squared in HUGEINT (Spark: DECIMAL(38,0)) — the
+    // difference reaches ~1e11 at sf0.1 and its square overflows BIGINT
+    "chi2_independence" ->
+      """WITH x AS (SELECT least(CAST(round(value * 100) AS BIGINT) // 5000,
+                 5) AS bucket, event_type AS label FROM events),
+           c AS (SELECT bucket, label, count(*) AS observed
+                 FROM x GROUP BY 1, 2),
+           t AS (SELECT label, bucket, observed,
+                   CAST(sum(observed) OVER (PARTITION BY label) AS BIGINT)
+                     AS row_total,
+                   CAST(sum(observed) OVER (PARTITION BY bucket) AS BIGINT)
+                     AS col_total,
+                   CAST(sum(observed) OVER () AS BIGINT) AS n_all
+                 FROM c)
+         SELECT label, bucket, observed, row_total, col_total, n_all,
+           round(CAST(row_total * col_total AS DOUBLE)
+               / CAST(n_all AS DOUBLE), 6) AS expected,
+           round(CAST(CAST(observed * n_all - row_total * col_total
+                 AS HUGEINT)
+               * (observed * n_all - row_total * col_total) AS DOUBLE)
+               / CAST(CAST(row_total AS HUGEINT) * col_total * n_all
+                 AS DOUBLE), 6) AS chi2_term
+         FROM t""",
+
+    // integer bin cut (10*clicks div total); mean_pred recovered from
+    // exact integer micro-units so per-user fold order cannot matter
+    "calibration_bins" ->
+      """WITH pu AS (SELECT user_id AS u,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS clicks,
+               count(*) AS total,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS pos
+             FROM events GROUP BY 1),
+           b AS (SELECT least((clicks * 10) // total, 9) AS bin,
+                   (clicks * 1000000) // total AS pred_scaled, pos
+                 FROM pu)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT)
+             AS n_units,
+           CAST(sum(pos) AS BIGINT) AS positives,
+           round(CAST(sum(pred_scaled) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS mean_pred,
+           round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+         FROM b GROUP BY 1""",
 
     "anomaly_zscore" ->
       """WITH x AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
