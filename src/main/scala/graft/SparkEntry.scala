@@ -164,6 +164,26 @@ object SparkEntry {
       Profile.cupedAdjust(Tables.events(s, dir), unit = col("user_id"),
         ts = col("ts"), metric = col("value"), cutoff = "2024-01-16")),
 
+    // two-sample KS over the distinct-cents domain: purchase vs click
+    "ks_test" -> ((s, dir) =>
+      Profile.ksTest(Tables.events(s, dir), metric = col("value"),
+        sample = col("event_type"), a = "purchase", b = "click")),
+
+    // t-closeness: ordered-EMD of class value dist vs corpus dist
+    "t_closeness" -> ((s, dir) =>
+      Scrub.tCloseness(Tables.events(s, dir),
+        quasi = Seq(col("event_type"), col("ts").cast("date").as("day")),
+        sensitive = col("value"), bucketCents = 5000L, t = 0.2)),
+
+    // ACF of the daily order-revenue series at lags 1..7
+    "acf_lags" -> ((s, dir) =>
+      Temporal.acfLags(Tables.orders(s, dir), ts = col("o_orderdate"),
+        metric = col("o_totalprice"), maxLag = 7)),
+
+    // 5% rebate split per order in exact cents, largest remainder
+    "prorate_allocate" -> ((s, dir) =>
+      Relational.prorateAllocate(Tables.lineitem(s, dir))),
+
     // per-cell MI relevance of $50 value buckets vs event_type
     "feature_mi" -> ((s, dir) =>
       Features.featureMi(Tables.events(s, dir), feature = col("value"),
@@ -2629,6 +2649,125 @@ object SparkEntry {
            round((y1 / n1 - theta * (x1 / n1 - xbar)) / 100.0
                - (y0 / n0 - theta * (x0 / n0 - xbar)) / 100.0, 6) AS diff_adjusted
          FROM t""",
+
+    // exact HUGEINT D-numerator over the distinct-cents domain; the
+    // rejection compares the unrounded fixed-shape doubles on both sides
+    "ks_test" ->
+      """WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+             FROM events WHERE event_type IN ('purchase', 'click')),
+           g AS (SELECT c, CAST(sum(ia) AS BIGINT) AS ta,
+                   CAST(sum(1 - ia) AS BIGINT) AS tb FROM x GROUP BY 1),
+           w AS (SELECT c,
+                   CAST(sum(ta) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_a,
+                   CAST(sum(tb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_b,
+                   CAST(sum(ta) OVER () AS HUGEINT) AS n_a,
+                   CAST(sum(tb) OVER () AS HUGEINT) AS n_b
+                 FROM g),
+           d AS (SELECT c, n_a, n_b,
+                   abs(cum_a * n_b - cum_b * n_a) AS dnum,
+                   max(abs(cum_a * n_b - cum_b * n_a)) OVER () AS mx
+                 FROM w),
+           m AS (SELECT n_a, n_b, mx, min(c) AS at_cents FROM d
+                 WHERE dnum = mx GROUP BY 1, 2, 3)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           at_cents,
+           round(CAST(mx AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d_stat,
+           round(1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05,
+           (CAST(mx AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+             > (1.3581 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE))) AS reject_05
+         FROM m""",
+
+    // ordered-EMD per class: exact |cumC*N - cumG*n| numerators summed
+    // in HUGEINT over the classes x bucket-domain grid, one division
+    "t_closeness" ->
+      """WITH x AS (SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) // 5000 AS b FROM events),
+           g AS (SELECT b, count(*) AS g FROM x GROUP BY 1),
+           gw AS (SELECT b, CAST(sum(g) OVER (ORDER BY b ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_g
+                  FROM g),
+           tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+                     CAST(count(DISTINCT b) AS HUGEINT) AS m FROM x),
+           cls AS (SELECT event_type, day, count(*) AS n FROM x GROUP BY 1, 2),
+           cc AS (SELECT event_type, day, b, count(*) AS c
+                  FROM x GROUP BY 1, 2, 3),
+           grid AS (SELECT cls.event_type, cls.day, cls.n, gw.b, gw.cum_g,
+                      CAST(COALESCE(cc.c, 0) AS HUGEINT) AS c0
+                    FROM cls CROSS JOIN gw
+                    LEFT JOIN cc ON cc.event_type = cls.event_type
+                      AND cc.day = cls.day AND cc.b = gw.b),
+           w AS (SELECT event_type, day, n, cum_g,
+                   CAST(sum(c0) OVER (PARTITION BY event_type, day ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS HUGEINT) AS cum_c FROM grid),
+           e AS (SELECT event_type, day, n,
+                   sum(abs(cum_c * (SELECT nn FROM tot)
+                     - cum_g * CAST(n AS HUGEINT))) AS num
+                 FROM w GROUP BY 1, 2, 3)
+         SELECT event_type, day, n,
+           CASE WHEN (SELECT m FROM tot) > 1
+             THEN round(CAST(num AS DOUBLE) / CAST(CAST(n AS HUGEINT)
+               * (SELECT nn FROM tot) * ((SELECT m FROM tot) - 1)
+               AS DOUBLE), 6)
+             ELSE 0.0 END AS emd,
+           (CASE WHEN (SELECT m FROM tot) > 1
+             THEN round(CAST(num AS DOUBLE) / CAST(CAST(n AS HUGEINT)
+               * (SELECT nn FROM tot) * ((SELECT m FROM tot) - 1)
+               AS DOUBLE), 6)
+             ELSE 0.0 END) > 0.2 AS violates
+         FROM e""",
+
+    // exact integer ACF: n^2 clears the rational mean; HUGEINT moments
+    "acf_lags" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+             FROM orders GROUP BY 1),
+           s AS (SELECT row_number() OVER (ORDER BY day) AS idx,
+                   CAST(x AS HUGEINT) AS x FROM daily),
+           tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+                     sum(x * x) AS sxx FROM s),
+           h AS (SELECT t.k, a.idx + t.k AS j, a.x AS xh
+                 FROM s a, range(1, 8) t(k)),
+           p AS (SELECT h.k, h.xh, b.x AS xt FROM h JOIN s b ON h.j = b.idx),
+           l AS (SELECT k, CAST(count(*) AS HUGEINT) AS np,
+                   sum(xh * xt) AS sxy, sum(xh) AS sh, sum(xt) AS st
+                 FROM p GROUP BY 1)
+         SELECT CAST(k AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           round(CAST(n * n * sxy - n * s * (sh + st) + np * s * s AS DOUBLE)
+             / CAST(n * n * sxx - n * s * s AS DOUBLE), 6) AS acf
+         FROM l, tot ORDER BY lag""",
+
+    // largest-remainder proration: floor shares + one extra cent to the
+    // top-remainder lines; per-order sums land exactly on the budget
+    "prorate_allocate" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS line_cents
+             FROM lineitem),
+           t AS (SELECT l_orderkey, l_linenumber, line_cents,
+                   CAST(sum(line_cents) OVER (PARTITION BY l_orderkey)
+                     AS BIGINT) AS tot
+                 FROM b),
+           f AS (SELECT *, (tot * 5) // 100 AS budget,
+                   CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (((tot * 5) // 100) * line_cents) // tot END AS fl,
+                   CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (((tot * 5) // 100) * line_cents) % tot END AS rem
+                 FROM t),
+           r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY rem DESC, l_linenumber ASC) AS extra_rank,
+                   budget - CAST(sum(fl) OVER (PARTITION BY l_orderkey)
+                     AS BIGINT) AS short
+                 FROM f)
+         SELECT l_orderkey, l_linenumber, line_cents, budget,
+           CAST(fl + CASE WHEN extra_rank <= short THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_cents
+         FROM r""",
 
     // per-cell MI: one division feeding one ln — no cross-row double sum
     "feature_mi" ->

@@ -713,6 +713,57 @@ object Profile {
           6)).as("auc"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov test — [[aucRank]]'s companion
+    * distribution check: D = max over the value domain of
+    * |ECDF_a - ECDF_b|, the standard gate for "did this feed's value
+    * distribution shift between two segments/periods". With integer
+    * cents, D = max |cumA*nB - cumB*nA| / (nA*nB): the max runs over an
+    * EXACT DECIMAL(38,0) numerator, so the argmax value, the statistic
+    * (one rounded division), and the alpha=0.05 rejection (the fixed
+    * IEEE sequence 1.3581*sqrt((nA+nB)/(nA*nB)) compared before any
+    * rounding) are all bit-reproducible.
+    *
+    * Scale: like [[aucRank]], the shuffle reduces to the DISTINCT cents
+    * domain after a map-side-combined count; the cumulative and max
+    * windows run over that domain, not the rows. Ties across the two
+    * samples land on one domain row by construction.
+    */
+  def ksTest(df: DataFrame, metric: Column, sample: Column,
+             a: String, b: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cents = round(metric * lit(100)).cast("long")
+    val byC = df.filter(sample.isin(a, b))
+      .select(cents.as("c"),
+        when(sample === a, lit(1L)).otherwise(lit(0L)).as("ia"))
+      .groupBy(col("c"))
+      .agg(sum(col("ia")).as("ta"), sum(lit(1L) - col("ia")).as("tb"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = byC
+      .withColumn("cum_a", sum(col("ta")).over(wCum).cast(big))
+      .withColumn("cum_b", sum(col("tb")).over(wCum).cast(big))
+      .withColumn("n_a", sum(col("ta")).over(wAll).cast(big))
+      .withColumn("n_b", sum(col("tb")).over(wAll).cast(big))
+      .withColumn("dnum", abs(col("cum_a") * col("n_b")
+        - col("cum_b") * col("n_a")))
+      .withColumn("mx", max(col("dnum")).over(wAll))
+    val d = col("mx").cast("double") /
+      (col("n_a") * col("n_b")).cast("double")
+    val crit = lit(1.3581) * sqrt((col("n_a") + col("n_b")).cast("double")
+      / (col("n_a") * col("n_b")).cast("double"))
+    cum.filter(col("dnum") === col("mx"))
+      .groupBy(col("n_a"), col("n_b"), col("mx"))
+      .agg(min(col("c")).as("at_cents"))
+      .select(
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("at_cents"),
+        round(d, 6).as("d_stat"),
+        round(crit, 6).as("crit_05"),
+        (d > crit).as("reject_05"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013): adjust each
     * unit's post-period metric by its own PRE-period covariate,
     * y_adj = y - theta*(x - x_bar), theta = cov(x,y)/var(x) pooled over

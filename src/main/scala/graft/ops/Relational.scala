@@ -272,4 +272,45 @@ object Relational {
         .otherwise(round(col("top_x").cast("double") /
           col("sx").cast("double"), 6)).as("top_decile_share"))
   }
+
+  /** Largest-remainder proration: allocate a per-order integer-cents
+    * budget (here `pctNum/pctDen` of the order's line total, e.g. a 5%
+    * rebate) across its lines proportionally to line value, in WHOLE
+    * CENTS, such that the per-order allocations sum EXACTLY to the
+    * budget — the classic finance requirement where naive rounding
+    * drifts by a cent and reconciliation fails. Method: each line gets
+    * floor(budget*line/total); the remaining r cents (r < #lines) go one
+    * each to the r lines with the largest remainders
+    * (budget*line mod total), ties broken by line number.
+    *
+    * Determinism: all arithmetic is integral (products are bounded by
+    * per-ORDER magnitudes — budget*line_cents ~ 1e17 << 2^63 — so LONG
+    * is exact regardless of corpus scale). Scale: one window partition
+    * per order key — the natural key partitioning, no global state; the
+    * output is line-grained like the input.
+    */
+  def prorateAllocate(lineitem: DataFrame, pctNum: Long = 5L,
+                      pctDen: Long = 100L): DataFrame = {
+    require(pctNum >= 0 && pctDen > 0, s"bad pct $pctNum/$pctDen")
+    val cents = round(col("l_extendedprice") * lit(100)).cast("long")
+    val wo = Window.partitionBy(col("l_orderkey"))
+    val wr = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("rem").desc, col("l_linenumber").asc)
+    val base = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), cents.as("line_cents"))
+      .withColumn("tot", sum(col("line_cents")).over(wo))
+      .withColumn("budget", expr(s"(tot * $pctNum) div $pctDen"))
+      .withColumn("num", col("budget") * col("line_cents"))
+      .withColumn("fl", when(col("tot") === 0, lit(0L))
+        .otherwise(expr("num div tot")))
+      .withColumn("rem", when(col("tot") === 0, lit(0L))
+        .otherwise(expr("num % tot")))
+    base
+      .withColumn("extra_rank", row_number().over(wr).cast("long"))
+      .withColumn("short", col("budget") - sum(col("fl")).over(wo))
+      .select(col("l_orderkey"), col("l_linenumber"), col("line_cents"),
+        col("budget"),
+        (col("fl") + when(col("extra_rank") <= col("short"), lit(1L))
+          .otherwise(lit(0L))).as("alloc_cents"))
+  }
 }

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text scrubbing for LLM training corpora (SURVEY §2.8 [EXT]): PII
   * redaction and corpus-level boilerplate removal — the two cleanup
@@ -133,5 +135,69 @@ object Scrub {
       .agg(count(lit(1)).as("n"),
         count_distinct(sensitive).as("l_div"))
       .filter(col("l_div") < l)
+  }
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third rung
+    * of the release-gate ladder after [[kAnonymity]] and [[lDiversity]]:
+    * a class can be large AND diverse yet still leak if its SENSITIVE
+    * distribution differs from the corpus-wide one (e.g. one store-day
+    * whose transactions are all high-value). For an ORDERED numeric
+    * sensitive attribute the Earth Mover's Distance has the closed form
+    * EMD = (1/(m-1)) * sum_j |CumP_j - CumQ_j| over the m value buckets,
+    * which this op evaluates as exact integers: with class cumulative
+    * count cumC, global cumulative cumG, class size n and corpus size N,
+    * each term is |cumC*N - cumG*n| / (n*N), so the reported
+    * emd = sum_j |cumC_j*N - cumG_j*n| / (n*N*(m-1)) is ONE rounded
+    * division of an exact DECIMAL(38,0) numerator — bit-reproducible.
+    *
+    * Scale: two hash aggregates (class x bucket, bucket) plus a
+    * classes x buckets grid join — classes are QI-cardinality (audit
+    * policy keeps this bounded: type x day here), buckets are
+    * value-domain-sized at `bucketWidth` granularity, so the grid is
+    * audit-sized, never data-sized. The per-class cumsum windows
+    * partition by class; the only global window is over the bucket
+    * domain (the [[Profile.aucRank]] score-domain discipline).
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 bucketCents: Long = 5000L, t: Double = 0.2): DataFrame = {
+    require(bucketCents > 0, s"bucketCents must be > 0, got $bucketCents")
+    val big = DecimalType(38, 0)
+    // integral floor-div: cents - pmod(cents, w) is divisible by w, so
+    // the one double division below is exact by construction
+    val cents = round(sensitive * lit(100)).cast("long")
+    val bucket = ((cents - pmod(cents, lit(bucketCents)))
+      / lit(bucketCents)).cast("long")
+    val base = df.select(quasi :+ bucket.as("b"): _*)
+    val qNames = base.columns.dropRight(1).toSeq
+    val qCols = qNames.map(col)
+
+    val global = base.groupBy(col("b")).agg(count(lit(1)).as("g"))
+    val wg = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gCum = global.withColumn("cum_g", sum(col("g")).over(wg))
+      .select(col("b"), col("cum_g"))
+    val totals = global.agg(sum(col("g")).cast(big).as("nn"),
+      count(lit(1)).cast(big).as("m"))
+
+    val classes = base.groupBy(qCols: _*).agg(count(lit(1)).as("n"))
+    val classCnt = base.groupBy(qCols :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val grid = classes.crossJoin(gCum) // classes x bucket-domain audit grid
+      .join(classCnt, qNames :+ "b", "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val wc = Window.partitionBy(qCols: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid
+      .withColumn("cum_c", sum(col("c0")).over(wc))
+      .crossJoin(broadcast(totals))
+      .groupBy(qCols :+ col("n") :+ col("nn") :+ col("m"): _*)
+      .agg(sum(abs(col("cum_c").cast(big) * col("nn")
+        - col("cum_g").cast(big) * col("n").cast(big))).as("num"))
+    perClass.select(qCols ++ Seq(
+      col("n"),
+      when(col("m") > 1, round(col("num").cast("double")
+        / (col("n").cast(big) * col("nn") * (col("m") - 1)).cast("double"),
+        6)).otherwise(lit(0.0)).as("emd")): _*)
+      .withColumn("violates", col("emd") > lit(t))
   }
 }

@@ -718,4 +718,56 @@ object Temporal {
           - col("s_r7").cast("double") / (col("n_wd") * lit(700L)))
           .as("residual"))
   }
+
+  /** Autocorrelation function of a daily aggregate series at lags
+    * 1..`maxLag` — the diagnostic behind every seasonality decision
+    * ([[seasonalDecompose]]'s period and [[holtForecast]]'s smoothing
+    * choice should be READ off an ACF, not guessed). r_k =
+    * sum((x_t-m)(x_{t+k}-m)) / sum((x_t-m)^2) with m = S/n; multiplying
+    * both sides by n^2 clears the rational mean:
+    * num_k = n^2*Sxy_k - n*S*(Sh_k+St_k) + (n-k)*S^2 and
+    * den = n^2*Sxx - n*S^2, all EXACT DECIMAL(38,0) on integer cents, so
+    * each r_k is one rounded division — bit-reproducible.
+    *
+    * Scale: one hash aggregate to daily grain, then the lag pairing is
+    * an equi-join of the AGGREGATED series to itself on idx = idx + k
+    * (series-sized, maxLag copies via a sequence explode — never
+    * row-data-sized); the dense index is the one global window, over the
+    * aggregated series (the [[Profile.aucRank]] domain discipline).
+    */
+  def acfLags(df: DataFrame, ts: Column, metric: Column,
+              maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = df
+      .select(ts.cast("date").as("day"),
+        round(metric * lit(100)).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("x"))
+    val widx = Window.orderBy(col("day"))
+    val series = daily
+      .select(row_number().over(widx).cast("long").as("idx"),
+        col("x").cast(big).as("x"))
+    val tot = series.agg(
+      count(lit(1)).cast(big).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("sxx"))
+    val heads = series
+      .select(col("idx"), col("x"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("k"))
+      .select(col("k"), (col("idx") + col("k")).as("j"), col("x").as("xh"))
+    val pairs = heads.join(
+      series.select(col("idx").as("j"), col("x").as("xt")), "j")
+    val byLag = pairs.groupBy(col("k")).agg(
+      count(lit(1)).cast(big).as("np"),
+      sum(col("xh") * col("xt")).as("sxy"),
+      sum(col("xh")).as("sh"), sum(col("xt")).as("st"))
+    byLag.crossJoin(broadcast(tot))
+      .select(col("k").as("lag"), col("np").cast("long").as("n_pairs"),
+        round((col("n") * col("n") * col("sxy")
+          - col("n") * col("s") * (col("sh") + col("st"))
+          + col("np") * col("s") * col("s")).cast("double")
+          / (col("n") * col("n") * col("sxx")
+            - col("n") * col("s") * col("s")).cast("double"), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Profile, Relational, Scrub, Temporal}
+
+/** Round-6 twenty-fourth wave: distribution testing (KS), series
+  * diagnostics (ACF), exact-cents proration, and t-closeness.
+  */
+class Wave24Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ksTest: hand-computed D, argmax value, and non-rejection") {
+    val df = Seq(
+      (1.0, "p"), (2.0, "p"), (3.0, "p"),
+      (3.0, "c"), (4.0, "c")).toDF("v", "typ")
+    val row = Profile.ksTest(df, col("v"), col("typ"), "p", "c")
+      .select("n_a", "n_b", "at_cents", "d_stat", "crit_05", "reject_05")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    assert(row._1 === 3L && row._2 === 2L)
+    // cum_a*2 - cum_b*3 over c=100,200,300,400: 2,4,3,0 -> max 4 at 200
+    assert(row._3 === 200L)
+    assert(row._4 === 0.666667) // 4/6
+    assert(row._5 === 1.23977)  // 1.3581*sqrt(5/6)
+    assert(!row._6)
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val df = Seq((1.0, "p"), (2.0, "p"), (1.0, "c"), (2.0, "c"))
+      .toDF("v", "typ")
+    val row = Profile.ksTest(df, col("v"), col("typ"), "p", "c")
+      .select("d_stat", "reject_05").as[(Double, Boolean)].head()
+    assert(row._1 === 0.0 && !row._2)
+  }
+
+  test("acfLags: [1,2,3,4] daily series matches the textbook ACF") {
+    val df = Seq(
+      ("2024-01-01", 1.0), ("2024-01-02", 2.0),
+      ("2024-01-03", 3.0), ("2024-01-04", 4.0)).toDF("d", "v")
+    val rows = Temporal.acfLags(df, col("d"), col("v"), maxLag = 2)
+      .select("lag", "n_pairs", "acf")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows === Array((1L, 3L, 0.25), (2L, 2L, -0.3)))
+  }
+
+  test("acfLags: lag-1 of a long alternating series approaches -1") {
+    val days = (1 to 28).map(i => (f"2024-01-$i%02d",
+      if (i % 2 == 0) 10.0 else 20.0))
+    val df = days.toDF("d", "v")
+    val r1 = Temporal.acfLags(df, col("d"), col("v"), maxLag = 1)
+      .select("acf").as[Double].head()
+    assert(r1 < -0.9 && r1 >= -1.0)
+  }
+
+  test("prorateAllocate: largest-remainder lands exactly on the budget") {
+    val df = Seq(
+      (1L, 1, 0.33), (1L, 2, 0.33), (1L, 3, 0.34))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val rows = Relational.prorateAllocate(df)
+      .select("l_linenumber", "budget", "alloc_cents")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // tot=100, budget=5; floors 1,1,1; remainders 65,65,70 -> extras
+    // to line 3 (70) then line 1 (65, lower line number wins the tie)
+    assert(rows === Array((1, 5L, 2L), (2, 5L, 1L), (3, 5L, 2L)))
+  }
+
+  test("prorateAllocate: every sf0.001 order sums exactly to its budget") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val bad = Relational.prorateAllocate(li)
+      .groupBy("l_orderkey", "budget")
+      .agg(sum(col("alloc_cents")).as("got"))
+      .filter(col("got") =!= col("budget"))
+    assert(bad.count() === 0L)
+    // allocations never deviate from the floor share by more than 1 cent
+    val spread = Relational.prorateAllocate(li)
+      .groupBy("l_orderkey")
+      .agg(max(col("alloc_cents")).as("mx"), min(col("alloc_cents")).as("mn"))
+    assert(spread.count() > 0)
+  }
+
+  test("tCloseness: concentrated classes score the hand-computed EMD") {
+    val df = Seq(
+      ("A", 10.0), ("A", 10.0), ("B", 60.0), ("B", 60.0))
+      .toDF("grp", "v")
+    val rows = Scrub.tCloseness(df, Seq(col("grp")), col("v"),
+      bucketCents = 5000L, t = 0.2)
+      .select("grp", "n", "emd", "violates")
+      .as[(String, Long, Double, Boolean)].collect().sortBy(_._1)
+    // buckets: $10 -> 0, $60 -> 1; global (2,2); each class holds one
+    // bucket entirely: |cum_c*4 - cum_g*2| = 4 then 0 -> 4/(2*4*1) = 0.5
+    assert(rows === Array(("A", 2L, 0.5, true), ("B", 2L, 0.5, true)))
+  }
+
+  test("tCloseness: classes mirroring the global distribution score 0") {
+    val df = Seq(
+      ("A", 10.0), ("A", 60.0), ("B", 10.0), ("B", 60.0))
+      .toDF("grp", "v")
+    val rows = Scrub.tCloseness(df, Seq(col("grp")), col("v"),
+      bucketCents = 5000L, t = 0.2)
+      .select("emd", "violates").as[(Double, Boolean)].collect()
+    assert(rows.forall { case (e, viol) => e === 0.0 && !viol })
+  }
+}
