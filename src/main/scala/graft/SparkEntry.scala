@@ -936,6 +936,30 @@ object SparkEntry {
           col("_corrupt_record").isNotNull.as("is_corrupt"))
     }),
 
+    // PERMISSIVE CSV twin of source_corrupt_json: a type-mangled field
+    // nulls that FIELD, keeps the parsed rest, captures the raw line
+    "source_corrupt_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = tmp(dir, "corrupt_csv")
+      val e = Tables.events(s, dir).filter(col("event_id") < 1000)
+      e.select(concat(
+          when(col("event_id") % 7 === 0,
+            concat(lit("X"), col("event_id")))
+            .otherwise(col("event_id").cast("string")),
+          lit(","), col("user_id"), lit(","), col("event_type"))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(p)
+      val schema = new StructType()
+        .add("event_id", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("_corrupt_record", StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"))
+    }),
+
     // ---- runner / multimodal / streaming ------------------------------
 
     // §3.1 control flow end-to-end: DQ gate → dedup → merge → audit sink.
@@ -1964,6 +1988,30 @@ object SparkEntry {
     "skew_diagnose" -> ((s, dir) =>
       Distribute.skewDiagnose(Tables.lineitem(s, dir),
         key = col("l_partkey"))),
+
+    // neighborhood-Jaccard link prediction on the co-purchase graph:
+    // wedge candidates, non-edge anti-join, cn >= 2
+    "link_predict" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("k"), col("l_partkey"))
+      val edges = li.select(col("k"), col("l_partkey").as("a"))
+        .join(li.select(col("k"), col("l_partkey").as("b")), Seq("k"))
+        .select(col("a"), col("b"))
+      Graph.linkPredict(s, edges, minCommon = 5L)
+    }),
+
+    // one-scan all-column DQ profile of orders (money normalized to
+    // cents so min/max strings render identically across engines)
+    "column_profile" -> ((s, dir) =>
+      Profile.columnProfile(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice_cents" ->
+          round(col("o_totalprice") * lit(100)).cast("long"),
+        "o_orderdate" -> col("o_orderdate").cast("date"),
+        "o_orderpriority" -> col("o_orderpriority")))),
 
     // record linkage: deterministic one-char-deletion typos resolved
     // back to the canonical part catalog via prefix ∪ suffix blocking
@@ -4279,6 +4327,13 @@ object SparkEntry {
            (event_id % 7 = 0) AS is_corrupt
          FROM events WHERE event_id < 1000""",
 
+    // CSV PERMISSIVE nulls only the mangled FIELD; the rest still parse
+    "source_corrupt_csv" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS event_id,
+           user_id, event_type,
+           (event_id % 7 = 0) AS is_corrupt
+         FROM events WHERE event_id < 1000""",
+
     "multimodal_resize" ->
       """SELECT doc_id,
            CAST(length(text) % 640 AS INT) AS width,
@@ -5450,6 +5505,53 @@ object SparkEntry {
          FROM lineitem l1 JOIN lineitem l2
            ON l1.l_orderkey = l2.l_orderkey
          WHERE l1.l_orderkey % 3 = 0"""),
+
+    // wedge candidates, anti-join off the edge set, one rounded division
+    "link_predict" -> Graph.linkPredictOracleSql(
+      """SELECT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey
+         WHERE l1.l_orderkey % 3 = 0""", minCommon = 5L),
+
+    // one UNION ALL branch per column; money pre-normalized to cents
+    "column_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice_cents', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+           CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR) FROM orders""",
 
     // same TakeOrdered survivors ((n desc, key) tiebreak) and cum window
     "skew_diagnose" ->

@@ -419,4 +419,73 @@ object Graph {
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
        |FROM ed$rounds GROUP BY 1""".stripMargin
   }
+
+  /** Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    * 2003): for every NON-adjacent pair (u, v) with at least `minCommon`
+    * common neighbors, emit cn = |Γ(u)∩Γ(v)|, both degrees, and
+    * jaccard = cn / (deg_u + deg_v - cn) — the "customers also bought"
+    * / record-linkage-candidate primitive over the same co-purchase
+    * edge shape [[triangleCount]] consumes.
+    *
+    * Candidate pairs are exactly the wedges (2-paths), so like the
+    * triangle op the wedge join is the one super-linear term
+    * (Σ_w C(deg(w), 2)); `minCommon >= 2` then prunes the quadratic
+    * tail of one-shared-neighbor pairs before the degree joins.
+    * Numerators and denominators are integer counts; jaccard is ONE
+    * rounded division — bit-reproducible. Shuffles carry (id, id)
+    * pairs only.
+    */
+  def linkPredict(spark: SparkSession, edges: DataFrame,
+                  minCommon: Long = 2L): DataFrame = {
+    val e0 = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val child = graphSession(spark, e0.count(), 250000L)
+    val ed = rebind(child, e0).persist()
+    val dir = ed.select(col("a").as("u"), col("b").as("w"))
+      .union(ed.select(col("b").as("u"), col("a").as("w")))
+      .persist()
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    val cn = dir.select(col("w"), col("u"))
+      .join(dir.select(col("w"), col("u").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val nonEdges = cn.join(ed,
+        cn("u") === ed("a") && cn("v") === ed("b"), "left_anti")
+    val out = nonEdges
+      .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        round(col("cn").cast("double")
+          / (col("deg_u") + col("deg_v") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+    e0.unpersist() // ed/dir/deg stay hot until out is consumed
+    out
+  }
+
+  /** The DuckDB oracle for [[linkPredict]] — same canonicalization,
+    * wedge counting, non-edge anti-join, and one rounded division. */
+  def linkPredictOracleSql(edgesCte: String, minCommon: Long = 2L): String =
+    s"""WITH e0 AS ($edgesCte),
+       | ed AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |        FROM e0 WHERE a <> b),
+       | dir AS (SELECT a AS u, b AS w FROM ed
+       |         UNION ALL SELECT b AS u, a AS w FROM ed),
+       | deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
+       | cn AS (SELECT d1.u AS u, d2.u AS v, count(*) AS cn
+       |        FROM dir d1 JOIN dir d2 ON d1.w = d2.w AND d1.u < d2.u
+       |        GROUP BY 1, 2 HAVING count(*) >= $minCommon),
+       | ne AS (SELECT cn.* FROM cn ANTI JOIN ed
+       |        ON cn.u = ed.a AND cn.v = ed.b)
+       |SELECT ne.u, ne.v, CAST(ne.cn AS BIGINT) AS cn,
+       |  CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+       |  round(CAST(ne.cn AS DOUBLE)
+       |    / CAST(du.deg + dv.deg - ne.cn AS DOUBLE), 6) AS jaccard
+       |FROM ne JOIN deg du ON du.u = ne.u
+       |        JOIN deg dv ON dv.u = ne.v""".stripMargin
 }

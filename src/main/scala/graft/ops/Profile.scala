@@ -1110,4 +1110,37 @@ object Profile {
             - col("sy0").cast("double") / col("n0") / lit(100.0)))
           .as("diff"))
   }
+
+  /** Whole-table column profile — the every-column complement of
+    * [[profileNumeric]]: per column its row count, null count, EXACT
+    * distinct count, and min/max — the first report a pipeline owner
+    * pulls on an unfamiliar feed (Deequ's profiler, BigQuery's
+    * `INFORMATION_SCHEMA` column stats). Callers pass each column
+    * pre-normalized to an integer/date/string representation (money as
+    * cents, never raw doubles) so the stringified min/max render
+    * identically across engines.
+    *
+    * Scale: ONE scan. The multiple exact `count(DISTINCT)`s compile to
+    * Catalyst's Expand — the scan is read once and each row fans out
+    * k ways into the distinct aggregation, which is the irreducible
+    * cost of exact per-column cardinality (swap in approx_count_distinct
+    * at 100 TB if ±2% is acceptable; the report shape is unchanged).
+    * Min/max/null partials combine map-side; output is k rows.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: no columns given")
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as(s"nn_$i"),
+        count_distinct(c).as(s"nd_$i"),
+        min(c).cast("string").as(s"mn_$i"),
+        max(c).cast("string").as(s"mx_$i"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("col_name"), col("n_rows"),
+        col(s"nn_$i").as("n_null"), col(s"nd_$i").as("n_distinct"),
+        col(s"mn_$i").as("min_s"), col(s"mx_$i").as("max_s"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

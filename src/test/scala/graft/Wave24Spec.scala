@@ -105,3 +105,37 @@ class Wave24Spec extends AnyFunSuite {
     assert(rows.forall { case (e, viol) => e === 0.0 && !viol })
   }
 }
+
+/** Round-6 twenty-fifth wave: link prediction, whole-table profile. */
+class Wave25Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("linkPredict: K4 minus an edge predicts exactly that edge") {
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val rows = graft.ops.Graph.linkPredict(spark, edges, minCommon = 2L)
+      .select("u", "v", "cn", "deg_u", "deg_v", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows === Array((1L, 2L, 2L, 2L, 2L, 1.0)))
+  }
+
+  test("linkPredict: a star yields no pairs above minCommon = 2") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("a", "b")
+    assert(graft.ops.Graph.linkPredict(spark, edges, 2L).count() === 0L)
+  }
+
+  test("columnProfile: nulls, distincts, and normalized ranges") {
+    val df = Seq(
+      (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
+      .toDF("k", "s")
+    val rows = graft.ops.Profile.columnProfile(df,
+      Seq("k" -> col("k"), "s" -> col("s")))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .sortBy(_._1)
+    assert(rows === Array(
+      ("k", 3L, 1L, 2L, "1", "2"),
+      ("s", 3L, 0L, 2L, "x", "y")))
+  }
+}
