@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,10 +50,17 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: List[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
       s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
       s""""warm_passes":${reps - 1},""" +
-      s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}""")
+      s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}"""
+    println(json)
+    // stdout of a 260-query run has been truncated by capture layers
+    // before (round 6 lost 197 of 262 per-query numbers) — the file copy
+    // is the durable, machine-readable record the next round diffs
+    Files.createDirectories(Paths.get("/root/repo/target"))
+    Files.writeString(Paths.get("/root/repo/target/bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -1990,7 +1990,8 @@ object SparkEntry {
         key = col("l_partkey"))),
 
     // neighborhood-Jaccard link prediction on the co-purchase graph:
-    // wedge candidates, non-edge anti-join, cn >= 2
+    // capped wedge candidates (deterministic per-center degree bound —
+    // the hub mitigation the oracle replays), non-edge anti-join
     "link_predict" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_orderkey") % 3 === 0)
@@ -1998,7 +1999,7 @@ object SparkEntry {
       val edges = li.select(col("k"), col("l_partkey").as("a"))
         .join(li.select(col("k"), col("l_partkey").as("b")), Seq("k"))
         .select(col("a"), col("b"))
-      Graph.linkPredict(s, edges, minCommon = 5L)
+      Graph.linkPredict(s, edges, minCommon = 5L, maxCenterDegree = 64)
     }),
 
     // one-scan all-column DQ profile of orders (money normalized to
@@ -5506,12 +5507,14 @@ object SparkEntry {
            ON l1.l_orderkey = l2.l_orderkey
          WHERE l1.l_orderkey % 3 = 0"""),
 
-    // wedge candidates, anti-join off the edge set, one rounded division
+    // capped wedge candidates (same deterministic per-center bound),
+    // anti-join off the edge set, one rounded division
     "link_predict" -> Graph.linkPredictOracleSql(
       """SELECT l1.l_partkey AS a, l2.l_partkey AS b
          FROM lineitem l1 JOIN lineitem l2
            ON l1.l_orderkey = l2.l_orderkey
-         WHERE l1.l_orderkey % 3 = 0""", minCommon = 5L),
+         WHERE l1.l_orderkey % 3 = 0""", minCommon = 5L,
+      maxCenterDegree = 64),
 
     // one UNION ALL branch per column; money pre-normalized to cents
     "column_profile" ->

@@ -429,28 +429,83 @@ object Graph {
     *
     * Candidate pairs are exactly the wedges (2-paths), so like the
     * triangle op the wedge join is the one super-linear term
-    * (Σ_w C(deg(w), 2)); `minCommon >= 2` then prunes the quadratic
-    * tail of one-shared-neighbor pairs before the degree joins.
-    * Numerators and denominators are integer counts; jaccard is ONE
-    * rounded division — bit-reproducible. Shuffles carry (id, id)
+    * (Σ_w C(deg(w), 2)). Unlike [[triangleCount]], this op cannot
+    * orient away from hubs (it needs wedges in both directions), so the
+    * quadratic term is BOUNDED EXPLICITLY: each wedge center keeps at
+    * most `maxCenterDegree` neighbors, selected in a deterministic
+    * multiplicative-hash order (Knuth's 2654435761 scheme — an
+    * engine-independent pseudo-random permutation of numeric node ids,
+    * valid for ids < 2^31.5 so the 64-bit product cannot overflow).
+    * Per-center wedge fan-out is therefore ≤ C(maxCenterDegree, 2)
+    * regardless of skew — one degree-10⁵ hub emits ~2k pairs, not
+    * 5×10⁹. ESTIMATOR CONTRACT: cn (and hence jaccard) is EXACT for a
+    * pair whenever every shared neighbor has degree ≤ maxCenterDegree,
+    * and a deterministic lower bound otherwise (shared hub neighbors
+    * are subsampled, never double-counted); deg_u/deg_v are always
+    * exact. The selection is a pure function of the node ids, so
+    * results stay bit-reproducible at any partitioning and the oracle
+    * replays it exactly. The `row_number <= k` filter compiles to
+    * WindowGroupLimit, which pre-prunes each center's list map-side
+    * before the wedge shuffle. `minCommon >= 2` then prunes the
+    * quadratic tail of one-shared-neighbor pairs before the degree
+    * joins. Numerators and denominators are integer counts; jaccard is
+    * ONE rounded division — bit-reproducible. Shuffles carry (id, id)
     * pairs only.
     */
   def linkPredict(spark: SparkSession, edges: DataFrame,
-                  minCommon: Long = 2L): DataFrame = {
+                  minCommon: Long = 2L,
+                  maxCenterDegree: Int = 1024): DataFrame = {
     val e0 = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist()
-    val child = graphSession(spark, e0.count(), 250000L)
-    val ed = rebind(child, e0).persist()
-    val dir = ed.select(col("a").as("u"), col("b").as("w"))
-      .union(ed.select(col("b").as("u"), col("a").as("w")))
+    val dir0 = e0.select(col("a").as("u"), col("b").as("w"))
+      .union(e0.select(col("b").as("u"), col("a").as("w")))
       .persist()
-    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
-    val cn = dir.select(col("w"), col("u"))
-      .join(dir.select(col("w"), col("u").as("v")), Seq("w"))
+    val deg0 = dir0.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist()
+    // Size the child session's shuffles to the CAPPED WEDGE fan-out —
+    // the op's one super-linear term — computed exactly from the degree
+    // histogram (Σ C(min(deg, cap), 2); a one-number aggregate). Sizing
+    // to the edge list, as the frontier ops do, under-parallelizes this
+    // op by the average degree: 400k edges → 2 partitions carrying 17M
+    // wedge rows at sf0.1.
+    val capDeg = least(col("deg"), lit(maxCenterDegree.toLong))
+    val wedgeEst = deg0.select(
+      coalesce(sum(capDeg * (capDeg - lit(1L))), lit(0L))).first.getLong(0) / 2
+    val child = graphSession(spark, wedgeEst, 500000L)
+    val ed = rebind(child, e0).persist()
+    val dir = rebind(child, dir0).persist()
+    val deg = rebind(child, deg0).persist()
+    // Skew-split: only rows whose wedge center is an actual hub
+    // (deg > cap) pay the row_number sort; sub-cap centers — the
+    // overwhelming majority by definition of skew — bypass it
+    // untouched (the window would keep all their rows anyway, so the
+    // union is semantically identical to a uniform window; the oracle
+    // uses the uniform formulation). |hubs| < 2m/cap because degrees
+    // sum to 2m, so the hub list broadcast is bounded by edge count
+    // over cap — ids only, ~2M rows at 10⁹ edges with the default cap.
+    val hubs = deg.filter(col("deg") > maxCenterDegree)
+      .select(col("u").as("w"))
+    val hubRows = dir.select(col("w"), col("u"))
+      .join(broadcast(hubs), Seq("w"), "semi")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"))
+      .orderBy(pmod(col("u").cast("long") * lit(2654435761L),
+        lit(4294967296L)), col("u"))
+    val cappedHubRows = hubRows
+      .withColumn("rnk", row_number().over(ord))
+      .filter(col("rnk") <= maxCenterDegree)
+      .drop("rnk")
+    val capped = dir.select(col("w"), col("u"))
+      .join(broadcast(hubs), Seq("w"), "anti")
+      .unionByName(cappedHubRows)
+      .persist()
+    capped.count() // materialize once; the wedge join reads it twice
+    val cn = capped
+      .join(capped.select(col("w"), col("u").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"))
@@ -464,21 +519,29 @@ object Graph {
         round(col("cn").cast("double")
           / (col("deg_u") + col("deg_v") - col("cn")).cast("double"), 6)
           .as("jaccard"))
-    e0.unpersist() // ed/dir/deg stay hot until out is consumed
-    out
+    e0.unpersist(); dir0.unpersist(); deg0.unpersist()
+    out // ed/dir/deg/capped stay hot until out is consumed
   }
 
   /** The DuckDB oracle for [[linkPredict]] — same canonicalization,
-    * wedge counting, non-edge anti-join, and one rounded division. */
-  def linkPredictOracleSql(edgesCte: String, minCommon: Long = 2L): String =
+    * deterministic per-center degree cap (identical multiplicative-hash
+    * order), wedge counting, non-edge anti-join, and one rounded
+    * division. */
+  def linkPredictOracleSql(edgesCte: String, minCommon: Long = 2L,
+                           maxCenterDegree: Int = 1024): String =
     s"""WITH e0 AS ($edgesCte),
        | ed AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
        |        FROM e0 WHERE a <> b),
        | dir AS (SELECT a AS u, b AS w FROM ed
        |         UNION ALL SELECT b AS u, a AS w FROM ed),
        | deg AS (SELECT u, count(*) AS deg FROM dir GROUP BY 1),
-       | cn AS (SELECT d1.u AS u, d2.u AS v, count(*) AS cn
-       |        FROM dir d1 JOIN dir d2 ON d1.w = d2.w AND d1.u < d2.u
+       | capped AS (SELECT w, u FROM (
+       |   SELECT w, u, row_number() OVER (PARTITION BY w
+       |     ORDER BY (CAST(u AS BIGINT) * 2654435761) % 4294967296, u)
+       |     AS rnk FROM dir) WHERE rnk <= $maxCenterDegree),
+       | cn AS (SELECT c1.u AS u, c2.u AS v, count(*) AS cn
+       |        FROM capped c1 JOIN capped c2
+       |          ON c1.w = c2.w AND c1.u < c2.u
        |        GROUP BY 1, 2 HAVING count(*) >= $minCommon),
        | ne AS (SELECT cn.* FROM cn ANTI JOIN ed
        |        ON cn.u = ed.a AND cn.v = ed.b)

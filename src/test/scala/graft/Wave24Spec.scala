@@ -125,6 +125,47 @@ class Wave25Spec extends AnyFunSuite {
     assert(graft.ops.Graph.linkPredict(spark, edges, 2L).count() === 0L)
   }
 
+  test("linkPredict: hub cap bounds wedge fan-out to C(cap, 2) and " +
+       "stays deterministic") {
+    // one degree-10^4 hub: uncapped this center alone emits
+    // C(10^4, 2) ≈ 5e7 wedge pairs; capped at 32 it emits C(32, 2) = 496
+    val hub = (1L to 10000L).map(i => (i, 0L))
+    // plus two spokes sharing a second common neighbor so minCommon = 2
+    // has survivors whose cn runs THROUGH the capped hub
+    val edges = (hub ++ Seq((1L, 20001L), (2L, 20001L))).toDF("a", "b")
+    val out = graft.ops.Graph.linkPredict(spark, edges,
+      minCommon = 1L, maxCenterDegree = 32)
+    val rows = out.select("u", "v", "cn").as[(Long, Long, Long)].collect()
+    // every candidate pair came from the capped hub list or one of the
+    // two degree-2 centers (nodes 1 and 2 each center the wedge
+    // (0, 20001)): bounded by C(32, 2) + 2, far below the 5e7 uncapped
+    // blow-up
+    assert(rows.length <= 496 + 2)
+    // nodes 1 and 2 share hub 0 (maybe capped away) and node 20001
+    // (degree 2 — always exact): the pair must survive with cn >= 1
+    val p12 = rows.find(r => r._1 === 1L && r._2 === 2L)
+    assert(p12.nonEmpty && p12.get._3 >= 1L)
+    // deterministic: a second run hashes identical
+    val again = graft.ops.Graph.linkPredict(spark, edges,
+      minCommon = 1L, maxCenterDegree = 32)
+      .select("u", "v", "cn").as[(Long, Long, Long)].collect()
+    assert(again.sorted === rows.sorted)
+  }
+
+  test("linkPredict: cap above every degree reproduces the exact result") {
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val exact = graft.ops.Graph.linkPredict(spark, edges, 2L,
+        maxCenterDegree = Int.MaxValue)
+      .select("u", "v", "cn", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().sorted
+    val capped = graft.ops.Graph.linkPredict(spark, edges, 2L,
+        maxCenterDegree = 16)
+      .select("u", "v", "cn", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().sorted
+    assert(capped === exact)
+  }
+
   test("columnProfile: nulls, distincts, and normalized ranges") {
     val df = Seq(
       (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
