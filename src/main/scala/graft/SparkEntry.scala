@@ -911,6 +911,54 @@ object SparkEntry {
                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""")
     }),
 
+    // SQL surface: CORRELATED SCALAR-AGGREGATE subquery (TPC-H Q17
+    // shape — rows below 20% of their part's average quantity).
+    // Catalyst decorrelates the per-row correlated avg into one
+    // aggregate-then-join — per-part avg computed ONCE, not per probe
+    // row — which is the plan that survives 100 TB; the quantity sums
+    // are exact BIGINT (quantities are integral), and the 0.2*avg
+    // comparison is the same IEEE arithmetic in both engines over
+    // exactly-representable integer sums
+    "sql_correlated_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_partkey, count(*) AS n_small,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem l1
+           WHERE l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                     FROM lineitem l2
+                                     WHERE l2.l_partkey = l1.l_partkey)
+           GROUP BY l_partkey""")
+    }),
+
+    // SQL surface: multi-SEMI/ANTI self-join composition (TPC-H Q21
+    // shape — suppliers whose lineitem shipped late on a finished
+    // multi-supplier order where NO co-supplier was late). One CTE
+    // computes per-line lateness once; the EXISTS/NOT EXISTS pair then
+    // plans as a semi + anti join against it on the order key — no
+    // cartesian, both correlated on the equi-key
+    "sql_multi_semi_anti" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(
+        """WITH lw AS (
+             SELECT l.l_orderkey, l.l_suppkey,
+                    CAST(l.l_shipdate AS DATE) >
+                      date_add(CAST(o.o_orderdate AS DATE), 60) AS late
+             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             WHERE o.o_orderstatus = 'F')
+           SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+           FROM supplier s JOIN lw l1 ON l1.l_suppkey = s.s_suppkey AND l1.late
+           WHERE EXISTS (SELECT 1 FROM lw l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lw l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+           GROUP BY s_suppkey, s_name""")
+    }),
+
     // corrupt-tolerant ingestion: a JSON feed with malformed lines reads
     // in PERMISSIVE mode — bad records land in _corrupt_record instead of
     // failing the load (the schema-contract edge the reference's
@@ -4319,6 +4367,34 @@ object SparkEntry {
          FROM customer JOIN big ON c_custkey = o_custkey
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+
+    // same correlated scalar-aggregate; DuckDB decorrelates identically
+    "sql_correlated_agg" ->
+      """SELECT l_partkey, count(*) AS n_small,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem l1
+         WHERE l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l_partkey""",
+
+    // date + 60 is DuckDB's day arithmetic (Spark side uses date_add)
+    "sql_multi_semi_anti" ->
+      """WITH lw AS (
+           SELECT l.l_orderkey, l.l_suppkey,
+                  CAST(l.l_shipdate AS DATE) >
+                    CAST(o.o_orderdate AS DATE) + 60 AS late
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderstatus = 'F')
+         SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+         FROM supplier s JOIN lw l1 ON l1.l_suppkey = s.s_suppkey AND l1.late
+         WHERE EXISTS (SELECT 1 FROM lw l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lw l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         GROUP BY s_suppkey, s_name""",
 
     // corrupt rows surface as all-null fields + is_corrupt=true
     "source_corrupt_json" ->

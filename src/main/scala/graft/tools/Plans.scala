@@ -76,7 +76,10 @@ object Plans {
     "ewma_smooth" -> "one entity-key shuffle; ordered in-buffer fold",
     "triangle_count" -> "degree-ordered orientation: id-pair wedge join ⋈ canonical edges; graph-sized child-session partitioning",
     "k_anonymity" -> "one map-side-combined quasi-identifier aggregate; violation-sized output",
-    "ab_test" -> "unit shuffle → 2-group arm agg → 1-row fixed-shape Welch arithmetic")
+    "ab_test" -> "unit shuffle → 2-group arm agg → 1-row fixed-shape Welch arithmetic",
+    "link_predict" -> "hub-capped wedge self-join (skew-split: row_number only on hub rows); child shuffles sized to capped wedge fan-out",
+    "sql_correlated_agg" -> "decorrelated correlated avg: per-part aggregate computed once, equi-joined back to the probe",
+    "sql_multi_semi_anti" -> "lateness CTE; EXISTS→left-semi, NOT EXISTS→left-anti on the order key; no cartesian")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
