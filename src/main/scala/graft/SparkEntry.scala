@@ -2130,6 +2130,18 @@ object SparkEntry {
             col("l_partkey"), col("l_suppkey")),
         col("l_partkey"), col("l_suppkey"), bits = 16, partitions = 32)),
 
+    // the layout loop CLOSED: 2-D box predicate skips files of the
+    // z-ordered layout via per-file min/max on BOTH columns (spec
+    // asserts the scan reads a strict subset of files)
+    "zorder_prune" -> ((s, dir) =>
+      Distribute.zOrderPrune(s,
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        a = "l_partkey", b = "l_suppkey", bits = 16,
+        scratchDir = tmp(dir, "zorder_prune"),
+        loA = 100L, hiA = 400L, loB = 10L, hiB = 40L)),
+
     // corpus bigram LM: top-20 bigrams with P(w2|w1)
     "bigram_lm" -> ((s, dir) =>
       Text.bigramLm(Tables.documents(s, dir), topN = 20)),
@@ -5933,6 +5945,13 @@ object SparkEntry {
            CASE WHEN fresh THEN asof_id END AS asof_id,
            CASE WHEN fresh THEN asof_ts END AS asof_ts
          FROM t""",
+
+    // pruning must be invisible in the result: plain 2-D box filter
+    "zorder_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 400
+           AND l_suppkey BETWEEN 10 AND 40""",
 
     // bit interleave via exact floor-divides by powers of two (the same
     // arithmetic the Spark expression folds; doubles are exact < 2^26)

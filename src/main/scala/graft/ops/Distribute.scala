@@ -146,14 +146,60 @@ object Distribute {
       .select(col(sortCol), col("_metadata.file_path").as("f"))
       .groupBy(col("f"))
       .agg(min(col(sortCol)).as("mn"), max(col(sortCol)).as("mx"))
+    // the keep-list collect is BOUNDED: limit(maxKeepFiles + 1) caps
+    // what the driver ever holds (like a broadcast threshold); a spill
+    // past the cap falls back to the full scan + filter — identical
+    // result, just no skipping, which is the honest trade once the
+    // predicate stops being selective enough for pruning to pay anyway
+    val maxKeepFiles = 100000
     val keep = stats.filter(col("mx") >= lo && col("mn") <= hi)
-      .select(col("f")).collect().map(_.getString(0))
+      .select(col("f")).limit(maxKeepFiles + 1).collect().map(_.getString(0))
     // an empty keep-list is a VALID pruning outcome (a fully selective
     // predicate), not an error — return an empty frame with the input
     // schema, exactly what the full-scan filter would produce
     if (keep.isEmpty) df.filter(lit(false))
+    else if (keep.length > maxKeepFiles)
+      spark.read.parquet(scratchDir)
+        .filter(col(sortCol) >= lo && col(sortCol) <= hi)
     else spark.read.parquet(keep.toIndexedSeq: _*)
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
+  }
+
+  /** Multi-column data skipping over a Z-ORDERED layout — the payoff
+    * [[zOrderLayout]] exists to buy, closed end to end: write the table
+    * z-clustered on (a, b), harvest per-file min/max for BOTH columns
+    * from `_metadata`, keep only files whose (a, b) box overlaps the
+    * query box, scan just those. Because each file covers a compact
+    * z-range, its min/max are tight on BOTH dimensions, so a 2-D box
+    * predicate skips files a single-column sort could only skip on one
+    * dimension. Result is identical to the full-scan filter (the oracle
+    * check); the driver holds only the keep-list, bounded by
+    * `maxKeepFiles` with a full-scan fallback past the cap (the same
+    * planning-cost bound as [[zonemapPrune]]).
+    */
+  def zOrderPrune(spark: SparkSession, df: DataFrame, a: String, b: String,
+                  bits: Int, scratchDir: String,
+                  loA: Long, hiA: Long, loB: Long, hiB: Long,
+                  partitions: Int = 32,
+                  maxKeepFiles: Int = 100000): DataFrame = {
+    zOrderLayout(df, col(a), col(b), bits, partitions)
+      .write.mode("overwrite").parquet(scratchDir)
+    val stats = spark.read.parquet(scratchDir)
+      .select(col(a), col(b), col("_metadata.file_path").as("f"))
+      .groupBy(col("f"))
+      .agg(min(col(a)).as("mna"), max(col(a)).as("mxa"),
+        min(col(b)).as("mnb"), max(col(b)).as("mxb"))
+    val keep = stats
+      .filter(col("mxa") >= loA && col("mna") <= hiA &&
+        col("mxb") >= loB && col("mnb") <= hiB)
+      .select(col("f")).limit(maxKeepFiles + 1).collect().map(_.getString(0))
+    val pred = col(a) >= loA && col(a) <= hiA &&
+      col(b) >= loB && col(b) <= hiB
+    val base =
+      if (keep.isEmpty) spark.read.parquet(scratchDir).filter(lit(false))
+      else if (keep.length > maxKeepFiles) spark.read.parquet(scratchDir)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base.filter(pred).drop("z")
   }
 
   /** Bloom-filter pre-join pruning, the runtime-filter pattern made

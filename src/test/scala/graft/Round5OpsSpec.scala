@@ -197,6 +197,31 @@ class Round5OpsSpec extends AnyFunSuite {
       s"expected pruning below $total files, read ${out.inputFiles.length}:\n$read")
   }
 
+  test("zOrderPrune: 2-D box skips files on BOTH columns and matches " +
+       "the full filter") {
+    // two independent uniform keys: a 1/4 x 1/4 box covers ~1/16 of the
+    // z-space, so most of the 16 z-range files must be skipped
+    val d = (1L to 4096L).map(i => (i, i % 64, (i * 37) % 64))
+      .toDF("id", "a", "b")
+    val scratch = "/root/repo/target/graft-tmp/zorder_prune_spec"
+    val out = Distribute.zOrderPrune(spark, d, "a", "b", bits = 6,
+      scratchDir = scratch, loA = 0L, hiA = 15L, loB = 16L, hiB = 31L,
+      partitions = 16)
+    val want = d.filter(col("a").between(0, 15) && col("b").between(16, 31))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.as[(Long, Long, Long)].collect().toSet === want)
+    val total = new java.io.File(scratch).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(total === 16)
+    assert(out.inputFiles.length < total,
+      s"expected 2-D pruning below $total files, read ${out.inputFiles.length}")
+    // a box outside the domain prunes to the empty frame, not an error
+    val none = Distribute.zOrderPrune(spark, d, "a", "b", bits = 6,
+      scratchDir = scratch, loA = 100L, hiA = 200L, loB = 100L, hiB = 200L,
+      partitions = 16)
+    assert(none.count() === 0L)
+  }
+
   test("vocabCoverage: in-vocab share with deterministic rank-K ties") {
     val d = Seq(
       (1L, "a a a b b c"), // with topK=2 vocab = {a, b}: 5/6 covered
