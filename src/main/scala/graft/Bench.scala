@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // pin managed-table location inside the repo regardless of cwd
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")

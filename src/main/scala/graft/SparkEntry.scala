@@ -152,7 +152,7 @@ object SparkEntry {
     // per-key counts merged live in foreachBatch == batch heavy hitters
     "streaming_heavy_hitters" -> ((s, dir) =>
       graft.streaming.Streaming.streamingHeavyHitters(s,
-        eventsBase(s, dir), tmp(dir, "stream_hh_src"))),
+        eventsBase(s, dir), tmp(dir, "stream_events5"))),
 
     // Mann-Whitney AUC: does event value separate purchases from the rest
     "auc_rank" -> ((s, dir) =>
@@ -1064,14 +1064,14 @@ object SparkEntry {
     // §2.9: tumbling-window streaming counts (file-backed readStream)
     "streaming_window" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
-        tmp(dir, "stream_window_src"))),
+        tmp(dir, "stream_events5"))),
 
     // §2.9: stream-static enrichment against a broadcast dimension
     "streaming_enrich" -> ((s, dir) =>
       graft.streaming.Streaming.streamingEnrich(s, Tables.events(s, dir),
         Tables.customer(s, dir).select(col("c_custkey").as("user_id"),
           col("c_name"), col("c_mktsegment")),
-        tmp(dir, "stream_enrich_src"))),
+        tmp(dir, "stream_events5"))),
 
     // §2.9: stateless streaming DQ monitor — batch-trained baseline
     // stats broadcast against the live feed, exact-decimal flag
@@ -1095,7 +1095,7 @@ object SparkEntry {
     // decomposable aggs make the result trigger-slicing-independent)
     "streaming_agg_maintain" -> ((s, dir) =>
       graft.streaming.Streaming.streamingAggMaintain(s, eventsBase(s, dir),
-        eventKeys, tmp(dir, "stream_aggm_src"))
+        eventKeys, tmp(dir, "stream_events5"))
         .select(col("user_id"), col("event_type"), col("n"),
           col("s").cast("double").as("sum_value"), col("mn"), col("mx"))),
 
@@ -1117,7 +1117,7 @@ object SparkEntry {
     // estimates equal the batch recompute bit-for-bit
     "streaming_hll" -> ((s, dir) =>
       graft.streaming.Streaming.streamingHllMaintain(s, eventsBase(s, dir),
-        tmp(dir, "stream_hll_src"))),
+        tmp(dir, "stream_events5"))),
 
     // the LLM ingest tick LIVE: streamed docs probe the maintained
     // corpus MinHash index (stream-static joins, stateless verify)
@@ -1250,7 +1250,7 @@ object SparkEntry {
     // final snapshot == batch window_latest over all events
     "streaming_upsert" -> ((s, dir) =>
       graft.streaming.Streaming.streamingUpsert(s, eventsBase(s, dir), eventKeys,
-        tmp(dir, "stream_upsert_src"))),
+        tmp(dir, "stream_events5"))),
 
     // CUBE grouping-sets rollup with subtotal disambiguation
     "cube_rollup" -> ((s, dir) =>
@@ -1645,7 +1645,7 @@ object SparkEntry {
     // final state == batch gaps-and-islands sessionize
     "streaming_sessionize" -> ((s, dir) =>
       graft.streaming.Streaming.statefulSessionize(s, eventsBase(s, dir),
-        gapSeconds = 1800L, tmp(dir, "stream_sessions_src"))),
+        gapSeconds = 1800L, tmp(dir, "stream_events5"))),
 
     // Spark SQL surface: TPC-H Q3-shaped top-k revenue via spark.sql over
     // registered temp views (same text modulo dialect in the oracle)

@@ -18,18 +18,29 @@ object Tables {
   def part(s: SparkSession, d: String)       = t(s, d, "part")
   def orders(s: SparkSession, d: String)     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = t(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4's
-    * parquet reader rejects outright. Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and truncate to Spark's native
-    * microsecond TimestampType — same truncation DuckDB applies on
-    * `CAST(ts AS TIMESTAMP)`, so oracles line up.
+  /** events.parquet has stored `ts` two ways across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4's parquet reader
+    * rejects outright — read as raw nanos via legacy.parquet.nanosAsLong
+    * and truncate to microseconds, the same truncation DuckDB applies on
+    * `CAST(ts AS TIMESTAMP)`) and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false) (which Spark reads as TIMESTAMP_NTZ — a type
+    * `withWatermark` rejects). Both normalize here to Spark's native
+    * TimestampType; sessions run UTC, so the NTZ wall-time
+    * reinterpretation is the identity on the stored micros and oracles
+    * line up either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String)  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")

@@ -20,14 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Assoc {
 
+  /** Deterministic per-basket size cap — the [[Graph.linkPredict]] hub
+    * discipline applied to baskets: keep at most `cap` items per basket,
+    * selected by the engine-portable multiplicative-hash order (exact
+    * for baskets at or under the cap; a deterministic subsample above
+    * it). Order baskets are structurally bounded (max 17 distinct parts
+    * per order at sf0.1, measured), so the REGISTERED queries never cap;
+    * this is the escape hatch for basket keys with no structural bound —
+    * user-as-basket, session-as-basket — where one hot key would emit
+    * sz² pairs. The `row_number <= cap` filter compiles to
+    * WindowGroupLimit (map-side pre-prune before the pair join).
+    */
+  private def capBaskets(items: DataFrame, cap: Int): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"))
+      .orderBy(pmod(col("i").cast("long") * lit(2654435761L),
+        lit(4294967296L)), col("i"))
+    items.withColumn("__rnk", row_number().over(ord))
+      .filter(col("__rnk") <= cap).drop("__rnk")
+  }
+
   /** Pairwise co-occurrence with pointwise mutual information.
     * `minSupport` bounds the output to pairs seen at least that many
     * times (the standard support threshold — at 100 TB it is what keeps
     * the result table sized to the head of the distribution).
+    * `maxBasketSize` (opt-in) bounds the per-basket pair fan-out on
+    * feeds whose basket key has no structural size bound — see
+    * [[capBaskets]] for the estimator contract.
     */
   def cooccurPmi(facts: DataFrame, basket: Column, item: Column,
-                 minSupport: Long = 3): DataFrame = {
-    val items = facts.select(basket.as("b"), item.as("i")).distinct()
+                 minSupport: Long = 3,
+                 maxBasketSize: Option[Int] = None): DataFrame = {
+    val items0 = facts.select(basket.as("b"), item.as("i")).distinct()
+    val items = maxBasketSize.fold(items0)(capBaskets(items0, _))
     val nBaskets = items.groupBy().agg(
       countDistinct(col("b")).as("n_baskets"))
     val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
@@ -66,9 +91,11 @@ object Assoc {
     * the head of the distribution.
     */
   def marketBasket(facts: DataFrame, basket: Column, item: Column,
-                   minSupport: Long = 3): DataFrame = {
+                   minSupport: Long = 3,
+                   maxBasketSize: Option[Int] = None): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
-    val items = facts.select(basket.as("b"), item.as("i")).distinct()
+    val items0 = facts.select(basket.as("b"), item.as("i")).distinct()
+    val items = maxBasketSize.fold(items0)(capBaskets(items0, _))
     val nBaskets = items.groupBy().agg(
       countDistinct(col("b")).as("n_baskets"))
     val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
