@@ -2037,6 +2037,19 @@ object SparkEntry {
       Distribute.skewDiagnose(Tables.lineitem(s, dir),
         key = col("l_partkey"))),
 
+    // edit-distance-1 similarity join via deletion-neighborhood
+    // blocking (FastSS) — precision/recall 1.0 by construction, no
+    // all-pairs scan; domain = customer names ∪ deterministic
+    // single-deletion variants so both the substitution and the
+    // insertion/deletion match paths fire
+    "typo_pairs" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val names = c.select(col("c_name").as("w"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select(Linkage.dirtyName(col("c_custkey"), col("c_name")).as("w")))
+      Linkage.typoPairs(names, col("w"))
+    }),
+
     // neighborhood-Jaccard link prediction on the co-purchase graph:
     // capped wedge candidates (deterministic per-center degree bound —
     // the hub mitigation the oracle replays), non-edge anti-join
@@ -5594,6 +5607,22 @@ object SparkEntry {
          FROM lineitem l1 JOIN lineitem l2
            ON l1.l_orderkey = l2.l_orderkey
          WHERE l1.l_orderkey % 3 = 0"""),
+
+    // the exact semantic of deletion-neighborhood blocking: all-pairs
+    // levenshtein = 1 over the same name domain (dirty-variant SQL is
+    // the entity_resolution convention)
+    "typo_pairs" ->
+      """WITH names AS (
+           SELECT c_name AS w FROM customer
+           UNION
+           SELECT substr(c_name, 1,
+                    CAST(c_custkey % (length(c_name) - 1) AS INT)) ||
+                  substr(c_name,
+                    CAST(c_custkey % (length(c_name) - 1) + 2 AS INT)) AS w
+           FROM customer WHERE c_custkey % 7 = 0),
+         t AS (SELECT DISTINCT w FROM names)
+         SELECT a.w AS name_a, b.w AS name_b, 1 AS lev
+         FROM t a JOIN t b ON a.w < b.w AND levenshtein(a.w, b.w) = 1""",
 
     // capped wedge candidates (same deterministic per-center bound),
     // anti-join off the edge set, one rounded division

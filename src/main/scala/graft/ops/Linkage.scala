@@ -83,4 +83,48 @@ object Linkage {
         col("best.lev").as("lev"),
         col("n_candidates"), col("n_within"))
   }
+
+  /** ALL pairs of distinct names at edit distance EXACTLY 1, without an
+    * all-pairs scan: deletion-neighborhood blocking (FastSS, Bocek et
+    * al. 2007). Each name emits its |w| single-deletion variants tagged
+    * with the deleted position; then
+    *  - same (variant, position) from two names  ⟺  they differ by one
+    *    SUBSTITUTION at that position (same length, equal elsewhere);
+    *  - a full name equal to another name's variant  ⟺  one
+    *    INSERTION/DELETION apart.
+    * Both directions are exact — precision AND recall 1.0 by
+    * construction (no Levenshtein verify pass needed; the emitted `lev`
+    * column is definitionally 1), unlike [[resolveEntities]]'s
+    * prefix∪suffix blocking whose recall argument needs a length bound.
+    *
+    * Scale: the index is Σ|w| rows of (variant, pos, name) — corpus
+    * tokens, not corpus² — and the equi-join groups are bounded by
+    * alphabet size per (variant, pos) key (≤ |Σ| names can substitute
+    * one position), so no key is ever hot. This is the dictionary-side
+    * primitive of spelling correction / query rewriting at web scale.
+    */
+  def typoPairs(df: DataFrame, name: Column): DataFrame = {
+    val words = df.select(name.as("w")).distinct()
+      .filter(length(col("w")) >= 1)
+      .persist()
+    val dels = words.select(col("w"), expr(
+      """explode(transform(sequence(0, length(w) - 1),
+         i -> struct(concat(substring(w, 1, i), substring(w, i + 2)) AS k,
+                     i AS pos)))""").as("d"))
+      .select(col("w"), col("d.k").as("k"), col("d.pos").as("pos"))
+      .persist()
+    val subs = dels.select(col("k"), col("pos"), col("w").as("name_a"))
+      .join(dels.select(col("k"), col("pos"), col("w").as("name_b")),
+        Seq("k", "pos"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+    val indel = dels.select(col("k"), col("w"))
+      .join(words.select(col("w").as("k"), col("w").as("short")), Seq("k"))
+      .select(least(col("w"), col("short")).as("name_a"),
+        greatest(col("w"), col("short")).as("name_b"))
+    // words/dels stay hot until the result is consumed (the harness
+    // clears cache per query)
+    subs.unionByName(indel).distinct()
+      .withColumn("lev", lit(1))
+  }
 }

@@ -49,7 +49,11 @@ object Streaming {
   private def events5Stream(spark: SparkSession, events: DataFrame,
                             scratch: String,
                             filesPerTrigger: Int): DataFrame = {
-    val src = events.select(events5Cols.map(col): _*)
+    // canonical columns ∩ input schema: callers of the SHARED path all
+    // pass full events (5/5 cols); narrow test inputs get a narrow
+    // fixture at their own path — per-path content stays deterministic
+    val present = events.columns.toSet
+    val src = events.select(events5Cols.filter(present).map(col): _*)
     synchronized {
       if (!fixturesWritten.contains(scratch)) {
         src.repartition(3).write.mode("overwrite").parquet(scratch)

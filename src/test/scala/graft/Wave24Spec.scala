@@ -166,6 +166,24 @@ class Wave25Spec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("typoPairs: finds exactly the substitution and indel pairs, " +
+       "nothing else") {
+    val names = Seq("cat", "car", "cart", "dog", "ca", "cat").toDF("w")
+    val rows = graft.ops.Linkage.typoPairs(names, col("w"))
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    // cat~car (sub), car~cart (ins), cat~cart? lev=2 via... c-a-t vs
+    // c-a-r-t: insert 'r' -> distance 1! ca~cat (ins), ca~car (ins)
+    // note lexicographic canon: "cart" < "cat" ('r' < 't' at index 2)
+    assert(rows === Set(
+      ("car", "cat"), ("car", "cart"), ("cart", "cat"),
+      ("ca", "cat"), ("ca", "car")))
+  }
+
+  test("typoPairs: no pairs in a distance>=2 domain; dup input collapses") {
+    val names = Seq("alpha", "beta", "gamma", "alpha").toDF("w")
+    assert(graft.ops.Linkage.typoPairs(names, col("w")).count() === 0L)
+  }
+
   test("columnProfile: nulls, distincts, and normalized ranges") {
     val df = Seq(
       (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
