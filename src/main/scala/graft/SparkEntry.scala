@@ -2037,6 +2037,17 @@ object SparkEntry {
       Distribute.skewDiagnose(Tables.lineitem(s, dir),
         key = col("l_partkey"))),
 
+    // bill-of-materials requirement explosion over the decimal-digit
+    // part hierarchy (parent = key div 10): total transitive component
+    // units per assembly — integer sum-product closure, 5 levels
+    "bom_rollup" -> ((s, dir) => {
+      val ed = Tables.part(s, dir).filter(col("p_partkey") >= 10)
+        .select(expr("p_partkey div 10").as("parent"),
+          col("p_partkey").as("child"),
+          (col("p_partkey") % 5 + 1).cast("int").as("qty"))
+      Graph.bomRollup(s, ed, levels = 5)
+    }),
+
     // edit-distance-1 similarity join via deletion-neighborhood
     // blocking (FastSS) — precision/recall 1.0 by construction, no
     // all-pairs scan; domain = customer names ∪ deterministic
@@ -5607,6 +5618,12 @@ object SparkEntry {
          FROM lineitem l1 JOIN lineitem l2
            ON l1.l_orderkey = l2.l_orderkey
          WHERE l1.l_orderkey % 3 = 0"""),
+
+    // same digit-hierarchy edges, frontier unrolled 5 levels
+    "bom_rollup" -> Graph.bomRollupOracleSql(
+      """SELECT p_partkey // 10 AS parent, p_partkey AS child,
+                CAST(p_partkey % 5 + 1 AS INT) AS qty
+         FROM part WHERE p_partkey >= 10""", levels = 5),
 
     // the exact semantic of deletion-neighborhood blocking: all-pairs
     // levenshtein = 1 over the same name domain (dirty-variant SQL is

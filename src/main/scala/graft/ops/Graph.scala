@@ -523,6 +523,71 @@ object Graph {
     out // ed/dir/deg/capped stay hot until out is consumed
   }
 
+  /** Bill-of-materials rollup: the SUM-PRODUCT transitive closure of a
+    * component DAG — for every assembly, the total units of every
+    * (transitive) component needed per one unit of the assembly, and
+    * the closure aggregated per ancestor. The multiplicative sibling of
+    * [[bfsHops]] (min-hop) and [[shortestPaths]] (min-sum): path values
+    * MULTIPLY along edges and ADD across paths, the requirement-
+    * explosion query every manufacturing/packaging pipeline runs.
+    *
+    * Algorithm: frontier extension at the path head — each length-L
+    * path decomposes uniquely as (top edge) + (length-L−1 suffix), so
+    * extending only the previous frontier generates every path exactly
+    * once, no dedup pass. `levels` bounds depth; all arithmetic is
+    * integer (qty products then sums) — bit-reproducible, and the
+    * closure is at most depth × |nodes| rows on a tree (path-count-
+    * bounded on a DAG). Shuffles carry (id, id, long) triples only;
+    * frontier joins are frontier-sized, the [[bfsHops]] discipline.
+    */
+  def bomRollup(spark: SparkSession, edges: DataFrame,
+                levels: Int = 6): DataFrame = {
+    val ed0 = edges.select(col("parent"), col("child"), col("qty"))
+      .persist()
+    val child = graphSession(edges.sparkSession, ed0.count())
+    val ed = rebind(child, ed0).persist()
+    val up = ed.select(col("parent").as("up"), col("child").as("anc"),
+      col("qty").as("q"))
+    var frontier = ed.select(col("parent").as("anc"),
+      col("child").as("node"), col("qty").cast("long").as("units"))
+      .persist()
+    var closure = frontier
+    for (i <- 2 to levels) {
+      val next = frontier.join(up, Seq("anc"))
+        .select(col("up").as("anc"), col("node"),
+          (col("units") * col("q")).as("units"))
+        .persist()
+      next.count()
+      frontier.unpersist()
+      frontier = next
+      closure = closure.unionByName(frontier)
+    }
+    val out = closure.groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("units")).as("total_units"))
+    ed0.unpersist()
+    out
+  }
+
+  /** The DuckDB oracle for [[bomRollup]]: the frontier extension
+    * unrolled into `levels` chained CTEs over the same edge CTE body,
+    * unioned and aggregated identically. */
+  def bomRollupOracleSql(edgesCte: String, levels: Int = 6): String = {
+    val fronts = (2 to levels).map { i =>
+      s"""f$i AS (SELECT e.parent AS anc, f.node, f.units * e.qty AS units
+         |        FROM f${i - 1} f JOIN ed e ON f.anc = e.child)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to levels).map(i => s"SELECT * FROM f$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH ed AS ($edgesCte),
+       | f1 AS (SELECT parent AS anc, child AS node,
+       |        CAST(qty AS BIGINT) AS units FROM ed),
+       |$fronts,
+       | c AS ($unions)
+       |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+       |       CAST(sum(units) AS BIGINT) AS total_units
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** The DuckDB oracle for [[linkPredict]] — same canonicalization,
     * deterministic per-center degree cap (identical multiplicative-hash
     * order), wedge counting, non-edge anti-join, and one rounded

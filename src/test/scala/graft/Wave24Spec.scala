@@ -184,6 +184,17 @@ class Wave25Spec extends AnyFunSuite {
     assert(graft.ops.Linkage.typoPairs(names, col("w")).count() === 0L)
   }
 
+  test("bomRollup: hand-checked sum-product closure on a 3-level tree") {
+    // 1 -> 2 (x2), 1 -> 3 (x3), 2 -> 4 (x5): per unit of 1 we need
+    // 2 of part2, 3 of part3, and 2*5 = 10 of part4
+    val ed = Seq((1L, 2L, 2), (1L, 3L, 3), (2L, 4L, 5))
+      .toDF("parent", "child", "qty")
+    val out = graft.ops.Graph.bomRollup(spark, ed, levels = 4)
+      .select("anc", "n_desc", "total_units")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 3L, 2L + 3L + 10L), (2L, 1L, 5L)))
+  }
+
   test("columnProfile: nulls, distincts, and normalized ranges") {
     val df = Seq(
       (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
