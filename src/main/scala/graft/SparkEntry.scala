@@ -2154,6 +2154,13 @@ object SparkEntry {
             col("l_partkey"), col("l_suppkey")),
         col("l_partkey"), col("l_suppkey"), bits = 16, partitions = 32)),
 
+    // dynamic partition pruning: day-partitioned fact joined to a
+    // selective day dimension — the scan reads only matching day dirs
+    // (dynamicpruning PartitionFilter, spec-asserted)
+    "dpp_join" -> ((s, dir) =>
+      Distribute.dppJoin(s, eventsBase(s, dir),
+        tmp(dir, "dpp_join"), dayLo = 1, dayHi = 7)),
+
     // the layout loop CLOSED: 2-D box predicate skips files of the
     // z-ordered layout via per-file min/max on BOTH columns (spec
     // asserts the scan reads a strict subset of files)
@@ -3620,6 +3627,16 @@ object SparkEntry {
     "zonemap_prune" ->
       """SELECT event_id, user_id, value FROM events
          WHERE value >= 100.0 AND value <= 250.0""",
+
+    // pruning must be invisible in the result: plain day filter + agg
+    "dpp_join" ->
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events
+         WHERE day(CAST(CAST(ts AS TIMESTAMP) AS DATE)) BETWEEN 1 AND 7
+         GROUP BY 1""",
 
     "sink_compacted" ->
       """SELECT event_id, user_id, event_type, value FROM events""",

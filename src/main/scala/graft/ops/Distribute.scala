@@ -202,6 +202,35 @@ object Distribute {
     base.filter(pred).drop("z")
   }
 
+  /** Dynamic partition pruning, end to end: lay the fact table out
+    * hive-partitioned by day, then join it to a SELECTIVE dimension on
+    * the partition column — Catalyst injects the dimension's day set as
+    * a runtime partition filter (`dynamicpruning` subquery in the scan's
+    * PartitionFilters, spec-asserted), so the fact scan READS only the
+    * matching day directories. This is THE mechanism that makes
+    * star-joins over date-partitioned 100 TB facts feasible: the scan
+    * cost tracks the dimension's selectivity, not the fact's history
+    * length — no manual pruning code, just the partitioned layout plus
+    * a declarative join. Result equals the plain join (the oracle).
+    */
+  def dppJoin(spark: SparkSession, events: DataFrame, scratchDir: String,
+              dayLo: Int, dayHi: Int): DataFrame = {
+    val fact = events.select(col("event_id"), col("user_id"),
+        col("value"), to_date(col("ts")).as("day"))
+    fact.write.mode("overwrite").partitionBy("day").parquet(scratchDir)
+    val part = spark.read.parquet(scratchDir)
+    // the selective dimension: distinct days tagged, filtered to the
+    // [dayLo, dayHi] day-of-month slice — built small and broadcastable
+    val dim = fact.select(col("day")).distinct()
+      .filter(dayofmonth(col("day")).between(dayLo, dayHi))
+    part.join(dim, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("sum_cents"))
+  }
+
   /** Bloom-filter pre-join pruning, the runtime-filter pattern made
     * explicit: hash every build-side key into `k` of `mBits` positions
     * (same arithmetic family as [[Profile.cmsEstimate]] — exact BIGINT,

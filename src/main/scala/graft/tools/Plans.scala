@@ -79,7 +79,11 @@ object Plans {
     "ab_test" -> "unit shuffle → 2-group arm agg → 1-row fixed-shape Welch arithmetic",
     "link_predict" -> "hub-capped wedge self-join (skew-split: row_number only on hub rows); child shuffles sized to capped wedge fan-out",
     "sql_correlated_agg" -> "decorrelated correlated avg: per-part aggregate computed once, equi-joined back to the probe",
-    "sql_multi_semi_anti" -> "lateness CTE; EXISTS→left-semi, NOT EXISTS→left-anti on the order key; no cartesian")
+    "sql_multi_semi_anti" -> "lateness CTE; EXISTS→left-semi, NOT EXISTS→left-anti on the order key; no cartesian",
+    "dpp_join" -> "dynamicpruning PartitionFilter on the day-partitioned fact scan; dim broadcast",
+    "zorder_prune" -> "2-D min/max file skipping over the z-clustered layout; bounded keep-list",
+    "typo_pairs" -> "deletion-neighborhood equi-joins; per-key groups alphabet-bounded, no all-pairs",
+    "bom_rollup" -> "frontier-extended sum-product closure; frontier-sized joins, depth-bounded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

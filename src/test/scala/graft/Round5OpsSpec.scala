@@ -222,6 +222,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("dppJoin: scan carries a dynamicpruning partition filter and " +
+       "matches the plain filter+agg") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dpp_join")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter in:\n$plan")
+    val events = Tables.events(spark, sf)
+    val want = events
+      .filter(dayofmonth(to_date(col("ts"))).between(1, 7))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.as[(String, Long, Long)].collect().toSet === want)
+  }
+
   test("vocabCoverage: in-vocab share with deterministic rank-K ties") {
     val d = Seq(
       (1L, "a a a b b c"), // with topK=2 vocab = {a, b}: 5/6 covered
