@@ -493,6 +493,29 @@ object SparkEntry {
       Merge.mergeUpsert(target, source, Seq("o_orderkey"))
     }),
 
+    // wide→long reshape via Dataset.unpivot (melt) — the inverse of
+    // pivot_counts; Catalyst's Expand node, one scan, no join
+    "unpivot_melt" -> ((s, dir) => {
+      val wide = Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("sum_cents")), "metric", "value")
+    }),
+
+    // the third MERGE clause family: WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE — full-feed mirror sync with a tagged change audit
+    // (insert/update/delete); NULL keys never match (SQL semantics)
+    "merge_full_sync" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val source = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+          (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+      Merge.mergeFullSync(target, source, Seq("o_orderkey"))
+    }),
+
     // M2 = D2 ∘ M1: MERGE with window-deduped source (data_pipeline.py:177-206)
     "merge_upsert_latest" -> ((s, dir) => {
       val e = eventsBase(s, dir)
@@ -3829,6 +3852,36 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM tgt
          WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = tgt.o_orderkey)""",
+
+    // melt = one UNION ALL branch per measure
+    "unpivot_melt" ->
+      """WITH w AS (SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM orders GROUP BY 1)
+         SELECT o_orderpriority, 'n_orders' AS metric,
+                CAST(n_orders AS BIGINT) AS value FROM w
+         UNION ALL
+         SELECT o_orderpriority, 'sum_cents', sum_cents FROM w""",
+
+    // full outer on the key; action from side presence
+    "merge_full_sync" ->
+      """WITH tgt AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 0),
+         src AS (
+           SELECT o_orderkey, 'S' AS o_orderstatus,
+                  o_totalprice + 1.0 AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NULL THEN 'delete'
+                WHEN t.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+         FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey""",
 
     "merge_upsert_latest" ->
       s"""WITH base AS ($evBase),

@@ -43,4 +43,45 @@ object Merge {
   def mergeUpsertLatest(target: DataFrame, source: DataFrame, keys: Seq[String],
                         ts: Column, tiebreak: Seq[Column]): DataFrame =
     mergeUpsert(target, Dedup.dedupLatest(source, keys, ts, tiebreak), keys)
+
+  /** FULL-SYNC merge — SQL MERGE's third clause family, `WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE`: the target becomes an exact mirror
+    * of the source's key set (matched rows replaced by the source row,
+    * new source rows inserted, target rows absent from the source
+    * DROPPED). This is the dimension-table refresh / full-feed
+    * replication shape the upsert family can't express (upsert never
+    * deletes); with a CDC feed you'd use [[Changelog]] instead — this
+    * is for sources that send full state, not deltas.
+    *
+    * With source-wins-on-match semantics the result is simply the
+    * source itself, SO the op also emits the change audit a real sync
+    * job logs: each output row is tagged `action` ∈ insert/update/
+    * delete/keep by a full-outer key comparison — one join, no second
+    * scan; deleted rows carry the TARGET's columns, everything else the
+    * source's. NULL keys never match (SQL semantics): a NULL-keyed
+    * target row deletes, a NULL-keyed source row inserts.
+    */
+  def mergeFullSync(target: DataFrame, source: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = source.columns.filterNot(keys.contains).toSeq
+    // presence markers, not column nullness: data columns may be
+    // legitimately NULL on either side
+    val s = source.withColumn("__s", lit(true))
+    val t = target.select(
+        (keys.map(k => target(k).as(s"__tk_$k")) ++
+          dataCols.map(c => target(c).as(s"__t_$c"))): _*)
+      .withColumn("__t", lit(true))
+    // plain (non-null-safe) equality: a NULL key never matches, so
+    // NULL-keyed target rows delete and NULL-keyed source rows insert
+    val cond = keys.map(k => s(k) === t(s"__tk_$k")).reduce(_ && _)
+    s.join(t, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(s(k), t(s"__tk_$k")).as(k)) ++
+          dataCols.map(c =>
+            when(s("__s").isNotNull, s(c)).otherwise(t(s"__t_$c")).as(c)) :+
+          when(s("__s").isNull, "delete")
+            .when(t("__t").isNull, "insert")
+            .otherwise("update").as("action"): _*)
+  }
 }

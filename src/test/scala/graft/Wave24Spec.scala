@@ -195,6 +195,21 @@ class Wave25Spec extends AnyFunSuite {
     assert(out === Array((1L, 3L, 2L + 3L + 10L), (2L, 1L, 5L)))
   }
 
+  test("mergeFullSync: insert/update/delete tagging, NULL keys never match") {
+    val target = Seq((Some(1L), "t1"), (Some(2L), "t2"), (None, "tn"))
+      .toDF("k", "v")
+    val source = Seq((Some(2L), "s2"), (Some(3L), "s3"), (None, "sn"))
+      .toDF("k", "v")
+    val rows = graft.ops.Merge.mergeFullSync(target, source, Seq("k"))
+      .as[(Option[Long], String, String)].collect().toSet
+    assert(rows === Set(
+      (Some(1L), "t1", "delete"),  // target-only key
+      (Some(2L), "s2", "update"),  // matched: source wins
+      (Some(3L), "s3", "insert"),  // source-only key
+      (None, "tn", "delete"),      // NULL target key never matches
+      (None, "sn", "insert")))     // NULL source key never matches
+  }
+
   test("columnProfile: nulls, distincts, and normalized ranges") {
     val df = Seq(
       (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
