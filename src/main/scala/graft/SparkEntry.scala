@@ -493,6 +493,37 @@ object SparkEntry {
       Merge.mergeUpsert(target, source, Seq("o_orderkey"))
     }),
 
+    // SQL surface: LATERAL correlated subquery (per-group top-k as a
+    // join operand) — Spark decorrelates it into the window/limit
+    // shape; WindowGroupLimit prunes before the sort
+    "sql_lateral_topk" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+           FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                    WHERE o.o_orderpriority = p.o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""")
+    }),
+
+    // deterministic ordered string aggregation (LISTAGG): top-5 order
+    // keys per priority concatenated in explicit (price desc, key)
+    // order — collect_list carries (sort-key, value) structs so the
+    // in-group order is total, not arrival order
+    "listagg_ordered" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(
+            (-col("o_totalprice")).as("negp"), col("o_orderkey").as("k")))),
+          e => e.getField("k").cast("string")), ",").as("top_keys"))
+    }),
+
     // wide→long reshape via Dataset.unpivot (melt) — the inverse of
     // pivot_counts; Catalyst's Expand node, one scan, no join
     "unpivot_melt" -> ((s, dir) => {
@@ -3852,6 +3883,25 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM tgt
          WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = tgt.o_orderkey)""",
+
+    // DuckDB's LATERAL keeps the same shape
+    "sql_lateral_topk" ->
+      """SELECT p.o_orderpriority, l.o_orderkey, l.o_totalprice
+         FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_orderpriority = p.o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) l""",
+
+    // string_agg with an explicit ORDER BY is the same total order
+    "listagg_ordered" ->
+      """SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 5 GROUP BY 1""",
 
     // melt = one UNION ALL branch per measure
     "unpivot_melt" ->
