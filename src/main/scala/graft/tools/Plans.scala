@@ -83,7 +83,11 @@ object Plans {
     "dpp_join" -> "dynamicpruning PartitionFilter on the day-partitioned fact scan; dim broadcast",
     "zorder_prune" -> "2-D min/max file skipping over the z-clustered layout; bounded keep-list",
     "typo_pairs" -> "deletion-neighborhood equi-joins; per-key groups alphabet-bounded, no all-pairs",
-    "bom_rollup" -> "frontier-extended sum-product closure; frontier-sized joins, depth-bounded")
+    "bom_rollup" -> "frontier-extended sum-product closure; frontier-sized joins, depth-bounded",
+    "sql_lateral_topk" -> "LATERAL LIMIT subquery decorrelated to per-group window/limit",
+    "listagg_ordered" -> "WindowGroupLimit top-5 pre-prune; sorted-struct listagg, one key shuffle",
+    "merge_full_sync" -> "one full-outer key join; action tagging is a pure projection",
+    "unpivot_melt" -> "Catalyst Expand over the 5-row aggregate; one scan, no join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
