@@ -493,6 +493,12 @@ object SparkEntry {
       Merge.mergeUpsert(target, source, Seq("o_orderkey"))
     }),
 
+    // exact GLOBAL median in two passes, no global sort: bucket
+    // histogram locates the rank-k bucket (1-row broadcast frame),
+    // pass 2 ranks only that bucket's rows
+    "exact_median_2pass" -> ((s, dir) =>
+      Profile.exactMedian2Pass(Tables.orders(s, dir), col("o_totalprice"))),
+
     // SQL surface: LATERAL correlated subquery (per-group top-k as a
     // join operand) — Spark decorrelates it into the window/limit
     // shape; WindowGroupLimit prunes before the sort
@@ -3883,6 +3889,15 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM tgt
          WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = tgt.o_orderkey)""",
+
+    // same rank arithmetic, full sort (the thing the engine avoids)
+    "exact_median_2pass" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders),
+         s AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+         n AS (SELECT count(*) AS n FROM v)
+         SELECT n.n, s.c AS median_cents FROM s, n
+         WHERE s.rn = (n.n + 1) // 2""",
 
     // DuckDB's LATERAL keeps the same shape
     "sql_lateral_topk" ->

@@ -669,6 +669,42 @@ object Profile {
         col("est_p50_cents"), col("true_p95_cents"), col("est_p95_cents"))
   }
 
+  /** EXACT global median without a global sort — the two-pass order-
+    * statistic pattern (SCALE.md principle 8's missing sibling:
+    * [[histogramQuantiles]] is per-group, this is the corpus-wide
+    * statistic a 100 TB table can't sort for). Pass 1 aggregates bucket
+    * counts (shuffle is |buckets| rows) and locates the single bucket
+    * containing rank k = (n+1) div 2 plus the in-bucket offset — a
+    * 1-row frame, broadcast, never collected. Pass 2 filters the scan
+    * to THAT bucket (predicate pushdown) and ranks only its rows; the
+    * one single-task sort is bounded by bucket width, which
+    * `bucketCents` controls (narrow buckets at scale). The value at a
+    * fixed rank is tie-order-independent, so the result is exact and
+    * deterministic.
+    */
+  def exactMedian2Pass(df: DataFrame, value: Column,
+                       bucketCents: Long = 1000000L): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val v = df.select(cents.as("c"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = v.select((col("c") / lit(bucketCents)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+      .withColumn("cum", sum(col("n_b")).over(wb))
+    val n1 = hist.agg(max(col("cum")).as("n"))
+    val target = hist.crossJoin(broadcast(n1))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .orderBy(col("bucket")).limit(1)
+      .select(col("bucket"), col("n"),
+        (expr("(n + 1) div 2") - (col("cum") - col("n_b"))).as("offset"))
+    val wr = Window.orderBy(col("c"))
+    v.join(broadcast(target),
+        (col("c") / lit(bucketCents)).cast("long") === col("bucket"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === col("offset"))
+      .select(col("n"), col("c").as("median_cents"))
+  }
+
   /** ROC AUC of a numeric score against a binary label via the
     * Mann-Whitney rank sum — the standard eval primitive for "does this
     * feature separate the classes" (quality filters, dedup thresholds,

@@ -210,6 +210,18 @@ class Wave25Spec extends AnyFunSuite {
       (None, "sn", "insert")))     // NULL source key never matches
   }
 
+  test("exactMedian2Pass: lower median, ties, and bucket boundaries") {
+    def med(vals: Seq[Double], bucket: Long = 300L): (Long, Long) =
+      graft.ops.Profile.exactMedian2Pass(vals.toDF("v"), col("v"), bucket)
+        .as[(Long, Long)].collect().head
+    assert(med(Seq(1.0, 2.0, 3.0)) === ((3L, 200L)))       // odd n
+    assert(med(Seq(1.0, 2.0, 3.0, 4.0)) === ((4L, 200L)))  // even → lower
+    assert(med(Seq(5.0, 5.0, 5.0, 9.0)) === ((4L, 500L)))  // ties
+    // k lands exactly on a bucket boundary (bucket = 300 cents):
+    // values 1.00..6.00, k=3 → 300 cents is the LAST value of bucket 0
+    assert(med((1 to 6).map(_.toDouble)) === ((6L, 300L)))
+  }
+
   test("columnProfile: nulls, distincts, and normalized ranges") {
     val df = Seq(
       (Some(1L), "x"), (Some(2L), "y"), (None, "y"))
