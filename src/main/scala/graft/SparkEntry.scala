@@ -493,6 +493,20 @@ object SparkEntry {
       Merge.mergeUpsert(target, source, Seq("o_orderkey"))
     }),
 
+    // join-strategy control surface: the same equi-join under an
+    // explicit SHUFFLE_MERGE hint — the escape hatch when a broadcast
+    // would OOM the driver or a hash build would spill (plan audited;
+    // result identical to the unhinted join, which is the oracle)
+    "join_hint_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.hint("merge")
+        .join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // exact GLOBAL median in two passes, no global sort: bucket
     // histogram locates the rank-k bucket (1-row broadcast frame),
     // pass 2 ranks only that bucket's rows
@@ -3889,6 +3903,14 @@ object SparkEntry {
          UNION ALL
          SELECT * FROM tgt
          WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = tgt.o_orderkey)""",
+
+    // hints are plan-only: the oracle is the plain join
+    "join_hint_merge" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
 
     // same rank arithmetic, full sort (the thing the engine avoids)
     "exact_median_2pass" ->

@@ -239,6 +239,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.as[(String, Long, Long)].collect().toSet === want)
   }
 
+  test("join_hint_merge: the hint forces SortMergeJoin where broadcast " +
+       "would otherwise win") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("join_hint_merge")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected SortMergeJoin under the merge hint in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast should have been suppressed by the hint")
+  }
+
   test("vocabCoverage: in-vocab share with deterministic rank-K ties") {
     val d = Seq(
       (1L, "a a a b b c"), // with topK=2 vocab = {a, b}: 5/6 covered
