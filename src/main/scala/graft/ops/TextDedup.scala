@@ -171,21 +171,23 @@ object TextDedup {
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
     // materialize shingle SETS only for docs that appear in a candidate
-    // pair: the candidate-doc list is tiny (broadcast semi-join), so the
-    // expensive collect_set shuffle carries candidate docs' shingles
-    // instead of the whole corpus's — at 100 TB the difference between
-    // shuffling the corpus text again and shuffling the near-dup slice.
+    // pair (semi-join), so the expensive collect_set shuffle carries
+    // candidate docs' shingles instead of the whole corpus's — at 100 TB
+    // the difference between shuffling the corpus text again and
+    // shuffling the near-dup slice. The semi-join carries NO broadcast
+    // hint: on template-heavy corpora the candidate-doc list is
+    // corpus-proportional (the band join admits most pairs), so a forced
+    // broadcast would OOM exactly where this op is needed most; AQE
+    // still broadcasts the list while its runtime size fits and degrades
+    // to a shuffled semi-join beyond that (SCALE.md §4 doctrine,
+    // shuffle-degradation spec-asserted in PlanShapeSpec).
     // candidates persists because both the doc list and the verify joins
-    // read it (recomputing it would redo the posting expansion). Local
-    // wall-clock pays a small price (sets now WAIT on the candidate
-    // broadcast instead of aggregating in a parallel stage), but the
-    // set-building shuffle shrinks from every doc's shingles to the
-    // candidate slice's — the term that dominates at corpus scale.
+    // read it (recomputing it would redo the posting expansion).
     val cand = candidates.persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    val sets = sh.join(broadcast(candDocs), "doc_id")
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
     cand
@@ -409,7 +411,10 @@ object TextDedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    val sets = sh.join(broadcast(candDocs), "doc_id")
+    // un-hinted semi-join: the candidate-doc list is corpus-proportional
+    // on template-heavy corpora, so AQE decides broadcast vs shuffle from
+    // runtime size (same rationale as verifyJaccard above)
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
     cand
@@ -487,8 +492,14 @@ object TextDedup {
     // DEDUPLICATED first — the distinct shuffles 16-byte pairs, whereas
     // running the sig joins on the multi-band-hit stream materializes
     // two signature arrays per raw pair (measured 2× slower at sf0.1) —
-    // and the broadcast sides carry signatures as ints (the hash domain
-    // is < 2³¹), halving the per-pair bytes. Cutoff threshold−0.22
+    // and the signature sides carry signatures as ints (the hash domain
+    // is < 2³¹), halving the per-pair bytes. The signature joins carry
+    // NO broadcast hint: the signature table is corpus-proportional
+    // (64 ints/doc ≈ 300 GB at 10⁹ docs — a forced broadcast is an OOM,
+    // not a slowdown); AQE broadcasts it while its runtime size fits and
+    // degrades to shuffle joins beyond that, the same discipline as the
+    // embedding verify join (Similarity.cosineNearDup). Shuffle-
+    // degradation is spec-asserted in PlanShapeSpec. Cutoff threshold−0.22
     // keeps a true pair AT the threshold with
     // P(miss) ≤ exp(−2·64·0.22²) ≈ 2e-3 (Hoeffding; vanishing above
     // it) — the same probabilistic-recall regime as the LSH generator
@@ -498,8 +509,8 @@ object TextDedup {
     val sigInts = sigs.select(col("doc_id"),
       transform(col("sig"), v => v.cast("int")).as("sig"))
     val pre = lsh.unionByName(rare).distinct()
-      .join(broadcast(sigInts.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(sigInts.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .join(sigInts.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigInts.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree)
       .select(col("doc_a"), col("doc_b"))

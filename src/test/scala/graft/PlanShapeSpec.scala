@@ -44,6 +44,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("near-dedup funnel degrades to shuffle joins when broadcast is " +
+       "disabled — no forced corpus-proportional broadcast hints survive") {
+    // The round-7 weak items: nearDupJaccardChars' signature prefilter
+    // and the candidate-doc semi-joins used to FORCE broadcast() on
+    // corpus-proportional tables (~300 GB at 1e9 docs). With the hints
+    // removed, AQE owns the decision: threshold=-1 must yield a plan
+    // with zero broadcast joins (the 100 TB degradation path).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    for (name <- Seq("near_dedup_chars", "near_dedup", "containment_pairs")) {
+      val df = SparkEntry.queries(name)(s, sf)
+      df.collect() // AQE finalizes the plan only on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$name still broadcasts with autoBroadcastJoinThreshold=-1")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$name lost its joins entirely")
+    }
+  }
+
+  test("near-dedup funnel still gets AQE runtime broadcasts at small " +
+       "scale (removing the hints cost no small-SF performance)") {
+    val df = SparkEntry.queries("near_dedup_chars")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("join_cardinality_est never runs the estimated join itself") {
     val p = plan("join_cardinality_est")
     // the join being sized would be lineitem x lineitem on partkey;
