@@ -1123,13 +1123,16 @@ object SparkEntry {
         .withColumn("source_files", array_join(col("source_files"), ","))
     }),
 
-    // E5: multimodal binary column + partition-wise (stubbed) decode
+    // E5: multimodal binary column + partition-wise REAL decode (magic-
+    // byte dispatch into the BMP/WAV header parsers; only the unknown-
+    // container slice routes through the disclosed stub branch)
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Tables.documents(s, dir))),
 
-    // E5: aspect-preserving resize geometry over decoded features
+    // E5: aspect-preserving resize geometry over decoded IMAGE features
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizePlan(Multimodal.decodeFeatures(Tables.documents(s, dir)))),
+      Multimodal.resizePlan(Multimodal.decodeFeatures(Tables.documents(s, dir))
+        .filter(col("format") === "image/bmp"))),
 
     // E5: every-Nth-frame sampling of binary payloads (1:many flatMap)
     "multimodal_frames" -> ((s, dir) =>
@@ -4510,12 +4513,35 @@ object SparkEntry {
            TIMESTAMP '2026-01-01 00:00:00' AS load_timestamp,
            'mock://endpoint' AS source_files""",
 
+    // the oracle replays the REAL decoders analytically: BMP rows verify
+    // the parsed width/height/bpp AND the exact file size the encoder
+    // must have produced (header + 4-byte-padded BGR rows); WAV rows
+    // verify rate/channels/bits and the RIFF size arithmetic; only the
+    // doc_id%4=3 slice exercises the disclosed stub branch
     "multimodal_decode" ->
       """SELECT doc_id,
-           CAST(length(text) % 640 AS INT) AS width,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS height,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           'stub/raw' AS format
+           CASE doc_id % 4 WHEN 2 THEN 'audio/wav'
+                WHEN 3 THEN 'application/octet-stream'
+                ELSE 'image/bmp' END AS format,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 16 + doc_id % 32
+                     WHEN doc_id % 4 = 3 THEN length(text) % 640
+                END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 8 + doc_id % 16
+                     WHEN doc_id % 4 = 3 THEN ascii(substr(text, 1, 1))
+                END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 24
+                     WHEN doc_id % 4 = 2 THEN 16 END AS INT) AS bpp,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN
+                  CASE (doc_id % 16) // 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 ELSE 44100 END
+                END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + (doc_id // 4) % 2
+                END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN
+                  54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (8 + doc_id % 16)
+                     WHEN doc_id % 4 = 2 THEN
+                  44 + (100 + doc_id % 400) * (1 + (doc_id // 4) % 2) * 2
+                     ELSE length(text) END AS BIGINT) AS n_bytes
          FROM documents""",
 
     "dq_quarantine" ->
@@ -4606,13 +4632,13 @@ object SparkEntry {
 
     "multimodal_resize" ->
       """SELECT doc_id,
-           CAST(length(text) % 640 AS INT) AS width,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS height,
-           CAST((CAST(length(text) % 640 AS INT) * 224)
-             // greatest(length(text) % 640, ascii(substr(text, 1, 1)), 1) AS INT) AS target_w,
-           CAST((ascii(substr(text, 1, 1)) * 224)
-             // greatest(length(text) % 640, ascii(substr(text, 1, 1)), 1) AS INT) AS target_h
-         FROM documents""",
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST((16 + doc_id % 32) * 224
+             // greatest(16 + doc_id % 32, 8 + doc_id % 16, 1) AS INT) AS target_w,
+           CAST((8 + doc_id % 16) * 224
+             // greatest(16 + doc_id % 32, 8 + doc_id % 16, 1) AS INT) AS target_h
+         FROM documents WHERE doc_id % 4 IN (0, 1)""",
 
     // frames are 64 ASCII bytes (text is pure ASCII: chars == bytes);
     // checksum = byte sum of the sampled frame window

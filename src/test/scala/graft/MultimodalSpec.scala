@@ -62,6 +62,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.phash !== flat.phash)
   }
 
+  test("decodeFeatures dispatches on magic bytes: BMP and WAV rows are " +
+       "REAL-parsed, only the unknown-container slice hits the stub") {
+    // doc_id % 4 selects the payload family: 0,1 -> BMP, 2 -> WAV, 3 -> raw
+    val docs = Seq((4L, "bmp doc", "en"), (5L, "bmp too", "en"),
+      (6L, "wav doc", "en"), (7L, "opaque bytes", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Multimodal.decodeFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val bmp = out(4L) // w = 16+4%32 = 20, h = 8+4%16 = 12, rowSize = 60
+    assert(bmp.getString(1) === "image/bmp")
+    assert(bmp.getInt(2) === 20 && bmp.getInt(3) === 12 && bmp.getInt(4) === 24)
+    assert(bmp.isNullAt(5) && bmp.isNullAt(6))
+    assert(bmp.getLong(7) === 54L + 60 * 12)
+
+    val wav = out(6L) // rate idx (6%16)/4 = 1 -> 16000; ch = 1+(6/4)%2 = 2
+    assert(wav.getString(1) === "audio/wav")
+    assert(wav.isNullAt(2) && wav.isNullAt(3))
+    assert(wav.getInt(4) === 16 && wav.getInt(5) === 16000 && wav.getInt(6) === 2)
+    assert(wav.getLong(7) === 44L + (100 + 6) * 2 * 2)
+
+    val raw = out(7L) // headerless -> disclosed stub branch
+    assert(raw.getString(1) === "application/octet-stream")
+    assert(raw.getInt(2) === "opaque bytes".length % 640)
+    assert(raw.getInt(3) === 'o'.toInt)
+    assert(raw.getLong(7) === "opaque bytes".length.toLong)
+
+    // resize geometry covers exactly the image rows
+    val rs = Multimodal.resizePlan(
+      Multimodal.decodeFeatures(docs).filter(col("format") === "image/bmp"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rs.keySet === Set(4L, 5L))
+    assert(rs(4L).getInt(3) === 224 && rs(4L).getInt(4) === 12 * 224 / 20)
+  }
+
   test("perceptualHash groups identical content; pixelStats is exact") {
     // same (text, dims) -> same pixels -> same phash; doc ids 7 and 519
     // share dims (519 % 32 == 7 % 32, 519 % 16 == 7 % 16) and text
