@@ -1168,6 +1168,13 @@ object SparkEntry {
       graft.streaming.Streaming.streamingDedup(s, eventsBase(s, dir),
         tmp(dir, "stream_dedup_src"))),
 
+    // §2.9: BOUNDED-STATE exact dedup — dropDuplicatesWithinWatermark
+    // under an explicit lateness contract (state evicts past the
+    // watermark; delay wider than the closed feed ⇒ equals DISTINCT)
+    "streaming_dedup_watermark" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingDedupWatermark(s, eventsBase(s, dir),
+        tmp(dir, "stream_dedup_wm_src"))),
+
     // the materialized view maintained LIVE (foreachBatch accumulate;
     // decomposable aggs make the result trigger-slicing-independent)
     "streaming_agg_maintain" -> ((s, dir) =>
@@ -4672,6 +4679,12 @@ object SparkEntry {
 
     // streaming dedup of the doubled feed == the feed itself
     "streaming_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+         FROM events""",
+
+    // bounded-state sibling: delay wider than the closed feed's span ⇒
+    // no late rows, no mid-run eviction ⇒ also exactly the feed
+    "streaming_dedup_watermark" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
          FROM events""",
 

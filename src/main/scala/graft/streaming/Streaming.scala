@@ -536,6 +536,47 @@ object Streaming {
     spark.table(name)
   }
 
+  /** BOUNDED-STATE streaming exact dedup — the production sibling of
+    * [[streamingDedup]] and the repo's own top honest limit (SCALE.md
+    * "What breaks first"): `dropDuplicatesWithinWatermark(event_id)`
+    * under an EXPLICIT lateness contract. The contract: a duplicate is
+    * guaranteed collapsed only if it arrives before the watermark passes
+    * its first copy's event time + `delay`; in exchange the state store
+    * keeps a key only until that point, so state is bounded by the keys
+    * seen in one lateness window — not the feed's lifetime key set.
+    *
+    * Harness determinism (same pattern as [[streamStreamJoin]]): the
+    * closed doubled feed runs with `delay` wider than its event-time
+    * span, so nothing is late, no state expires mid-run, and the append
+    * result equals batch DISTINCT exactly — the oracle. Production
+    * tightens `delay` to the ingest lateness contract with the same
+    * query graph; eviction and late-duplicate drop under a TIGHT delay
+    * are spec-verified via state-store metrics (StreamingSpec).
+    */
+  def streamingDedupWatermark(spark: SparkSession, events: DataFrame,
+                              scratch: String,
+                              delay: String = "365 days"): DataFrame =
+    withStatePartitions(spark, 8) {
+      val src = events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      src.repartition(2).write.mode("overwrite").parquet(scratch)
+      src.repartition(2).write.mode("append").parquet(scratch) // re-ingest dup copy
+
+      val name = nextName("graft_dedup_wm")
+      val query = spark.readStream
+        .schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+
+      query.processAllAvailable()
+      query.stop()
+      spark.table(name)
+    }
+
   /** Stream-stream interval join (the missing join shape after
     * stream-static [[streamingEnrich]]): purchases join views of the same
     * user where the purchase lands within [view_ts, view_ts + windowSec].

@@ -27,6 +27,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() === events.count())
   }
 
+  test("streamingDedupWatermark of the doubled feed equals the feed " +
+       "(delay wider than the span: the closed-feed exactness contract)") {
+    val out = Streaming.streamingDedupWatermark(spark, events, scratch("wmdedup"))
+    assert(out.count() === events.count())
+    assert(out.select("event_id").distinct().count() === events.count())
+  }
+
+  test("dropDuplicatesWithinWatermark under a TIGHT delay: state evicts " +
+       "past the watermark and a late duplicate is dropped — the bounded-" +
+       "state contract streaming_dedup_watermark ships under") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmtight").toString
+    // base well above epoch: the initial watermark is epoch 0, so rows AT
+    // epoch 0 would count as late before any data has been seen
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(h: Int) = new Timestamp(base + h * 3600000L)
+    def write(rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("event_id", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+
+    // batch 1: keys 1..50 at hour 0, plus an in-window duplicate of key 1
+    write((1L to 50L).map(k => (k, ts(0))) :+ (1L, ts(0)))
+    val name = "graft_wm_tight"
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: hour 100 advances the watermark to ~hour 99
+      write(Seq((1000L, ts(100))))
+      q.processAllAvailable()
+      // batch 3: duplicate of key 2 arrives LATE (hour 0 << watermark):
+      // dropped by the watermark, not re-emitted; fresh key rides along
+      write(Seq((2L, ts(0)), (2000L, ts(101))))
+      q.processAllAvailable()
+      // batch 4: one more tick so eviction of the hour-0 keys commits
+      write(Seq((3000L, ts(102))))
+      q.processAllAvailable()
+
+      val outn = spark.table(name).count()
+      assert(outn === 53L) // 50 first-copies + 1000, 2000, 3000; no dup of 1 or 2
+      assert(spark.table(name).filter(col("event_id") === 2L).count() === 1L)
+
+      val stateProgress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      // the late duplicate was dropped by the watermark, not state lookup
+      assert(stateProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum >= 1L)
+      // bounded state: the hour-0 keys (51 state rows) are GONE — only
+      // keys inside the lateness window remain
+      val lastState = stateProgress.last.stateOperators.head.numRowsTotal
+      assert(lastState < 10L,
+        s"state still holds $lastState rows; eviction did not engage")
+    } finally q.stop()
+  }
+
   test("windowedCounts equals the batch window aggregation") {
     val out = Streaming.windowedCounts(spark, events, scratch("win"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
