@@ -2200,6 +2200,15 @@ object SparkEntry {
         .select(col("event_id"), col("g").as("event_type"), col("value"),
           col("med"), col("mad"))),
 
+    // the approx_percentile swap for unbounded-cardinality metrics:
+    // output is the per-group GK rank-bound contract (true for ANY
+    // conforming sketch), since DuckDB cannot replay Spark's sketch
+    "mad_outliers_approx" -> ((s, dir) =>
+      Profile.madOutliersApproxContract(eventsBase(s, dir),
+        group = col("event_type"), value = col("value"))
+        .select(col("g").as("event_type"), col("n"),
+          col("med_in_bound"), col("mad_in_bound"))),
+
     // BPE trainer's first merge iteration: corpus-wide within-word
     // character-pair counts, top-50 (count desc, pair asc)
     "bpe_pairs" -> ((s, dir) =>
@@ -6107,6 +6116,14 @@ object SparkEntry {
          SELECT event_id, g AS event_type, value, med, mad
          FROM dev JOIN mad USING (g)
          WHERE absdev > 3 * mad""",
+
+    // the GK guarantee makes both bounds provably TRUE for any
+    // conforming sketch — the oracle predicts the contract, not the
+    // (engine-specific) sketch values
+    "mad_outliers_approx" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS med_in_bound, TRUE AS mad_in_bound
+         FROM events GROUP BY 1""",
 
     // same within-word bigram expansion and (count desc, pair asc) rank
     "bpe_pairs" ->

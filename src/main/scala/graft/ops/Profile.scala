@@ -122,6 +122,54 @@ object Profile {
         col("med") :+ col("mad"): _*)
   }
 
+  /** [[madOutliers]] with `approx_percentile` — the documented swap for
+    * UNBOUNDED-cardinality metrics, where exact `percentile`'s per-group
+    * distinct-value multiset would grow without bound. The sketch (GK /
+    * QuantileSummaries) holds O(1/ε · log(εn)) entries per group and
+    * merges map-side, so the plan keeps [[madOutliers]]'s exact shape
+    * (two grouped aggregations + broadcast joins back) with bounded
+    * aggregation state — the 100 TB form.
+    *
+    * Output contract: a cross-engine oracle cannot replay another
+    * engine's sketch, so the REGISTERED result is the per-group GK rank
+    * guarantee, checked inside the query: approx_percentile(p, acc)
+    * must return an element whose rank r in the group's multiset
+    * satisfies floor((p−1/acc)·n) ≤ r ≤ ceil((p+1/acc)·n). The booleans
+    * are provably true for ANY conforming sketch output (they do not
+    * depend on which in-bound element the sketch picked), making the row
+    * deterministic even though the sketch value itself need not be.
+    * Numeric closeness of the approx median/MAD to the exact op is
+    * separately property-tested against the ε-rank window of the exact
+    * order statistics (Round8OpsSpec).
+    */
+  def madOutliersApproxContract(df: DataFrame, group: Column, value: Column,
+                                accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val cents = round(value * lit(100)).cast("long")
+    val rows = df.select(group.as("g"), cents.as("xc"))
+    val med = rows.groupBy(col("g"))
+      .agg(percentile_approx(col("xc"), lit(0.5), lit(accuracy)).as("med"),
+        count(lit(1)).as("n"))
+    val dev = rows.join(broadcast(med), "g")
+      .withColumn("absdev", abs(col("xc").cast("double") - col("med")))
+    val mad = dev.groupBy(col("g"))
+      .agg(percentile_approx(col("absdev"), lit(0.5), lit(accuracy)).as("mad"))
+    // rank window of the returned element: [lo+1, le] (ties included)
+    val ranks = dev.join(broadcast(mad), "g")
+      .groupBy(col("g"), col("n"), col("med"), col("mad"))
+      .agg(
+        sum(when(col("xc") < col("med"), 1L).otherwise(0L)).as("med_lo"),
+        sum(when(col("xc") <= col("med"), 1L).otherwise(0L)).as("med_le"),
+        sum(when(col("absdev") < col("mad"), 1L).otherwise(0L)).as("mad_lo"),
+        sum(when(col("absdev") <= col("mad"), 1L).otherwise(0L)).as("mad_le"))
+    def inBound(lo: Column, le: Column, n: Column) =
+      (lo + lit(1L) <= ceil((lit(0.5) + lit(eps)) * n)) &&
+        (le >= floor((lit(0.5) - lit(eps)) * n))
+    ranks.select(col("g"), col("n"),
+      inBound(col("med_lo"), col("med_le"), col("n")).as("med_in_bound"),
+      inBound(col("mad_lo"), col("mad_le"), col("n")).as("mad_in_bound"))
+  }
+
   /** Distribution-drift report between two row populations (side 0 vs
     * side 1) over a bucketed metric: per-bucket counts, shares, and the
     * absolute share gap — the per-bin body of a PSI/TVD drift monitor,
