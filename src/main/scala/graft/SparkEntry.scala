@@ -2317,6 +2317,31 @@ object SparkEntry {
           .cast(DecimalType(28, 10))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)),
 
+    // TPC-H Q9 shape (profit per supplier-nation per order-year): the
+    // last classic multi-join analytics shape — lineitem joined to a
+    // LIKE-filtered part, supplier, orders, and nation. The testdata has
+    // no partsupp table, so supply cost is the part's retail price at a
+    // fixed 10% margin — same join graph, filter placement, and agg
+    // shape as Q9. Part (post-LIKE, small) and nation broadcast; the
+    // fact side shuffles once per join key and AQE reorders/broadcasts
+    // the rest. Profit accumulates in DECIMAL(28,10) from per-row
+    // double-exact products (the Q5 pattern).
+    "sql_q9_profit" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("%bolt%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * lit(0.1) * col("l_quantity"))
+          .cast(DecimalType(28, 10))).cast("double").as("profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)),
+
     // SCD2 point-in-time lookup: each purchase resolves the view-version
     // whose [valid_from, valid_to) interval covers its timestamp — the
     // interval-join complement to the as-of operators (disjoint validity
@@ -6270,6 +6295,20 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name""",
+
+    "sql_q9_profit" ->
+      """SELECT n_name AS nation,
+           CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         - p_retailprice * 0.1 * l_quantity
+                    AS DECIMAL(28,10))) AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
 
     "scd2_lookup" ->
       s"""WITH base AS ($evBase),

@@ -87,7 +87,8 @@ object Plans {
     "sql_lateral_topk" -> "LATERAL LIMIT subquery decorrelated to per-group window/limit",
     "listagg_ordered" -> "WindowGroupLimit top-5 pre-prune; sorted-struct listagg, one key shuffle",
     "merge_full_sync" -> "one full-outer key join; action tagging is a pure projection",
-    "unpivot_melt" -> "Catalyst Expand over the 5-row aggregate; one scan, no join")
+    "unpivot_melt" -> "Catalyst Expand over the 5-row aggregate; one scan, no join",
+    "sql_q9_profit" -> "Q9-shape 5-table join: LIKE-filtered part + nation broadcast; fact shuffles once per key; no cartesian")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
