@@ -45,7 +45,10 @@ object Distribute {
     *
     * (AQE's skew-join handles moderate skew automatically; explicit
     * salting is for the pathological hot-key case AQE can't split, e.g.
-    * a single key exceeding one executor's memory.)
+    * a single key exceeding one executor's memory. That AQE path is
+    * PROVED, not assumed: PlanShapeSpec's "AQE splits a skewed
+    * shuffle-join partition" case runs a hot-key join with lowered skew
+    * thresholds and asserts `skew=true` in the final adaptive plan.)
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  bigSalt: Column, salts: Int): DataFrame = {
