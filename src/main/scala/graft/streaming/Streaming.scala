@@ -32,7 +32,17 @@ object Streaming {
   private val events5Cols =
     Seq("event_id", "ts", "user_id", "event_type", "value")
 
-  private val fixturesWritten = scala.collection.mutable.HashSet[String]()
+  /** path → fingerprint of what was written there (projection schema +
+    * canonicalized input plan). Keying by PATH ALONE was an advisor
+    * finding: a caller reusing a path with different input would
+    * silently stream the stale fixture — and because the stream declares
+    * the caller's schema, a missing column would read back as NULLs
+    * (silent wrong results) rather than erroring. The fingerprint makes
+    * reuse semantic: same input plan + schema → reuse; anything else →
+    * rewrite. Canonicalized-plan equality is sound for these
+    * deterministic batch reads and costs no execution.
+    */
+  private val fixturesWritten = scala.collection.mutable.HashMap[String, String]()
 
   /** File-backed stream over ONE SHARED events fixture: the 5-column
     * projection is written once per JVM per path and reused by every
@@ -54,10 +64,12 @@ object Streaming {
     // fixture at their own path — per-path content stays deterministic
     val present = events.columns.toSet
     val src = events.select(events5Cols.filter(present).map(col): _*)
+    val fingerprint = src.schema.toDDL + "|" +
+      src.queryExecution.analyzed.canonicalized.toString
     synchronized {
-      if (!fixturesWritten.contains(scratch)) {
+      if (!fixturesWritten.get(scratch).contains(fingerprint)) {
         src.repartition(3).write.mode("overwrite").parquet(scratch)
-        fixturesWritten += scratch
+        fixturesWritten(scratch) = fingerprint
       }
     }
     spark.readStream.schema(src.schema)

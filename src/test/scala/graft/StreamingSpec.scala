@@ -21,6 +21,22 @@ class StreamingSpec extends AnyFunSuite {
     .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
       col("value"), col("props"))
 
+  test("fixture cache is semantic, not path-keyed: reusing a scratch " +
+       "path with DIFFERENT input rewrites the fixture (no stale reuse, " +
+       "no silent NULL columns)") {
+    val dir = scratch("refresh")
+    val half = events.filter(col("event_id") % 2 === 0)
+    val first = Streaming.streamingDedup(spark, half, dir)
+    assert(first.count() === half.count())
+    // same path, full feed: a path-keyed cache would stream the stale
+    // half-feed fixture and silently undercount
+    val second = Streaming.streamingDedup(spark, events, dir)
+    assert(second.count() === events.count())
+    // and same path + same input reuses without rewriting (still correct)
+    val third = Streaming.streamingDedup(spark, events, dir)
+    assert(third.count() === events.count())
+  }
+
   test("streamingDedup of the doubled feed equals the feed") {
     val out = Streaming.streamingDedup(spark, events, scratch("dedup"))
     assert(out.count() === events.count())
