@@ -232,6 +232,26 @@ object SparkEntry {
         group = col("l_returnflag"), value = col("l_extendedprice"),
         weight = col("l_quantity"))),
 
+    // deterministic bottom-k-by-hash quantile sketch: O(k) per-group
+    // state, WindowGroupLimit-pruned, oracle replays it bit-for-bit
+    "sketch_quantiles" -> ((s, dir) =>
+      Profile.sketchQuantiles(Tables.lineitem(s, dir),
+        group = col("l_returnflag"),
+        id = col("l_orderkey") * 8 + col("l_linenumber"),
+        value = col("l_extendedprice"))
+        .withColumnRenamed("g", "l_returnflag")),
+
+    // same answer computed the INCREMENTAL way: independent per-shard
+    // sketches merged by re-taking the k smallest hashes — registered
+    // against the SAME oracle as sketch_quantiles, so the hash-match IS
+    // the executed mergeability proof
+    "sketch_quantiles_merged" -> ((s, dir) =>
+      Profile.sketchQuantilesMerged(Tables.lineitem(s, dir),
+        group = col("l_returnflag"),
+        id = col("l_orderkey") * 8 + col("l_linenumber"),
+        value = col("l_extendedprice"))
+        .withColumnRenamed("g", "l_returnflag")),
+
     // k=3 core of the customer-supplier graph, iterative degree peel
     "k_core" -> ((s, dir) => {
       val edges = Tables.orders(s, dir)
@@ -1319,6 +1339,19 @@ object SparkEntry {
         bigSalt = col("event_id"), salts = 8)
     }),
 
+    // NULL-key bypass left join on a sparse FK (60% nulls by a
+    // deterministic rule): null rows never enter the shuffle; result ==
+    // the plain left join the oracle runs
+    "null_skew_join" -> ((s, dir) => {
+      val probe = eventsBase(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(5)) < 3, col("user_id"))
+            .otherwise(lit(null).cast("long")).as("fk"))
+      val build = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Distribute.nullSkewLeftJoin(probe, build, "fk", "c_custkey")
+    }),
+
     // co-located bucketed join (no exchange in the join plan)
     "bucketed_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -2342,6 +2375,25 @@ object SparkEntry {
           .cast(DecimalType(28, 10))).cast("double").as("profit"))
         .orderBy(col("nation").asc, col("o_year").desc)),
 
+    // TPC-H Q13 shape (customer order-count distribution): left outer
+    // join with an ON-clause filter, then a two-level aggregation. The
+    // per-customer count reuses the join's c_custkey hash partitioning
+    // (zero extra shuffle); the distribution agg is |distinct counts|
+    // rows. Filtering orders BEFORE the left join == the ON-clause
+    // placement (customers whose only orders are excluded count as 0).
+    "sql_q13_custdist" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // SCD2 point-in-time lookup: each purchase resolves the view-version
     // whose [valid_from, valid_to) interval covers its timestamp — the
     // interval-join complement to the as-of operators (disjoint validity
@@ -2401,6 +2453,29 @@ object SparkEntry {
     */
   private val evBase =
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+  private val sketchQuantilesOracle =
+    """WITH b AS (SELECT l_returnflag AS g,
+             l_orderkey * 8 + l_linenumber AS id,
+             (l_orderkey * 8 + l_linenumber) * 1000003 % 1000000007 AS h,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+         s AS (SELECT g, id, c,
+             row_number() OVER (PARTITION BY g ORDER BY h ASC, id ASC) AS rk
+           FROM b),
+         t AS (SELECT g, id, c,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY c ASC, id ASC)
+               AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM s WHERE rk <= 256)
+       SELECT g AS l_returnflag, max(n) AS sample_n,
+         CAST(min(CASE WHEN i * 4 >= n THEN c END) AS DOUBLE) / 100.0 AS p25,
+         CAST(min(CASE WHEN i * 2 >= n THEN c END) AS DOUBLE) / 100.0 AS p50,
+         CAST(min(CASE WHEN i * 4 >= n * 3 THEN c END) AS DOUBLE) / 100.0
+           AS p75,
+         CAST(min(CASE WHEN i * 20 >= n * 19 THEN c END) AS DOUBLE) / 100.0
+           AS p95
+       FROM t GROUP BY g"""
 
   private val latestWin =
     "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)"
@@ -3261,6 +3336,14 @@ object SparkEntry {
            CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN c END) AS DOUBLE)
              / 100.0 AS p75
          FROM cu GROUP BY 1""",
+
+    // the oracle replays the deterministic bottom-k-by-hash sample and
+    // its order statistics bit-for-bit
+    "sketch_quantiles" -> sketchQuantilesOracle,
+
+    // SAME oracle on purpose: merged per-shard sketches must equal the
+    // global sketch (KMV merge identity) — the hash-match executes it
+    "sketch_quantiles_merged" -> sketchQuantilesOracle,
 
     // unrolled peel; idempotent at fixpoint so extra rounds are no-ops
     "k_core" -> Graph.kCoreOracleSql(
@@ -4824,6 +4907,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey""",
 
+    // the plain left join the bypass is algebraically equal to
+    "null_skew_join" ->
+      """SELECT event_id, event_type,
+           CASE WHEN event_id % 5 < 3 THEN user_id END AS fk,
+           c_custkey, c_mktsegment
+         FROM events LEFT JOIN customer
+           ON (CASE WHEN event_id % 5 < 3 THEN user_id END) = c_custkey""",
+
     "bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
                 l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -6309,6 +6400,15 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%bolt%'
          GROUP BY 1, 2""",
+
+    "sql_q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c_custkey) t
+         GROUP BY c_count""",
 
     "scd2_lookup" ->
       s"""WITH base AS ($evBase),

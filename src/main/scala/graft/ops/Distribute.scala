@@ -58,6 +58,35 @@ object Distribute {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** NULL-key bypass for LEFT OUTER joins on a sparse foreign key — the
+    * third standard skew shape beside hot keys and small files. An inner
+    * join gets `IsNotNull` pushed down by Catalyst for free, but a left
+    * outer join must RETAIN null-key probe rows, and `hash(null)` is a
+    * constant: every null-key row lands in ONE reducer partition of the
+    * shuffle. On a 30%-null FK over 10¹⁰ rows that partition is 3·10⁹
+    * rows sort-merging against nothing (AQE can split it, but each
+    * split still sorts rows that cannot match by definition). The fix is
+    * algebraic, not adaptive: null-key rows can never match, so route
+    * them AROUND the join as a pure projection with null-extended build
+    * columns, and join only the non-null rows. Result is identical to
+    * the plain left join; only the nulls' path changes — they never
+    * enter a shuffle at all.
+    *
+    * `leftKey` must be a column of `left` named `keyName`; `right`'s
+    * columns must not collide with `left`'s (standard join hygiene —
+    * select/alias upstream).
+    */
+  def nullSkewLeftJoin(left: DataFrame, right: DataFrame,
+                       keyName: String, rightKey: String): DataFrame = {
+    val matched = left.filter(col(keyName).isNotNull)
+      .join(right, col(keyName) === col(rightKey), "left")
+    val bypass = right.schema.fields.foldLeft(
+      left.filter(col(keyName).isNull)) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    matched.unionByName(bypass)
+  }
+
   /** Z-order (Morton) value of two non-negative integer keys: bits of
     * `a` and `b` interleaved, so rows close in BOTH dimensions get close
     * z values. Sorting/range-partitioning the table by z before writing

@@ -1227,4 +1227,93 @@ object Profile {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group bottom-k ROW sample: the k rows whose portable id hash is
+    * smallest — [[kmvSketch]]'s KMV trick pointed at row identity
+    * instead of distinct values, giving a uniform, partition-independent,
+    * fully DETERMINISTIC sample of each group. Unlike reservoir sampling
+    * (order-dependent) or `rand()` (irreproducible), the same corpus
+    * always yields the same sample on any cluster layout, so a SQL
+    * oracle replays it bit-for-bit. It is also MERGEABLE:
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — the property
+    * that lets per-shard sketches combine into the global sketch without
+    * rescanning ([[sketchQuantilesMerged]] executes that identity; a
+    * property spec proves it).
+    *
+    * Scale: `k` is a literal, so the row_number filter compiles to a
+    * WindowGroupLimit — each map task forwards at most k rows per group
+    * to the shuffle, making per-group cost O(k) regardless of corpus
+    * size (the same prune [[Shard.mixtureSample]] relies on).
+    */
+  private[graft] def bottomKSample(df: DataFrame, group: Column, id: Column,
+                                   value: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("h").asc, col("id").asc)
+    df.select(group.as("g"), id.as("id"), Shard.portableHash(id).as("h"),
+        round(value * lit(100)).cast("long").as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Approximate per-group quantiles from the [[bottomKSample]] sketch:
+    * exact integer-rank order statistics OF THE SAMPLE (the
+    * [[weightedQuantiles]] `4·i >= n` comparisons — no interpolation, no
+    * division), reported beside the sample size. Rank error is the
+    * binomial sampling error ~ sqrt(q(1−q)/k); k=256 puts 3σ under ±0.1
+    * of rank — the "is p95 latency roughly 40 or roughly 400" class of
+    * answer a 100 TB scan can produce from k rows per group. Groups
+    * smaller than k are retained whole, so their quantiles are EXACT.
+    */
+  def sketchQuantiles(df: DataFrame, group: Column, id: Column,
+                      value: Column, k: Int = 256): DataFrame =
+    quantilesOfSample(bottomKSample(df, group, id, value, k))
+
+  private def quantilesOfSample(sample: DataFrame): DataFrame = {
+    val ws = Window.partitionBy(col("g")).orderBy(col("c").asc, col("id").asc)
+    val wg = Window.partitionBy(col("g"))
+    sample
+      .withColumn("i", row_number().over(ws).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .groupBy(col("g")).agg(
+        max(col("n")).as("sample_n"),
+        min(when(col("i") * 4 >= col("n"), col("c"))).as("p25c"),
+        min(when(col("i") * 2 >= col("n"), col("c"))).as("p50c"),
+        min(when(col("i") * 4 >= col("n") * 3, col("c"))).as("p75c"),
+        min(when(col("i") * 20 >= col("n") * 19, col("c"))).as("p95c"))
+      .select(col("g"), col("sample_n"),
+        (col("p25c").cast("double") / lit(100.0)).as("p25"),
+        (col("p50c").cast("double") / lit(100.0)).as("p50"),
+        (col("p75c").cast("double") / lit(100.0)).as("p75"),
+        (col("p95c").cast("double") / lit(100.0)).as("p95"))
+  }
+
+  /** The merge path: build an independent bottom-k sketch per
+    * (group, shard) — as per-source or per-day ingest would — then
+    * combine shard sketches by re-taking the k smallest hashes of their
+    * union. By the KMV merge identity the result EQUALS the global
+    * sketch, so this op registers against the SAME oracle SQL as
+    * [[sketchQuantiles]]: the green hash-match is the mergeability
+    * proof, executed. At 100 TB this is the incremental shape — each
+    * ingest batch contributes a k-row sketch; history is never
+    * rescanned, and the merge input is |shards|·k rows per group.
+    */
+  def sketchQuantilesMerged(df: DataFrame, group: Column, id: Column,
+                            value: Column, k: Int = 256,
+                            shards: Int = 4): DataFrame = {
+    val wShard = Window.partitionBy(col("g"), col("shard"))
+      .orderBy(col("h").asc, col("id").asc)
+    val perShard = df
+      .select(group.as("g"), id.as("id"), Shard.portableHash(id).as("h"),
+        round(value * lit(100)).cast("long").as("c"))
+      .withColumn("shard", pmod(col("id"), lit(shards)))
+      .withColumn("rk", row_number().over(wShard))
+      .filter(col("rk") <= k)
+      .drop("rk", "shard")
+    val wMerge = Window.partitionBy(col("g")).orderBy(col("h").asc, col("id").asc)
+    val merged = perShard
+      .withColumn("rk", row_number().over(wMerge))
+      .filter(col("rk") <= k)
+      .drop("rk")
+    quantilesOfSample(merged)
+  }
 }

@@ -3,13 +3,80 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Profile
+import graft.ops.{Distribute, Profile}
 
-/** Round-8 operator additions: the approx-percentile MAD sibling. */
+/** Round-8 operator additions: the approx-percentile MAD sibling, the
+  * deterministic bottom-k quantile sketch, and the NULL-skew join
+  * bypass.
+  */
 class Round8OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val sf = "/root/testdata/sf0.001"
+
+  private def lineitem = Tables.lineitem(spark, sf)
+  private def rowId = col("l_orderkey") * 8 + col("l_linenumber")
+
+  test("sketchQuantiles: mergeability holds for ANY shard count (merged " +
+       "per-shard sketches == the global sketch), and sub-k groups are " +
+       "exact") {
+    val global = Profile.sketchQuantiles(lineitem, col("l_returnflag"),
+      rowId, col("l_extendedprice")).collect().sortBy(_.getString(0))
+    for (shards <- Seq(2, 7, 16)) {
+      val merged = Profile.sketchQuantilesMerged(lineitem,
+        col("l_returnflag"), rowId, col("l_extendedprice"),
+        shards = shards).collect().sortBy(_.getString(0))
+      assert(merged.map(_.toString).toSeq === global.map(_.toString).toSeq,
+        s"merge identity violated at shards=$shards")
+    }
+    // a group smaller than k is retained whole -> quantiles are EXACT
+    val tiny = Profile.sketchQuantiles(
+      lineitem.limit(40), lit("all"), rowId, col("l_extendedprice"), k = 256)
+      .collect()
+    assert(tiny.head.getLong(1) === 40) // sample_n == group size
+  }
+
+  test("sketchQuantiles: sample p50 lands inside the exact [p35, p65] " +
+       "rank window (3-sigma binomial bound at k=256)") {
+    val est = Profile.sketchQuantiles(lineitem, col("l_returnflag"),
+      rowId, col("l_extendedprice"))
+      .select(col("g"), col("p50"))
+    val exact = lineitem
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy(col("g"))
+      .agg(percentile(col("c"), lit(0.35)).as("qlo"),
+        percentile(col("c"), lit(0.65)).as("qhi"))
+    val bad = est.join(exact, "g")
+      .filter(col("p50") * 100 < col("qlo") || col("p50") * 100 > col("qhi"))
+      .collect()
+    assert(bad.isEmpty, s"sample median outside rank window: ${bad.mkString}")
+  }
+
+  test("sketch_quantiles plan: the literal-k filter compiles to a " +
+       "WindowGroupLimit prune (O(k) rows per group reach the shuffle)") {
+    val p = SparkEntry.queries("sketch_quantiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("nullSkewLeftJoin == the plain left join, and the executed plan " +
+       "joins only the non-null branch (one join, null rows bypass)") {
+    val probe = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(5)) < 3, col("user_id"))
+          .otherwise(lit(null).cast("long")).as("fk"))
+    val build = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ours = Distribute.nullSkewLeftJoin(probe, build, "fk", "c_custkey")
+    val plain = probe.join(build, col("fk") === col("c_custkey"), "left")
+    assert(ours.count() === plain.count())
+    assert(ours.exceptAll(plain).isEmpty && plain.exceptAll(ours).isEmpty)
+    val p = ours.queryExecution.executedPlan.toString
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size === 1, p)
+    assert(p.contains("Union"), p)
+  }
 
   test("madOutliersApproxContract: GK rank bounds hold even at coarse " +
        "accuracy, and the approx median lands inside the ε-rank window " +
