@@ -30,6 +30,13 @@ object Assoc {
     * user-as-basket, session-as-basket — where one hot key would emit
     * sz² pairs. The `row_number <= cap` filter compiles to
     * WindowGroupLimit (map-side pre-prune before the pair join).
+    *
+    * PRECONDITION (same contract as [[Graph.linkPredict]]): item ids
+    * must be numeric and below ~2^31.5 — `cast("long")` throws on
+    * non-numeric ids under ANSI mode, and ids above that bound overflow
+    * the 64-bit multiplicative-hash product. For string or unbounded
+    * ids, order by `xxhash64(col("i"))` instead (not the default only
+    * because the Knuth scheme is what the DuckDB oracles replay).
     */
   private def capBaskets(items: DataFrame, cap: Int): DataFrame = {
     val ord = org.apache.spark.sql.expressions.Window

@@ -60,6 +60,13 @@ object Merge {
     * scan; deleted rows carry the TARGET's columns, everything else the
     * source's. NULL keys never match (SQL semantics): a NULL-keyed
     * target row deletes, a NULL-keyed source row inserts.
+    *
+    * PRECONDITIONS: (1) keys are unique on BOTH sides — SQL MERGE
+    * raises on a multi-match; this full-outer formulation would instead
+    * silently fan rows out (dedup first, e.g. [[Dedup.dedupLatest]], if
+    * the feed can repeat keys). (2) the target's schema is a superset
+    * of the source's non-key columns — a missing target column fails
+    * analysis (as an unresolved `__t_<col>` attribute) at plan time.
     */
   def mergeFullSync(target: DataFrame, source: DataFrame,
                     keys: Seq[String]): DataFrame = {

@@ -218,7 +218,8 @@ class Wave25Spec extends AnyFunSuite {
     assert(med(Seq(1.0, 2.0, 3.0, 4.0)) === ((4L, 200L)))  // even → lower
     assert(med(Seq(5.0, 5.0, 5.0, 9.0)) === ((4L, 500L)))  // ties
     // k lands exactly on a bucket boundary (bucket = 300 cents):
-    // values 1.00..6.00, k=3 → 300 cents is the LAST value of bucket 0
+    // values 1.00..6.00, k=3 → 300/300 = 1, so 300 cents is the FIRST
+    // value of bucket 1 and the rank-k row is found there (offset 1)
     assert(med((1 to 6).map(_.toDouble)) === ((6L, 300L)))
   }
 
