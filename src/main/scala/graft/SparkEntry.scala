@@ -804,6 +804,26 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_size"))
     }),
 
+    // E1-scale: same clusters via ALTERNATING LARGE/SMALL-STAR
+    // contraction (diameter-independent O(log n) rounds vs label
+    // propagation's O(diameter)) — the published scale path for
+    // duplicate-chain graphs; identical oracle as dedup_clusters
+    // because the fixed point is the same min-per-component labeling
+    "cc_star" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = TextDedup.nearDupJaccard(d)
+      val labels = Graph.connectedComponentsStar(s,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .withColumnRenamed("node", "doc_id")
+      val all = d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      all.withColumn("cluster_size", count(lit(1)).over(w))
+    }),
+
     // E1: SimHash fingerprints (bit-vote fold mirrored in the oracle)
     "simhash" -> ((s, dir) =>
       TextDedup.simHash(Tables.documents(s, dir))),
@@ -1925,6 +1945,135 @@ object SparkEntry {
           col("op"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts"), col("value"))
+    }),
+
+    // SQL surface: TPC-H Q20 shape — semi-join driven by a NESTED
+    // aggregate comparison (suppliers who shipped an ABOVE-AVERAGE
+    // share of a LIKE-filtered part's total; exact by
+    // cross-multiplication: sq * n_suppliers > total). The part filter
+    // prunes lineitem FIRST (broadcastable dim), both aggregates reuse
+    // the same pruned scan, and the final semi-join touches supplier
+    // once — no correlated re-execution per row.
+    "sql_q20_shape" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))
+      val l = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity") * 100).cast("long").as("q_cents"))
+      val perSupp = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q_cents")).as("sq"))
+      val perPart = l.groupBy(col("l_partkey"))
+        .agg(sum(col("q_cents")).as("tq"),
+          countDistinct(col("l_suppkey")).as("ns"))
+      val dominant = perSupp.join(perPart, "l_partkey")
+        .filter(col("sq") * col("ns") > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // SQL surface: TPC-H Q22 shape — global scalar cutoff (avg positive
+    // balance, exact by cross-multiplication in cents: bal*n > sum) +
+    // NOT EXISTS anti-join against RECENT orders (every customer in the
+    // synthetic data has *some* order, so Q22's "no orders at all" is
+    // vacuous; "gone quiet since 2000" keeps the shape non-degenerate)
+    // + group. The 1-row cutoff is the doctrine's legal broadcast; the
+    // anti-join shuffles on the join key only, after the date filter
+    // prunes the orders side at the scan.
+    "sql_q22_balance" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val thr = c.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("s_pos"), count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("bal_cents") * col("n_pos") > col("s_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
+
+    // SQL surface: TPC-H Q15 shape — scalar-max-of-view equality join
+    // (top supplier by windowed revenue). The revenue view is computed
+    // ONCE; its 1-row max is the doctrine's legal broadcast back onto
+    // itself (Catalyst reuses the aggregation exchange), so the corpus
+    // is scanned once and nothing corpus-sized moves twice. Revenue in
+    // exact integer milli-cents: price_cents × (100 − disc_pct) —
+    // bit-reproducible in both engines, so the max-equality join has
+    // no IEEE tie ambiguity. Ties all surface (TPC-H semantics).
+    "sql_q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_mc"))
+      val mx = rev.agg(max(col("total_revenue_mc")).as("mx"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue_mc") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_mc"))
+    }),
+
+    // SQL surface: TPC-H Q18 shape — HAVING-driven IN subquery (large-
+    // volume orders). The qualifying-key set comes from one lineitem
+    // aggregation (quantity in exact cents); the left-semi join back
+    // onto orders⋈customer probes that set — at scale AQE broadcasts
+    // the (rare) qualifying keys, and the detail re-aggregation reuses
+    // the l_orderkey partitioning of the semi-joined scan.
+    "sql_q18_large_volume" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("q_cents"))
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("q_cents")).as("sumq"))
+        .filter(col("sumq") > lit(30000L))
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .agg(sum(col("q_cents")).as("total_q_cents"))
+    }),
+
+    // SQL surface: TPC-H Q19 shape — disjunctive (OR-of-ANDs) join
+    // predicate. Catalyst extracts the COMMON l_partkey = p_partkey
+    // equi-key so this stays a hash join (not a cartesian with a
+    // residual), pushes the brand/size disjunction down to the part
+    // scan and the quantity bounds to the lineitem scan (each
+    // disjunct's per-side conjuncts OR-ed: quantity ∈ [1,50] here —
+    // weakest precondition, still a scan-level filter), and evaluates
+    // the full disjunction as the join residual. Revenue in exact
+    // milli-cents.
+    "sql_q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+      val cases =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cases)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev_mc")).as("revenue_mc"),
+          count(lit(1)).as("n_items"))
     }),
 
     // integer-exact PageRank over the customer–supplier order graph:
@@ -4463,6 +4612,24 @@ object SparkEntry {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lbl""",
 
+    // star-contraction components reach the SAME fixed point as label
+    // propagation (min id per component) — identical oracle
+    "cc_star" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         lbl AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+                 FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+                 GROUP BY d.doc_id)
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
+
     // connected components + portable-hash split of the CANONICAL id
     "split_by_cluster" ->
       s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($nearDupOracle)),
@@ -6400,6 +6567,83 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%bolt%'
          GROUP BY 1, 2""",
+
+    "sql_q20_shape" ->
+      """WITH l AS (SELECT l_partkey, l_suppkey,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS q_cents
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE p_name LIKE '%bolt%'),
+         ps AS (SELECT l_partkey, l_suppkey,
+                  CAST(sum(q_cents) AS BIGINT) AS sq
+                FROM l GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, CAST(sum(q_cents) AS BIGINT) AS tq,
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns
+                 FROM l GROUP BY 1)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT DISTINCT l_suppkey FROM ps JOIN tot USING (l_partkey)
+           WHERE sq * ns > tq)""",
+
+    "sql_q22_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+               FROM customer),
+         t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+               FROM c WHERE bal_cents > 0)
+         SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+         FROM c, t
+         WHERE bal_cents * n_pos > s_pos
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND CAST(o.o_orderdate AS DATE)
+                                 >= DATE '2000-01-01')
+         GROUP BY 1""",
+
+    "sql_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS total_revenue_mc
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue_mc
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_revenue_mc = (SELECT max(total_revenue_mc) FROM rev)""",
+
+    "sql_q18_large_volume" ->
+      """WITH l AS (SELECT l_orderkey,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS q_cents
+               FROM lineitem)
+         SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           CAST(sum(q_cents) AS BIGINT) AS total_q_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN l ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM l
+                              GROUP BY 1 HAVING sum(q_cents) > 30000)
+         GROUP BY 1, 2, 3""",
+
+    "sql_q19_disjunctive" ->
+      """SELECT p_brand,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_mc,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 50)
+         GROUP BY 1""",
 
     "sql_q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

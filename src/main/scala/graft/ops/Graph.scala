@@ -592,6 +592,113 @@ object Graph {
     * deterministic per-center degree cap (identical multiplicative-hash
     * order), wedge counting, non-edge anti-join, and one rounded
     * division. */
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the diameter-INDEPENDENT sibling of
+    * [[graft.ops.TextDedup.dedupClusters]]'s min-label propagation.
+    * Label propagation needs O(diameter) rounds: a 10⁶-node path graph
+    * (duplicate chains produce exactly these) needs 10⁶ joins. The
+    * star algorithm contracts the graph itself — each round rewires
+    * every node toward its neighborhood minimum — and provably
+    * converges in O(log² n) rounds regardless of diameter (O(log n)
+    * observed); a 10⁶-node path finishes in ~20 rounds.
+    *
+    * Round shape (per op, both are one shuffle + one skew-tolerant
+    * join — NO per-node neighbor list is ever materialized, so a
+    * 10⁸-degree hub costs a map-side partial min, not an OOM):
+    *  - large-star: every node u computes m = min(Γ(u) ∪ u) via
+    *    groupBy-min; each STRICTLY LARGER neighbor v > u is rewired to
+    *    (v, m). Keeps the invariant that edges only ever point "down".
+    *  - small-star: edges oriented (big, small); each node u with its
+    *    smaller neighbors computes m = min; all of them and u itself
+    *    rewire to (·, m).
+    * Convergence = edge-set fixed point, detected by (count,
+    * Σ xxhash64(u, v)) equality on the canonicalized set — two scalar
+    * aggregates per round, nothing collected. At the fixed point the
+    * edge set IS the answer: {(u, component-min) | u not the min}.
+    *
+    * Memory: each round's edge set is localCheckpoint'ed (lineage cut —
+    * see the in-body comment); prior rounds' blocks are released by GC,
+    * and since the edge set only shrinks under contraction the live
+    * footprint is bounded by ~2 rounds × |edges| of (long, long) pairs.
+    *
+    * Returns (node, component). Input `edges(src, dst)`; direction and
+    * self-loops are ignored. Non-convergence within `maxRounds` throws
+    * (partial labels would split components downstream — the
+    * [[graft.ops.TextDedup.dedupClusters]] fail-loudly discipline).
+    */
+  def connectedComponentsStar(spark: SparkSession, edges: DataFrame,
+                              maxRounds: Int = 24): DataFrame = {
+    val e0 = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+    val child = graphSession(edges.sparkSession, e0.count())
+    // lineage is truncated EVERY round here (stricter than pageRank's
+    // every-4): each round's plan references `e` four times (both sides
+    // of the symmetric union, then the join against its own groupBy),
+    // so without truncation the logical tree QUADRUPLES per round and
+    // analysis/canonicalization — not execution — becomes the
+    // bottleneck (4^8 subtrees between every-8 checkpoints, measured in
+    // minutes on a 64-node graph). localCheckpoint rebases each round
+    // on a LogicalRDD; the checksum forces materialization anyway, so
+    // the eager cut is free.
+    var e = rebind(child, e0).localCheckpoint(true)
+    var prev = (-1L, BigDecimal(-1))
+    var sig = checksum(e)
+    var round = 0
+    while (sig != prev && round < maxRounds) {
+      prev = sig
+      // large-star: rewire strictly-larger neighbors to the local min
+      val both = e.select(col("u"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("nbr")))
+      val lsMin = both.groupBy(col("u"))
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = both.join(lsMin, "u")
+        .filter(col("nbr") > col("u"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: nodes and their smaller neighbors all rewire to min
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      sig = checksum(next)
+      e = next
+      round += 1
+    }
+    e0.unpersist()
+    if (sig != prev)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge after $maxRounds " +
+          "rounds; raise maxRounds")
+    // fixed point: e = {(u, component-min)}; representatives and
+    // singletons label themselves via the caller's node set
+    val labels = e.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("component"))
+    rebind(edges.sparkSession, labels)
+  }
+
+  /** (row count, Σ xxhash64) fingerprint of a canonical (u, v) edge
+    * set — the fixed-point detector for [[connectedComponentsStar]].
+    * Exact-integer sum (decimal 38,0): order-independent, no overflow,
+    * nothing collected but the 1-row aggregate.
+    */
+  private def checksum(e: DataFrame): (Long, BigDecimal) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
+  }
+
   def linkPredictOracleSql(edgesCte: String, minCommon: Long = 2L,
                            maxCenterDegree: Int = 1024): String =
     s"""WITH e0 AS ($edgesCte),

@@ -54,6 +54,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // the cache manager is CONTEXT-global and matches by canonical plan:
+    // if an earlier suite already ran these ops under default conf, the
+    // persisted pair/shingle fragments replay here as InMemoryRelations
+    // whose STORED plan strings contain the broadcasts compiled back
+    // then — a false positive (nothing re-broadcasts; the bytes are
+    // cached). Clear it so this session compiles the funnel fresh.
+    s.sharedState.cacheManager.clearCache()
     for (name <- Seq("near_dedup_chars", "near_dedup", "containment_pairs")) {
       val df = SparkEntry.queries(name)(s, sf)
       df.collect() // AQE finalizes the plan only on execution
