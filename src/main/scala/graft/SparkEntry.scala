@@ -2000,10 +2000,12 @@ object SparkEntry {
     }),
 
     // SQL surface: TPC-H Q15 shape — scalar-max-of-view equality join
-    // (top supplier by windowed revenue). The revenue view is computed
-    // ONCE; its 1-row max is the doctrine's legal broadcast back onto
-    // itself (Catalyst reuses the aggregation exchange), so the corpus
-    // is scanned once and nothing corpus-sized moves twice. Revenue in
+    // (top supplier by windowed revenue). The revenue view is PERSISTED
+    // — it is referenced twice (max probe + equality join) and without
+    // the cache Catalyst plans two full lineitem scans (exchange reuse
+    // does not dedupe the aggregates; verified in PLANS.md). The cached
+    // view is supplier-cardinality, not corpus-sized, so this is the
+    // legal-materialization analogue of Q15's CREATE VIEW. Revenue in
     // exact integer milli-cents: price_cents × (100 − disc_pct) —
     // bit-reproducible in both engines, so the max-equality join has
     // no IEEE tie ambiguity. Ties all surface (TPC-H semantics).
@@ -2015,6 +2017,7 @@ object SparkEntry {
         .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long")))
           .as("total_revenue_mc"))
+        .persist()
       val mx = rev.agg(max(col("total_revenue_mc")).as("mx"))
       Tables.supplier(s, dir)
         .join(rev, col("s_suppkey") === col("l_suppkey"))

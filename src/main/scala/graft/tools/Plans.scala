@@ -88,7 +88,13 @@ object Plans {
     "listagg_ordered" -> "WindowGroupLimit top-5 pre-prune; sorted-struct listagg, one key shuffle",
     "merge_full_sync" -> "one full-outer key join; action tagging is a pure projection",
     "unpivot_melt" -> "Catalyst Expand over the 5-row aggregate; one scan, no join",
-    "sql_q9_profit" -> "Q9-shape 5-table join: LIKE-filtered part + nation broadcast; fact shuffles once per key; no cartesian")
+    "sql_q9_profit" -> "Q9-shape 5-table join: LIKE-filtered part + nation broadcast; fact shuffles once per key; no cartesian",
+    "sql_q15_top_supplier" -> "revenue view persisted (supplier-sized; one lineitem scan); 1-row max broadcast back; supplier joined once",
+    "sql_q18_large_volume" -> "HAVING-driven qualifying-key set probed by left-semi; detail re-agg reuses the orderkey partitioning",
+    "sql_q19_disjunctive" -> "OR-of-ANDs stays a hash join: common equi-key extracted, per-side conjuncts pushed to both scans, disjunction as residual",
+    "sql_q20_shape" -> "nested-aggregate share comparison over one broadcast-pruned lineitem scan; supplier touched once by left-semi",
+    "sql_q22_balance" -> "1-row cutoff broadcast; anti-join build side pruned by the date filter at the scan",
+    "cc_star" -> "star-contraction fixed point rebound as LogicalRDD; final labeling is one groupBy-min + window (loop shuffles are per-round, edge-sized, in a child session)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
