@@ -2451,6 +2451,20 @@ object SparkEntry {
         scratchDir = tmp(dir, "zorder_prune"),
         loA = 100L, hiA = 400L, loB = 10L, hiB = 40L)),
 
+    // bloom-filter layout: row-group skipping for point lookups on a
+    // high-cardinality UNSORTED key (the case zone maps can't prune);
+    // key 999999999 is deliberately absent — the bloom miss path.
+    // BloomLayoutSpec asserts the filters exist in the footers.
+    "bloom_layout_lookup" -> ((s, dir) =>
+      Distribute.bloomLayout(s,
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("price_cents")),
+        keyCol = "o_orderkey",
+        scratchDir = tmp(dir, "bloom_layout"),
+        lookup = Seq(1L, 500L, 1000L, 999999999L))),
+
     // corpus bigram LM: top-20 bigrams with P(w2|w1)
     "bigram_lm" -> ((s, dir) =>
       Text.bigramLm(Tables.documents(s, dir), topN = 20)),
@@ -6497,6 +6511,13 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 400
            AND l_suppkey BETWEEN 10 AND 40""",
+
+    // bloom-layout roundtrip == point lookup on the source table
+    "bloom_layout_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders
+         WHERE o_orderkey IN (1, 500, 1000, 999999999)""",
 
     // bit interleave via exact floor-divides by powers of two (the same
     // arithmetic the Spark expression folds; doubles are exact < 2^26)

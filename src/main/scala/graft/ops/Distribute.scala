@@ -197,6 +197,38 @@ object Distribute {
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
   }
 
+  /** Parquet BLOOM-FILTER layout + point lookup — the data-skipping
+    * tool for the predicate zone maps can't help with: an equality /
+    * IN probe on a HIGH-CARDINALITY key that the file layout is NOT
+    * sorted by (min/max ranges on an unsorted key span everything, so
+    * zone maps prune nothing). The writer embeds a split-block bloom
+    * filter per row group for `keyCol`
+    * (`parquet.bloom.filter.enabled#col`, public parquet-mr feature);
+    * the reader's row-group filter then drops groups whose bloom
+    * filter proves the probed keys absent — false positives cost a
+    * read, never a wrong row, so the result is identical to the
+    * full-scan filter (the oracle check). At 100 TB this is the
+    * difference between a point lookup touching a few row groups and
+    * touching every file of a 10⁹-key table; `ndv` sizes the filter
+    * (~1.2 MB per row group at 10⁶ ndv / 1% fpp, footer-resident).
+    * The clustered `repartition` on the key concentrates each key in
+    * one file so a probe's surviving-group count is O(probe size).
+    * `BloomLayoutSpec` opens the parquet footers and asserts the
+    * filters are really there (offset > 0, readable, probed keys
+    * positive) — presence, not vibes.
+    */
+  def bloomLayout(spark: SparkSession, df: DataFrame, keyCol: String,
+                  scratchDir: String, lookup: Seq[Long],
+                  ndv: Long = 1000000L, files: Int = 8): DataFrame = {
+    df.repartition(files, col(keyCol))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol", ndv.toString)
+      .parquet(scratchDir)
+    spark.read.parquet(scratchDir)
+      .filter(col(keyCol).isin(lookup: _*))
+  }
+
   /** Multi-column data skipping over a Z-ORDERED layout — the payoff
     * [[zOrderLayout]] exists to buy, closed end to end: write the table
     * z-clustered on (a, b), harvest per-file min/max for BOTH columns
