@@ -2079,6 +2079,301 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // SQL surface: TPC-H Q2 shape — min-cost-supplier-per-part (argmin
+    // with ties). No partsupp table in this schema, so supply cost is
+    // the MIN OBSERVED sale price in cents per (part, supplier) pair —
+    // deterministic and integer-exact. The regional supplier
+    // restriction applies BEFORE the per-part min (Q2 semantics). The
+    // costed relation is part-slice-cardinality and referenced twice
+    // (per-part min + equality join back), so it is persisted — the
+    // Q15 legal-materialization rule; without it both branches re-run
+    // the full lineitem aggregation. Dim slices (filtered part,
+    // supplier⋈nation⋈region) are broadcast per the q19/q20 dim
+    // convention; only lineitem shuffles, on its natural group key.
+    "sql_q2_min_cost" -> ((s, dir) => {
+      val suppReg = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 25))
+        .select(col("p_partkey"))
+      val cost = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppReg), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cost_cents"))
+        .persist()
+      val mn = cost.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("mn"))
+      cost.join(mn, col("p_partkey") === col("mk") &&
+          col("cost_cents") === col("mn"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("cost_cents"))
+    }),
+
+    // SQL surface: TPC-H Q3 shape — unshipped-order revenue top-k.
+    // Segment slice prunes orders; the date filters push to both
+    // scans; revenue in exact milli-cents so the top-10 cut has no
+    // IEEE tie ambiguity (deterministic o_orderkey tiebreak anyway).
+    // The customer slice is NOT hinted — it is 1/5 of an SF-scaled
+    // table, so AQE owns the broadcast decision (broadcast doctrine).
+    "sql_q3_shipping" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") < lit("1997-01-01"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") > lit("1997-01-01"))
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("rev_mc")).as("revenue_mc"))
+        .orderBy(col("revenue_mc").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // SQL surface: TPC-H Q4 shape — EXISTS → left-semi with a
+    // non-equi residual (this schema has no commit/receipt dates, so
+    // "late" = shipped >60 days after the order date). The semi-join
+    // keeps the orders side at most once per order regardless of how
+    // many lineitems qualify; the quarter filter prunes orders at the
+    // scan before the shuffle.
+    "sql_q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-07-01") &&
+          col("o_orderdate").cast("date") < lit("1996-10-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("o_date"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("ship") > date_add(col("o_date"), 60), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // SQL surface: TPC-H Q6 shape — single-scan filter + global agg.
+    // Every predicate reaches the parquet scan; discount matched in
+    // exact cents (5–7%), revenue = price_cents × disc_cents so the
+    // sum is integer-exact in both engines.
+    "sql_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01") &&
+          round(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))),
+
+    // SQL surface: TPC-H Q7 shape — cross-nation shipping volume.
+    // The pair disjunction can't be pushed per side, but each side IS
+    // pre-filtered to the two nations (the classic Q7 rewrite), so the
+    // supplier/customer join inputs are 2/25 slices; the residual
+    // disjunction runs after both nation names are in scope. Supplier
+    // slice broadcast (dim convention); customer slice left to AQE.
+    "sql_q7_nation_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") <= lit("1997-12-31"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === pair.head &&
+            col("cust_nation") === pair(1)) ||
+          (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_mc")).as("revenue_mc"))
+    }),
+
+    // SQL surface: TPC-H Q8 shape — market share: conditional share of
+    // one supplier nation inside a region+type-filtered volume, per
+    // year. Both sums are exact milli-cent longs; the share divides
+    // long→double at the very end (exact for < 2^53, identical IEEE
+    // result in both engines).
+    "sql_q8_market_share" -> ((s, dir) => {
+      val cReg = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+            col("o_orderdate").cast("date") <= lit("1997-12-31"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cReg, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_mc"))
+          .otherwise(0L)).as("nation_rev_mc"),
+          sum(col("rev_mc")).as("total_rev_mc"))
+        .withColumn("mkt_share",
+          col("nation_rev_mc").cast("double") /
+            col("total_rev_mc").cast("double"))
+    }),
+
+    // SQL surface: TPC-H Q10 shape — returned-item top customers.
+    // Return-flag + date filters prune both scans; one agg keyed on
+    // the customer grain; nation broadcast; deterministic top-20 via
+    // exact milli-cent revenue + c_custkey tiebreak.
+    "sql_q10_returned" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01") &&
+          col("o_orderdate").cast("date") < lit("1997-07-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev_mc")).as("revenue_mc"))
+        .orderBy(col("revenue_mc").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // SQL surface: TPC-H Q11 shape — per-key value vs a global scalar
+    // threshold (HAVING against a subquery). No partsupp, so part
+    // value = Σ price_cents × round(qty) over the two target nations'
+    // suppliers. The per-part relation is referenced twice (total +
+    // filter) → persisted, part-cardinality. The 1-row total is the
+    // doctrine's legal broadcast; the cutoff compares by exact
+    // cross-multiplication (value × 1000 > total), no division.
+    "sql_q11_important" -> ((s, dir) => {
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_quantity")).cast("long")).as("part_value_c"))
+        .persist()
+      val total = perPart.agg(sum(col("part_value_c")).as("total_c"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_value_c") * 1000L > col("total_c"))
+        .select(col("l_partkey"), col("part_value_c"))
+    }),
+
+    // SQL surface: TPC-H Q12 shape — CASE-sum priority split over a
+    // late-shipping join (no shipmode/commit/receipt columns, so
+    // "late" = shipped >90 days after the order date, grouped by
+    // l_linestatus — same two-group CASE-aggregation plan as Q12).
+    "sql_q12_shipmode" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_linestatus"),
+          col("l_shipdate").cast("date").as("ship"))
+      l.join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate").cast("date").as("o_date")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("ship") > date_add(col("o_date"), 90))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // SQL surface: TPC-H Q14 shape — promo revenue ratio for one
+    // month. Exact milli-cent numerator/denominator; the percent is
+    // the only double, derived at the end. Part (3 cols) broadcast per
+    // the q19 dim convention.
+    "sql_q14_promo" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-03-01") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_mc"))
+          .otherwise(0L)).as("promo_rev_mc"),
+          sum(col("rev_mc")).as("total_rev_mc"))
+        .withColumn("promo_pct",
+          col("promo_rev_mc").cast("double") * 100.0 /
+            col("total_rev_mc").cast("double"))),
+
+    // SQL surface: TPC-H Q16 shape — supplier count per part attribute
+    // with a NOT IN exclusion (negative-balance suppliers stand in for
+    // Q16's complaint filter). The distinct (part, supp) pair set is
+    // lineitem's surrogate for partsupp; the exclusion is a left-anti
+    // against a tiny keyset; countDistinct partial-aggregates
+    // map-side before the (brand, size) shuffle.
+    "sql_q16_supplier_cnt" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // integer-exact PageRank over the customer–supplier order graph:
     // fixed 10 iterations, scaled-integer mass (bit-reproducible)
     "pagerank" -> ((s, dir) => {
@@ -6677,6 +6972,177 @@ object SparkEntry {
                  AND o_orderpriority <> '4-NOT SPECIFIED'
                GROUP BY c_custkey) t
          GROUP BY c_count""",
+
+    "sql_q2_min_cost" ->
+      """WITH cost AS (
+           SELECT p_partkey, s_suppkey, s_name, n_name,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cost_cents
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+             AND p_size BETWEEN 10 AND 25
+           GROUP BY 1, 2, 3, 4)
+         SELECT p_partkey, s_suppkey, s_name, n_name, cost_cents
+         FROM cost c
+         WHERE cost_cents = (SELECT min(cost_cents) FROM cost c2
+                             WHERE c2.p_partkey = c.p_partkey)""",
+
+    "sql_q3_shipping" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+           o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_mc
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_mc DESC, o_orderkey ASC
+         LIMIT 10""",
+
+    "sql_q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND CAST(l_shipdate AS DATE)
+                             > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+         GROUP BY 1""",
+
+    "sql_q6_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""",
+
+    "sql_q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_mc
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) <= DATE '1997-12-31'
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3""",
+
+    "sql_q8_market_share" ->
+      """WITH vol AS (
+           SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_mc,
+             sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE p_type = 'ECONOMY'
+             AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'
+             AND o_custkey IN (
+               SELECT c_custkey FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'))
+         SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_mc
+                         ELSE 0 END) AS BIGINT) AS nation_rev_mc,
+           CAST(sum(rev_mc) AS BIGINT) AS total_rev_mc,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_mc
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_mc) AS DOUBLE) AS mkt_share
+         FROM vol GROUP BY 1""",
+
+    "sql_q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_mc
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_mc DESC, c_custkey ASC
+         LIMIT 20""",
+
+    "sql_q11_important" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS part_value_c
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name IN ('NATION_0', 'NATION_1')
+           GROUP BY 1)
+         SELECT l_partkey, part_value_c FROM pv
+         WHERE part_value_c * 1000 > (SELECT sum(part_value_c) FROM pv)""",
+
+    "sql_q12_shipmode" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+           AND CAST(l_shipdate AS DATE)
+               > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+         GROUP BY 1""",
+
+    "sql_q14_promo" ->
+      """SELECT
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_mc ELSE 0 END)
+             AS BIGINT) AS promo_rev_mc,
+           CAST(sum(rev_mc) AS BIGINT) AS total_rev_mc,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_mc ELSE 0 END)
+             AS DOUBLE) * 100.0 / CAST(sum(rev_mc) AS DOUBLE) AS promo_pct
+         FROM (SELECT l_partkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_mc
+               FROM lineitem
+               WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+                 AND CAST(l_shipdate AS DATE) < DATE '1996-04-01') l
+         JOIN part ON l_partkey = p_partkey""",
+
+    "sql_q16_supplier_cnt" ->
+      """SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2""",
 
     "scd2_lookup" ->
       s"""WITH base AS ($evBase),

@@ -94,7 +94,18 @@ object Plans {
     "sql_q19_disjunctive" -> "OR-of-ANDs stays a hash join: common equi-key extracted, per-side conjuncts pushed to both scans, disjunction as residual",
     "sql_q20_shape" -> "nested-aggregate share comparison over one broadcast-pruned lineitem scan; supplier touched once by left-semi",
     "sql_q22_balance" -> "1-row cutoff broadcast; anti-join build side pruned by the date filter at the scan",
-    "cc_star" -> "star-contraction fixed point rebound as LogicalRDD; final labeling is one groupBy-min + window (loop shuffles are per-round, edge-sized, in a child session)")
+    "cc_star" -> "star-contraction fixed point rebound as LogicalRDD; final labeling is one groupBy-min + window (loop shuffles are per-round, edge-sized, in a child session)",
+    "sql_q2_min_cost" -> "argmin-with-ties: persisted part-slice cost view (one lineitem agg); filtered dims broadcast below the agg",
+    "sql_q3_shipping" -> "segment/date filters pushed to all three scans; exact-mc revenue; TakeOrdered top-10",
+    "sql_q4_order_priority" -> "EXISTS as left-semi with a non-equi late residual; quarter filter prunes orders at the scan",
+    "sql_q6_forecast" -> "single scan, every predicate pushed; integer-exact global agg, no shuffle beyond the 1-row gather",
+    "sql_q7_nation_volume" -> "nation-pair disjunction pre-filters both dim sides to 2/25 slices; residual pair check post-join",
+    "sql_q8_market_share" -> "market share from one fact pipeline: region left-semi, CASE-sums in one agg, final long→double division",
+    "sql_q10_returned" -> "returnflag + date filters pruned at both scans; customer-grain agg; TakeOrdered top-20",
+    "sql_q11_important" -> "persisted part-value view scanned twice; 1-row total broadcast; exact cross-multiplied HAVING",
+    "sql_q12_shipmode" -> "late-shipping non-equi residual on the order-key hash join; two CASE-sums in one two-group agg",
+    "sql_q14_promo" -> "one month-pruned lineitem scan; 2-col part broadcast; promo ratio from exact milli-cent sums",
+    "sql_q16_supplier_cnt" -> "left-anti complaint keyset; distinct (part,supp) pairs partial-agg before the (brand,size) shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
