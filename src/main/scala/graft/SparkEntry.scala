@@ -713,6 +713,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       Text.docFingerprint(Tables.documents(s, dir))),
 
+    // E3+: DSIR-shaped data selection — hashed-feature target-affinity
+    // in exact ppm integers (see Text.dsirAffinity for the estimator
+    // contract and why the log-ratio is swapped for the delta)
+    "dsir_affinity" -> ((s, dir) =>
+      Text.dsirAffinity(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4741,6 +4747,30 @@ object SparkEntry {
                  len(list_filter(string_split(text, ' '), w -> w IN ('la', 'el'))) AS s_es,
                  len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die'))) AS s_de
                FROM documents)""",
+
+    // same per-word polynomial hash as doc_fingerprint; integer div /
+    // // are both truncating on the all-positive inputs here
+    "dsir_affinity" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CAST((ascii(x) * 31 + length(x)) % 256 AS BIGINT) AS b
+           FROM (SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS x
+                 FROM documents)),
+         ft AS (SELECT b,
+                  CAST(cnt * 1000000 // sum(cnt) OVER () AS BIGINT) AS f_t
+                FROM (SELECT b, CAST(count(*) AS BIGINT) AS cnt
+                      FROM w WHERE lang = 'en' GROUP BY b)),
+         fr AS (SELECT b,
+                  CAST(cnt * 1000000 // sum(cnt) OVER () AS BIGINT) AS f_r
+                FROM (SELECT b, CAST(count(*) AS BIGINT) AS cnt
+                      FROM w GROUP BY b)),
+         d AS (SELECT fr.b, COALESCE(f_t, 0) - f_r AS delta
+               FROM fr LEFT JOIN ft ON fr.b = ft.b)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(delta) AS BIGINT) AS affinity
+         FROM w JOIN d ON w.b = d.b
+         GROUP BY 1""",
 
     "doc_fingerprint" ->
       """SELECT doc_id,

@@ -572,4 +572,50 @@ object Text {
       size(filter(labelArr, c => c.isNotNull)).cast("long").as("n_masked"),
       array_join(filter(labelArr, c => c.isNotNull), ",").as("labels"))
   }
+
+  /** DSIR-style hashed-feature target-affinity scoring (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023). DSIR scores each raw document by how much more
+    * likely its hashed n-gram features are under a target corpus'
+    * feature distribution than under the raw pool's, then resamples
+    * proportionally. This operator keeps DSIR's estimator shape —
+    * per-word hashed features, two bucketed frequency tables (target
+    * = `lang == targetLang` docs, raw = the whole pool), per-doc sum
+    * of per-feature evidence — but swaps the log-probability-ratio
+    * for the frequency DELTA in parts-per-million: with integer
+    * `div` every step stays in exact integer arithmetic, so scores
+    * and the selection they induce are bit-reproducible across
+    * engines (a float `log` can differ in final ulps between libms).
+    * Positive affinity = the document's feature mix is more
+    * target-like than the pool average.
+    *
+    * Scale: both frequency tables have FIXED cardinality (`buckets`
+    * rows) regardless of corpus size — broadcasting them is the
+    * doctrine's always-legal kind, like a 1-row scalar. Scoring is
+    * one explode + one broadcast join + one doc-key aggregation;
+    * only (doc_id, bucket) pairs cross the network, never text.
+    * The word hash is [[docFingerprint]]'s arithmetic-only per-word
+    * polynomial, shared with the DuckDB oracle.
+    */
+  def dsirAffinity(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 256): DataFrame = {
+    val w = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        ((ascii(col("w")) * lit(31L) + length(col("w"))) % buckets).as("b"))
+    def freq(side: DataFrame, name: String): DataFrame =
+      side.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .select(col("b"),
+          expr("cnt * 1000000 div sum(cnt) over ()").as(name))
+    val ft = freq(w.filter(col("lang") === targetLang), "f_t")
+    val fr = freq(w, "f_r")
+    // raw-side buckets are a superset of target's (target ⊆ pool), so
+    // the left join only ever NULLs f_t — coalesce to 0 evidence
+    val delta = fr.join(ft, Seq("b"), "left")
+      .select(col("b"),
+        (coalesce(col("f_t"), lit(0L)) - col("f_r")).as("delta"))
+    w.join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Text
+
+/** Round-8 wave 27: DSIR-shaped target-affinity data selection. */
+class Wave27Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  /** Plain-Scala replay of the estimator contract. */
+  private def replay(rows: Seq[(Long, String, String)], target: String,
+      buckets: Int): Map[Long, (Long, Long)] = {
+    def b(w: String): Long = (w.head.toInt * 31L + w.length) % buckets
+    val all = rows.flatMap { case (id, t, l) =>
+      t.split(" ").map(w => (id, l, b(w))) }
+    def freq(sel: Seq[(Long, String, Long)]): Map[Long, Long] = {
+      val cnt = sel.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+      val tot = cnt.values.sum
+      cnt.map { case (k, c) => k -> c * 1000000L / tot }
+    }
+    val ft = freq(all.filter(_._2 == target))
+    val fr = freq(all)
+    val delta = fr.map { case (k, r) => k -> (ft.getOrElse(k, 0L) - r) }
+    all.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.size.toLong, ws.map(w => delta(w._3)).sum)
+    }
+  }
+
+  test("dsirAffinity: matches a plain-Scala replay bucket for bucket") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ate the bone", "en"),
+      (3L, "der hund frisst den knochen hier", "de"),
+      (4L, "le chat dort sur le tapis", "fr"),
+      (5L, "the cat and the dog met", "en"))
+    val got = Text.dsirAffinity(corpus(rows: _*))
+      .select("doc_id", "n_words", "affinity")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === replay(rows, "en", 256))
+  }
+
+  test("dsirAffinity: target-language docs score above the others on a " +
+       "separable corpus") {
+    val rows = (1L to 20L).map { i =>
+      if (i <= 10) (i, "alpha beta gamma delta alpha beta", "en")
+      else (i, "zulu yankee xray whiskey zulu yankee", "de")
+    }
+    val rs = Text.dsirAffinity(corpus(rows: _*))
+      .select("doc_id", "affinity").as[(Long, Long)].collect().toMap
+    val en = (1L to 10L).map(rs)
+    val de = (11L to 20L).map(rs)
+    assert(en.min > de.max) // perfectly separable by construction
+    assert(en.forall(_ > 0) && de.forall(_ < 0))
+  }
+
+  test("dsirAffinity: the fixed-cardinality delta table rides a " +
+       "broadcast join; no text column survives past the projection") {
+    val df = Text.dsirAffinity(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dsirAffinity: every doc with at least one word is scored, " +
+       "n_words matches tokenization") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Text.dsirAffinity(docs)
+    assert(out.count() === docs.count())
+    val nw = out.agg(sum("n_words")).as[Long].head()
+    val truth = docs.select(size(split(col("text"), " ")).cast("long"))
+      .as[Long].collect().sum
+    assert(nw === truth)
+  }
+}
