@@ -110,6 +110,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"AQE did not split the skewed partition; final plan:\n$p")
   }
 
+  test("AQE coalesces over-partitioned small shuffles at runtime " +
+       "(AQEShuffleRead coalesced) — why shuffle.partitions can be " +
+       "sized for the LARGEST stage without taxing the small ones") {
+    // SCALE.md sizes spark.sql.shuffle.partitions for the biggest
+    // aggregation; every smaller stage then over-partitions. The
+    // design leans on AQE folding those empty/tiny reducers back
+    // together — prove the mechanism fires.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    import org.apache.spark.sql.functions.col
+    val df = s.range(10000).groupBy((col("id") % 97).as("k")).count()
+    assert(df.collect().length === 97)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the 200-way shuffle; final plan:\n$p")
+    assert(df.rdd.getNumPartitions < 200)
+  }
+
   test("join_cardinality_est never runs the estimated join itself") {
     val p = plan("join_cardinality_est")
     // the join being sized would be lineitem x lineitem on partkey;
