@@ -2190,8 +2190,11 @@ object SparkEntry {
     // supplier/customer join inputs are 2/25 slices; the residual
     // disjunction runs after both nation names are in scope. Supplier
     // slice broadcast (dim convention); customer slice left to AQE.
+    // pair chosen so at least one direction is populated at every SF:
+    // sf0.001's 10 suppliers live in nations {3,8,12,...} — NATION_3
+    // always has a supplier; customers exist in all 25 nations
     "sql_q7_nation_volume" -> ((s, dir) => {
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_3", "NATION_1")
       val sn = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)),
           col("s_nationkey") === col("n_nationkey"))
@@ -2295,13 +2298,16 @@ object SparkEntry {
     // value = Σ price_cents × round(qty) over the two target nations'
     // suppliers. The per-part relation is referenced twice (total +
     // filter) → persisted, part-cardinality. The 1-row total is the
-    // doctrine's legal broadcast; the cutoff compares by exact
-    // cross-multiplication (value × 1000 > total), no division.
+    // doctrine's legal broadcast; the cutoff is RELATIVE — share >
+    // 1.5× the mean part share — because TPC-H itself scales Q11's
+    // fraction with SF (0.0001/SF): a fixed fraction goes degenerate
+    // as part count grows. Exact by cross-multiplication
+    // (2·value·n_parts > 3·total), no division anywhere.
     "sql_q11_important" -> ((s, dir) => {
       val sn = Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)),
           col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_0", "NATION_1"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8")) // populated at every SF
         .select(col("s_suppkey"))
       val perPart = Tables.lineitem(s, dir)
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
@@ -2309,9 +2315,11 @@ object SparkEntry {
         .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
           round(col("l_quantity")).cast("long")).as("part_value_c"))
         .persist()
-      val total = perPart.agg(sum(col("part_value_c")).as("total_c"))
+      val total = perPart.agg(sum(col("part_value_c")).as("total_c"),
+        count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(total))
-        .filter(col("part_value_c") * 1000L > col("total_c"))
+        .filter(col("part_value_c") * col("n_parts") * 2L >
+          col("total_c") * 3L)
         .select(col("l_partkey"), col("part_value_c"))
     }),
 
@@ -7073,8 +7081,8 @@ object SparkEntry {
          JOIN nation cn ON c_nationkey = cn.n_nationkey
          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
            AND CAST(l_shipdate AS DATE) <= DATE '1997-12-31'
-           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+           AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_1')
+             OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_3'))
          GROUP BY 1, 2, 3""",
 
     "sql_q8_market_share" ->
@@ -7131,10 +7139,12 @@ object SparkEntry {
            FROM lineitem
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
-           WHERE n_name IN ('NATION_0', 'NATION_1')
-           GROUP BY 1)
-         SELECT l_partkey, part_value_c FROM pv
-         WHERE part_value_c * 1000 > (SELECT sum(part_value_c) FROM pv)""",
+           WHERE n_name IN ('NATION_3', 'NATION_8')
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(part_value_c) AS BIGINT) AS total_c,
+                 CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+         SELECT l_partkey, part_value_c FROM pv, t
+         WHERE part_value_c * n_parts * 2 > total_c * 3""",
 
     "sql_q12_shipmode" ->
       """SELECT l_linestatus,

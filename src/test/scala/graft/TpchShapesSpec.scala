@@ -50,7 +50,7 @@ class TpchShapesSpec extends AnyFunSuite {
     val sn = Tables.supplier(spark, sf)
       .join(Tables.nation(spark, sf),
         col("s_nationkey") === col("n_nationkey"))
-      .filter(col("n_name").isin("NATION_0", "NATION_1"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
       .select("s_suppkey").as[Long].collect().toSet
     val vals = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_suppkey"),
@@ -61,8 +61,11 @@ class TpchShapesSpec extends AnyFunSuite {
     val perPart = vals.groupBy(_._1).map { case (k, rs) =>
       k -> rs.map(r => BigInt(r._3)).sum }
     val total = perPart.values.sum
-    val expect = perPart.filter { case (_, v) => v * 1000 > total }
+    val nParts = BigInt(perPart.size)
+    // share > 1.5x mean, exact: 2*v*n_parts > 3*total
+    val expect = perPart.filter { case (_, v) => v * nParts * 2 > total * 3 }
       .map { case (k, v) => k -> v.toLong }
+    assert(expect.nonEmpty && expect.size < perPart.size) // non-degenerate
     val got = run("sql_q11_important")
       .select("l_partkey", "part_value_c").as[(Long, Long)]
       .collect().toMap
