@@ -719,6 +719,12 @@ object SparkEntry {
     "dsir_affinity" -> ((s, dir) =>
       Text.dsirAffinity(Tables.documents(s, dir))),
 
+    // E3+: the real BPE training loop (Sennrich 2016) on vocab-sized
+    // state; the oracle replays all 5 rounds including the greedy
+    // left-to-right merge fold (Text.bpeTrainOracleSql)
+    "bpe_train" -> ((s, dir) =>
+      Text.bpeTrain(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4755,6 +4761,9 @@ object SparkEntry {
                  len(list_filter(string_split(text, ' '), w -> w IN ('la', 'el'))) AS s_es,
                  len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die'))) AS s_de
                FROM documents)""",
+
+    // the whole training loop unrolled, merge fold included
+    "bpe_train" -> Text.bpeTrainOracleSql(),
 
     // same per-word polynomial hash as doc_fingerprint; integer div /
     // // are both truncating on the all-positive inputs here

@@ -510,6 +510,125 @@ object Text {
       .filter(col("rank") <= topN)
   }
 
+  /** BPE merge-rule training, the real loop (Sennrich, Haddow & Birch,
+    * ACL 2016): tokenize the corpus ONCE into a (word, count) vocabulary,
+    * start from character symbols, then for `nMerges` rounds (a) count
+    * adjacent symbol pairs weighted by word count — Sennrich's
+    * `get_stats`, which counts every adjacent position — (b) pick the
+    * most frequent pair (count desc, then lexicographic — a deterministic
+    * tiebreak the reference implementation leaves to dict order), and
+    * (c) merge that pair everywhere with the GREEDY LEFT-TO-RIGHT
+    * non-overlapping rule ("a a a" + merge (a,a) → "aa a", not "a aa").
+    *
+    * The greedy merge is a single left fold over the symbol array with a
+    * (done, pending) accumulator, encoded as one string `done#pending`
+    * so the SAME fold is expressible in Spark `aggregate` and DuckDB
+    * `list_reduce` (whose accumulator must share the element type) —
+    * the oracle replays the entire training loop, not a summary.
+    *
+    * Output: one row per round — the learned pair, its count at
+    * selection time, and the corpus token count after applying it
+    * (strictly decreasing by construction).
+    *
+    * Scale: the corpus is scanned and shuffled ONCE (to the vocabulary);
+    * every round then runs on VOCAB-SIZED state — a pair-count aggregate
+    * (map-side combined, pair table bounded by alphabet² per round) and
+    * a projection applying the merge. The 1-row winner is the doctrine's
+    * legal broadcast. `localCheckpoint` cuts lineage each round (the
+    * state is referenced twice per round — by the winner and by the
+    * merge — so the plan would double per round otherwise; the cc_star
+    * lesson). Words never re-tokenize; text never reshuffles.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    // (syms, cnt): "c h a t" ← the word's characters, space-joined
+    var state = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    for (round <- 1 to nMerges) {
+      val arr = split(col("syms"), " ")
+      val pairs = state.filter(size(arr) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(arr) - 1),
+          i => struct(element_at(arr, i).as("l"),
+            element_at(arr, i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairs
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .select(col("l"), col("r"), col("n"))
+        .localCheckpoint()
+      // greedy left-to-right merge: fold with acc = "done#pending";
+      // the final "done pending" falls out of translate('#' → ' ')
+      def step(acc: Column, x: Column): Column = {
+        val done = substring_index(acc, "#", 1)
+        val pend = substring_index(acc, "#", -1)
+        when(pend === col("l") && x === col("r"),
+          concat(done, lit(" "), col("l"), col("r"), lit("#")))
+          .otherwise(concat(done,
+            when(pend === "", lit("")).otherwise(concat(lit(" "), pend)),
+            lit("#"), x))
+      }
+      val merged = state.crossJoin(broadcast(top))
+        .select(trim(translate(
+          aggregate(split(col("syms"), " "), lit("#"), step),
+          "#", " ")).as("syms"),
+          col("cnt"))
+        .localCheckpoint()
+      val tokensAfter = merged
+        .agg(sum(size(split(col("syms"), " ")) * col("cnt")).as("t"))
+      rounds += top.crossJoin(tokensAfter)
+        .select(lit(round).as("round"), col("l"), col("r"),
+          col("n").as("pair_count"), col("t").cast("long").as("tokens_after"))
+      state = merged
+    }
+    rounds.result().reduce(_ union _)
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the SAME training loop unrolled —
+    * per round a pair-count CTE, a 1-row winner, and the identical
+    * greedy fold as a `list_reduce` whose accumulator is the
+    * `done#pending` string (list_reduce's accumulator must share the
+    * list's element type, which is why the fold state is a string in
+    * BOTH engines). The oracle replays the loop, not a summary.
+    */
+  def bpeTrainOracleSql(nMerges: Int = 5): String = {
+    val fold =
+      """trim(replace(list_reduce(list_prepend('#', string_split(syms, ' ')),
+           (acc, x) -> CASE WHEN split_part(acc, '#', 2) = w.l AND x = w.r
+               THEN split_part(acc, '#', 1) || ' ' || w.l || w.r || '#'
+               ELSE split_part(acc, '#', 1) ||
+                 CASE WHEN split_part(acc, '#', 2) = '' THEN ''
+                      ELSE ' ' || split_part(acc, '#', 2) END || '#' || x
+               END), '#', ' '))"""
+    val stages = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt, a[g+1] AS l, a[g+2] AS r
+                  FROM (SELECT cnt, string_split(syms, ' ') AS a
+                        FROM st${i - 1}) s,
+                       UNNEST(range(len(a) - 1)) AS t(g))
+            GROUP BY 1, 2),
+          w$i AS (SELECT l, r, n FROM p$i
+                  ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+          st$i AS (SELECT $fold AS syms, cnt FROM st${i - 1}, w$i w)"""
+    }.mkString(",\n")
+    val out = (1 to nMerges).map { i =>
+      s"""SELECT $i AS round, l, r, n AS pair_count,
+            (SELECT CAST(sum(len(string_split(syms, ' ')) * cnt) AS BIGINT)
+             FROM st$i) AS tokens_after FROM w$i"""
+    }.mkString("\n UNION ALL\n")
+    s"""WITH v AS (SELECT x AS w0, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
+          GROUP BY 1),
+        st0 AS (SELECT trim(regexp_replace(w0, '(.)', '\\1 ', 'g')) AS syms,
+                  cnt FROM v),
+        $stages
+        $out"""
+  }
+
   /** Per-source n-gram diversity (distinct-n): distinct / total n-gram
     * ratios for n = 1..`maxN` — the corpus-level repetitiveness readout
     * (a templated or model-generated source shows high duplication, i.e.

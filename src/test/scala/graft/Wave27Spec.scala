@@ -69,6 +69,43 @@ class Wave27Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bpeTrain: toy corpus replays the hand-checked merge sequence") {
+    // words: the x2, cat, sat, cats, chat, that, hat, thus
+    // (a,t) appears 6x -> merged first; tokens 31 -> 25; then (t,h) 4x...
+    val docs = Seq((1L, "the cat sat", "en"), (2L, "the cats chat", "en"),
+      (3L, "that hat thus", "en")).toDF("doc_id", "text", "lang")
+    val got = ops.Text.bpeTrain(docs)
+      .select("round", "l", "r", "pair_count", "tokens_after")
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1, "a", "t", 6L, 25L),
+      (2, "t", "h", 4L, 21L),
+      (3, "c", "at", 2L, 19L),
+      (4, "h", "at", 2L, 17L),
+      (5, "th", "e", 2L, 15L)))
+  }
+
+  test("bpeTrain: greedy left-to-right non-overlap — 'aaa' + merge " +
+       "(a,a) gives 'aa a' (2 tokens), then 'aaa' (1)") {
+    val docs = Seq((1L, "aaa", "en")).toDF("doc_id", "text", "lang")
+    val got = ops.Text.bpeTrain(docs, nMerges = 2)
+      .select("round", "l", "r", "pair_count", "tokens_after")
+      .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+    // round 1: get_stats counts both adjacent positions (2), but the
+    // greedy merge collapses only the leftmost pair -> 2 tokens left
+    assert(got.toSeq === Seq((1, "a", "a", 2L, 2L), (2, "aa", "a", 1L, 1L)))
+  }
+
+  test("bpeTrain: tokens_after strictly decreases across rounds on the " +
+       "real corpus") {
+    val out = ops.Text.bpeTrain(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select("round", "tokens_after").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.length === 5)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 < a._2, s"round ${b._1} did not shrink the corpus") }
+  }
+
   test("dsirAffinity: every doc with at least one word is scored, " +
        "n_words matches tokenization") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
