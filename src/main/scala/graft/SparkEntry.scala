@@ -725,6 +725,11 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       Text.bpeTrain(Tables.documents(s, dir))),
 
+    // E3+: the encode half — per-doc tokenizer fertility after the
+    // learned merges; encoding is ONE join against the vocab state
+    "bpe_encode" -> ((s, dir) =>
+      Text.bpeEncode(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4764,6 +4769,9 @@ object SparkEntry {
 
     // the whole training loop unrolled, merge fold included
     "bpe_train" -> Text.bpeTrainOracleSql(),
+
+    // same unrolled loop + the corpus joined to the final vocab state
+    "bpe_encode" -> Text.bpeEncodeOracleSql(),
 
     // same per-word polynomial hash as doc_fingerprint; integer div /
     // // are both truncating on the all-positive inputs here

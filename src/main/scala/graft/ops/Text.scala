@@ -539,11 +539,38 @@ object Text {
     * merge — so the plan would double per round otherwise; the cc_star
     * lesson). Words never re-tokenize; text never reshuffles.
     */
-  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame = {
-    // (syms, cnt): "c h a t" ← the word's characters, space-joined
+  def bpeTrain(docs: DataFrame, nMerges: Int = 5): DataFrame =
+    bpeLoop(docs, nMerges)._2
+
+  /** The encode half: apply [[bpeTrain]]'s learned merges back to the
+    * corpus and report per-document tokenizer fertility — character
+    * tokens vs BPE tokens per doc (the compression the merge table
+    * buys, the metric a tokenizer ablation reads). The trained
+    * vocabulary state IS the encoding: every distinct word's final
+    * symbol segmentation already exists after the loop, so encoding is
+    * one equi-join of the corpus' words against the vocab-sized state —
+    * no per-doc re-segmentation, and adding documents re-runs only the
+    * join, not the training fold.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 5): DataFrame = {
+    val state = bpeLoop(docs, nMerges)._1
+    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .join(state.withColumnRenamed("w", "tok"), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok"))).as("n_char_tokens"),
+        sum(size(split(col("syms"), " ")).cast("long")).as("n_bpe_tokens"))
+  }
+
+  /** Shared trainer: returns the final vocabulary state
+    * (w, syms, cnt) and the per-round summary. */
+  private def bpeLoop(docs: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
+    // (w, syms, cnt): "c h a t" ← the word's characters, space-joined
     var state = docs.select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+      .select(col("w"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
         col("cnt"))
       .localCheckpoint()
     val rounds = Seq.newBuilder[DataFrame]
@@ -573,7 +600,7 @@ object Text {
             lit("#"), x))
       }
       val merged = state.crossJoin(broadcast(top))
-        .select(trim(translate(
+        .select(col("w"), trim(translate(
           aggregate(split(col("syms"), " "), lit("#"), step),
           "#", " ")).as("syms"),
           col("cnt"))
@@ -585,7 +612,7 @@ object Text {
           col("n").as("pair_count"), col("t").cast("long").as("tokens_after"))
       state = merged
     }
-    rounds.result().reduce(_ union _)
+    (state, rounds.result().reduce(_ union _))
   }
 
   /** DuckDB oracle for [[bpeTrain]]: the SAME training loop unrolled —
@@ -596,6 +623,32 @@ object Text {
     * BOTH engines). The oracle replays the loop, not a summary.
     */
   def bpeTrainOracleSql(nMerges: Int = 5): String = {
+    val out = (1 to nMerges).map { i =>
+      s"""SELECT $i AS round, l, r, n AS pair_count,
+            (SELECT CAST(sum(len(string_split(syms, ' ')) * cnt) AS BIGINT)
+             FROM st$i) AS tokens_after FROM w$i"""
+    }.mkString("\n UNION ALL\n")
+    s"""${bpeOracleStages(nMerges)}
+        $out"""
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the same unrolled loop, then the
+    * corpus' words joined against the final vocabulary state. */
+  def bpeEncodeOracleSql(nMerges: Int = 5): String =
+    s"""${bpeOracleStages(nMerges)}
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(len(tok)) AS BIGINT) AS n_char_tokens,
+          CAST(sum(len(string_split(syms, ' '))) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents) d
+        JOIN st$nMerges ON tok = w0
+        GROUP BY 1"""
+
+  /** The shared unrolled WITH-prefix: vocabulary, then per round a
+    * pair-count CTE, a 1-row winner, and the greedy fold. Every stage
+    * carries the original word `w0` so the final state doubles as the
+    * encoding table. */
+  private def bpeOracleStages(nMerges: Int): String = {
     val fold =
       """trim(replace(list_reduce(list_prepend('#', string_split(syms, ' ')),
            (acc, x) -> CASE WHEN split_part(acc, '#', 2) = w.l AND x = w.r
@@ -613,20 +666,15 @@ object Text {
             GROUP BY 1, 2),
           w$i AS (SELECT l, r, n FROM p$i
                   ORDER BY n DESC, l ASC, r ASC LIMIT 1),
-          st$i AS (SELECT $fold AS syms, cnt FROM st${i - 1}, w$i w)"""
+          st$i AS (SELECT w0, $fold AS syms, cnt FROM st${i - 1}, w$i w)"""
     }.mkString(",\n")
-    val out = (1 to nMerges).map { i =>
-      s"""SELECT $i AS round, l, r, n AS pair_count,
-            (SELECT CAST(sum(len(string_split(syms, ' ')) * cnt) AS BIGINT)
-             FROM st$i) AS tokens_after FROM w$i"""
-    }.mkString("\n UNION ALL\n")
     s"""WITH v AS (SELECT x AS w0, CAST(count(*) AS BIGINT) AS cnt
           FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
           GROUP BY 1),
-        st0 AS (SELECT trim(regexp_replace(w0, '(.)', '\\1 ', 'g')) AS syms,
+        st0 AS (SELECT w0,
+                  trim(regexp_replace(w0, '(.)', '\\1 ', 'g')) AS syms,
                   cnt FROM v),
-        $stages
-        $out"""
+        $stages"""
   }
 
   /** Per-source n-gram diversity (distinct-n): distinct / total n-gram

@@ -96,6 +96,20 @@ class Wave27Spec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 2L, 2L), (2, "aa", "a", 1L, 1L)))
   }
 
+  test("bpeEncode: hand-computed fertility on the toy corpus") {
+    // learned merges (see the bpeTrain test): at, th, c+at, h+at, th+e
+    // the->1 tok, cat->1, sat->2, cats->2, chat->2, that->2, hat->1, thus->3
+    val docs = Seq((1L, "the cat sat", "en"), (2L, "the cats chat", "en"),
+      (3L, "that hat thus", "en")).toDF("doc_id", "text", "lang")
+    val got = ops.Text.bpeEncode(docs)
+      .select("doc_id", "n_words", "n_char_tokens", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 9L, 4L),   // the(1) cat(1) sat(2)
+      (2L, 3L, 11L, 5L),  // the(1) cats(2) chat(2)
+      (3L, 3L, 11L, 6L))) // that(2) hat(1) thus(3)
+  }
+
   test("bpeTrain: tokens_after strictly decreases across rounds on the " +
        "real corpus") {
     val out = ops.Text.bpeTrain(
