@@ -105,7 +105,9 @@ object Plans {
     "sql_q11_important" -> "persisted part-value view scanned twice; 1-row total broadcast; exact cross-multiplied HAVING",
     "sql_q12_shipmode" -> "late-shipping non-equi residual on the order-key hash join; two CASE-sums in one two-group agg",
     "sql_q14_promo" -> "one month-pruned lineitem scan; 2-col part broadcast; promo ratio from exact milli-cent sums",
-    "sql_q16_supplier_cnt" -> "left-anti complaint keyset; distinct (part,supp) pairs partial-agg before the (brand,size) shuffle")
+    "sql_q16_supplier_cnt" -> "left-anti complaint keyset; distinct (part,supp) pairs partial-agg before the (brand,size) shuffle",
+    "dsir_affinity" -> "fixed-256-row delta table broadcast; explode + join in-task, map-side combine collapses tokens to one partial per doc before the only exchange",
+    "bpe_encode" -> "corpus words equi-join the vocab-sized trained state (LogicalRDD after the checkpointed loop); doc-key agg partial-combines map-side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
