@@ -2182,9 +2182,11 @@ object SparkEntry {
     }),
 
     // SQL surface: TPC-H Q6 shape — single-scan filter + global agg.
-    // Every predicate reaches the parquet scan; discount matched in
-    // exact cents (5–7%), revenue = price_cents × disc_cents so the
-    // sum is integer-exact in both engines.
+    // The plain quantity bound is a parquet PushedFilter; the date
+    // casts and the exact-cents discount match (round(x*100) ∈ [5,7])
+    // are arithmetic, so they evaluate in the codegen'd Filter right
+    // above the scan — still one scan, one 1-row gather. Revenue =
+    // price_cents × disc_cents, integer-exact in both engines.
     "sql_q6_forecast" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&

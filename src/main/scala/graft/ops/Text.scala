@@ -24,6 +24,13 @@ object Text {
     */
   def words(text: Column): Column = split(text, " ")
 
+  /** The arithmetic-only per-word hash every fingerprint/bucketing op
+    * shares with its DuckDB oracle (`ascii(w) * 31 + length(w)` — no
+    * engine-specific hash functions, so both sides compute it from
+    * the same two string primitives). ONE definition on the Scala
+    * side; the oracle SQL strings restate it per query. */
+  def wordHash(w: Column): Column = ascii(w) * lit(31L) + length(w)
+
   /** Per-document stats: word count, distinct words, chars, type-token
     * ratio.
     */
@@ -397,7 +404,7 @@ object Text {
   def docFingerprint(docs: DataFrame): DataFrame =
     Par.widen(docs).select(col("doc_id"),
       aggregate(
-        transform(words(col("text")), w => ascii(w) * lit(31L) + length(w)),
+        transform(words(col("text")), w => wordHash(w)),
         lit(0L),
         (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)
       ).as("fingerprint"))
@@ -423,7 +430,7 @@ object Text {
     val ws = words(col("text"))
     val gramHashes = transform(sequence(lit(0), size(ws) - lit(k)),
       g => aggregate(
-        transform(slice(ws, g + 1, lit(k)), x => ascii(x) * lit(31L) + length(x)),
+        transform(slice(ws, g + 1, lit(k)), x => wordHash(x)),
         lit(0L),
         (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)))
     Par.widen(docs)
@@ -563,7 +570,21 @@ object Text {
   }
 
   /** Shared trainer: returns the final vocabulary state
-    * (w, syms, cnt) and the per-round summary. */
+    * (w, syms, cnt) and the per-round summary.
+    *
+    * PRECONDITION (documented, like `Assoc.maxBasketSize`'s id bound):
+    * words must not contain `'#'` — it is the fold's done/pending
+    * sentinel in BOTH engines, so a literal `'#'` inside a token would
+    * corrupt the accumulator parse identically on each side (the
+    * oracle could not catch it). Space-split tokens can't contain the
+    * other separator.
+    *
+    * If the vocabulary merges completely before `nMerges` rounds (no
+    * adjacent pair left anywhere), the loop STOPS: the summary has one
+    * row per executed round and the state keeps its last value — it is
+    * NOT wiped by a cross join against an empty winner. The oracle
+    * mirrors this with a NOT-EXISTS fallback branch per stage.
+    */
   private def bpeLoop(docs: DataFrame,
       nMerges: Int): (DataFrame, DataFrame) = {
     // (w, syms, cnt): "c h a t" ← the word's characters, space-joined
@@ -574,7 +595,8 @@ object Text {
         col("cnt"))
       .localCheckpoint()
     val rounds = Seq.newBuilder[DataFrame]
-    for (round <- 1 to nMerges) {
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
       val arr = split(col("syms"), " ")
       val pairs = state.filter(size(arr) >= 2)
         .select(col("cnt"), explode(transform(
@@ -588,6 +610,8 @@ object Text {
         .limit(1)
         .select(col("l"), col("r"), col("n"))
         .localCheckpoint()
+      if (top.isEmpty) { exhausted = true }
+      else {
       // greedy left-to-right merge: fold with acc = "done#pending";
       // the final "done pending" falls out of translate('#' → ' ')
       def step(acc: Column, x: Column): Column = {
@@ -611,8 +635,14 @@ object Text {
         .select(lit(round).as("round"), col("l"), col("r"),
           col("n").as("pair_count"), col("t").cast("long").as("tokens_after"))
       state = merged
+      }
     }
-    (state, rounds.result().reduce(_ union _))
+    val summary = rounds.result().reduceOption(_ union _).getOrElse(
+      docs.sparkSession.sql(
+        """SELECT CAST(NULL AS INT) AS round, '' AS l, '' AS r,
+           CAST(0 AS BIGINT) AS pair_count,
+           CAST(0 AS BIGINT) AS tokens_after""").limit(0))
+    (state, summary)
   }
 
   /** DuckDB oracle for [[bpeTrain]]: the SAME training loop unrolled —
@@ -666,7 +696,10 @@ object Text {
             GROUP BY 1, 2),
           w$i AS (SELECT l, r, n FROM p$i
                   ORDER BY n DESC, l ASC, r ASC LIMIT 1),
-          st$i AS (SELECT w0, $fold AS syms, cnt FROM st${i - 1}, w$i w)"""
+          st$i AS (SELECT w0, $fold AS syms, cnt FROM st${i - 1}, w$i w
+                   UNION ALL
+                   SELECT w0, syms, cnt FROM st${i - 1}
+                   WHERE NOT EXISTS (SELECT 1 FROM w$i))"""
     }.mkString(",\n")
     s"""WITH v AS (SELECT x AS w0, CAST(count(*) AS BIGINT) AS cnt
           FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)
@@ -758,29 +791,31 @@ object Text {
     *
     * Scale: both frequency tables have FIXED cardinality (`buckets`
     * rows) regardless of corpus size — broadcasting them is the
-    * doctrine's always-legal kind, like a 1-row scalar. Scoring is
-    * one explode + one broadcast join + one doc-key aggregation;
-    * only (doc_id, bucket) pairs cross the network, never text.
-    * The word hash is [[docFingerprint]]'s arithmetic-only per-word
-    * polynomial, shared with the DuckDB oracle.
+    * doctrine's always-legal kind, like a 1-row scalar, and ONE
+    * conditional aggregation builds both in a single corpus pass.
+    * Scoring is a second pass: explode + broadcast join in-task, then
+    * one doc-key aggregation whose map-side combine collapses tokens
+    * to one partial per doc — only doc-sized partials and 256-row
+    * bucket partials ever cross the network, never text. The word
+    * hash is [[wordHash]], shared with the DuckDB oracle.
     */
   def dsirAffinity(docs: DataFrame, targetLang: String = "en",
       buckets: Int = 256): DataFrame = {
     val w = docs.select(col("doc_id"), col("lang"),
       explode(words(col("text"))).as("w"))
       .select(col("doc_id"), col("lang"),
-        ((ascii(col("w")) * lit(31L) + length(col("w"))) % buckets).as("b"))
-    def freq(side: DataFrame, name: String): DataFrame =
-      side.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-        .select(col("b"),
-          expr("cnt * 1000000 div sum(cnt) over ()").as(name))
-    val ft = freq(w.filter(col("lang") === targetLang), "f_t")
-    val fr = freq(w, "f_r")
-    // raw-side buckets are a superset of target's (target ⊆ pool), so
-    // the left join only ever NULLs f_t — coalesce to 0 evidence
-    val delta = fr.join(ft, Seq("b"), "left")
+        (wordHash(col("w")) % buckets).as("b"))
+    // ONE conditional aggregation builds both frequency tables (the
+    // target is a subset of the pool, so a bucket the target misses
+    // simply counts 0 — same as the left-join/coalesce formulation);
+    // the 256-group agg map-side combines, and its window sums run
+    // over 256 rows
+    val delta = w.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when(col("lang") === targetLang, 1)).as("cnt_t"))
       .select(col("b"),
-        (coalesce(col("f_t"), lit(0L)) - col("f_r")).as("delta"))
+        (expr("cnt_t * 1000000 div sum(cnt_t) over ()") -
+          expr("cnt_r * 1000000 div sum(cnt_r) over ()")).as("delta"))
     w.join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))

@@ -98,7 +98,7 @@ object Plans {
     "sql_q2_min_cost" -> "argmin-with-ties: persisted part-slice cost view (one lineitem agg); filtered dims broadcast below the agg",
     "sql_q3_shipping" -> "segment/date filters pushed to all three scans; exact-mc revenue; TakeOrdered top-10",
     "sql_q4_order_priority" -> "EXISTS as left-semi with a non-equi late residual; quarter filter prunes orders at the scan",
-    "sql_q6_forecast" -> "single scan, every predicate pushed; integer-exact global agg, no shuffle beyond the 1-row gather",
+    "sql_q6_forecast" -> "single scan; the quantity bound is a PushedFilter, the cast/arithmetic predicates run in the codegen'd Filter above it; integer-exact global agg, no shuffle beyond the 1-row gather",
     "sql_q7_nation_volume" -> "nation-pair disjunction pre-filters both dim sides to 2/25 slices; residual pair check post-join",
     "sql_q8_market_share" -> "market share from one fact pipeline: region left-semi, CASE-sums in one agg, final long→double division",
     "sql_q10_returned" -> "returnflag + date filters pruned at both scans; customer-grain agg; TakeOrdered top-20",

@@ -22,15 +22,34 @@ class TpchShapesSpec extends AnyFunSuite {
   private def plan(name: String): String =
     run(name).queryExecution.executedPlan.toString
 
-  test("sql_q2_min_cost: every part's rows all carry that part's min " +
-       "cost, and ties all surface") {
-    val rows = run("sql_q2_min_cost")
-      .select("p_partkey", "cost_cents").as[(Long, Long)].collect()
-    val byPart = rows.groupBy(_._1)
-    byPart.foreach { case (_, rs) =>
-      assert(rs.map(_._2).distinct.length === 1) // all rows at the min
-    }
-    assert(rows.nonEmpty)
+  test("sql_q2_min_cost: output equals a plain-Scala replay — regional " +
+       "restriction BEFORE the per-part min, ties all surfacing") {
+    // replay from base tables: the in-region supplier set, the part
+    // slice, per-(part, supp) min sale cents, then per-part argmin
+    val inRegion = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey").as[Long].collect().toSet
+    val slice = Tables.part(spark, sf)
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 25))
+      .select("p_partkey").as[Long].collect().toSet
+    val cost = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long)].collect()
+      .filter(r => slice.contains(r._1) && inRegion.contains(r._2))
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._3).min }
+    val minPerPart = cost.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.min }
+    val expect = cost.collect {
+      case ((p, s), c) if c == minPerPart(p) => (p, s, c) }.toSet
+    val got = run("sql_q2_min_cost")
+      .select("p_partkey", "s_suppkey", "cost_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
   }
 
   test("sql_q4_order_priority: semi-join counts orders once however " +
@@ -133,10 +152,14 @@ class TpchShapesSpec extends AnyFunSuite {
     }
   }
 
-  test("sql_q6_forecast: date/discount/quantity predicates are pushed " +
-       "to the lineitem scan") {
+  test("sql_q6_forecast: the quantity bound reaches the parquet scan " +
+       "as a pushed filter (cast/arithmetic predicates cannot — they " +
+       "run in the Filter above it)") {
     val p = run("sql_q6_forecast").queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters") &&
-      (p.contains("l_quantity") || p.contains("LessThan")))
+    // the PushedFilters list itself must name l_quantity
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("l_quantity")),
+      s"l_quantity not in PushedFilters:\n${pushed.getOrElse(p)}")
+    assert("FileScan|Scan parquet".r.findFirstIn(p).isDefined)
   }
 }

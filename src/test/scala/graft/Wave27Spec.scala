@@ -96,6 +96,21 @@ class Wave27Spec extends AnyFunSuite {
     assert(got.toSeq === Seq((1, "a", "a", 2L, 2L), (2, "aa", "a", 1L, 1L)))
   }
 
+  test("bpeTrain/bpeEncode: a vocabulary that merges out before " +
+       "nMerges stops early — state survives, encode still covers " +
+       "every doc") {
+    val docs = Seq((1L, "ab ab", "en")).toDF("doc_id", "text", "lang")
+    val rounds = ops.Text.bpeTrain(docs, nMerges = 5)
+      .select("round", "l", "r", "tokens_after")
+      .as[(Int, String, String, Long)].collect()
+    // round 1 merges (a,b) everywhere; no pair remains -> exactly 1 row
+    assert(rounds.toSeq === Seq((1, "a", "b", 2L)))
+    val enc = ops.Text.bpeEncode(docs, nMerges = 5)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(enc.toSeq === Seq((1L, 2L, 2L))) // NOT wiped to zero rows
+  }
+
   test("bpeEncode: hand-computed fertility on the toy corpus") {
     // learned merges (see the bpeTrain test): at, th, c+at, h+at, th+e
     // the->1 tok, cat->1, sat->2, cats->2, chat->2, that->2, hat->1, thus->3
