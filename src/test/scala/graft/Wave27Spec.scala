@@ -135,6 +135,87 @@ class Wave27Spec extends AnyFunSuite {
       assert(b._2 < a._2, s"round ${b._1} did not shrink the corpus") }
   }
 
+  /** Plain-Scala BPE reference: same get_stats (every adjacent
+    * position), same (count desc, pair asc) winner, same greedy
+    * left-to-right non-overlapping merge. */
+  private def refBpe(ws: Seq[String], nMerges: Int)
+      : (Map[String, Vector[String]], Seq[(Int, String, String, Long, Long)]) = {
+    val cnt = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var segs: Map[String, Vector[String]] =
+      cnt.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = scala.collection.mutable.Buffer[(Int, String, String, Long, Long)]()
+    var stop = false
+    for (round <- 1 to nMerges if !stop) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) =
+          pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt(w)
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), n) =
+          pc.toSeq.sortBy { case ((a, b), m) => (-m, a, b) }.head
+        segs = segs.map { case (w, syms) =>
+          val b = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          w -> b.result()
+        }
+        val toks = segs.map { case (w, s) => s.length * cnt(w) }.sum
+        out += ((round, l, r, n, toks))
+      }
+    }
+    (segs, out.toSeq)
+  }
+
+  test("bpeTrain/bpeEncode == plain-Scala reference on seeded random " +
+       "corpora (small alphabet forces merge chains and ties)") {
+    val rnd = new scala.util.Random(27)
+    for (round <- 1 to 4) {
+      val alpha = if (round % 2 == 0) "ab" else "abc"
+      val nDocs = 3 + rnd.nextInt(3)
+      val docRows = (1 to nDocs).map { d =>
+        val ws = Seq.fill(3 + rnd.nextInt(6))(
+          (1 to (1 + rnd.nextInt(4)))
+            .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+        (d.toLong, ws.mkString(" "), "en")
+      }
+      val allWords = docRows.flatMap(_._2.split(" ").toSeq)
+      val (segs, want) = refBpe(allWords, 5)
+      val docs = docRows.toDF("doc_id", "text", "lang")
+      val got = ops.Text.bpeTrain(docs)
+        .select("round", "l", "r", "pair_count", "tokens_after")
+        .as[(Int, String, String, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === want, s"round=$round corpus=$docRows")
+      val wantEnc = docRows.map { case (d, t, _) =>
+        (d, t.split(" ").map(w => segs(w).length.toLong).sum) }.toMap
+      val gotEnc = ops.Text.bpeEncode(docs)
+        .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+      assert(gotEnc === wantEnc, s"round=$round corpus=$docRows")
+    }
+  }
+
+  test("dsirAffinity == plain-Scala replay on seeded random multilingual " +
+       "corpora") {
+    val rnd = new scala.util.Random(127)
+    for (round <- 1 to 3) {
+      val langs = Seq("en", "de", "fr")
+      val rows = (1L to (8 + rnd.nextInt(8)).toLong).map { i =>
+        val ws = Seq.fill(2 + rnd.nextInt(8))(
+          (1 to (1 + rnd.nextInt(6)))
+            .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+        (i, ws.mkString(" "), langs(rnd.nextInt(langs.length)))
+      }
+      val got = ops.Text.dsirAffinity(rows.toDF("doc_id", "text", "lang"))
+        .select("doc_id", "n_words", "affinity")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === replay(rows, "en", 256), s"round=$round rows=$rows")
+    }
+  }
+
   test("dsirAffinity: every doc with at least one word is scored, " +
        "n_words matches tokenization") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
