@@ -154,6 +154,12 @@ object SparkEntry {
       graft.streaming.Streaming.streamingHeavyHitters(s,
         eventsBase(s, dir), tmp(dir, "stream_events5"))),
 
+    // bottom-k quantile sketch maintained live: per-batch samples
+    // KMV-merged into <= k rows/group state == the batch sketch
+    "streaming_sketch_quantiles" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingSketchQuantiles(s,
+        eventsBase(s, dir), tmp(dir, "stream_events5"))),
+
     // Mann-Whitney AUC: does event value separate purchases from the rest
     "auc_rank" -> ((s, dir) =>
       Profile.aucRank(Tables.events(s, dir),
@@ -2965,6 +2971,30 @@ object SparkEntry {
            AS p95
        FROM t GROUP BY g"""
 
+  // the events-feed instance of the same KMV sketch recurrence: the
+  // streaming maintenance loop must land exactly this state
+  private val streamingSketchQuantilesOracle =
+    """WITH b AS (SELECT event_type AS g, event_id AS id,
+             event_id * 1000003 % 1000000007 AS h,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         s AS (SELECT g, id, c,
+             row_number() OVER (PARTITION BY g ORDER BY h ASC, id ASC) AS rk
+           FROM b),
+         t AS (SELECT g, id, c,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY c ASC, id ASC)
+               AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM s WHERE rk <= 256)
+       SELECT g AS event_type, max(n) AS sample_n,
+         CAST(min(CASE WHEN i * 4 >= n THEN c END) AS DOUBLE) / 100.0 AS p25,
+         CAST(min(CASE WHEN i * 2 >= n THEN c END) AS DOUBLE) / 100.0 AS p50,
+         CAST(min(CASE WHEN i * 4 >= n * 3 THEN c END) AS DOUBLE) / 100.0
+           AS p75,
+         CAST(min(CASE WHEN i * 20 >= n * 19 THEN c END) AS DOUBLE) / 100.0
+           AS p95
+       FROM t GROUP BY g"""
+
   private val latestWin =
     "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)"
 
@@ -2977,7 +3007,9 @@ object SparkEntry {
       // the custom-plan as-of join must match the window-based one exactly
       ("asof_join_native" -> extraOracles("asof_join")) +
       // the streaming monitor flags exactly the batch anomaly set
-      ("streaming_anomaly" -> baseOracles("anomaly_zscore"))
+      ("streaming_anomaly" -> baseOracles("anomaly_zscore")) +
+      // live KMV maintenance must equal the batch sketch (merge identity)
+      ("streaming_sketch_quantiles" -> streamingSketchQuantilesOracle)
 
   private def baseOracles: Map[String, String] = Map(
 

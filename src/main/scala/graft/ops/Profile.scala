@@ -1268,7 +1268,17 @@ object Profile {
                       value: Column, k: Int = 256): DataFrame =
     quantilesOfSample(bottomKSample(df, group, id, value, k))
 
-  private def quantilesOfSample(sample: DataFrame): DataFrame = {
+  /** Re-take the k smallest (h, id) per group from a union of bottom-k
+    * samples — the KMV merge step, shared by the sharded batch variant
+    * and the streaming maintenance loop. */
+  private[graft] def bottomKMerge(sample: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("h").asc, col("id").asc)
+    sample.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  private[graft] def quantilesOfSample(sample: DataFrame): DataFrame = {
     val ws = Window.partitionBy(col("g")).orderBy(col("c").asc, col("id").asc)
     val wg = Window.partitionBy(col("g"))
     sample
@@ -1309,11 +1319,6 @@ object Profile {
       .withColumn("rk", row_number().over(wShard))
       .filter(col("rk") <= k)
       .drop("rk", "shard")
-    val wMerge = Window.partitionBy(col("g")).orderBy(col("h").asc, col("id").asc)
-    val merged = perShard
-      .withColumn("rk", row_number().over(wMerge))
-      .filter(col("rk") <= k)
-      .drop("rk")
-    quantilesOfSample(merged)
+    quantilesOfSample(bottomKMerge(perShard, k))
   }
 }

@@ -341,6 +341,51 @@ object Streaming {
       .select(col("key"), col("n"), col("share"))
   }
 
+  /** Bottom-k quantile sketch maintained LIVE over the stream: every
+    * micro-batch contributes its own bottom-k sample, merged into the
+    * running state by re-taking the k smallest id-hashes of the union —
+    * the KMV merge identity [[graft.ops.Profile.sketchQuantilesMerged]]
+    * executes shard-wise in batch, here driven by arbitrary trigger
+    * slicing (associative + commutative, so ANY slicing lands the same
+    * state). The readout therefore hash-equals the batch sketch over
+    * the same feed and registers against the same-shaped oracle.
+    *
+    * Scale: state is ≤ k rows per group FOREVER — the bounded-state
+    * answer for quantiles over unbounded feeds (contrast the exact
+    * streaming-dedup state discussion in SCALE.md); per batch only the
+    * batch's own k-row samples and the k-row state shuffle, and history
+    * is never rescanned.
+    */
+  def streamingSketchQuantiles(spark: SparkSession, events: DataFrame,
+                               scratch: String,
+                               k: Int = 256): DataFrame = withStatePartitions(spark, 8) {
+    import graft.ops.Profile
+    val base = events.select(col("event_id"), col("event_type"), col("value"))
+    var view = Profile.bottomKSample(base.limit(0),
+      group = col("event_type"), id = col("event_id"),
+      value = col("value"), k = k).persist()
+    view.count()
+
+    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = Profile.bottomKSample(batch,
+          group = col("event_type"), id = col("event_id"),
+          value = col("value"), k = k)
+        val next = Profile.bottomKMerge(view.unionByName(bs), k).persist()
+        next.count() // materialize before dropping the old snapshot
+        view.unpersist()
+        view = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    Profile.quantilesOfSample(view)
+      .withColumnRenamed("g", "event_type")
+  }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

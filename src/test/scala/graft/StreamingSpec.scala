@@ -107,6 +107,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSketchQuantiles equals the batch KMV sketch over the " +
+       "same feed (merge identity under micro-batch slicing)") {
+    val live = Streaming.streamingSketchQuantiles(spark, events,
+      scratch("sketchq"))
+      .select("event_type", "sample_n", "p25", "p50", "p75", "p95")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    val batch = ops.Profile.sketchQuantiles(events,
+      group = col("event_type"), id = col("event_id"),
+      value = col("value"))
+      .withColumnRenamed("g", "event_type")
+      .select("event_type", "sample_n", "p25", "p50", "p75", "p95")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    assert(live === batch)
+    assert(live.nonEmpty)
+  }
+
   test("windowedCounts equals the batch window aggregation") {
     val out = Streaming.windowedCounts(spark, events, scratch("win"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
