@@ -1272,6 +1272,12 @@ object SparkEntry {
       graft.streaming.Streaming.streamingNearDup(s,
         Tables.documents(s, dir), tmp(dir, "stream_neardup_src"))),
 
+    // DSIR tables maintained live (256-row state, the smallest
+    // possible); final scores == the batch dsir_affinity (same oracle)
+    "streaming_dsir" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingDsir(s,
+        Tables.documents(s, dir), tmp(dir, "stream_dsir_src"))),
+
     // analytic window-function surface: lag/lead/dense_rank/ntile/
     // percent_rank/cume_dist under one total order
     "window_funcs" -> ((s, dir) => {
@@ -3009,7 +3015,9 @@ object SparkEntry {
       // the streaming monitor flags exactly the batch anomaly set
       ("streaming_anomaly" -> baseOracles("anomaly_zscore")) +
       // live KMV maintenance must equal the batch sketch (merge identity)
-      ("streaming_sketch_quantiles" -> streamingSketchQuantilesOracle)
+      ("streaming_sketch_quantiles" -> streamingSketchQuantilesOracle) +
+      // live count-table maintenance must land the batch DSIR scores
+      ("streaming_dsir" -> baseOracles("dsir_affinity"))
 
   private def baseOracles: Map[String, String] = Map(
 

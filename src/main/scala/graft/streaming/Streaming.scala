@@ -386,6 +386,62 @@ object Streaming {
       .withColumnRenamed("g", "event_type")
   }
 
+  /** DSIR frequency tables maintained LIVE over the document stream:
+    * each micro-batch's hashed-feature bucket counts (target +
+    * pool, the [[graft.ops.Text.dsirAffinity]] conditional-aggregation
+    * shape) sum-merge into the running tables in foreachBatch —
+    * associative + commutative, so ANY trigger slicing lands the same
+    * tables. State is the two FIXED-cardinality count tables (256
+    * rows), the smallest possible streaming state: the feed can be
+    * unbounded and the state never grows. The final scoring pass runs
+    * the standard batch probe against the maintained tables, so the
+    * result hash-equals [[graft.ops.Text.dsirAffinity]] over the same
+    * corpus and registers against the same oracle.
+    */
+  def streamingDsir(spark: SparkSession, docs: DataFrame, scratch: String,
+                    targetLang: String = "en",
+                    buckets: Int = 256): DataFrame = withStatePartitions(spark, 8) {
+    import graft.ops.Text
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"),
+        explode(Text.words(col("text"))).as("w"))
+        .select(col("doc_id"), col("lang"),
+          (Text.wordHash(col("w")) % buckets).as("b"))
+    def counts(df: DataFrame): DataFrame =
+      bucketed(df).groupBy(col("b"))
+        .agg(count(lit(1)).as("cnt_r"),
+          count(when(col("lang") === targetLang, 1)).as("cnt_t"))
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    var tables = counts(base.limit(0)).persist()
+    tables.count()
+
+    base.repartition(4).write.mode("overwrite").parquet(scratch)
+    val query = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(scratch)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val next = tables.unionByName(counts(batch))
+          .groupBy(col("b"))
+          .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t"))
+          .persist()
+        next.count() // materialize before dropping the old snapshot
+        tables.unpersist()
+        tables = next
+        ()
+      }
+      .outputMode("update").start()
+
+    query.processAllAvailable()
+    query.stop()
+    val delta = tables.select(col("b"),
+      (expr("cnt_t * 1000000 div sum(cnt_t) over ()") -
+        expr("cnt_r * 1000000 div sum(cnt_r) over ()")).as("delta"))
+    bucketed(base).join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
+  }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

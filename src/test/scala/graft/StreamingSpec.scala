@@ -123,6 +123,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.nonEmpty)
   }
 
+  test("streamingDsir equals batch dsirAffinity — 256-row state lands " +
+       "the exact batch frequency tables under any slicing") {
+    val docs = Tables.documents(spark, sf)
+    val live = Streaming.streamingDsir(spark, docs, scratch("dsir"))
+      .select("doc_id", "n_words", "affinity")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = ops.Text.dsirAffinity(docs)
+      .select("doc_id", "n_words", "affinity")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live === batch)
+    assert(live.nonEmpty)
+  }
+
   test("windowedCounts equals the batch window aggregation") {
     val out = Streaming.windowedCounts(spark, events, scratch("win"))
       .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
