@@ -12,6 +12,37 @@ class StreamingRestartSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("foreachBatch maintenance resumes exactly from a written " +
+       "snapshot: parquet-roundtripped mid-feed KMV state + the " +
+       "remaining feed == the full-feed sketch") {
+    // the SCALE.md honest-limits operational contract, executed: the
+    // maintained view is a pure associative+commutative merge, so
+    // write-snapshot / reload / merge-the-rest is exact resume
+    import graft.ops.Profile
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val (g, i, v) = (col("event_type"), col("event_id"), col("value"))
+    val k = 256
+    val full = Profile.bottomKMerge(
+      Profile.bottomKSample(events, g, i, v, k), k)
+    // "crash" after half the feed: snapshot state to parquet
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-resume").toString + "/state"
+    Profile.bottomKSample(half1, g, i, v, k)
+      .write.mode("overwrite").parquet(snapDir)
+    // restart: reload the snapshot, merge only the unprocessed half
+    val resumed = Profile.bottomKMerge(
+      spark.read.parquet(snapDir)
+        .unionByName(Profile.bottomKSample(half2, g, i, v, k)), k)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("g", "id", "c").as[(String, Long, Long)].collect().toSet
+    assert(key(resumed) === key(full))
+    assert(key(full).nonEmpty)
+  }
+
   test("windowed counts survive a stop/restart from checkpoint without double-counting") {
     val root = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val src = s"$root/src"
