@@ -736,6 +736,11 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) =>
       Text.bpeEncode(Tables.documents(s, dir))),
 
+    // E3+: T5 span corruption — deterministic hash-driven span masking
+    // with numbered sentinels; zero-shuffle projection
+    "span_corrupt" -> ((s, dir) =>
+      Text.spanCorrupt(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4814,6 +4819,46 @@ object SparkEntry {
 
     // same unrolled loop + the corpus joined to the final vocab state
     "bpe_encode" -> Text.bpeEncodeOracleSql(),
+
+    // the same string-encoded corruption fold, hash decisions inline
+    "span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+           list_reduce(list_prepend('##0#0',
+             list_transform(range(len(toks)),
+               i -> CAST(i AS VARCHAR) || ':' || toks[i + 1])),
+             (acc, x) -> CASE
+               WHEN CAST(split_part(acc, '#', 3) AS BIGINT) > 0 THEN
+                 split_part(acc, '#', 1) || '#' ||
+                 split_part(acc, '#', 2) || ' ' || split_part(x, ':', 2) ||
+                 '#' || CAST(CAST(split_part(acc, '#', 3) AS BIGINT) - 1
+                   AS VARCHAR) || '#' || split_part(acc, '#', 4)
+               WHEN (doc_id * 1000003
+                     + CAST(split_part(x, ':', 1) AS BIGINT) * 131)
+                    % 1000000007 % 100 < 5 THEN
+                 split_part(acc, '#', 1) || ' <extra_id_' ||
+                 CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                   AS VARCHAR) || '>' ||
+                 '#' || split_part(acc, '#', 2) || ' <extra_id_' ||
+                 CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                   AS VARCHAR) || '> ' || split_part(x, ':', 2) ||
+                 '#' || CAST((doc_id * 131
+                   + CAST(split_part(x, ':', 1) AS BIGINT))
+                   % 1000000007 % 3 + 1 AS VARCHAR) ||
+                 '#' || CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                   AS VARCHAR)
+               ELSE
+                 split_part(acc, '#', 1) || ' ' || split_part(x, ':', 2) ||
+                 '#' || split_part(acc, '#', 2) || '#0#' ||
+                 split_part(acc, '#', 4)
+               END) AS acc
+           FROM t)
+         SELECT doc_id,
+           ltrim(split_part(acc, '#', 1)) AS corrupted_text,
+           ltrim(split_part(acc, '#', 2)) AS targets,
+           CAST(split_part(acc, '#', 4) AS BIGINT) AS n_spans
+         FROM f""",
 
     // same per-word polynomial hash as doc_fingerprint; integer div /
     // // are both truncating on the all-positive inputs here

@@ -645,6 +645,56 @@ object Text {
     (state, summary)
   }
 
+  /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): mask
+    * contiguous token SPANS, each replaced by one numbered sentinel in
+    * the input; the target sequence is the sentinels with their
+    * original spans. The span sampler is hash-driven and fully
+    * deterministic — a position starts a span when
+    * `pmod(doc_id·1000003 + i·131, 1e9+7) % 100 < 5` (≈5% of
+    * positions), and the span takes 1–3 additional tokens from a
+    * second hash — so corruption is reproducible across runs, engines,
+    * and retries (the [[mlmMask]] discipline, extended from single
+    * tokens to spans). Positions inside a span ignore further starts.
+    *
+    * Single left fold per row with a string-encoded accumulator
+    * `corrupted#targets#skip#k` (the [[bpeTrain]] technique — DuckDB's
+    * `list_reduce` accumulator must share the element type, so BOTH
+    * engines fold strings; tokens must not contain `'#'` or `':'`).
+    * Zero shuffles: pure codegen projection at scan speed.
+    */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    val pairs = zip_with(toks,
+      sequence(lit(0L), size(toks).cast("long") - 1),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    def f(acc: Column, p: Column): Column = {
+      val c = element_at(split(acc, "#"), 1)
+      val g = element_at(split(acc, "#"), 2)
+      val skip = element_at(split(acc, "#"), 3).cast("long")
+      val k = element_at(split(acc, "#"), 4).cast("long")
+      val t = p.getField("t")
+      val i = p.getField("i")
+      val isStart = pmod(col("doc_id") * 1000003L + i * 131L,
+        lit(1000000007L)) % 100 < 5
+      val extra = pmod(col("doc_id") * 131L + i, lit(1000000007L)) % 3 + 1
+      val sent = concat(lit("<extra_id_"), (k + 1).cast("string"), lit(">"))
+      when(skip > 0, concat_ws("#",
+        c, concat(g, lit(" "), t),
+        (skip - 1).cast("string"), k.cast("string")))
+        .when(isStart, concat_ws("#",
+          concat(c, lit(" "), sent),
+          concat(g, lit(" "), sent, lit(" "), t),
+          extra.cast("string"), (k + 1).cast("string")))
+        .otherwise(concat_ws("#",
+          concat(c, lit(" "), t), g, lit("0"), k.cast("string")))
+    }
+    docs.select(col("doc_id"), aggregate(pairs, lit("##0#0"), f).as("acc"))
+      .select(col("doc_id"),
+        ltrim(element_at(split(col("acc"), "#"), 1)).as("corrupted_text"),
+        ltrim(element_at(split(col("acc"), "#"), 2)).as("targets"),
+        element_at(split(col("acc"), "#"), 4).cast("long").as("n_spans"))
+  }
+
   /** DuckDB oracle for [[bpeTrain]]: the SAME training loop unrolled —
     * per round a pair-count CTE, a 1-row winner, and the identical
     * greedy fold as a `list_reduce` whose accumulator is the

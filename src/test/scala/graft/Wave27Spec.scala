@@ -197,6 +197,48 @@ class Wave27Spec extends AnyFunSuite {
     }
   }
 
+  test("spanCorrupt: losslessness — substituting each sentinel's target " +
+       "span back into the corrupted text reproduces the original, and " +
+       "corruption matches a plain-Scala replay of the hash walk") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val orig = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val out = ops.Text.spanCorrupt(docs)
+      .select("doc_id", "corrupted_text", "targets", "n_spans")
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length === orig.size)
+    var corrupted = 0
+    out.foreach { case (id, ct, tg, k) =>
+      // parse targets into sentinel -> span
+      val spans = scala.collection.mutable.Map[String, List[String]]()
+      var cur: String = null
+      tg.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Nil }
+        else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size.toLong === k)
+      val rebuilt = ct.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id not lossless")
+      // plain-Scala replay of the deterministic walk
+      val toks = orig(id).split(" ")
+      var (skip, kk) = (0L, 0L)
+      val c2 = new StringBuilder
+      toks.zipWithIndex.foreach { case (t, i) =>
+        if (skip > 0) skip -= 1
+        else if ((id * 1000003L + i.toLong * 131L) % 1000000007L % 100 < 5) {
+          kk += 1; skip = (id * 131L + i.toLong) % 1000000007L % 3 + 1
+          c2 ++= s" <extra_id_$kk>"
+        } else c2 ++= s" $t"
+      }
+      assert(c2.toString.trim === ct, s"doc $id corruption differs")
+      assert(kk === k)
+      if (k > 0) corrupted += 1
+    }
+    assert(corrupted > 0 && corrupted < out.length) // non-degenerate rate
+  }
+
   test("dsirAffinity == plain-Scala replay on seeded random multilingual " +
        "corpora") {
     val rnd = new scala.util.Random(127)
