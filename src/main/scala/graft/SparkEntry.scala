@@ -741,6 +741,10 @@ object SparkEntry {
     "span_corrupt" -> ((s, dir) =>
       Text.spanCorrupt(Tables.documents(s, dir))),
 
+    // E3+: FIM prefix/suffix/middle reorder at hash-chosen cuts
+    "fim_split" -> ((s, dir) =>
+      Text.fimSplit(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4819,6 +4823,28 @@ object SparkEntry {
 
     // same unrolled loop + the corpus joined to the final vocab state
     "bpe_encode" -> Text.bpeEncodeOracleSql(),
+
+    // same hash order statistics, 1-based inclusive list slicing
+    "fim_split" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+             CAST((doc_id * 1000003) % 1000000007 % (n + 1) AS INT) AS h1,
+             CAST((doc_id * 131 + 7) % 1000000007 % (n + 1) AS INT) AS h2
+           FROM t)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(least(h1, h2) AS BIGINT) AS n_prefix,
+           CAST(greatest(h1, h2) - least(h1, h2) AS BIGINT) AS n_middle,
+           CAST(n - greatest(h1, h2) AS BIGINT) AS n_suffix,
+           '<PRE> ' ||
+           COALESCE(array_to_string(toks[1:least(h1, h2)], ' '), '') ||
+           ' <SUF> ' ||
+           COALESCE(array_to_string(toks[greatest(h1, h2) + 1:n], ' '), '') ||
+           ' <MID> ' ||
+           COALESCE(array_to_string(
+             toks[least(h1, h2) + 1:greatest(h1, h2)], ' '), '')
+             AS fim_text
+         FROM c""",
 
     // the same string-encoded corruption fold, hash decisions inline
     "span_corrupt" ->

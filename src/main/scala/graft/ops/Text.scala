@@ -695,6 +695,37 @@ object Text {
         element_at(split(col("acc"), "#"), 4).cast("long").as("n_spans"))
   }
 
+  /** Fill-in-the-middle reordering (Bavarian et al., 2022 — "Efficient
+    * Training of Language Models to Fill in the Middle"): split each
+    * document into prefix/middle/suffix at two hash-chosen token cuts
+    * and emit the PSM layout `<PRE> prefix <SUF> suffix <MID> middle`.
+    * The two cuts are `h % (n+1)` order statistics of per-doc hashes —
+    * deterministic, so the same doc always yields the same split on
+    * any engine (the [[spanCorrupt]] discipline). Concatenating
+    * prefix+middle+suffix reproduces the document exactly (spec'd).
+    * Zero shuffles: pure projection.
+    */
+  def fimSplit(docs: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    val n = size(toks)
+    val h1 = (pmod(col("doc_id") * 1000003L, lit(1000000007L)) %
+      (n + 1).cast("long")).cast("int")
+    val h2 = (pmod(col("doc_id") * 131L + 7L, lit(1000000007L)) %
+      (n + 1).cast("long")).cast("int")
+    val pe = least(h1, h2)   // prefix end (token count)
+    val me = greatest(h1, h2) // middle end
+    docs.select(col("doc_id"), n.cast("long").as("n_tokens"),
+      pe.cast("long").as("n_prefix"),
+      (me - pe).cast("long").as("n_middle"),
+      (n - me).cast("long").as("n_suffix"),
+      concat(lit("<PRE> "),
+        array_join(slice(toks, lit(1), pe), " "),
+        lit(" <SUF> "),
+        array_join(slice(toks, me + 1, n - me), " "),
+        lit(" <MID> "),
+        array_join(slice(toks, pe + 1, me - pe), " ")).as("fim_text"))
+  }
+
   /** DuckDB oracle for [[bpeTrain]]: the SAME training loop unrolled —
     * per round a pair-count CTE, a 1-row winner, and the identical
     * greedy fold as a `list_reduce` whose accumulator is the

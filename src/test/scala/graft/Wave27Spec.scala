@@ -239,6 +239,30 @@ class Wave27Spec extends AnyFunSuite {
     assert(corrupted > 0 && corrupted < out.length) // non-degenerate rate
   }
 
+  test("fimSplit: prefix+middle+suffix reassembles every original doc; " +
+       "part lengths sum to n_tokens; all three boundary cases occur") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val out = ops.Text.fimSplit(docs)
+      .select("doc_id", "fim_text", "n_tokens", "n_prefix", "n_middle",
+        "n_suffix")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out.length === orig.size)
+    out.foreach { case (id, fim, n, np, nm, ns) =>
+      assert(np + nm + ns === n)
+      // parse "<PRE> p <SUF> s <MID> m" and reassemble p + m + s
+      val pre = fim.substring("<PRE> ".length, fim.indexOf(" <SUF> "))
+      val suf = fim.substring(fim.indexOf(" <SUF> ") + " <SUF> ".length,
+        fim.indexOf(" <MID> "))
+      val mid = fim.substring(fim.indexOf(" <MID> ") + " <MID> ".length)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id not reassemblable")
+    }
+    // the empty-part corners the oracle NULL bug hid must be exercised
+    assert(out.exists(_._4 == 0) && out.exists(_._5 == 0) &&
+      out.exists(_._6 == 0))
+  }
+
   test("dsirAffinity == plain-Scala replay on seeded random multilingual " +
        "corpora") {
     val rnd = new scala.util.Random(127)
