@@ -1246,14 +1246,10 @@ object Profile {
     * size (the same prune [[Shard.mixtureSample]] relies on).
     */
   private[graft] def bottomKSample(df: DataFrame, group: Column, id: Column,
-                                   value: Column, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("g")).orderBy(col("h").asc, col("id").asc)
-    df.select(group.as("g"), id.as("id"), Shard.portableHash(id).as("h"),
-        round(value * lit(100)).cast("long").as("c"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
-  }
+                                   value: Column, k: Int): DataFrame =
+    bottomKMerge(
+      df.select(group.as("g"), id.as("id"), Shard.portableHash(id).as("h"),
+        round(value * lit(100)).cast("long").as("c")), k)
 
   /** Approximate per-group quantiles from the [[bottomKSample]] sketch:
     * exact integer-rank order statistics OF THE SAMPLE (the

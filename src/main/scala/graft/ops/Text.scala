@@ -668,10 +668,13 @@ object Text {
       sequence(lit(0L), size(toks).cast("long") - 1),
       (t, i) => struct(t.as("t"), i.as("i")))
     def f(acc: Column, p: Column): Column = {
-      val c = element_at(split(acc, "#"), 1)
-      val g = element_at(split(acc, "#"), 2)
-      val skip = element_at(split(acc, "#"), 3).cast("long")
-      val k = element_at(split(acc, "#"), 4).cast("long")
+      // bind ONE split — each token step would otherwise re-split the
+      // O(doc-length) accumulator for every field reference
+      val parts = split(acc, "#")
+      val c = element_at(parts, 1)
+      val g = element_at(parts, 2)
+      val skip = element_at(parts, 3).cast("long")
+      val k = element_at(parts, 4).cast("long")
       val t = p.getField("t")
       val i = p.getField("i")
       val isStart = pmod(col("doc_id") * 1000003L + i * 131L,
@@ -708,7 +711,7 @@ object Text {
   def fimSplit(docs: DataFrame): DataFrame = {
     val toks = words(col("text"))
     val n = size(toks)
-    val h1 = (pmod(col("doc_id") * 1000003L, lit(1000000007L)) %
+    val h1 = (Shard.portableHash(col("doc_id")) %
       (n + 1).cast("long")).cast("int")
     val h2 = (pmod(col("doc_id") * 131L + 7L, lit(1000000007L)) %
       (n + 1).cast("long")).cast("int")

@@ -274,18 +274,17 @@ object Streaming {
     val base = events.select(col("event_id"), col("ts"), col("user_id"))
     var view = Profile.hllDailyRegs(
       base.filter(col("event_id") % 2 === 0), col("ts"), col("user_id"))
-      .persist()
-    view.count()
+      .localCheckpoint()
 
     val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
       .filter(col("event_id") % 2 === 1)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = Profile.hllMergeRegs(view,
-          Profile.hllDailyRegs(batch, col("ts"), col("user_id"))).persist()
-        next.count() // materialize before dropping the old snapshot
-        view.unpersist()
-        view = next
+        // localCheckpoint: eager + lineage-cutting — constant plan
+        // depth per trigger; superseded blocks free via ContextCleaner
+        view = Profile.hllMergeRegs(view,
+          Profile.hllDailyRegs(batch, col("ts"), col("user_id")))
+          .localCheckpoint()
         ()
       }
       .outputMode("update").start()
@@ -314,19 +313,18 @@ object Streaming {
     val base = events.select(col("event_id"), col("user_id"))
     var view = base.limit(0)
       .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
-      .persist()
-    view.count()
+      .localCheckpoint()
 
     val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val bc = batch.groupBy(col("user_id").as("key"))
           .agg(count(lit(1)).as("n"))
-        val next = view.unionByName(bc)
-          .groupBy(col("key")).agg(sum(col("n")).as("n")).persist()
-        next.count() // materialize before dropping the old snapshot
-        view.unpersist()
-        view = next
+        // localCheckpoint: eager + lineage-cutting — constant plan
+        // depth per trigger; superseded blocks free via ContextCleaner
+        view = view.unionByName(bc)
+          .groupBy(col("key")).agg(sum(col("n")).as("n"))
+          .localCheckpoint()
         ()
       }
       .outputMode("update").start()
@@ -363,8 +361,7 @@ object Streaming {
     val base = events.select(col("event_id"), col("event_type"), col("value"))
     var view = Profile.bottomKSample(base.limit(0),
       group = col("event_type"), id = col("event_id"),
-      value = col("value"), k = k).persist()
-    view.count()
+      value = col("value"), k = k).localCheckpoint()
 
     val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
       .writeStream
@@ -372,10 +369,12 @@ object Streaming {
         val bs = Profile.bottomKSample(batch,
           group = col("event_type"), id = col("event_id"),
           value = col("value"), k = k)
-        val next = Profile.bottomKMerge(view.unionByName(bs), k).persist()
-        next.count() // materialize before dropping the old snapshot
-        view.unpersist()
-        view = next
+        // localCheckpoint: eager (materialized before the old snapshot
+        // goes) AND lineage-cutting — per-trigger plan depth stays
+        // constant however long the feed runs (the cc_star discipline);
+        // superseded checkpoint blocks free via the ContextCleaner
+        view = Profile.bottomKMerge(view.unionByName(bs), k)
+          .localCheckpoint()
         ()
       }
       .outputMode("update").start()
@@ -412,22 +411,30 @@ object Streaming {
         .agg(count(lit(1)).as("cnt_r"),
           count(when(col("lang") === targetLang, 1)).as("cnt_t"))
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    var tables = counts(base.limit(0)).persist()
-    tables.count()
+    var tables = counts(base.limit(0)).localCheckpoint()
 
-    base.repartition(4).write.mode("overwrite").parquet(scratch)
+    // same per-JVM fingerprint cache as events5Stream: a bench sweep
+    // invokes the op cold + warm passes — the corpus fixture is
+    // written once, not once per pass
+    val fingerprint = base.schema.toDDL + "|" +
+      base.queryExecution.analyzed.canonicalized.toString
+    synchronized {
+      if (!fixturesWritten.get(scratch).contains(fingerprint)) {
+        base.repartition(4).write.mode("overwrite").parquet(scratch)
+        fixturesWritten(scratch) = fingerprint
+      }
+    }
     val query = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(scratch)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = tables.unionByName(counts(batch))
+        // localCheckpoint: eager + lineage-cutting (see
+        // streamingSketchQuantiles); constant plan depth per trigger
+        tables = tables.unionByName(counts(batch))
           .groupBy(col("b"))
           .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t"))
-          .persist()
-        next.count() // materialize before dropping the old snapshot
-        tables.unpersist()
-        tables = next
+          .localCheckpoint()
         ()
       }
       .outputMode("update").start()
