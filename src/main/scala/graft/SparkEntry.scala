@@ -745,6 +745,10 @@ object SparkEntry {
     "fim_split" -> ((s, dir) =>
       Text.fimSplit(Tables.documents(s, dir))),
 
+    // E3+: UL2 mixture-of-denoisers — hash-routed R/X/S objectives
+    "denoiser_mix" -> ((s, dir) =>
+      Text.denoiserMix(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4846,45 +4850,11 @@ object SparkEntry {
              AS fim_text
          FROM c""",
 
-    // the same string-encoded corruption fold, hash decisions inline
-    "span_corrupt" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents),
-         f AS (SELECT doc_id,
-           list_reduce(list_prepend('##0#0',
-             list_transform(range(len(toks)),
-               i -> CAST(i AS VARCHAR) || ':' || toks[i + 1])),
-             (acc, x) -> CASE
-               WHEN CAST(split_part(acc, '#', 3) AS BIGINT) > 0 THEN
-                 split_part(acc, '#', 1) || '#' ||
-                 split_part(acc, '#', 2) || ' ' || split_part(x, ':', 2) ||
-                 '#' || CAST(CAST(split_part(acc, '#', 3) AS BIGINT) - 1
-                   AS VARCHAR) || '#' || split_part(acc, '#', 4)
-               WHEN (doc_id * 1000003
-                     + CAST(split_part(x, ':', 1) AS BIGINT) * 131)
-                    % 1000000007 % 100 < 5 THEN
-                 split_part(acc, '#', 1) || ' <extra_id_' ||
-                 CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
-                   AS VARCHAR) || '>' ||
-                 '#' || split_part(acc, '#', 2) || ' <extra_id_' ||
-                 CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
-                   AS VARCHAR) || '> ' || split_part(x, ':', 2) ||
-                 '#' || CAST((doc_id * 131
-                   + CAST(split_part(x, ':', 1) AS BIGINT))
-                   % 1000000007 % 3 + 1 AS VARCHAR) ||
-                 '#' || CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
-                   AS VARCHAR)
-               ELSE
-                 split_part(acc, '#', 1) || ' ' || split_part(x, ':', 2) ||
-                 '#' || split_part(acc, '#', 2) || '#0#' ||
-                 split_part(acc, '#', 4)
-               END) AS acc
-           FROM t)
-         SELECT doc_id,
-           ltrim(split_part(acc, '#', 1)) AS corrupted_text,
-           ltrim(split_part(acc, '#', 2)) AS targets,
-           CAST(split_part(acc, '#', 4) AS BIGINT) AS n_spans
-         FROM f""",
+    // fold generated by the same code as the op's parameters
+    "span_corrupt" -> Text.spanCorruptOracleSql(),
+
+    // R/X folds over hash slices + the S prefix-LM branch, unioned
+    "denoiser_mix" -> Text.denoiserMixOracleSql(),
 
     // same per-word polynomial hash as doc_fingerprint; integer div /
     // // are both truncating on the all-positive inputs here

@@ -662,7 +662,8 @@ object Text {
     * engines fold strings; tokens must not contain `'#'` or `':'`).
     * Zero shuffles: pure codegen projection at scan speed.
     */
-  def spanCorrupt(docs: DataFrame): DataFrame = {
+  def spanCorrupt(docs: DataFrame, ratePct: Int = 5,
+      extraMod: Int = 3): DataFrame = {
     val toks = words(col("text"))
     val pairs = zip_with(toks,
       sequence(lit(0L), size(toks).cast("long") - 1),
@@ -678,8 +679,9 @@ object Text {
       val t = p.getField("t")
       val i = p.getField("i")
       val isStart = pmod(col("doc_id") * 1000003L + i * 131L,
-        lit(1000000007L)) % 100 < 5
-      val extra = pmod(col("doc_id") * 131L + i, lit(1000000007L)) % 3 + 1
+        lit(1000000007L)) % 100 < ratePct
+      val extra = pmod(col("doc_id") * 131L + i,
+        lit(1000000007L)) % extraMod + 1
       val sent = concat(lit("<extra_id_"), (k + 1).cast("string"), lit(">"))
       when(skip > 0, concat_ws("#",
         c, concat(g, lit(" "), t),
@@ -696,6 +698,117 @@ object Text {
         ltrim(element_at(split(col("acc"), "#"), 1)).as("corrupted_text"),
         ltrim(element_at(split(col("acc"), "#"), 2)).as("targets"),
         element_at(split(col("acc"), "#"), 4).cast("long").as("n_spans"))
+  }
+
+  /** UL2-style mixture of denoisers (Tay et al., 2022 — "UL2: Unifying
+    * Language Learning Paradigms"): each document routes BY HASH to one
+    * objective — R (regular span corruption: 5% starts, spans 2–4),
+    * X (extreme: 15% starts, spans 2–6), or S (sequential/prefix-LM: a
+    * single suffix span after a hash-chosen cut). Deterministic routing
+    * over deterministic denoisers = a bit-reproducible training
+    * mixture; the three branches are disjoint hash slices of one scan,
+    * unioned — zero shuffles, and the mixture ratios are exact thirds
+    * in expectation by construction.
+    */
+  def denoiserMix(docs: DataFrame): DataFrame = {
+    val choice = pmod(col("doc_id") * 7L + 3L, lit(1000000007L)) % 3
+    def branch(d: DataFrame, rate: Int, mod: Int, tag: String) =
+      spanCorrupt(d, rate, mod)
+        .select(col("doc_id"), lit(tag).as("denoiser"),
+          col("corrupted_text").as("input_text"), col("targets"),
+          col("n_spans"))
+    val r = branch(docs.filter(choice === 0), 5, 3, "R")
+    val x = branch(docs.filter(choice === 1), 15, 5, "X")
+    val s = {
+      val toks = words(col("text"))
+      val n = size(toks)
+      val cut = (Shard.portableHash(col("doc_id")) % n.cast("long"))
+        .cast("int") // 0..n-1, so the suffix target is never empty
+      docs.filter(choice === 2)
+        .select(col("doc_id"), lit("S").as("denoiser"),
+          ltrim(concat(array_join(slice(toks, lit(1), cut), " "),
+            lit(" <extra_id_1>"))).as("input_text"),
+          concat(lit("<extra_id_1> "),
+            array_join(slice(toks, cut + 1, n - cut), " ")).as("targets"),
+          lit(1L).as("n_spans"))
+    }
+    r.unionByName(x).unionByName(s)
+  }
+
+  /** One R/X fold branch of the [[denoiserMix]] / [[spanCorrupt]]
+    * oracle: CTE pair `t$p`, `f$p` with the rate and span-length
+    * constants inlined. */
+  private def spanFoldCtes(p: String, ratePct: Int, extraMod: Int,
+      where: String): String =
+    s"""t$p AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents $where),
+       f$p AS (SELECT doc_id,
+         list_reduce(list_prepend('##0#0',
+           list_transform(range(len(toks)),
+             i -> CAST(i AS VARCHAR) || ':' || toks[i + 1])),
+           (acc, x) -> CASE
+             WHEN CAST(split_part(acc, '#', 3) AS BIGINT) > 0 THEN
+               split_part(acc, '#', 1) || '#' ||
+               split_part(acc, '#', 2) || ' ' || split_part(x, ':', 2) ||
+               '#' || CAST(CAST(split_part(acc, '#', 3) AS BIGINT) - 1
+                 AS VARCHAR) || '#' || split_part(acc, '#', 4)
+             WHEN (doc_id * 1000003
+                   + CAST(split_part(x, ':', 1) AS BIGINT) * 131)
+                  % 1000000007 % 100 < $ratePct THEN
+               split_part(acc, '#', 1) || ' <extra_id_' ||
+               CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                 AS VARCHAR) || '>' ||
+               '#' || split_part(acc, '#', 2) || ' <extra_id_' ||
+               CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                 AS VARCHAR) || '> ' || split_part(x, ':', 2) ||
+               '#' || CAST((doc_id * 131
+                 + CAST(split_part(x, ':', 1) AS BIGINT))
+                 % 1000000007 % $extraMod + 1 AS VARCHAR) ||
+               '#' || CAST(CAST(split_part(acc, '#', 4) AS BIGINT) + 1
+                 AS VARCHAR)
+             ELSE
+               split_part(acc, '#', 1) || ' ' || split_part(x, ':', 2) ||
+               '#' || split_part(acc, '#', 2) || '#0#' ||
+               split_part(acc, '#', 4)
+             END) AS acc
+         FROM t$p)"""
+
+  /** DuckDB oracle for [[spanCorrupt]] at the given parameters. */
+  def spanCorruptOracleSql(ratePct: Int = 5, extraMod: Int = 3): String =
+    s"""WITH ${spanFoldCtes("", ratePct, extraMod, "")}
+       SELECT doc_id,
+         ltrim(split_part(acc, '#', 1)) AS corrupted_text,
+         ltrim(split_part(acc, '#', 2)) AS targets,
+         CAST(split_part(acc, '#', 4) AS BIGINT) AS n_spans
+       FROM f"""
+
+  /** DuckDB oracle for [[denoiserMix]]: the R and X folds over their
+    * hash slices plus the S prefix-LM branch, unioned. */
+  def denoiserMixOracleSql(): String = {
+    def sel(p: String, tag: String) =
+      s"""SELECT doc_id, '$tag' AS denoiser,
+           ltrim(split_part(acc, '#', 1)) AS input_text,
+           ltrim(split_part(acc, '#', 2)) AS targets,
+           CAST(split_part(acc, '#', 4) AS BIGINT) AS n_spans
+         FROM f$p"""
+    def w(b: Int) = s"WHERE (doc_id * 7 + 3) % 1000000007 % 3 = $b"
+    s"""WITH ${spanFoldCtes("r", 5, 3, w(0))},
+       ${spanFoldCtes("x", 15, 5, w(1))}
+       ${sel("r", "R")}
+       UNION ALL
+       ${sel("x", "X")}
+       UNION ALL
+       SELECT doc_id, 'S' AS denoiser,
+         ltrim(COALESCE(array_to_string(toks[1:cut], ' '), '')
+           || ' <extra_id_1>') AS input_text,
+         '<extra_id_1> ' ||
+           COALESCE(array_to_string(toks[cut + 1:n], ' '), '') AS targets,
+         CAST(1 AS BIGINT) AS n_spans
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n,
+               CAST((doc_id * 1000003) % 1000000007
+                 % len(string_split(text, ' ')) AS INT) AS cut
+             FROM documents ${w(2)})"""
   }
 
   /** Fill-in-the-middle reordering (Bavarian et al., 2022 — "Efficient

@@ -239,6 +239,38 @@ class Wave27Spec extends AnyFunSuite {
     assert(corrupted > 0 && corrupted < out.length) // non-degenerate rate
   }
 
+  test("denoiserMix: partitions the corpus (every doc exactly once), " +
+       "all three objectives occur, S is lossless, X corrupts more " +
+       "aggressively than R") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val out = ops.Text.denoiserMix(docs)
+      .select("doc_id", "denoiser", "input_text", "targets", "n_spans")
+      .as[(Long, String, String, String, Long)].collect()
+    assert(out.length === orig.size)
+    assert(out.map(_._1).distinct.length === orig.size) // a partition
+    val byD = out.groupBy(_._2)
+    assert(byD.keySet === Set("R", "X", "S"))
+    // S: prefix + suffix reassembles the original
+    byD("S").foreach { case (id, _, in, tg, k) =>
+      assert(k === 1L)
+      val pre = in.stripSuffix("<extra_id_1>").trim
+      val suf = tg.stripPrefix("<extra_id_1> ")
+      assert(Seq(pre, suf).filter(_.nonEmpty).mkString(" ") === orig(id))
+    }
+    // X's 15%-start/2-6-span setting must corrupt a larger token
+    // fraction than R's 5%/2-4 on average (deterministic, so this is
+    // a fixed fact of the corpus, not a flaky sample)
+    def corruptedFrac(rows: Array[(Long, String, String, String, Long)]) = {
+      val masked = rows.map(r =>
+        r._4.split(" ").count(t => t.nonEmpty && !t.startsWith("<extra_id_"))
+          .toDouble).sum
+      val total = rows.map(r => orig(r._1).split(" ").length.toDouble).sum
+      masked / total
+    }
+    assert(corruptedFrac(byD("X")) > corruptedFrac(byD("R")))
+  }
+
   test("fimSplit: prefix+middle+suffix reassembles every original doc; " +
        "part lengths sum to n_tokens; all three boundary cases occur") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
