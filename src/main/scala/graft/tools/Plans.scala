@@ -107,7 +107,10 @@ object Plans {
     "sql_q14_promo" -> "one month-pruned lineitem scan; 2-col part broadcast; promo ratio from exact milli-cent sums",
     "sql_q16_supplier_cnt" -> "left-anti complaint keyset; distinct (part,supp) pairs partial-agg before the (brand,size) shuffle",
     "dsir_affinity" -> "fixed-256-row delta table broadcast; explode + join in-task, map-side combine collapses tokens to one partial per doc before the only exchange",
-    "bpe_encode" -> "corpus words equi-join the vocab-sized trained state (LogicalRDD after the checkpointed loop); doc-key agg partial-combines map-side")
+    "bpe_encode" -> "corpus words equi-join the vocab-sized trained state (LogicalRDD after the checkpointed loop); doc-key agg partial-combines map-side",
+    "span_corrupt" -> "zero-shuffle projection: the whole corruption fold is one codegen'd expression per row, no exchange anywhere",
+    "fim_split" -> "zero-shuffle projection: hash cuts + three slices + concat, single scan",
+    "denoiser_mix" -> "three disjoint hash slices of one source, unioned — no shuffle, no join; each branch is a pure projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
