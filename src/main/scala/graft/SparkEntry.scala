@@ -749,6 +749,11 @@ object SparkEntry {
     "denoiser_mix" -> ((s, dir) =>
       Text.denoiserMix(Tables.documents(s, dir))),
 
+    // E3+: fixed-budget mixture planning — exact epochs + residual
+    // sampling rate per language
+    "token_budget_plan" -> ((s, dir) =>
+      Text.tokenBudgetPlan(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4855,6 +4860,23 @@ object SparkEntry {
 
     // R/X folds over hash slices + the S prefix-LM branch, unioned
     "denoiser_mix" -> Text.denoiserMixOracleSql(),
+
+    // exact integer plan arithmetic over per-language token counts
+    "token_budget_plan" ->
+      """WITH a AS (SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT * FROM (VALUES ('en', 500), ('zh', 200),
+             ('de', 100), ('fr', 100), ('es', 100)) v(lang, w_pm)),
+         t AS (SELECT a.lang, avail_tokens, CAST(w_pm AS BIGINT) AS w_pm,
+             CAST(1000000 * w_pm // 1000 AS BIGINT) AS target_tokens
+           FROM a JOIN w ON a.lang = w.lang)
+         SELECT lang, avail_tokens, w_pm, target_tokens,
+           CAST(target_tokens // avail_tokens AS BIGINT) AS full_epochs,
+           CAST((target_tokens % avail_tokens) * 1000000 // avail_tokens
+             AS BIGINT) AS residual_rate_ppm
+         FROM t""",
 
     // same per-word polynomial hash as doc_fingerprint; integer div /
     // // are both truncating on the all-positive inputs here

@@ -700,6 +700,41 @@ object Text {
         element_at(split(col("acc"), "#"), 4).cast("long").as("n_spans"))
   }
 
+  /** Token-budget plan: given a target mixture (language → weight in
+    * permille) and a total token budget, compute per language how many
+    * FULL EPOCHS of its available tokens the budget demands plus the
+    * residual sampling rate — the planning table behind every
+    * fixed-budget pretraining mix (when targets exceed availability the
+    * epoch count > 1 records the implied repetition, the quantity
+    * data-constrained scaling work budgets against). Every figure is an
+    * exact integer (`div` arithmetic, rates in ppm): the plan is
+    * bit-identical however and wherever it is recomputed.
+    *
+    * Scale: one corpus scan to per-language token counts (map-side
+    * combined, ≤ |languages| rows), then pure 1-row-per-language
+    * arithmetic against the broadcast-free literal weight table.
+    */
+  def tokenBudgetPlan(docs: DataFrame,
+      weightsPermille: Seq[(String, Int)] =
+        Seq("en" -> 500, "zh" -> 200, "de" -> 100, "fr" -> 100,
+          "es" -> 100),
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPermille.toDF("lang", "w_pm")
+    val avail = docs.groupBy(col("lang"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("avail_tokens"))
+    avail.join(w, Seq("lang"))
+      .select(col("lang"), col("avail_tokens"), col("w_pm").cast("long")
+        .as("w_pm"),
+        expr(s"$budgetTokens * w_pm div 1000").as("target_tokens"))
+      .select(col("lang"), col("avail_tokens"), col("w_pm"),
+        col("target_tokens"),
+        expr("target_tokens div avail_tokens").as("full_epochs"),
+        expr("(target_tokens % avail_tokens) * 1000000 div avail_tokens")
+          .as("residual_rate_ppm"))
+  }
+
   /** UL2-style mixture of denoisers (Tay et al., 2022 — "UL2: Unifying
     * Language Learning Paradigms"): each document routes BY HASH to one
     * objective — R (regular span corruption: 5% starts, spans 2–4),

@@ -239,6 +239,38 @@ class Wave27Spec extends AnyFunSuite {
     assert(corrupted > 0 && corrupted < out.length) // non-degenerate rate
   }
 
+  test("tokenBudgetPlan: hand-computed epochs and residual rates on a " +
+       "tiny corpus; the plan identity holds for every row") {
+    // en: 10 tokens avail; zh: 4; budget 100, weights en 500pm zh 200pm
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en"),
+      (2L, "x y z w", "zh")).toDF("doc_id", "text", "lang")
+    val got = ops.Text.tokenBudgetPlan(docs,
+      weightsPermille = Seq("en" -> 500, "zh" -> 200),
+      budgetTokens = 100L)
+      .select("lang", "avail_tokens", "target_tokens", "full_epochs",
+        "residual_rate_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: target 50, avail 10 -> 5 epochs, residual 0
+    assert(got("en") === (("en", 10L, 50L, 5L, 0L)))
+    // zh: target 20, avail 4 -> 5 epochs, residual 0
+    assert(got("zh") === (("zh", 4L, 20L, 5L, 0L)))
+    val got2 = ops.Text.tokenBudgetPlan(docs,
+      weightsPermille = Seq("en" -> 330, "zh" -> 670),
+      budgetTokens = 10L)
+      .select("lang", "avail_tokens", "target_tokens", "full_epochs",
+        "residual_rate_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    got2.foreach { case (_, avail, target, ep, rr) =>
+      assert(ep === target / avail)
+      assert(rr === (target % avail) * 1000000L / avail)
+    }
+    // en: target 3 of 10 avail -> 0 epochs, 300000 ppm
+    assert(got2.find(_._1 == "en").map(r => (r._4, r._5)) ===
+      Some((0L, 300000L)))
+  }
+
   test("denoiserMix: partitions the corpus (every doc exactly once), " +
        "all three objectives occur, S is lossless, X corrupts more " +
        "aggressively than R") {
