@@ -754,6 +754,11 @@ object SparkEntry {
     "token_budget_plan" -> ((s, dir) =>
       Text.tokenBudgetPlan(Tables.documents(s, dir))),
 
+    // E3+: pruning-threshold sweep — survivors per score decile from
+    // one scan (reverse-cumulative bucket counts)
+    "quality_prune_curve" -> ((s, dir) =>
+      Text.qualityPruneCurve(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4796,6 +4801,35 @@ object SparkEntry {
                                       w -> w IN ('the', 'a'))) AS DOUBLE)
                    / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
                FROM documents)""",
+
+    // same score; decile floor on the bit-identical double; reverse
+    // cumulative over the <= 10 bucket rows
+    "quality_prune_curve" ->
+      """WITH s AS (
+           SELECT 0.5 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+               + 0.3 * ttr + 0.2 * (1.0 - stop_ratio) AS score,
+             n_words
+           FROM (SELECT len(string_split(text, ' ')) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                     AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> w IN ('the', 'a'))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS BIGINT)
+                     AS stop_ratio
+                 FROM documents)),
+         b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS b,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_tokens
+           FROM s GROUP BY 1)
+         SELECT b AS thr_decile,
+           CAST(sum(n_docs) OVER (ORDER BY b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS docs_kept,
+           CAST(sum(n_tokens) OVER (ORDER BY b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS tokens_kept
+         FROM b""",
 
     // same score arithmetic; the keep rule is exact integer hashing on
     // the bit-identical double (floor lands identically cross-engine)

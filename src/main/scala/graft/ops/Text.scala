@@ -209,6 +209,30 @@ object Text {
         lit(0.2) * (lit(1.0) - col("stop_ratio")))
   }
 
+  /** Quality-pruning threshold sweep: for every populated score decile,
+    * how many documents and tokens survive pruning at that threshold
+    * (reverse-cumulative counts over [[qualityScore]]'s buckets) — the
+    * curve a curation ablation reads to pick its cutoff, produced in
+    * ONE corpus scan instead of one filtered scan per candidate
+    * threshold. Counts are exact longs; the only doubles are the score
+    * itself (bit-identical by the shared-expression-tree rule) and its
+    * decile floor. The cumulative window runs over ≤ 10 bucket rows —
+    * single-partition by construction, never corpus-sized.
+    */
+  def qualityPruneCurve(docs: DataFrame): DataFrame = {
+    val byBucket = qualityScore(docs)
+      .select(least(floor(col("score") * 10).cast("int"), lit(9)).as("b"),
+        col("n_words"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").desc)
+      .rowsBetween(Long.MinValue, 0)
+    byBucket.select(col("b").as("thr_decile"),
+      sum(col("n_docs")).over(w).as("docs_kept"),
+      sum(col("n_tokens")).over(w).as("tokens_kept"))
+  }
+
   /** Marker-word language ID. A real pipeline would use char-n-gram
     * profiles; the operator shape (score-per-language, deterministic
     * argmax with alphabetic tiebreak, 'und' fallback) is what scales.

@@ -346,6 +346,59 @@ class Wave27Spec extends AnyFunSuite {
     }
   }
 
+  test("qualityPruneCurve == plain-Scala replay of the reverse-" +
+       "cumulative identity over qualityScore's deciles (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // replay from the op's own scoring stage so the doubles are the
+    // bit-identical shared expression tree
+    val scored = Text.qualityScore(docs)
+      .select(col("score"), col("n_words"))
+      .as[(Double, Long)].collect()
+    val byB = scored.groupBy { case (s, _) =>
+      math.min(math.floor(s * 10).toInt, 9) }
+    val want = byB.keys.map { b =>
+      val kept = byB.filter(_._1 >= b).values.flatten
+      (b, kept.size.toLong, kept.map(_._2).sum)
+    }.toSet
+    val got = Text.qualityPruneCurve(docs)
+      .select("thr_decile", "docs_kept", "tokens_kept")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got === want)
+    // the lowest populated decile keeps the whole corpus
+    val total = (scored.length.toLong, scored.map(_._2).sum)
+    assert(got.minBy(_._1)._2 === total._1)
+    assert(got.minBy(_._1)._3 === total._2)
+    // monotone: raising the threshold never keeps more
+    val sorted = got.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+    case _ => }
+  }
+
+  test("qualityPruneCurve: hand-computed curve on a constructed corpus " +
+       "spanning three deciles") {
+    // scores: ~0.53 (200 distinct words), ~0.39 (tiny diverse),
+    // ~0.31 (stopword-heavy) -> deciles 5, 3, 3
+    val long200 = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long200, "en"),            // score 0.5*1 + 0.3*1 + 0.2*1 ... minus stop
+      (2L, "alpha beta gamma", "en"),
+      (3L, "the the the the a", "en")).toDF("doc_id", "text", "lang")
+    val scored = Text.qualityScore(docs)
+      .select(col("doc_id"), col("score"), col("n_words"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val deciles = scored.map(r => math.min(math.floor(r._2 * 10).toInt, 9))
+    val got = Text.qualityPruneCurve(docs)
+      .select("thr_decile", "docs_kept", "tokens_kept")
+      .as[(Int, Long, Long)].collect().toSet
+    val want = deciles.distinct.map { b =>
+      val kept = scored.zip(deciles).filter(_._2 >= b).map(_._1)
+      (b, kept.length.toLong, kept.map(_._3).sum)
+    }.toSet
+    assert(got === want)
+    assert(got.size >= 2) // corpus actually spans deciles
+  }
+
   test("dsirAffinity: every doc with at least one word is scored, " +
        "n_words matches tokenization") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
