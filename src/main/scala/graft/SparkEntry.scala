@@ -759,6 +759,15 @@ object SparkEntry {
     "quality_prune_curve" -> ((s, dir) =>
       Text.qualityPruneCurve(Tables.documents(s, dir))),
 
+    // E3+: Gopher repetition filters (n-gram half) — per-row sorted-run
+    // folds, zero key shuffle
+    "gopher_repetition" -> ((s, dir) =>
+      Text.gopherRepetition(Tables.documents(s, dir))),
+
+    // E3+: CCNet head/middle/tail perplexity terciles per language
+    "ccnet_buckets" -> ((s, dir) =>
+      Text.ccnetBuckets(Tables.documents(s, dir))),
+
     // E3+: training-mixture report — per-language corpus composition.
     // Only order-independent aggregates (counts, exact sums, min/max):
     // a mean of doubles would vary with partial-agg order.
@@ -4830,6 +4839,82 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS tokens_kept
          FROM b""",
+
+    // independent algorithm for the same exact integers: the op folds
+    // sorted in-row n-gram runs; the oracle explodes every n-gram and
+    // two-level-groups. Fractions are single divisions of exact longs.
+    "gopher_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(len(text) AS BIGINT) AS tc FROM documents),
+         g AS (SELECT doc_id, n, gram,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(len(gram) AS BIGINT) AS gl
+             FROM (SELECT doc_id, n,
+                 unnest(list_transform(range(1, len(ws) - n + 2),
+                   i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+               FROM w, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+               WHERE len(ws) >= n)
+             GROUP BY doc_id, n, gram),
+         s AS (SELECT doc_id, n,
+               CAST(max(c * gl) AS BIGINT) AS topc,
+               CAST(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)
+                 AS BIGINT) AS dupc
+             FROM g GROUP BY 1, 2),
+         p AS (SELECT w.doc_id,
+               CAST(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
+                 AS DOUBLE) / w.tc AS top2_frac,
+               CAST(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
+                 AS DOUBLE) / w.tc AS top3_frac,
+               CAST(coalesce(max(CASE WHEN n = 4 THEN topc END), 0)
+                 AS DOUBLE) / w.tc AS top4_frac,
+               CAST(coalesce(max(CASE WHEN n = 5 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup5_frac,
+               CAST(coalesce(max(CASE WHEN n = 6 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup6_frac,
+               CAST(coalesce(max(CASE WHEN n = 7 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup7_frac,
+               CAST(coalesce(max(CASE WHEN n = 8 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup8_frac,
+               CAST(coalesce(max(CASE WHEN n = 9 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup9_frac,
+               CAST(coalesce(max(CASE WHEN n = 10 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc AS dup10_frac
+             FROM w LEFT JOIN s ON w.doc_id = s.doc_id
+             GROUP BY w.doc_id, w.tc)
+         SELECT *,
+           (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+            AND dup5_frac <= 0.15 AND dup6_frac <= 0.14
+            AND dup7_frac <= 0.13 AND dup8_frac <= 0.12
+            AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS gopher_pass
+         FROM p""",
+
+    // doc_lm_score's chain verbatim, then the per-language tercile on
+    // the bit-identical double (doc_id tiebreak fixes the boundary)
+    "ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+           bg AS (SELECT doc_id, g AS pos, words[g+1] AS w1, words[g+2] AS w2
+                  FROM w, UNNEST(range(len(words) - 1)) AS t(g)
+                  WHERE len(words) >= 2),
+           cnt AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+           pre AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np FROM cnt GROUP BY 1),
+           lm AS (SELECT w1, w2, CAST(nb AS DOUBLE) / np AS p
+                  FROM cnt JOIN pre USING (w1)),
+           j AS (SELECT doc_id, pos, p FROM bg JOIN lm USING (w1, w2)),
+           a AS (SELECT doc_id, list(p ORDER BY pos ASC) AS ps, count(*) AS nbg
+                 FROM j GROUP BY doc_id),
+           sc AS (SELECT doc_id,
+                    list_reduce(list_prepend(0.0, ps), (acc, x) -> acc + x)
+                      / nbg AS lm_score
+                  FROM a),
+           t AS (SELECT sc.doc_id, d.lang, sc.lm_score,
+                   CAST(ntile(3) OVER (PARTITION BY d.lang
+                     ORDER BY sc.lm_score DESC, sc.doc_id) AS INT) AS tercile
+                 FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         SELECT doc_id, lang, lm_score, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM t""",
 
     // same score arithmetic; the keep rule is exact integer hashing on
     // the bit-identical double (floor lands identically cross-engine)

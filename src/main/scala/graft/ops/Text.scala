@@ -233,6 +233,104 @@ object Text {
       sum(col("n_tokens")).over(w).as("tokens_kept"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, table A1
+    * — arXiv:2112.11446): per document, the character fraction covered
+    * by the most frequent word n-gram for n ∈ {2,3,4} and by all
+    * DUPLICATED word n-grams for n ∈ {5..10}, plus a `gopher_pass` flag
+    * applying the paper's thresholds. (The paper's other half — duplicate
+    * LINE/paragraph fractions — is omitted: the synthetic corpus is
+    * single-line, so those columns would be degenerately zero at every
+    * SF; the n-gram half is the live signal here.)
+    *
+    * Variant note (documented, since thresholds bind to the definition):
+    * occurrence characters are counted as `count × length(gram)`
+    * including the gram's internal spaces, and overlapping occurrences
+    * double-count (the paper de-overlaps); the denominator is
+    * `length(text)`. Ratios are single IEEE divisions of exact longs.
+    *
+    * Computed entirely PER ROW — nine sorted n-gram arrays per doc, each
+    * folded once: a run's length IS the gram's occurrence count, so
+    * `top` = max(run × len) and `dup` accumulates 2×len when a run
+    * reaches 2 and +len per further repeat ([[graft.ops.TextDedup
+    * .repetitionScore]]'s zero-shuffle technique, widened to a stats
+    * family). No key shuffle at any scale; the oracle recomputes the
+    * same counts by explode + two-level groupBy — an independent
+    * algorithm agreeing on exact integers.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def gramStats(n: Int): Column = {
+      val grams = array_sort(transform(
+        sequence(lit(0), size(w) - lit(n)),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+      aggregate(
+        when(size(w) >= n, grams).otherwise(array().cast("array<string>")),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("top"), lit(0L).as("dup")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          val contrib = when(run === 2, lit(2L) * length(x).cast("long"))
+            .when(run > 2, length(x).cast("long"))
+            .otherwise(lit(0L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("top"), run * length(x).cast("long"))
+              .as("top"),
+            (acc.getField("dup") + contrib).as("dup"))
+        },
+        acc => struct(acc.getField("top").as("top"),
+          acc.getField("dup").as("dup")))
+    }
+    val stats = (2 to 10).map(n => gramStats(n).as(s"g$n"))
+    val base = Par.widen(docs)
+      .select(col("doc_id") +: col("text") +: stats: _*)
+    val fracCols =
+      (2 to 4).map(n =>
+        (col(s"g$n.top").cast("double") / length(col("text")).cast("double"))
+          .as(s"top${n}_frac")) ++
+      (5 to 10).map(n =>
+        (col(s"g$n.dup").cast("double") / length(col("text")).cast("double"))
+          .as(s"dup${n}_frac"))
+    val withFracs = base.select(col("doc_id") +: fracCols: _*)
+    // the paper's thresholds for the n-gram half of the filter table
+    val thresholds = Seq(
+      "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+      "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+      "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+    withFracs.withColumn("gopher_pass",
+      thresholds.map { case (c, t) => col(c) <= lit(t) }.reduce(_ && _))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): per LANGUAGE, split documents into
+    * head/middle/tail terciles of LM quality — the standard corpus
+    * partition downstream samplers weight by. Quality is
+    * [[docLmScore]]'s mean bigram probability (higher = better, so
+    * `head` = top tercile, mirroring CCNet's lowest-perplexity third);
+    * ties broken by doc_id so the tercile boundary is deterministic.
+    * Only docs docLmScore scores (≥ 2 words) participate — CCNet
+    * likewise buckets only LM-scorable paragraphs.
+    *
+    * Scale: the LM and scoring joins are [[docLmScore]]'s (vocabulary-
+    * sized, never text); the tercile is ONE window partitioned by
+    * language — the skew bound is docs-per-language, the same row-number
+    * regime as `window_latest`, and the window input carries only
+    * (doc_id, lang, score).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    docLmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        ntile(3).over(w).as("tercile"))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail"))
+  }
+
   /** Marker-word language ID. A real pipeline would use char-n-gram
     * profiles; the operator shape (score-per-language, deterministic
     * argmax with alphabetic tiebreak, 'und' fallback) is what scales.

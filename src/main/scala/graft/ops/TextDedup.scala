@@ -156,7 +156,7 @@ object TextDedup {
     * a lower bound (pairs already surviving the threshold stay correct —
     * no false positives — but borderline pairs can be missed).
     */
-  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame =
+  private[graft] def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame =
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
@@ -168,7 +168,7 @@ object TextDedup {
     * sets (`array_intersect`) — precision 1.0 regardless of how candidates
     * were generated.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
     // materialize shingle SETS only for docs that appear in a candidate
     // pair (semi-join), so the expensive collect_set shuffle carries
@@ -548,7 +548,7 @@ object TextDedup {
     * shuffles), no UDFs; signatures are 8·numHashes bytes per doc, so the
     * banding shuffle moves signatures, not text.
     */
-  private val lshPrime = 2038074743L // prime > any 32-bit shingle hash
+  private[graft] val lshPrime = 2038074743L // prime > any 32-bit shingle hash
 
   /** Polynomial word-shingle hash → non-negative int domain (shared by
     * the self-pair and incremental MinHash paths — identical hashing is
@@ -578,13 +578,13 @@ object TextDedup {
     * near-dedup paths; the shuffles carry 8·numHashes-byte signatures,
     * never text.
     */
-  private def lshCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
+  private[graft] def lshCandidates(hashed: DataFrame, numHashes: Int, bands: Int,
                             p: Long): DataFrame =
     bucketPairs(minhashBuckets(hashed, numHashes, bands, p)).distinct()
 
   /** Bucket table (doc_id, band, key) → candidate pairs (doc_a < doc_b),
     * NOT deduplicated across buckets. */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private[graft] def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -767,9 +767,8 @@ object TextDedup {
     flatten(transform(array(sig), s =>
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.cast("int").as("band"),
-          array_join(transform(
-            slice(s, b * rowsPerBand + 1, lit(rowsPerBand)),
-            v => v.cast("string")), "_").as("key")))))
+          xxhash64(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("key")))))
   }
 
   private def minhashBuckets(hashed: DataFrame, numHashes: Int, bands: Int,
@@ -778,21 +777,28 @@ object TextDedup {
 
   /** One-pass MinHash signature table (doc_id, sig: array<long>) over
     * pre-hashed shingles (doc_id, x). */
-  private def minhashSigs(hashed: DataFrame, numHashes: Int,
+  private[graft] def minhashSigs(hashed: DataFrame, numHashes: Int,
                           p: Long): DataFrame =
     hashed.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("x"), numHashes, p, seed = 42L)
         .as("sig"))
 
-  /** Signature table → banded bucket table (doc_id, band, key). */
-  private def bandsOf(sigs: DataFrame, numHashes: Int,
+  /** Signature table → banded bucket table (doc_id, band, key). The
+    * bucket key is `xxhash64` over the band's signature slice — 8 bytes
+    * per (doc, band) where a "_"-joined string of the slice values is
+    * ~40 (at 10⁹ docs × 32 bands that representation difference is ~1 TB
+    * of banding shuffle). Bucket GROUPING is representation-independent:
+    * equal slices hash equal, and a 64-bit collision can only MERGE two
+    * buckets — a superset of candidate pairs, so the exact verify's
+    * output is unchanged (same argument as the hashed-shingle domain).
+    */
+  private[graft] def bandsOf(sigs: DataFrame, numHashes: Int,
                       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        array_join(transform(
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-          v => v.cast("string")), "_").as("key")).as(s"b$b")
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("key")).as(s"b$b")
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))

@@ -110,7 +110,10 @@ object Plans {
     "bpe_encode" -> "corpus words equi-join the vocab-sized trained state (LogicalRDD after the checkpointed loop); doc-key agg partial-combines map-side",
     "span_corrupt" -> "zero-shuffle projection: the whole corruption fold is one codegen'd expression per row, no exchange anywhere",
     "fim_split" -> "zero-shuffle projection: hash cuts + three slices + concat, single scan",
-    "denoiser_mix" -> "three disjoint hash slices of one source, unioned — no shuffle, no join; each branch is a pure projection")
+    "denoiser_mix" -> "three disjoint hash slices of one source, unioned — no shuffle, no join; each branch is a pure projection",
+    "quality_prune_curve" -> "one corpus scan to ≤10 decile buckets; the cumulative window runs over the bucket rows only",
+    "gopher_repetition" -> "nine per-row sorted-run folds in one codegen'd projection; no key shuffle at any n",
+    "ccnet_buckets" -> "vocabulary-sized LM joins (docLmScore's plan); ONE lang-partitioned ntile window over (id, lang, score)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
