@@ -1902,6 +1902,11 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         col("doc_id"), nShards = 8)),
 
+    // E7+: release manifest for corpus_shuffle's shards — counts,
+    // doc_id ranges, and an order-independent fingerprint checksum
+    "shard_manifest" -> ((s, dir) =>
+      Shard.shardManifest(Tables.documents(s, dir), nShards = 8)),
+
     // §2.9: stream-stream interval join (views ⋈ purchases within 1h)
     "streaming_join" -> ((s, dir) =>
       graft.streaming.Streaming.streamStreamJoin(s, Tables.events(s, dir),
@@ -6053,6 +6058,28 @@ object SparkEntry {
              PARTITION BY (doc_id * 1000003 % 1000000007) % 8
              ORDER BY doc_id * 1000003 % 1000000007 ASC, doc_id ASC) AS BIGINT) AS pos
          FROM documents""",
+
+    // same shard rule as corpus_shuffle; the checksum re-states
+    // doc_fingerprint's rolling hash and sums it per shard
+    "shard_manifest" ->
+      """WITH f AS (SELECT doc_id,
+               (doc_id * 1000003 % 1000000007) % 8 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               CAST(len(text) AS BIGINT) AS chars,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+                 (a, b) -> (a * 1000003 + b) % 1000000007) AS fp
+             FROM documents)
+         SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(sum(fp) AS BIGINT) AS checksum
+         FROM f GROUP BY shard""",
 
     "streaming_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

@@ -188,6 +188,36 @@ object Shard {
       .drop("h")
   }
 
+  /** Release manifest for the shards [[corpusShuffle]] writes — the
+    * metadata file a corpus release ships next to the data so a reader
+    * can verify every shard before training: per shard, doc/token/char
+    * counts, the doc_id range, and an order-independent content
+    * checksum (the SUM of [[graft.ops.Text.fingerprintCol]] per doc —
+    * each fingerprint < 1e9+7, so the exact BIGINT sum holds to ~9e9
+    * docs per shard). Same `shard = portableHash mod nShards` rule as
+    * corpusShuffle, so the manifest describes exactly those shards.
+    *
+    * Scale: one corpus scan into an |nShards|-row aggregate, fully
+    * map-side combinable; nothing but the final tiny table shuffles.
+    * A corrupted/truncated/reordered shard shows up as a count or
+    * checksum mismatch; order-independence means the checksum can be
+    * recomputed from any partitioning of the shard's files.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs.select(
+        pmod(portableHash(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        graft.ops.Text.fingerprintCol(col("text")).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("fp")).as("checksum"))
+
   /** Deterministic weight-proportional sampling without replacement
     * (priority sampling, Duffield et al.): each row's priority is
     * w / u for a hash-derived uniform u, and the k highest-priority

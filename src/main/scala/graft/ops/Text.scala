@@ -523,13 +523,19 @@ object Text {
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents
     * fingerprint differently; arithmetic-only so any engine reproduces it.
     */
+  /** The arithmetic rolling-hash fingerprint of one text column — ONE
+    * definition shared by [[docFingerprint]] and the shard-manifest
+    * checksum so a manifest verifier recomputes exactly the
+    * fingerprint the dedup path uses. Always < 1e9+7. */
+  def fingerprintCol(text: Column): Column =
+    aggregate(
+      transform(words(text), w => wordHash(w)),
+      lit(0L),
+      (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
+
   def docFingerprint(docs: DataFrame): DataFrame =
     Par.widen(docs).select(col("doc_id"),
-      aggregate(
-        transform(words(col("text")), w => wordHash(w)),
-        lit(0L),
-        (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)
-      ).as("fingerprint"))
+      fingerprintCol(col("text")).as("fingerprint"))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every word `k`-gram with the same

@@ -146,4 +146,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // one FileScan of events, however many rules are registered
     assert("FileScan".r.findAllIn(p).size === 1)
   }
+
+  test("gopher_repetition: all nine n-gram folds are one projection " +
+       "over one scan — the only exchange is Par.widen's round-robin") {
+    val p = plan("gopher_repetition")
+    assert("FileScan".r.findAllIn(p).size === 1)
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert(p.contains("RoundRobinPartitioning")) // not a key shuffle
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
+  test("quality_prune_curve: the cumulative window reads the decile " +
+       "buckets (post-aggregation), never corpus rows") {
+    val df = SparkEntry.queries("quality_prune_curve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).size === 1)
+    // window sits above the bucket HashAggregate: the single-partition
+    // sort touches <= 10 rows by construction
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "window must consume the aggregated buckets, not raw docs")
+  }
 }

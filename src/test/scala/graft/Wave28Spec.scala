@@ -124,6 +124,54 @@ class Wave28Spec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest: describes exactly corpusShuffle's shards, and " +
+       "the checksum is order-independent but content-sensitive") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = graft.ops.Shard.shardManifest(docs, nShards = 8)
+      .select("shard", "n_docs", "checksum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // membership agreement with the shuffle op it documents
+    val shuffled = graft.ops.Shard
+      .corpusShuffle(docs.select(col("doc_id")), col("doc_id"), 8)
+      .groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    assert(manifest.view.mapValues(_._1).toMap === shuffled)
+    // order-independence: a reshuffled input lands the same manifest
+    val manifest2 = graft.ops.Shard
+      .shardManifest(docs.orderBy(col("text")), nShards = 8)
+      .select("shard", "n_docs", "checksum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(manifest2 === manifest)
+    // content sensitivity: flipping ONE doc's text changes exactly the
+    // checksums of that doc's shard
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val manifest3 = graft.ops.Shard.shardManifest(tampered, nShards = 8)
+      .select("shard", "n_docs", "checksum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val shard7 = (7L * 1000003L % 1000000007L) % 8
+    assert(manifest3(shard7)._2 !== manifest(shard7)._2)
+    assert(manifest3.removed(shard7) === manifest.removed(shard7))
+  }
+
+  test("shardManifest: hand-computed on a two-doc corpus") {
+    val docs = Seq((1L, "ab c", "en"), (2L, "xyz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.Shard.shardManifest(docs, nShards = 2)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id",
+        "max_doc_id", "checksum")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def fp(ws: Seq[String]) =
+      ws.foldLeft(0L)((a, w) =>
+        (a * 1000003L + (w.head.toLong * 31 + w.length)) % 1000000007L)
+    val s1 = (1L * 1000003L % 1000000007L) % 2
+    val s2 = (2L * 1000003L % 1000000007L) % 2
+    assert(got(s1) === ((s1, 1L, 2L, 4L, 1L, 1L, fp(Seq("ab", "c")))))
+    assert(got(s2) === ((s2, 1L, 1L, 3L, 2L, 2L, fp(Seq("xyz")))))
+  }
+
   test("ccnetBuckets: scores only LM-scorable docs and matches " +
        "docLmScore's population") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
