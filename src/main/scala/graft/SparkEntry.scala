@@ -4866,24 +4866,24 @@ object SparkEntry {
                  AS BIGINT) AS dupc
              FROM g GROUP BY 1, 2),
          p AS (SELECT w.doc_id,
-               CAST(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
-                 AS DOUBLE) / w.tc AS top2_frac,
-               CAST(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
-                 AS DOUBLE) / w.tc AS top3_frac,
-               CAST(coalesce(max(CASE WHEN n = 4 THEN topc END), 0)
-                 AS DOUBLE) / w.tc AS top4_frac,
-               CAST(coalesce(max(CASE WHEN n = 5 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup5_frac,
-               CAST(coalesce(max(CASE WHEN n = 6 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup6_frac,
-               CAST(coalesce(max(CASE WHEN n = 7 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup7_frac,
-               CAST(coalesce(max(CASE WHEN n = 8 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup8_frac,
-               CAST(coalesce(max(CASE WHEN n = 9 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup9_frac,
-               CAST(coalesce(max(CASE WHEN n = 10 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc AS dup10_frac
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS top2_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS top3_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 4 THEN topc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS top4_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 5 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup5_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 6 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup6_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 7 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup7_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 8 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup8_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 9 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup9_frac,
+               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 10 THEN dupc END), 0)
+                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup10_frac
              FROM w LEFT JOIN s ON w.doc_id = s.doc_id
              GROUP BY w.doc_id, w.tc)
          SELECT *,

@@ -284,13 +284,16 @@ object Text {
     val stats = (2 to 10).map(n => gramStats(n).as(s"g$n"))
     val base = Par.widen(docs)
       .select(col("doc_id") +: col("text") +: stats: _*)
+    // empty text is the one reachable zero denominator in this file
+    // (every other ratio divides by a count >= 1); pin it to 0.0 on
+    // both sides rather than NULL-vs-NaN engine behavior
+    def frac(num: Column): Column =
+      when(length(col("text")) > 0,
+        num.cast("double") / length(col("text")).cast("double"))
+        .otherwise(lit(0.0))
     val fracCols =
-      (2 to 4).map(n =>
-        (col(s"g$n.top").cast("double") / length(col("text")).cast("double"))
-          .as(s"top${n}_frac")) ++
-      (5 to 10).map(n =>
-        (col(s"g$n.dup").cast("double") / length(col("text")).cast("double"))
-          .as(s"dup${n}_frac"))
+      (2 to 4).map(n => frac(col(s"g$n.top")).as(s"top${n}_frac")) ++
+      (5 to 10).map(n => frac(col(s"g$n.dup")).as(s"dup${n}_frac"))
     val withFracs = base.select(col("doc_id") +: fracCols: _*)
     // the paper's thresholds for the n-gram half of the filter table
     val thresholds = Seq(
@@ -521,18 +524,18 @@ object Text {
   /** Rolling polynomial fingerprint over word tokens:
     * fp = fold(words, 0, (acc, w) -> (acc*1000003 + ascii(w)*31 + len(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) so reordered documents
-    * fingerprint differently; arithmetic-only so any engine reproduces it.
+    * fingerprint differently; arithmetic-only so any engine reproduces
+    * it; always < 1e9+7. ONE definition shared by [[docFingerprint]]
+    * and [[graft.ops.Shard.shardManifest]]'s checksum so a manifest
+    * verifier recomputes exactly the fingerprint the dedup path uses.
     */
-  /** The arithmetic rolling-hash fingerprint of one text column — ONE
-    * definition shared by [[docFingerprint]] and the shard-manifest
-    * checksum so a manifest verifier recomputes exactly the
-    * fingerprint the dedup path uses. Always < 1e9+7. */
   def fingerprintCol(text: Column): Column =
     aggregate(
       transform(words(text), w => wordHash(w)),
       lit(0L),
       (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
 
+  /** Per-document [[fingerprintCol]] as a projection query. */
   def docFingerprint(docs: DataFrame): DataFrame =
     Par.widen(docs).select(col("doc_id"),
       fingerprintCol(col("text")).as("fingerprint"))

@@ -469,61 +469,96 @@ object TextDedup {
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
                           maxDf: Int = 100): DataFrame = {
-    val numHashes = 64
-    val hashed = charShingles(docs, n)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x"))
+    val hashed = charHashedShingles(docs, n)
       .persist() // reused: signatures, rare index, int-set verify
-    val sigs = minhashSigs(hashed, numHashes, lshPrime)
+    val sigs = minhashSigs(hashed, charNumHashes, lshPrime)
       .persist() // reused: banding + the prefilter
-    val lsh = bucketPairs(bandsOf(sigs, numHashes, bands = 32))
+    val cand = charCandidates(hashed, sigs, maxDf)
+    val pre = charSigAgreement(cand, sigs, threshold)
+    val nearExact = charHashedSetJaccard(pre, hashed, threshold)
+
+    // Stage 3 — the exact STRING-set decision (precision 1.0, the
+    // oracle's arithmetic) now touches only near-threshold survivors.
+    verifyJaccard(nearExact, charShingles(docs, n), threshold)
+  }
+
+  // The char funnel's stage builders are shared with the dev profiler
+  // (tools.ProfChars) so a tuning change here can never leave the
+  // profiler measuring a different pipeline than the op it attributes
+  // regressions to.
+
+  private[graft] val charNumHashes = 64
+
+  /** Char shingles hashed into the MinHash domain (doc_id, x). */
+  private[graft] def charHashedShingles(docs: DataFrame, n: Int): DataFrame =
+    charShingles(docs, n)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x"))
+
+  /** Candidate pairs: LSH banding ∪ rare-shingle inverted index,
+    * deduplicated. Three-stage funnel rationale (stages below): char
+    * shingles are so dense that unrelated documents share a moderate
+    * baseline Jaccard, and 2-row bands then admit nearly every pair as
+    * a candidate — at 10× gate scale the exact verify intersected
+    * millions of ~10³-element sets (measured: this op alone was HALF
+    * the bench before the funnel).
+    */
+  private[graft] def charCandidates(hashed: DataFrame, sigs: DataFrame,
+                                    maxDf: Int): DataFrame = {
+    val lsh = bucketPairs(bandsOf(sigs, charNumHashes, bands = 32))
     val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
       .select(col("doc_a"), col("doc_b"))
+    lsh.unionByName(rare).distinct()
+  }
 
-    // Three-stage funnel between candidate generation and the exact
-    // decision. Char shingles are so dense that unrelated documents
-    // share a moderate baseline Jaccard, and 2-row bands then admit
-    // nearly every pair as a candidate — at 10× gate scale the exact
-    // verify intersected millions of ~10³-element sets (measured: this
-    // op alone was HALF the bench before the funnel).
-    //
-    // Stage 1 — signature agreement: the signatures are already in hand
-    // from banding and E[agreement] = J, so 64 integer compares per
-    // pair discard the far-below-threshold mass. Candidates are
-    // DEDUPLICATED first — the distinct shuffles 16-byte pairs, whereas
-    // running the sig joins on the multi-band-hit stream materializes
-    // two signature arrays per raw pair (measured 2× slower at sf0.1) —
-    // and the signature sides carry signatures as ints (the hash domain
-    // is < 2³¹), halving the per-pair bytes. The signature joins carry
-    // NO broadcast hint: the signature table is corpus-proportional
-    // (64 ints/doc ≈ 300 GB at 10⁹ docs — a forced broadcast is an OOM,
-    // not a slowdown); AQE broadcasts it while its runtime size fits and
-    // degrades to shuffle joins beyond that, the same discipline as the
-    // embedding verify join (Similarity.cosineNearDup). Shuffle-
-    // degradation is spec-asserted in PlanShapeSpec. Cutoff threshold−0.22
-    // keeps a true pair AT the threshold with
-    // P(miss) ≤ exp(−2·64·0.22²) ≈ 2e-3 (Hoeffding; vanishing above
-    // it) — the same probabilistic-recall regime as the LSH generator
-    // itself. Recall vs the uncapped all-pairs oracle is re-measured at
-    // sf0.1: 256/256, unchanged from the unfiltered round-6 fix.
-    val minAgree = math.max(0, math.ceil((threshold - 0.22) * numHashes)).toInt
+  /** Stage 1 — signature agreement: the signatures are already in hand
+    * from banding and E[agreement] = J, so 64 integer compares per
+    * pair discard the far-below-threshold mass. Candidates are
+    * DEDUPLICATED first — the distinct shuffles 16-byte pairs, whereas
+    * running the sig joins on the multi-band-hit stream materializes
+    * two signature arrays per raw pair (measured 2× slower at sf0.1;
+    * and on template-heavy corpora the band-hit duplication factor
+    * approaches the band count, so distinct-first is also the
+    * scale-robust ordering) — and the signature sides carry signatures
+    * as ints (the hash domain is < 2³¹), halving the per-pair bytes.
+    * The signature joins carry NO broadcast hint: the signature table
+    * is corpus-proportional (64 ints/doc ≈ 300 GB at 10⁹ docs — a
+    * forced broadcast is an OOM, not a slowdown); AQE broadcasts it
+    * while its runtime size fits and degrades to shuffle joins beyond
+    * that, the same discipline as the embedding verify join
+    * (Similarity.cosineNearDup). Shuffle-degradation is spec-asserted
+    * in PlanShapeSpec. Cutoff threshold−0.22 keeps a true pair AT the
+    * threshold with P(miss) ≤ exp(−2·64·0.22²) ≈ 2e-3 (Hoeffding;
+    * vanishing above it) — the same probabilistic-recall regime as the
+    * LSH generator itself. Recall vs the uncapped all-pairs oracle is
+    * re-measured at sf0.1: 256/256, unchanged from the unfiltered
+    * round-6 fix.
+    */
+  private[graft] def charSigAgreement(cand: DataFrame, sigs: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val minAgree =
+      math.max(0, math.ceil((threshold - 0.22) * charNumHashes)).toInt
     val sigInts = sigs.select(col("doc_id"),
       transform(col("sig"), v => v.cast("int")).as("sig"))
-    val pre = lsh.unionByName(rare).distinct()
+    cand
       .join(sigInts.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigInts.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree)
       .select(col("doc_a"), col("doc_b"))
+  }
 
-    // Stage 2 — exact Jaccard over the HASHED shingle sets (longs):
-    // ~4× lighter than string sets in both shuffle bytes and compare
-    // cost. xxhash64 into a 2³¹ domain perturbs a ~10²-element set's
-    // Jaccard only via collisions (P ≈ |set|²/2³² ≈ 1e-5 per pair), so
-    // a 0.04 safety margin passes every near-threshold pair onward.
+  /** Stage 2 — exact Jaccard over the HASHED shingle sets (longs):
+    * ~4× lighter than string sets in both shuffle bytes and compare
+    * cost. xxhash64 into a 2³¹ domain perturbs a ~10²-element set's
+    * Jaccard only via collisions (P ≈ |set|²/2³² ≈ 1e-5 per pair), so
+    * a 0.04 safety margin passes every near-threshold pair onward.
+    */
+  private[graft] def charHashedSetJaccard(pre: DataFrame, hashed: DataFrame,
+                                          threshold: Double): DataFrame = {
     val iSets = hashed.groupBy(col("doc_id"))
       .agg(collect_set(col("x")).as("iset"))
       .select(col("doc_id"), col("iset"), size(col("iset")).as("ni"))
-    val nearExact = pre
+    pre
       .join(iSets.select(col("doc_id").as("doc_a"), col("iset").as("ia"),
         col("ni").as("na")), "doc_a")
       .join(iSets.select(col("doc_id").as("doc_b"), col("iset").as("ib"),
@@ -532,10 +567,6 @@ object TextDedup {
       .filter(col("ii").cast("double") / (col("na") + col("nb") - col("ii"))
         >= threshold - 0.04)
       .select(col("doc_a"), col("doc_b"))
-
-    // Stage 3 — the exact STRING-set decision (precision 1.0, the
-    // oracle's arithmetic) now touches only near-threshold survivors.
-    verifyJaccard(nearExact, charShingles(docs, n), threshold)
   }
 
   /** MinHash signature matrix + LSH banding candidates — the sub-quadratic

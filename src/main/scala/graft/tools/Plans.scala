@@ -113,7 +113,8 @@ object Plans {
     "denoiser_mix" -> "three disjoint hash slices of one source, unioned — no shuffle, no join; each branch is a pure projection",
     "quality_prune_curve" -> "one corpus scan to ≤10 decile buckets; the cumulative window runs over the bucket rows only",
     "gopher_repetition" -> "nine per-row sorted-run folds in one codegen'd projection; no key shuffle at any n",
-    "ccnet_buckets" -> "vocabulary-sized LM joins (docLmScore's plan); ONE lang-partitioned ntile window over (id, lang, score)")
+    "ccnet_buckets" -> "vocabulary-sized LM joins (docLmScore's plan); ONE lang-partitioned ntile window over (id, lang, score)",
+    "shard_manifest" -> "one scan, partial+final hash agg to nShards rows; only the tiny partials shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -156,6 +156,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("shard_manifest: one scan into a map-side-combined (partial + " +
+       "final) aggregate — only the tiny partials shuffle") {
+    val p = plan("shard_manifest")
+    assert("FileScan".r.findAllIn(p).size === 1)
+    assert("HashAggregate".r.findAllIn(p).size === 2) // partial + final
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("quality_prune_curve: the cumulative window reads the decile " +
        "buckets (post-aggregation), never corpus rows") {
     val df = SparkEntry.queries("quality_prune_curve")(spark, sf)

@@ -377,26 +377,35 @@ class Wave27Spec extends AnyFunSuite {
 
   test("qualityPruneCurve: hand-computed curve on a constructed corpus " +
        "spanning three deciles") {
-    // scores: ~0.53 (200 distinct words), ~0.39 (tiny diverse),
-    // ~0.31 (stopword-heavy) -> deciles 5, 3, 3
+    // hand-derived scores (0.5·min(1, n/200) + 0.3·ttr + 0.2·(1−stop)):
+    //   doc 1: 200 distinct non-stop words -> 0.5 + 0.3 + 0.2 = 1.0
+    //          -> decile least(floor(10), 9) = 9
+    //   doc 2: "alpha beta gamma" -> 0.5·(3/200) + 0.3 + 0.2 = 0.5075
+    //          -> decile 5
+    //   doc 3: "the the the the a" -> n=5, ttr=2/5, stop=1 ->
+    //          0.0125 + 0.12 + 0 = 0.1325 -> decile 1
     val long200 = (1 to 200).map(i => s"w$i").mkString(" ")
     val docs = Seq(
-      (1L, long200, "en"),            // score 0.5*1 + 0.3*1 + 0.2*1 ... minus stop
+      (1L, long200, "en"),
       (2L, "alpha beta gamma", "en"),
       (3L, "the the the the a", "en")).toDF("doc_id", "text", "lang")
     val scored = Text.qualityScore(docs)
       .select(col("doc_id"), col("score"), col("n_words"))
       .as[(Long, Double, Long)].collect().sortBy(_._1)
-    val deciles = scored.map(r => math.min(math.floor(r._2 * 10).toInt, 9))
+    // expected values written as the same IEEE arithmetic (the decimal
+    // 0.5075 is not representable: the sum lands on ...000...01)
+    assert(scored.map(_._2).toSeq === Seq(
+      0.5 * 1.0 + 0.3 * 1.0 + 0.2 * 1.0,
+      0.5 * (3.0 / 200.0) + 0.3 * 1.0 + 0.2 * 1.0,
+      0.5 * (5.0 / 200.0) + 0.3 * (2.0 / 5.0) + 0.2 * 0.0))
     val got = Text.qualityPruneCurve(docs)
       .select("thr_decile", "docs_kept", "tokens_kept")
       .as[(Int, Long, Long)].collect().toSet
-    val want = deciles.distinct.map { b =>
-      val kept = scored.zip(deciles).filter(_._2 >= b).map(_._1)
-      (b, kept.length.toLong, kept.map(_._3).sum)
-    }.toSet
-    assert(got === want)
-    assert(got.size >= 2) // corpus actually spans deciles
+    // the full hand-built curve: thresholds 9, 5, 1 keep 1, 2, 3 docs
+    assert(got === Set(
+      (9, 1L, 200L),        // only doc 1 (200 tokens)
+      (5, 2L, 203L),        // docs 1+2 (200 + 3)
+      (1, 3L, 208L)))       // all three (200 + 3 + 5)
   }
 
   test("dsirAffinity: every doc with at least one word is scored, " +

@@ -97,14 +97,17 @@ class Wave28Spec extends AnyFunSuite {
 
   test("gopherRepetition: short docs (< n words) get 0.0 fractions, " +
        "not a descending-sequence explosion") {
-    val docs = Seq((1L, "solo", "en"), (2L, "two words", "en"))
-      .toDF("doc_id", "text", "lang")
+    val docs = Seq((1L, "solo", "en"), (2L, "two words", "en"),
+      (3L, "", "en")).toDF("doc_id", "text", "lang")
     val got = Text.gopherRepetition(docs)
-      .select("doc_id", "top2_frac", "dup10_frac")
-      .as[(Long, Double, Double)].collect().sortBy(_._1)
-    assert(got(0) === ((1L, 0.0, 0.0))) // 1 word: no 2-gram
+      .select("doc_id", "top2_frac", "dup10_frac", "gopher_pass")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 0.0, 0.0, true))) // 1 word: no 2-gram
     // "two words": one 2-gram ("two words", len 9, count 1), len 9
-    assert(got(1) === ((2L, 1.0, 0.0)))
+    assert(got(1) === ((2L, 1.0, 0.0, false)))
+    // empty text: the one zero denominator — 0.0 fractions and a real
+    // boolean, never NULL/NaN
+    assert(got(2) === ((3L, 0.0, 0.0, true)))
   }
 
   test("ccnetBuckets: per-language terciles are balanced (sizes differ " +
