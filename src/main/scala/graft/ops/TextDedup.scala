@@ -798,7 +798,14 @@ object TextDedup {
     flatten(transform(array(sig), s =>
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.cast("int").as("band"),
-          xxhash64(slice(s, b * rowsPerBand + 1, lit(rowsPerBand)))
+          // the same statically-unrolled arithmetic pack as bandsOf,
+          // including the 31-bit accumulator mask (b is a runtime
+          // Column here, so the element index is computed, but the
+          // per-band fold is still unrolled over j)
+          (0 until rowsPerBand)
+            .map(j => element_at(s, (b * rowsPerBand + j + 1).cast("int")))
+            .reduce((acc, v) =>
+              acc.bitwiseAND(lit(0x7FFFFFFFL)) * lit(lshPrime) + v)
             .as("key")))))
   }
 
@@ -815,20 +822,45 @@ object TextDedup {
         .as("sig"))
 
   /** Signature table → banded bucket table (doc_id, band, key). The
-    * bucket key is `xxhash64` over the band's signature slice — 8 bytes
-    * per (doc, band) where a "_"-joined string of the slice values is
-    * ~40 (at 10⁹ docs × 32 bands that representation difference is ~1 TB
-    * of banding shuffle). Bucket GROUPING is representation-independent:
-    * equal slices hash equal, and a 64-bit collision can only MERGE two
+    * bucket key is the band's signature slice PACKED arithmetically
+    * into one long — `fold(acc·lshPrime + vᵢ)` over statically-unrolled
+    * `element_at`s: 8 bytes per (doc, band) where a "_"-joined string
+    * of the slice values is ~40 (at 10⁹ docs × 32 bands that
+    * representation difference is ~1 TB of banding shuffle), and pure
+    * per-row arithmetic (no slice copy, no string building, no hash).
+    * Every signature value is < lshPrime < 2³¹, so at rowsPerBand = 2
+    * the packing is COLLISION-FREE (v0·p + v1 < 2⁶² is injective); at
+    * wider bands the fold wraps and a wrap collision can only MERGE
     * buckets — a superset of candidate pairs, so the exact verify's
     * output is unchanged (same argument as the hashed-shingle domain).
+    *
+    * The accumulator is masked to its low 31 bits before each multiply
+    * (`acc & 0x7FFFFFFF`): at rowsPerBand = 2 the mask is the identity
+    * (acc = v0 < 2³¹) so injectivity holds, and at wider bands it
+    * bounds every intermediate below 2⁶² — without it the 4-row word
+    * banding overflows and Spark 4's ANSI mode THROWS on long overflow
+    * rather than wrapping (caught by the minhash_lsh oracle run).
+    *
+    * Measurement note (BENCH_NOTES round-8 session 6): at the bench's
+    * pinned 32 shuffle partitions, long-key runs of the char funnel
+    * measured ~25% slower than string-key runs — traced NOT to key
+    * cost but to placement luck: the giant template buckets explode
+    * C(n,2) pairs inside whichever post-agg partition their key hashes
+    * into, and the handful of giants land differently per
+    * representation. At 256 partitions the gap closes (14.7 s vs the
+    * string variant's 13.5–13.7 s, within host noise), which is also
+    * the production shape: shuffle partitions are sized to the stage,
+    * not pinned at 32.
     */
   private[graft] def bandsOf(sigs: DataFrame, numHashes: Int,
                       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        (0 until rowsPerBand)
+          .map(j => element_at(col("sig"), b * rowsPerBand + j + 1))
+          .reduce((acc, v) =>
+            acc.bitwiseAND(lit(0x7FFFFFFFL)) * lit(lshPrime) + v)
           .as("key")).as(s"b$b")
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
