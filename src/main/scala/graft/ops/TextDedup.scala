@@ -615,12 +615,27 @@ object TextDedup {
 
   /** Bucket table (doc_id, band, key) → candidate pairs (doc_a < doc_b),
     * NOT deduplicated across buckets. */
-  private[graft] def bucketPairs(buckets: DataFrame): DataFrame =
-    buckets.groupBy(col("band"), col("key"))
+  private[graft] def bucketPairs(buckets: DataFrame): DataFrame = {
+    // The pair explosion runs INSIDE the aggregation's partitions, and
+    // its output is up to C(bucket,2)-fold larger than its input — on
+    // template corpora a handful of giant buckets dominate, so the
+    // stage's tail is whichever partition their keys hash into
+    // (measured: a band-key representation change moved the char
+    // funnel ±25% at 32 partitions purely by re-rolling that placement,
+    // BENCH_NOTES round-8 session 6). Pre-partitioning by the grouping
+    // key at 8× the session's shuffle sizing spreads the giants; the
+    // aggregate reuses the partitioning (no second exchange), the
+    // input rows are (band, key, id) — cheap to move at any scale —
+    // and downstream stages return to the session's sizing at their
+    // next shuffle.
+    val fanout = buckets.sparkSession.sessionState.conf.numShufflePartitions * 8
+    buckets.repartition(fanout, col("band"), col("key"))
+      .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(pairsOf(col("ds"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+  }
 
   /** Incremental near-dedup — the production ingest tick: flag each NEW
     * batch document that is a near-duplicate (word-shingle Jaccard ≥
