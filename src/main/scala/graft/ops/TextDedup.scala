@@ -1039,6 +1039,17 @@ object TextDedup {
   /** [[SimHashBits]]-bit SimHash from per-word polynomial hashes: sum ±1
     * votes per bit weighted by term frequency, bit set where the vote is
     * positive. Hamming-near fingerprints ⇒ near-duplicate texts.
+    *
+    * Evaluation shape: higher-order functions are interpreted (no
+    * whole-stage codegen), so the naive form — one vote-fold per bit,
+    * each re-hashing every word — pays the character fold
+    * [[SimHashBits]]× per word. Here each word is hashed ONCE
+    * (`transform`), the 32 votes accumulate as one array-valued fold
+    * (`zip_with` against the hash's bit pattern), and the final bit
+    * assembly is a second fold carrying the power of two in the
+    * accumulator — the whole signature is a single expression tree, so
+    * nothing is recomputed. Votes and bit arithmetic are exactly the
+    * naive form's, so the output (and the DuckDB oracle) is unchanged.
     */
   def simHash(docsIn: DataFrame): DataFrame = {
     val docs = Par.widen(docsIn)
@@ -1046,14 +1057,28 @@ object TextDedup {
       aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
         lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(2038074743L))
     val w = split(col("text"), " ")
+    val hashes = transform(w, t => wordHash(t))
+    // bit b of h is set iff (h & 2^b) != 0 — h is non-negative, so this
+    // is exactly the naive form's shiftright(h, b) % 2 == 1 test
+    val powers = typedlit((0 until SimHashBits).map(b => 1L << b))
     // votes(b) = count of words with bit b set minus count with bit clear
-    val bits = (0 until SimHashBits).map { b =>
-      val vote = aggregate(
-        transform(w, t => when(shiftright(wordHash(t), b) % 2 === 1, 1L).otherwise(-1L)),
-        lit(0L), (acc, x) => acc + x)
-      when(vote > 0, lit(1L) * lit(1L << b)).otherwise(0L)
-    }
-    docs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc,
+        transform(powers,
+          p => when(h.bitwiseAND(p) =!= 0, lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    // fold the vote vector into the fingerprint: pw walks 2^0..2^31
+    val sim = aggregate(
+      votes,
+      struct(lit(1L).as("pw"), lit(0L).as("sum")),
+      (acc, v) => struct(
+        (acc.getField("pw") * lit(2L)).as("pw"),
+        (acc.getField("sum") +
+          when(v > 0, acc.getField("pw")).otherwise(lit(0L))).as("sum")),
+      acc => acc.getField("sum"))
+    docs.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
