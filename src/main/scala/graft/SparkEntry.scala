@@ -2461,6 +2461,17 @@ object SparkEntry {
       Graph.pageRank(s, edges)
     }),
 
+    // deterministic node2vec-style walk corpus: a 4-step hash-driven
+    // walk from every node of the customer-supplier graph
+    "graph_walks" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 9 === 0)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.graphWalks(s, edges)
+    }),
+
     // HyperLogLog distinct customers per order priority, next to exact
     // truth — m=64 registers/group, every step cross-engine bit-exact
     "hll_distinct" -> ((s, dir) =>
@@ -2612,6 +2623,12 @@ object SparkEntry {
     // sum tf/df in fixed expression order (engine-portable doubles)
     "search_ranked" -> ((s, dir) =>
       Text.searchRanked(Tables.documents(s, dir),
+        terms = Seq("batch", "scan", "hash"))),
+
+    // reciprocal-rank fusion of the tf-idf and BM25 rankers —
+    // scaled-integer reciprocals, no doubles in the fused score
+    "rrf_fusion" -> ((s, dir) =>
+      Text.rrfFusion(Tables.documents(s, dir),
         terms = Seq("batch", "scan", "hash"))),
 
     // per-user EWMA of the value stream (α=0.5 dyadic — exact halvings
@@ -6352,6 +6369,13 @@ object SparkEntry {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE o_orderkey % 5 = 0"""),
 
+    // same adjacency ranking + per-step hash, unrolled CTE chain
+    "graph_walks" -> Graph.graphWalksOracleSql(
+      """SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey % 9 = 0"""),
+
     // same stride-1 window expansion and first-occurrence rule
     "exactsubstr_report" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -6596,6 +6620,71 @@ object SparkEntry {
              CAST(v3 AS BIGINT), 100 FROM w
            UNION ALL SELECT 'user_positive', n_rows,
              CAST(v4 AS BIGINT), 0 FROM w)""",
+
+    // both rankers' oracle chains verbatim, fused by the same
+    // 10^12-scaled integer-division reciprocals (// in DuckDB)
+    "rrf_fusion" ->
+      """WITH h AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('batch', 'scan', 'hash')),
+         tfa AS (SELECT doc_id,
+             CAST(sum(CASE WHEN w = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfb,
+             CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfs,
+             CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfh
+           FROM h GROUP BY 1),
+         dfa AS (SELECT
+             count(DISTINCT CASE WHEN w = 'batch' THEN doc_id END) AS dfb,
+             count(DISTINCT CASE WHEN w = 'scan' THEN doc_id END) AS dfs,
+             count(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS dfh
+           FROM h),
+         ra AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               CAST(tfb AS DOUBLE) / dfb + CAST(tfs AS DOUBLE) / dfs
+                 + CAST(tfh AS DOUBLE) / dfh DESC, doc_id) AS INT)
+               AS rank_tfidf
+           FROM tfa CROSS JOIN dfa
+           QUALIFY rank_tfidf <= 20),
+         lens AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         sc AS (SELECT doc_id,
+             round(ln((n_docs - dfb + 0.5) / (dfb + 0.5) + 1.0), 6)
+               * (CAST(tfb AS DOUBLE) * 2.2)
+               / (CAST(tfb AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0), 6)
+               * (CAST(tfs AS DOUBLE) * 2.2)
+               / (CAST(tfs AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfh + 0.5) / (dfh + 0.5) + 1.0), 6)
+               * (CAST(tfh AS DOUBLE) * 2.2)
+               / (CAST(tfh AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS score
+           FROM tfa JOIN lens USING (doc_id) CROSS JOIN dfa CROSS JOIN st),
+         rb AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank_bm25
+           FROM sc
+           QUALIFY rank_bm25 <= 20),
+         f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             coalesce(CAST(1000000000000 // (60 + rank_tfidf) AS BIGINT),
+               0) + coalesce(CAST(1000000000000 // (60 + rank_bm25)
+               AS BIGINT), 0) AS rrf_score,
+             coalesce(rank_tfidf, 0) AS rank_tfidf,
+             coalesce(rank_bm25, 0) AS rank_bm25
+           FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         SELECT doc_id, rank_tfidf, rank_bm25, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS INT) AS rank_fused
+         FROM f
+         QUALIFY rank_fused <= 20""",
 
     // the anomaly_zscore decimal arithmetic with a composite
     // (event_type, day-of-week) season key

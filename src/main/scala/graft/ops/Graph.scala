@@ -253,6 +253,92 @@ object Graph {
        |   WHERE walk.hop < $maxHops)
        |SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node""".stripMargin
 
+  /** Deterministic hash-driven random walks — the node2vec/DeepWalk
+    * sampling primitive (Perozzi et al. 2014, arXiv:1403.6652; Grover &
+    * Leskovec 2016, arXiv:1607.00653): one `steps`-step walk starts at
+    * EVERY node of the undirected graph; at step t from node v the walk
+    * moves to v's neighbor at index H(v)·31 + t mod deg(v), neighbors
+    * ranked by node id, H the portable char-polynomial hash. The walk
+    * corpus (walk, step, node) is what a graph-embedding trainer
+    * consumes as sentences.
+    *
+    * Determinism contract (what makes the SQL oracle replay this
+    * bit-for-bit): the step choice hashes the CURRENT node and step
+    * only, so walks co-located at the same node and step move together.
+    * A production sampler wanting independent walks salts the hash with
+    * the walk id — one extra concat, identical plan shape.
+    *
+    * Scale: the adjacency builds with one groupBy into posting lists
+    * (max-degree bounded — hub-heavy graphs should cap degree the way
+    * [[linkPredict]] does); each step is ONE equi-join of the 2-column
+    * (walk, cur) frontier against the persisted adjacency, shuffles
+    * sized by the child session; each step materializes via eager
+    * `localCheckpoint` (the iterative-op lineage discipline), so the
+    * final union reads `steps`+1 flat frames.
+    */
+  def graphWalks(spark: SparkSession, edges: DataFrame,
+                 steps: Int = 4): DataFrame = {
+    val ed0 = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val child = graphSession(edges.sparkSession, ed0.count())
+    val adj = rebind(child, ed0)
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .persist()
+    adj.count()
+    def charHash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
+    var frontier = adj.select(col("src").as("walk"), col("src").as("cur"))
+      .localCheckpoint(true)
+    val outs = scala.collection.mutable.Buffer[DataFrame](
+      frontier.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      val idx = (pmod(charHash(frontier("cur")) * lit(31L) + lit(t.toLong),
+        size(adj("nbrs")).cast("long")).cast("int") + lit(1))
+      frontier = frontier.join(adj, frontier("cur") === adj("src"))
+        .select(frontier("walk"),
+          element_at(adj("nbrs"), idx).as("cur"))
+        .localCheckpoint(true)
+      outs += frontier.withColumn("step", lit(t))
+    }
+    adj.unpersist(); ed0.unpersist()
+    outs.reduce(_ unionByName _)
+      .select(col("walk"), col("step"), col("cur").as("node"))
+  }
+
+  /** The DuckDB oracle for [[graphWalks]]: the same adjacency ranking
+    * and per-step hash arithmetic unrolled into `steps` chained CTEs.
+    * Generated here so operator and oracle share one definition of the
+    * hash and the neighbor-index rule.
+    */
+  def graphWalksOracleSql(edgesCte: String, steps: Int = 4): String = {
+    def h(c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |     list_transform(string_split($c, ''),
+         |       c -> CAST(ascii(c) AS BIGINT))),
+         |   (a, x) -> (a * 1000003 + x) % 1000000007)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s""" s$t AS (SELECT w.walk,
+         |   a.nbrs[CAST((${h("w.cur")} * 31 + $t) % len(a.nbrs)
+         |     AS INT) + 1] AS cur
+         | FROM s${t - 1} w JOIN adj a ON w.cur = a.src)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t =>
+      s"SELECT walk, CAST($t AS INT) AS step, cur AS node FROM s$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH e0 AS ($edgesCte),
+       | ed AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       | adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs
+       |   FROM ed GROUP BY src),
+       | s0 AS (SELECT src AS walk, src AS cur FROM adj),
+       |$stepCtes
+       |$unions""".stripMargin
+  }
+
   /** Per-node triangle count + degree over the undirected simple graph
     * given by `edges(a, b)` (any orientation; duplicates and self-loops
     * are dropped here). Returns (node, deg, triangles) for every node

@@ -487,6 +487,45 @@ object Text {
           .orderBy(col("score").desc, col("doc_id").asc)))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * the two lexical rankers above: each document retrieved by either
+    * top-k list scores Σ_r 10¹² DIV (60 + rank_r) over the rankers that
+    * retrieved it — the classic k=60 RRF constant, with the reciprocal
+    * computed by INTEGER division at 10¹² scale so the fusion is
+    * cross-engine bit-exact with no doubles anywhere (rank ≤ k keeps
+    * every quotient distinct, so the scaled-integer ordering IS the
+    * rational ordering). A ranker that missed a document contributes 0;
+    * absent ranks report as 0 rather than NULL so downstream schemas
+    * stay non-nullable. RRF's value over score fusion: ranks need no
+    * calibration between a tf-idf-scale and a BM25-scale scorer.
+    *
+    * Scale: the two input rankings are top-k TakeOrdereds (k rows
+    * each), so the fusion's outer join and re-rank are driver-trivial;
+    * the corpus cost is exactly the two underlying rankers' (shared
+    * inverted-index aggregation shape, broadcast df scalars).
+    */
+  def rrfFusion(docs: DataFrame, terms: Seq[String], k: Int = 20,
+                kRrf: Int = 60): DataFrame = {
+    val scale = 1000000000000L
+    val a = searchRanked(docs, terms, k)
+      .select(col("doc_id"), col("rank").as("rank_tfidf"))
+    val b = searchBm25(docs, terms, k)
+      .select(col("doc_id"), col("rank").as("rank_bm25"))
+    def part(rankCol: String): Column =
+      coalesce(expr(s"$scale DIV ($kRrf + $rankCol)"), lit(0L))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", part("rank_tfidf") + part("rank_bm25"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        coalesce(col("rank_tfidf"), lit(0)).as("rank_tfidf"),
+        coalesce(col("rank_bm25"), lit(0)).as("rank_bm25"),
+        col("rrf_score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col("doc_id").asc))
+          .as("rank_fused"))
+  }
+
   /** Per-source discriminative terms — the c-TF-IDF topic-signature
     * shape (what BERTopic computes per cluster): score each (source,
     * term) by tf_in_source · n_sources / source_df(term), so terms
