@@ -332,6 +332,12 @@ object SparkEntry {
       Temporal.retentionCohorts(Tables.events(s, dir),
         user = col("user_id"), ts = col("ts"))),
 
+    // Kaplan-Meier survival curve over user activity lifetimes —
+    // right-censored at the 12h silence horizon; ordered prefix-fold S
+    "kaplan_meier" -> ((s, dir) =>
+      Temporal.kaplanMeier(eventsBase(s, dir),
+        entity = col("user_id"), ts = col("ts"))),
+
     // behavioral Markov transitions: event-type bigram counts + P(next|prev)
     "event_transitions" -> ((s, dir) =>
       Temporal.eventTransitions(Tables.events(s, dir),
@@ -4141,6 +4147,37 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM part q
            WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+
+    // same integer-micros lifetimes, window cumsum at-risk counts, and
+    // ordered prefix-fold survival product (list_reduce == aggregate)
+    "kaplan_meier" ->
+      """WITH e AS (SELECT user_id AS u,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS m FROM events),
+         us AS (SELECT u, min(m) AS f, max(m) AS l FROM e GROUP BY 1),
+         mx AS (SELECT max(l) AS mt FROM us),
+         lab AS (SELECT (l - f) // 3600000000 AS t,
+                 l < mt - 43200000000 AS died FROM us CROSS JOIN mx),
+         tot AS (SELECT count(*) AS n_tot FROM lab),
+         byt AS (SELECT t,
+               CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               count(*) AS ended
+             FROM lab GROUP BY 1),
+         risk AS (SELECT t, d,
+             (SELECT n_tot FROM tot) - coalesce(CAST(sum(ended) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS BIGINT), 0) AS n
+           FROM byt),
+         ev AS (SELECT t, n, d FROM risk WHERE d > 0),
+         arr AS (SELECT list(struct_pack(t := t, n := n, d := d)
+                 ORDER BY t) AS a FROM ev)
+         SELECT CAST(a[i+1].t AS BIGINT) AS t,
+           CAST(a[i+1].n AS BIGINT) AS n_risk,
+           CAST(a[i+1].d AS BIGINT) AS n_events,
+           round(list_reduce(list_prepend(1.0,
+             list_transform(a[1:i+1],
+               y -> (CAST(y.n AS DOUBLE) - y.d) / y.n)),
+             (p, q) -> p * q), 6) AS survival
+         FROM arr, UNNEST(range(len(a))) AS s(i)""",
 
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

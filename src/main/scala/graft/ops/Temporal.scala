@@ -770,4 +770,61 @@ object Temporal {
             - col("n") * col("s") * col("s")).cast("double"), 6).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Kaplan–Meier survival curve over entity activity lifetimes — the
+    * standard right-censored churn/retention estimator (Kaplan & Meier
+    * 1958). Lifetime t = whole hours between an entity's first and last
+    * event (exact integer microsecond division). An entity whose last
+    * event precedes the corpus's final timestamp by more than
+    * `horizonHours` is an EVENT (churned at t); anyone active within
+    * the horizon is CENSORED at t (observation ended first). For each
+    * distinct event time t_i: n_i (at risk) = entities with lifetime
+    * ≥ t_i, d_i = events at t_i, and S(t_i) = Π_{j≤i} (n_j − d_j)/n_j.
+    *
+    * Determinism: everything up to S is exact integers (micros, counts,
+    * window cumsums). S is computed as an ORDERED PREFIX FOLD over the
+    * sorted event-time array — both engines multiply the same doubles
+    * in the same order — then rounded 1e-6 (the engine's
+    * transcendental convention).
+    *
+    * Scale: ONE entity-keyed aggregation touches the feed; everything
+    * downstream lives on the distinct-lifetime table, bounded by the
+    * observation window in hours (not by entities), where the global
+    * window and the prefix fold are driver-trivial. The 1-row corpus
+    * max rides a broadcast.
+    */
+  def kaplanMeier(events: DataFrame, entity: Column, ts: Column,
+                  horizonHours: Int = 12): DataFrame = {
+    val us = events.select(entity.as("u"), unix_micros(ts).as("m"))
+      .groupBy(col("u"))
+      .agg(min(col("m")).as("f"), max(col("m")).as("l"))
+    val mx = us.agg(max(col("l")).as("mt"))
+    val lab = us.crossJoin(broadcast(mx))
+      .select(expr("(l - f) div 3600000000").as("t"),
+        (col("l") < col("mt") - lit(horizonHours.toLong * 3600000000L))
+          .as("died"))
+    val tot = lab.agg(count(lit(1)).as("n_tot"))
+    val byT = lab.groupBy(col("t"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("ended"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("n_tot") - coalesce(sum(col("ended")).over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n"), col("d"))
+    val arr = risk.agg(
+      array_sort(collect_list(struct(col("t"), col("n"), col("d"))))
+        .as("a"))
+    val prefix = slice(col("a"), lit(1), col("i") + lit(1))
+    arr.select(col("a"), posexplode(col("a")).as(Seq("i", "x")))
+      .select(col("x.t").as("t"), col("x.n").as("n_risk"),
+        col("x.d").as("n_events"),
+        round(aggregate(
+          transform(prefix, y =>
+            (y.getField("n") - y.getField("d")).cast("double")
+              / y.getField("n")),
+          lit(1.0), (acc, v) => acc * v), 6).as("survival"))
+  }
 }

@@ -97,6 +97,55 @@ class Wave29Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  // --- kaplanMeier -----------------------------------------------------
+
+  test("kaplanMeier: hand-computed curve with deaths and censoring") {
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // corpus ends at hour 100 (user 5's last event). horizon 12h:
+    //   u1: [0, 10]  -> t=10, died (10 < 88)
+    //   u2: [0, 10]  -> t=10, died
+    //   u3: [5, 25]  -> t=20, died
+    //   u4: [0, 95]  -> t=95, censored (95 >= 88)
+    //   u5: [0, 100] -> t=100, censored
+    // event times: t=10 (n=5, d=2) -> S = 3/5 = 0.6
+    //              t=20 (n=3, d=1) -> S = 0.6 * 2/3 = 0.4
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)),
+      (2L, ts(0)), (2L, ts(10)),
+      (3L, ts(5)), (3L, ts(25)),
+      (4L, ts(0)), (4L, ts(95)),
+      (5L, ts(0)), (5L, ts(100)))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Temporal.kaplanMeier(events,
+      entity = col("user_id"), ts = col("ts"), horizonHours = 12)
+      .orderBy("t").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 5L, 2L, 0.6), (20L, 3L, 1L, 0.4)))
+  }
+
+  test("kaplanMeier: censoring shrinks the at-risk set without a curve " +
+       "step (the property that distinguishes KM from naive survival)") {
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // corpus ends at hour 50 (u9); died iff last event < hour 38.
+    //   u1: [0, 10]  -> t=10, last=10  -> died
+    //   u2: [25, 45] -> t=20, last=45  -> CENSORED between event times
+    //   u3: [0, 25]  -> t=25, last=25  -> died
+    //   u9: [20, 50] -> t=30, last=50  -> censored (corpus end anchor)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)),
+      (2L, ts(25)), (2L, ts(45)),
+      (3L, ts(0)), (3L, ts(25)),
+      (9L, ts(20)), (9L, ts(50)))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Temporal.kaplanMeier(events,
+      entity = col("user_id"), ts = col("ts"), horizonHours = 12)
+      .orderBy("t").as[(Long, Long, Long, Double)].collect().toSeq
+    // t=10: n=4, d=1 -> 0.75; t=20 emits NO row (censor only);
+    // t=25: n=2 (u3, u9 remain), d=1 -> 0.75 * 1/2 = 0.375
+    assert(got === Seq((10L, 4L, 1L, 0.75), (25L, 2L, 1L, 0.375)))
+  }
+
   test("graphWalks: every step moves along a real edge and every walk " +
        "emits steps+1 rows") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
