@@ -5459,19 +5459,25 @@ object SparkEntry {
     // must have produced (header + 4-byte-padded BGR rows); WAV rows
     // verify rate/channels/bits and the RIFF size arithmetic; only the
     // doc_id%4=3 slice exercises the disclosed stub branch
+    // PNG n_bytes is analytic because the encoder uses STORED-mode
+    // deflate: 68 + height*(1+width) (sig 8 + IHDR 25 + IDAT 23+L + IEND 12)
     "multimodal_decode" ->
       """SELECT doc_id,
-           CASE doc_id % 4 WHEN 2 THEN 'audio/wav'
-                WHEN 3 THEN 'application/octet-stream'
+           CASE WHEN doc_id % 4 = 2 THEN 'audio/wav'
+                WHEN doc_id % 8 = 3 THEN 'image/png'
+                WHEN doc_id % 8 = 7 THEN 'application/octet-stream'
                 ELSE 'image/bmp' END AS format,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 16 + doc_id % 32
-                     WHEN doc_id % 4 = 3 THEN length(text) % 640
+                     WHEN doc_id % 8 = 3 THEN 8 + doc_id % 24
+                     WHEN doc_id % 8 = 7 THEN length(text) % 640
                 END AS INT) AS width,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 8 + doc_id % 16
-                     WHEN doc_id % 4 = 3 THEN ascii(substr(text, 1, 1))
+                     WHEN doc_id % 8 = 3 THEN 4 + doc_id % 12
+                     WHEN doc_id % 8 = 7 THEN ascii(substr(text, 1, 1))
                 END AS INT) AS height,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 24
-                     WHEN doc_id % 4 = 2 THEN 16 END AS INT) AS bpp,
+                     WHEN doc_id % 4 = 2 THEN 16
+                     WHEN doc_id % 8 = 3 THEN 8 END AS INT) AS bpp,
            CAST(CASE WHEN doc_id % 4 = 2 THEN
                   CASE (doc_id % 16) // 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                        WHEN 2 THEN 22050 ELSE 44100 END
@@ -5482,6 +5488,8 @@ object SparkEntry {
                   54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4 * (8 + doc_id % 16)
                      WHEN doc_id % 4 = 2 THEN
                   44 + (100 + doc_id % 400) * (1 + (doc_id // 4) % 2) * 2
+                     WHEN doc_id % 8 = 3 THEN
+                  68 + (4 + doc_id % 12) * (9 + doc_id % 24)
                      ELSE length(text) END AS BIGINT) AS n_bytes
          FROM documents""",
 

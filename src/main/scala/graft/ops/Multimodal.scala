@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * codec) amortizes its setup per partition, not per row.
   *
   * [[decodeFeatures]] is a REAL multi-format decode: payloads are valid
-  * 24-bit BMP and PCM WAV files, the decoder dispatches on magic bytes
-  * and parses them with [[decodeBmp]]/[[decodeWav]]. Only payloads in a
-  * genuinely unknown container fall through to a disclosed STUB branch
-  * (deterministic fake features — this container has no JPEG/PNG/H.264
-  * codecs to hand such bytes to); a production pipeline would plug its
-  * codec into that one branch.
+  * 24-bit BMP, PCM WAV, and 8-bit grayscale PNG files; the decoder
+  * dispatches on magic bytes and parses them with
+  * [[decodeBmp]]/[[decodeWav]]/[[decodePng]] (the PNG path verifies the
+  * IHDR CRC-32 like a real parser). Only payloads in a genuinely
+  * unknown container (1/8 of the corpus) fall through to a disclosed
+  * STUB branch (deterministic fake features — this container has no
+  * JPEG/H.264 codecs to hand such bytes to); a production pipeline
+  * would plug its codec into that one branch.
   */
 object Multimodal {
 
@@ -32,12 +34,12 @@ object Multimodal {
 
   private val wavRates = Array(8000, 16000, 22050, 44100)
 
-  /** Ingest-side payload builder: REAL format payloads for 3/4 of the
+  /** Ingest-side payload builder: REAL format payloads for 7/8 of the
     * corpus — valid BMPs (doc_id % 4 ∈ {0,1}), valid PCM WAVs
-    * (doc_id % 4 = 2) — and a headerless binary payload (raw text
-    * bytes, doc_id % 4 = 3) to exercise the unknown-format branch.
-    * All parameters derive from doc_id so the oracle predicts every
-    * decoded feature analytically.
+    * (doc_id % 4 = 2), valid grayscale PNGs (doc_id % 8 = 3) — and a
+    * headerless binary payload (raw text bytes, doc_id % 8 = 7) to
+    * exercise the unknown-format branch. All parameters derive from
+    * doc_id so the oracle predicts every decoded feature analytically.
     */
   private def mediaBlob(docId: Long, seed: Array[Byte]): Array[Byte] =
     (docId % 4) match {
@@ -46,7 +48,10 @@ object Multimodal {
       case 2 =>
         encodeWav(wavRates(((docId % 16) / 4).toInt),
           1 + ((docId / 4) % 2).toInt, 16, 100 + (docId % 400).toInt, seed)
-      case _ => seed
+      case _ =>
+        if (docId % 8 == 3)
+          encodePng(8 + (docId % 24).toInt, 4 + (docId % 12).toInt, seed)
+        else seed
     }
 
   /** Format sniffing + REAL decode: dispatch on magic bytes exactly like
@@ -66,6 +71,12 @@ object Multimodal {
       val f = decodeWav(docId, bytes)
       MediaFeatures(docId, "audio/wav", None, None, Some(f.bits),
         Some(f.sample_rate), Some(f.channels), bytes.length.toLong)
+    } else if (bytes.length >= 33 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+      bytes(3) == 'G'.toByte) {
+      val f = decodePng(docId, bytes)
+      MediaFeatures(docId, "image/png", Some(f.width), Some(f.height),
+        Some(f.bit_depth), None, None, f.n_bytes)
     } else
       // STUB branch (disclosed): unknown container, no codec available
       MediaFeatures(docId, "application/octet-stream",
@@ -147,6 +158,85 @@ object Multimodal {
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     BmpFeatures(docId, width = b.getInt(18), height = b.getInt(22),
       bpp = b.getShort(28).toInt, n_bytes = bytes.length.toLong)
+  }
+
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+                               bit_depth: Int, color_type: Int,
+                               n_bytes: Long)
+
+  /** Build a VALID 8-bit grayscale PNG: signature, IHDR with a correct
+    * CRC-32, ONE stored-mode (uncompressed) zlib deflate block carrying
+    * the filter-byte-prefixed scanlines in IDAT, and IEND. Stored-mode
+    * deflate keeps the file size ANALYTIC in (width, height) — a
+    * Deflater's compressed length would vary with zlib version and the
+    * oracle could no longer predict n_bytes: total = 68 + height·(1+width)
+    * (8 sig + 25 IHDR + 12+11+L IDAT + 12 IEND). Height·(1+width) stays
+    * far below the 65 535-byte stored-block cap by construction.
+    */
+  private[graft] def encodePng(width: Int, height: Int,
+                               pixelSeed: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8: Byte).put(0: Byte)            // bit depth 8, grayscale
+      .put(0: Byte).put(0: Byte).put(0: Byte) // deflate, adaptive, no interlace
+      .array()
+    val l = height * (1 + width)
+    require(l < 65536, s"stored-block PNG bounded at 64 KiB of scanlines ($l)")
+    val raw = new Array[Byte](l)
+    var p = 0; var i = 0
+    for (_ <- 0 until height) {
+      raw(p) = 0; p += 1                     // filter type None per scanline
+      for (_ <- 0 until width) {
+        raw(p) = if (pixelSeed.isEmpty) 0 else pixelSeed(i % pixelSeed.length)
+        p += 1; i += 1
+      }
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(raw)
+    val z = java.nio.ByteBuffer.allocate(11 + l)
+    z.put(0x78.toByte).put(0x01.toByte)      // zlib header
+      .put(0x01.toByte)                      // BFINAL=1, BTYPE=00 (stored)
+    z.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(l.toShort).putShort((~l).toShort) // LEN, NLEN
+    z.put(raw)
+    z.order(java.nio.ByteOrder.BIG_ENDIAN).putInt(ad.getValue.toInt)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.array()) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG header decoder: validates the 8-byte signature, the IHDR
+    * chunk framing AND its CRC-32 (a real parser rejects corrupt
+    * headers rather than reading garbage dimensions), then reads
+    * width / height / bit depth / color type big-endian.
+    */
+  private[graft] def decodePng(docId: Long, bytes: Array[Byte]): PngFeatures = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length >= 33 && bytes.take(8).sameElements(sig),
+      s"doc $docId: not a PNG payload")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(b.getInt(8) == 13 &&
+      new String(bytes, 12, 4, "US-ASCII") == "IHDR",
+      s"doc $docId: first PNG chunk is not a 13-byte IHDR")
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 12, 4 + 13)
+    require(crc.getValue.toInt == b.getInt(29),
+      s"doc $docId: IHDR CRC mismatch")
+    PngFeatures(docId, width = b.getInt(16), height = b.getInt(20),
+      bit_depth = bytes(24) & 0xff, color_type = bytes(25) & 0xff,
+      n_bytes = bytes.length.toLong)
   }
 
   /** End-to-end image pipeline on REAL payloads: encode each document

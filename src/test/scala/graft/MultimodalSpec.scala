@@ -62,11 +62,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(other.phash !== flat.phash)
   }
 
-  test("decodeFeatures dispatches on magic bytes: BMP and WAV rows are " +
-       "REAL-parsed, only the unknown-container slice hits the stub") {
-    // doc_id % 4 selects the payload family: 0,1 -> BMP, 2 -> WAV, 3 -> raw
+  test("encodePng produces a valid signature/IHDR/CRC that decodePng " +
+       "reads back; the stored-deflate size law holds") {
+    val bytes = Multimodal.encodePng(11, 7, "pixels".getBytes)
+    assert((bytes(0) & 0xff) === 0x89 &&
+      new String(bytes, 1, 3, "US-ASCII") === "PNG")
+    val f = Multimodal.decodePng(42L, bytes)
+    assert(f === Multimodal.PngFeatures(42L, 11, 7, 8, 0,
+      68L + 7 * (1 + 11)))
+    assert(bytes.length === 68 + 7 * 12)
+    // the IDAT payload is a real zlib stream: java.util.zip agrees
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes, 8 + 25 + 8, bytes.length - (8 + 25 + 8) - 4 - 12)
+    val out = new Array[Byte](7 * 12)
+    assert(inf.inflate(out) === 7 * 12)
+  }
+
+  test("decodePng rejects a corrupted IHDR (CRC verify is real)") {
+    val bytes = Multimodal.encodePng(11, 7, "pixels".getBytes)
+    bytes(16) = (bytes(16) ^ 1).toByte // flip a width bit, keep old CRC
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(1L, bytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(1L, "not a png".getBytes)
+    }
+  }
+
+  test("decodeFeatures dispatches on magic bytes: BMP, WAV and PNG rows " +
+       "are REAL-parsed, only the unknown-container slice hits the stub") {
+    // doc_id % 4 selects the payload family: 0,1 -> BMP, 2 -> WAV;
+    // % 8 = 3 -> PNG, % 8 = 7 -> raw
     val docs = Seq((4L, "bmp doc", "en"), (5L, "bmp too", "en"),
-      (6L, "wav doc", "en"), (7L, "opaque bytes", "en"))
+      (6L, "wav doc", "en"), (7L, "opaque bytes", "en"),
+      (11L, "png doc", "en"))
       .toDF("doc_id", "text", "lang")
     val out = Multimodal.decodeFeatures(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -88,6 +117,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(raw.getInt(2) === "opaque bytes".length % 640)
     assert(raw.getInt(3) === 'o'.toInt)
     assert(raw.getLong(7) === "opaque bytes".length.toLong)
+
+    val png = out(11L) // w = 8+11%24 = 19, h = 4+11%12 = 15
+    assert(png.getString(1) === "image/png")
+    assert(png.getInt(2) === 19 && png.getInt(3) === 15 && png.getInt(4) === 8)
+    assert(png.isNullAt(5) && png.isNullAt(6))
+    assert(png.getLong(7) === 68L + 15 * 20)
 
     // resize geometry covers exactly the image rows
     val rs = Multimodal.resizePlan(
