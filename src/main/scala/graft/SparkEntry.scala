@@ -356,6 +356,14 @@ object SparkEntry {
         bucket = floor(col("value") / lit(10.0)).cast("long"))
     }),
 
+    // two-sample KS test on the same even/odd-day populations as
+    // drift_report — exact cross-multiplied CDF gap, squared decision
+    "ks_test" -> ((s, dir) =>
+      Profile.ksTest(Tables.events(s, dir),
+        side = pmod(datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))), lit(2)),
+        value = col("value"))),
+
     // int8 scalar quantization of the embedding corpus. The codes array
     // is projected to a comma-joined string: the driver's pandas
     // row-sort can't hash array cells (same convention as array_funcs).
@@ -4232,6 +4240,34 @@ object SparkEntry {
            abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
              - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS drift
          FROM g, t""",
+
+    // same exact cents CDFs, cross-multiplied gap max (min-x tiebreak),
+    // and squared HUGEINT decision (c^2 = 1844164/10^6)
+    "ks_test" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 2 AS INT) AS side
+             FROM events),
+         g AS (SELECT x,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+             FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM g),
+         c AS (SELECT x, na, nb,
+               abs(CAST(sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) * nb
+                 - CAST(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) * na) AS g
+             FROM g CROSS JOIN t),
+         m AS (SELECT na, nb, max(g) AS d_num FROM c GROUP BY 1, 2)
+         SELECT m.na AS n_a, m.nb AS n_b, CAST(m.d_num AS BIGINT) AS d_num,
+           CAST(m.d_num AS DOUBLE) / (CAST(m.na AS DOUBLE) * m.nb) AS ks_d,
+           (SELECT min(x) FROM c WHERE c.g = m.d_num) AS d_at_cents,
+           CAST(m.d_num AS HUGEINT) * m.d_num * 1000000 >
+             CAST(1844164 AS HUGEINT) * (m.na + m.nb) * m.na * m.nb
+             AS reject
+         FROM m""",
 
     // identical IEEE double expression shape as the Spark projection;
     // min/max are exact float selections, so codes match bit-for-bit

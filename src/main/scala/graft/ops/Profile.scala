@@ -189,6 +189,51 @@ object Profile {
       .withColumn("drift", abs(col("p_a") - col("p_b")))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between the side-0 and side-1
+    * populations of a numeric metric — the distribution-level drift
+    * DECISION beside [[driftReport]]'s per-bin body. The statistic
+    * D = max_x |F_a(x) − F_b(x)| is computed EXACTLY: values in cents,
+    * per-value conditional counts, one ordered window for both
+    * cumulative CDFs, and the gap cross-multiplied to the common
+    * denominator n_a·n_b so the max is an integer max. The α=0.05
+    * decision avoids the transcendental sqrt in D > c·√((n_a+n_b)/
+    * (n_a·n_b)) by SQUARING it into DECIMAL(38,0) integer arithmetic
+    * (c² = 1.358² = 1844164/10⁶ exactly). One row out: the statistic,
+    * its location (smallest value attaining it), and the decision.
+    *
+    * Scale: one conditional aggregation over the feed keyed by the
+    * (bounded-cardinality) cents value; the window and max run on the
+    * distinct-value table. ks_d is the single documented double — a
+    * division of exact longs.
+    */
+  def ksTest(df: DataFrame, side: Column, value: Column): DataFrame = {
+    val big = DecimalType(38, 0)
+    val byV = df.select(side.as("s"),
+        round(value * 100).cast("long").as("x"))
+      .groupBy(col("x"))
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val gaps = byV.select(col("x"),
+        sum(col("ca")).over(w).as("fa"), sum(col("cb")).over(w).as("fb"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("na"), col("nb"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("g"))
+    gaps.groupBy(col("na"), col("nb"))
+      .agg(max(struct(col("g").as("g"), (-col("x")).as("nx"))).as("top"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("top.g").as("d_num"),
+        (col("top.g").cast("double")
+          / (col("na") * col("nb")).cast("double")).as("ks_d"),
+        (-col("top.nx")).as("d_at_cents"),
+        (col("top.g").cast(big) * col("top.g").cast(big)
+          * lit(1000000L).cast(big) >
+          lit(1844164L).cast(big) * (col("na") + col("nb")).cast(big)
+            * col("na").cast(big) * col("nb").cast(big)).as("reject"))
+  }
+
   /** Count-min sketch frequency estimation, demonstrated against exact
     * truth: build a depth-4 × width-`w` CMS over the key column (one
     * explode to 4 (row, depth) pairs, one aggregation — the sketch is

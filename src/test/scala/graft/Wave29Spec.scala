@@ -69,6 +69,45 @@ class Wave29Spec extends AnyFunSuite {
         "some consensus doc should beat some single-list doc")
   }
 
+  // --- ksTest ----------------------------------------------------------
+
+  test("ksTest: hand-computed statistic, location, and both decisions") {
+    // side 0: {1, 2, 3, 4}; side 1: {3, 4, 5, 6} (values in units)
+    // cents x: 100..600. D = max|Fa*nb - Fb*na| / 16:
+    //   x=100: |1*4-0|=4; x=200: 8; x=300: |3*4-1*4|=8; x=400: 8;
+    //   x=500: |16-12|=4; x=600: 0 -> d_num=8 at x=200 (min tiebreak),
+    //   D = 0.5. n=4+4: c^2 rule: 64*1e6 > 1844164*8*16 = 2.36e8? no
+    //   -> 6.4e7 < 2.36e8 -> reject=false (tiny samples).
+    val df = (Seq(1, 2, 3, 4).map(v => (0, v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => (1, v.toDouble)))
+      .toDF("side", "value")
+    val got = graft.ops.Profile.ksTest(df, col("side"), col("value"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    assert(got === Seq((4L, 4L, 8L, 0.5, 200L, false)))
+  }
+
+  test("ksTest: fully disjoint large samples reject at alpha=0.05 " +
+       "(the decision branch is live)") {
+    // 100 draws of side 0 below 100 draws of side 1: D = 1.0
+    val df = ((1 to 100).map(v => (0, v.toDouble)) ++
+      (1 to 100).map(v => (1, v + 1000.0))).toDF("side", "value")
+    val r = graft.ops.Profile.ksTest(df, col("side"), col("value"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().head
+    assert(r._3 === 100L * 100L && r._4 === 1.0 && r._6 === true)
+    // and a plain-Scala KS replay agrees on a seeded mixed sample
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(60)(rnd.nextInt(50) + 1)
+    val b = Seq.fill(40)(rnd.nextInt(50) + 11)
+    val mixed = (a.map(v => (0, v.toDouble)) ++ b.map(v => (1, v.toDouble)))
+      .toDF("side", "value")
+    val xs = (a ++ b).distinct.sorted
+    val expected = xs.map(x =>
+      math.abs(a.count(_ <= x).toLong * b.size - b.count(_ <= x).toLong * a.size)).max
+    val got = graft.ops.Profile.ksTest(mixed, col("side"), col("value"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().head
+    assert(got._3 === expected)
+  }
+
   // --- graphWalks ------------------------------------------------------
 
   /** The walk hash, replayed in plain Scala (chars fold, mod p). */
