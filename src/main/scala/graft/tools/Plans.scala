@@ -114,7 +114,11 @@ object Plans {
     "quality_prune_curve" -> "one corpus scan to ≤10 decile buckets; the cumulative window runs over the bucket rows only",
     "gopher_repetition" -> "nine per-row sorted-run folds in one codegen'd projection; no key shuffle at any n",
     "ccnet_buckets" -> "vocabulary-sized LM joins (docLmScore's plan); ONE lang-partitioned ntile window over (id, lang, score)",
-    "shard_manifest" -> "one scan, partial+final hash agg to nShards rows; only the tiny partials shuffle")
+    "shard_manifest" -> "one scan, partial+final hash agg to nShards rows; only the tiny partials shuffle",
+    "rrf_fusion" -> "fusion join of two 20-row TakeOrdereds (AQE broadcasts at runtime); each ranker re-scans the corpus for its tf/df/length aggs - a production index materializes the posting stats once",
+    "graph_walks" -> "per-step 2-column frontier equi-join vs checkpointed posting-list adjacency",
+    "kaplan_meier" -> "one user-keyed agg over the feed; window cumsum + prefix fold on the distinct-lifetime table",
+    "ks_test" -> "one conditional agg keyed by cents value; window CDFs on the distinct-value table; integer decision")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
