@@ -78,6 +78,13 @@ object SparkEntry {
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
 
+    // reliability diagram + ECE over the kNN vote confidences — every
+    // value one division of exact integers (no binning cuts needed);
+    // distinct from calibration_bins (Eval): real classifier votes, ECE
+    "knn_calibration" -> ((s, dir) =>
+      Similarity.calibrationBins(
+        Similarity.knnClassify(Tables.embeddings(s, dir)))),
+
     // per-flag winsorized mean: discrete rank-selected p05/p95 cut values
     "winsorized_stats" -> ((s, dir) =>
       Profile.winsorizedStats(Tables.lineitem(s, dir),
@@ -358,8 +365,9 @@ object SparkEntry {
 
     // two-sample KS test on the same even/odd-day populations as
     // drift_report — exact cross-multiplied CDF gap, squared decision
-    "ks_test" -> ((s, dir) =>
-      Profile.ksTest(Tables.events(s, dir),
+    // (the sqrt-free sibling of ks_test's purchase-vs-click compare)
+    "ks_drift" -> ((s, dir) =>
+      Profile.ksDrift(Tables.events(s, dir),
         side = pmod(datediff(col("ts").cast("date"),
           to_date(lit("1970-01-01"))), lit(2)),
         value = col("value"))),
@@ -3239,6 +3247,41 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY q_id
            ORDER BY n_votes DESC, n_label ASC) = 1""",
 
+    // knn_classify's chain verbatim, then the integer-numerator bins:
+    // gap = |5c - vn|/(5n), ECE folds the weighted sum before dividing
+    "knn_calibration" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           topk AS (
+             SELECT q.vec_id AS q_id, q.label AS true_label,
+                    c.label AS n_label
+             FROM e q JOIN e c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 25 = 0
+             QUALIFY row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) <= 5),
+           votes AS (SELECT q_id, true_label, n_label, count(*) AS n_votes
+                     FROM topk GROUP BY 1, 2, 3),
+           p AS (SELECT q_id, n_votes,
+               CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+             FROM votes
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, n_label ASC) = 1),
+           bins AS (SELECT n_votes, count(*) AS n,
+               CAST(sum(correct) AS BIGINT) AS n_correct
+             FROM p GROUP BY 1),
+           t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(abs(5 * n_correct - n_votes * n)) AS BIGINT)
+                 AS ece_num
+             FROM bins)
+         SELECT n_votes, CAST(n_votes AS DOUBLE) / 5 AS confidence,
+           CAST(n AS BIGINT) AS n, n_correct,
+           CAST(n_correct AS DOUBLE) / n AS accuracy,
+           CAST(abs(5 * n_correct - n_votes * n) AS DOUBLE) / (5 * n)
+             AS gap,
+           CAST(ece_num AS DOUBLE) / (5 * nt) AS ece
+         FROM bins CROSS JOIN t""",
+
     // discrete rank-selected cuts (k = ceil(p*n) in integer arithmetic);
     // tie order cannot change the selected VALUE (ordering is by c only)
     "winsorized_stats" ->
@@ -4243,7 +4286,7 @@ object SparkEntry {
 
     // same exact cents CDFs, cross-multiplied gap max (min-x tiebreak),
     // and squared HUGEINT decision (c^2 = 1844164/10^6)
-    "ks_test" ->
+    "ks_drift" ->
       """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
                CAST(date_diff('day', DATE '1970-01-01',
                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 2 AS INT) AS side

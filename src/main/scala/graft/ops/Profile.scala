@@ -191,7 +191,10 @@ object Profile {
 
   /** Two-sample Kolmogorov–Smirnov test between the side-0 and side-1
     * populations of a numeric metric — the distribution-level drift
-    * DECISION beside [[driftReport]]'s per-bin body. The statistic
+    * DECISION beside [[driftReport]]'s per-bin body (the labeled-sample
+    * sibling of [[ksTest]], which compares two named event types and
+    * reports the critical value via sqrt; this variant keeps the
+    * α=0.05 decision sqrt-free). The statistic
     * D = max_x |F_a(x) − F_b(x)| is computed EXACTLY: values in cents,
     * per-value conditional counts, one ordered window for both
     * cumulative CDFs, and the gap cross-multiplied to the common
@@ -206,7 +209,7 @@ object Profile {
     * distinct-value table. ks_d is the single documented double — a
     * division of exact longs.
     */
-  def ksTest(df: DataFrame, side: Column, value: Column): DataFrame = {
+  def ksDrift(df: DataFrame, side: Column, value: Column): DataFrame = {
     val big = DecimalType(38, 0)
     val byV = df.select(side.as("s"),
         round(value * 100).cast("long").as("x"))

@@ -571,6 +571,39 @@ object Similarity {
           .otherwise(lit(0)).as("correct"))
   }
 
+  /** Calibration report over [[knnClassify]]'s vote confidences — the
+    * reliability-diagram body plus expected calibration error (ECE,
+    * Naeini et al. 2015): a k-NN vote share v/k IS a discrete
+    * confidence, so the bins are the k vote counts, no quantile cuts
+    * needed. Per bin: n, accuracy, and |accuracy − confidence|; ECE is
+    * the n-weighted mean gap. EVERY number is one division of exact
+    * integers: gap = |k·c_b − v·n_b| / (k·n_b) and
+    * ECE = Σ_b |k·c_b − v·n_b| / (k·N) — the weighted sum folds into
+    * an integer numerator BEFORE the division, so no double
+    * accumulation order exists anywhere.
+    *
+    * Scale: two aggregations over the (already tiny) per-query
+    * prediction table; the 1-row total rides a broadcast.
+    */
+  def calibrationBins(knn: DataFrame, k: Int = 5): DataFrame = {
+    val bins = knn.groupBy(col("n_votes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct").cast("long")).as("n_correct"))
+    val gapNum = abs(lit(k.toLong) * col("n_correct")
+      - col("n_votes") * col("n"))
+    val tot = bins.agg(sum(col("n")).as("nt"),
+      sum(gapNum).as("ece_num"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n_votes"),
+        (col("n_votes").cast("double") / k).as("confidence"),
+        col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n")).as("accuracy"),
+        (gapNum.cast("double")
+          / (lit(k.toLong) * col("n")).cast("double")).as("gap"),
+        (col("ece_num").cast("double")
+          / (lit(k.toLong) * col("nt")).cast("double")).as("ece"))
+  }
+
   /** Robust per-dimension scaling of the embedding corpus:
     * (x − median) / IQR per dimension — the outlier-proof
     * normalization ([[dimStats]] gives mean/min/max; a handful of

@@ -15,4 +15,24 @@ class ContractSpec extends AnyFunSuite {
   test("flagship entry returns rows on the smallest scale factor") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  test("no duplicate query/oracle registrations (a Map literal dedupes " +
+       "SILENTLY — a repeated key shadows an op and its oracle still " +
+       "matches, so only the source can reveal the collision)") {
+    // count textual registrations in the source and compare with the
+    // constructed maps; a duplicate key makes the map smaller
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      "UTF-8")
+    val qRegs = "\"[a-z0-9_]+\" -> \\(\\(s, dir\\)".r
+      .findAllIn(src).size
+    assert(qRegs === SparkEntry.queries.size,
+      s"$qRegs query registrations in source but " +
+        s"${SparkEntry.queries.size} map entries — a duplicate key is " +
+        "shadowing an operator")
+    val names = "\"([a-z0-9_]+)\" -> \\(\\(s, dir\\)".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query registrations: $dups")
+  }
 }

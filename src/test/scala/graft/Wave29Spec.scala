@@ -69,9 +69,9 @@ class Wave29Spec extends AnyFunSuite {
         "some consensus doc should beat some single-list doc")
   }
 
-  // --- ksTest ----------------------------------------------------------
+  // --- ksDrift ----------------------------------------------------------
 
-  test("ksTest: hand-computed statistic, location, and both decisions") {
+  test("ksDrift: hand-computed statistic, location, and both decisions") {
     // side 0: {1, 2, 3, 4}; side 1: {3, 4, 5, 6} (values in units)
     // cents x: 100..600. D = max|Fa*nb - Fb*na| / 16:
     //   x=100: |1*4-0|=4; x=200: 8; x=300: |3*4-1*4|=8; x=400: 8;
@@ -81,17 +81,17 @@ class Wave29Spec extends AnyFunSuite {
     val df = (Seq(1, 2, 3, 4).map(v => (0, v.toDouble)) ++
       Seq(3, 4, 5, 6).map(v => (1, v.toDouble)))
       .toDF("side", "value")
-    val got = graft.ops.Profile.ksTest(df, col("side"), col("value"))
+    val got = graft.ops.Profile.ksDrift(df, col("side"), col("value"))
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
     assert(got === Seq((4L, 4L, 8L, 0.5, 200L, false)))
   }
 
-  test("ksTest: fully disjoint large samples reject at alpha=0.05 " +
+  test("ksDrift: fully disjoint large samples reject at alpha=0.05 " +
        "(the decision branch is live)") {
     // 100 draws of side 0 below 100 draws of side 1: D = 1.0
     val df = ((1 to 100).map(v => (0, v.toDouble)) ++
       (1 to 100).map(v => (1, v + 1000.0))).toDF("side", "value")
-    val r = graft.ops.Profile.ksTest(df, col("side"), col("value"))
+    val r = graft.ops.Profile.ksDrift(df, col("side"), col("value"))
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().head
     assert(r._3 === 100L * 100L && r._4 === 1.0 && r._6 === true)
     // and a plain-Scala KS replay agrees on a seeded mixed sample
@@ -103,7 +103,7 @@ class Wave29Spec extends AnyFunSuite {
     val xs = (a ++ b).distinct.sorted
     val expected = xs.map(x =>
       math.abs(a.count(_ <= x).toLong * b.size - b.count(_ <= x).toLong * a.size)).max
-    val got = graft.ops.Profile.ksTest(mixed, col("side"), col("value"))
+    val got = graft.ops.Profile.ksDrift(mixed, col("side"), col("value"))
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().head
     assert(got._3 === expected)
   }
