@@ -35,4 +35,15 @@ class ContractSpec extends AnyFunSuite {
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query registrations: $dups")
   }
+
+  test("every registered query appears in the OPERATORS.md catalog " +
+       "(the inventory the coverage judgment reads)") {
+    val cat = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
+    val documented = "`([a-z0-9_]+)`".r
+      .findAllMatchIn(cat).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.diff(documented)
+    assert(missing.isEmpty,
+      s"registered but uncatalogued ops: ${missing.toSeq.sorted}")
+  }
 }
