@@ -1332,6 +1332,13 @@ object SparkEntry {
       graft.streaming.Streaming.streamingDsir(s,
         Tables.documents(s, dir), tmp(dir, "stream_dsir_src"))),
 
+    // live KS drift monitor: per-cents pair counts sum-merged per
+    // micro-batch (state bounded by the metric domain, not the feed);
+    // closed-feed readout IS the batch ks_drift statistic stage
+    "streaming_ks_drift" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingKsDrift(s,
+        eventsBase(s, dir), tmp(dir, "stream_ks_src"))),
+
     // analytic window-function surface: lag/lead/dense_rank/ntile/
     // percent_rank/cume_dist under one total order
     "window_funcs" -> ((s, dir) => {
@@ -3093,7 +3100,9 @@ object SparkEntry {
       // live KMV maintenance must equal the batch sketch (merge identity)
       ("streaming_sketch_quantiles" -> streamingSketchQuantilesOracle) +
       // live count-table maintenance must land the batch DSIR scores
-      ("streaming_dsir" -> baseOracles("dsir_affinity"))
+      ("streaming_dsir" -> baseOracles("dsir_affinity")) +
+      // the maintained pair-count table must land the batch KS statistic
+      ("streaming_ks_drift" -> baseOracles("ks_drift"))
 
   private def baseOracles: Map[String, String] = Map(
 

@@ -209,13 +209,28 @@ object Profile {
     * distinct-value table. ks_d is the single documented double — a
     * division of exact longs.
     */
-  def ksDrift(df: DataFrame, side: Column, value: Column): DataFrame = {
-    val big = DecimalType(38, 0)
-    val byV = df.select(side.as("s"),
-        round(value * 100).cast("long").as("x"))
+  def ksDrift(df: DataFrame, side: Column, value: Column): DataFrame =
+    ksFromCounts(ksSideCounts(df, side, value))
+
+  /** The per-value pair-count table (x cents, side-0 count, side-1
+    * count) [[ksDrift]] aggregates — exposed so a live maintainer
+    * ([[graft.streaming.Streaming.streamingKsDrift]]) can sum-merge it
+    * per micro-batch: the state is bounded by the metric's DISCRETE
+    * DOMAIN, never by the feed.
+    */
+  private[graft] def ksSideCounts(df: DataFrame, side: Column,
+                                  value: Column): DataFrame =
+    df.select(side.as("s"), round(value * 100).cast("long").as("x"))
       .groupBy(col("x"))
       .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+
+  /** [[ksDrift]]'s statistic stage over an (x, ca, cb) count table —
+    * one definition shared by the batch op and the streaming maintainer
+    * so closed-feed equivalence is by construction.
+    */
+  private[graft] def ksFromCounts(byV: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
     val w = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byV.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))

@@ -449,6 +449,44 @@ object Streaming {
       .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
   }
 
+  /** LIVE two-sample KS drift monitor — [[graft.ops.Profile.ksDrift]]'s
+    * even/odd-day populations maintained over the event stream: each
+    * micro-batch sum-merges its per-cents-value pair counts into the
+    * state table, whose size is bounded by the metric's DISCRETE DOMAIN
+    * (distinct cents values), never by the feed — the same
+    * constant-state argument as the DSIR tables. The readout runs
+    * [[graft.ops.Profile.ksFromCounts]] — the literal batch statistic
+    * stage — so the closed-feed result equals batch `ks_drift` by
+    * construction (same oracle, identical hash).
+    */
+  def streamingKsDrift(spark: SparkSession, events: DataFrame,
+                       scratch: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import graft.ops.Profile
+      def sideCol = pmod(datediff(col("ts").cast("date"),
+        to_date(lit("1970-01-01"))), lit(2))
+      def counts(df: DataFrame): DataFrame =
+        Profile.ksSideCounts(df, sideCol, col("value"))
+      var table = counts(events.limit(0)).localCheckpoint()
+      val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            // localCheckpoint: eager + lineage-cutting; constant plan
+            // depth per trigger (the foreachBatch-maintenance discipline)
+            table = table.unionByName(counts(batch))
+              .groupBy(col("x"))
+              .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+              .localCheckpoint()
+            ()
+        }
+        .outputMode("update").start()
+      query.processAllAvailable()
+      query.stop()
+      Profile.ksFromCounts(table)
+    }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

@@ -123,6 +123,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.nonEmpty)
   }
 
+  test("streamingKsDrift equals batch ksDrift — the maintained pair-" +
+       "count table lands the exact statistic under micro-batch slicing") {
+    val live = Streaming.streamingKsDrift(spark, events, scratch("ksd"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    val batch = ops.Profile.ksDrift(events,
+      side = pmod(datediff(col("ts").cast("date"),
+        to_date(lit("1970-01-01"))), lit(2)),
+      value = col("value"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    assert(live === batch)
+    assert(live.head._3 > 0, "degenerate: zero KS gap on the fixture")
+  }
+
   test("streamingDsir equals batch dsirAffinity — 256-row state lands " +
        "the exact batch frequency tables under any slicing") {
     val docs = Tables.documents(spark, sf)
