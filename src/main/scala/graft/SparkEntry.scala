@@ -359,7 +359,7 @@ object SparkEntry {
     "drift_report" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       Profile.driftReport(e,
-        side = pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))), lit(2)),
+        side = Profile.evenOddDaySide(col("ts")),
         bucket = floor(col("value") / lit(10.0)).cast("long"))
     }),
 
@@ -368,8 +368,7 @@ object SparkEntry {
     // (the sqrt-free sibling of ks_test's purchase-vs-click compare)
     "ks_drift" -> ((s, dir) =>
       Profile.ksDrift(Tables.events(s, dir),
-        side = pmod(datediff(col("ts").cast("date"),
-          to_date(lit("1970-01-01"))), lit(2)),
+        side = Profile.evenOddDaySide(col("ts")),
         value = col("value"))),
 
     // int8 scalar quantization of the embedding corpus. The codes array
@@ -4299,7 +4298,7 @@ object SparkEntry {
       """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
                CAST(date_diff('day', DATE '1970-01-01',
                  CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 2 AS INT) AS side
-             FROM events),
+             FROM events WHERE value IS NOT NULL),
          g AS (SELECT x,
                sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
                sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb

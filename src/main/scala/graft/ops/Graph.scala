@@ -289,8 +289,8 @@ object Graph {
       .persist()
     adj.count()
     def charHash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
-        lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
+      graft.ops.Text.polyFold(transform(split(s, ""),
+        c => ascii(c).cast("long")))
     var frontier = adj.select(col("src").as("walk"), col("src").as("cur"))
       .localCheckpoint(true)
     val outs = scala.collection.mutable.Buffer[DataFrame](

@@ -208,6 +208,12 @@ object Profile {
     * (bounded-cardinality) cents value; the window and max run on the
     * distinct-value table. ks_d is the single documented double — a
     * division of exact longs.
+    *
+    * NULL metric rows are EXCLUDED (the test is over observed values) —
+    * done in [[ksSideCounts]] rather than left to the window, because
+    * Spark's `ORDER BY x` puts NULLs first while DuckDB's puts them
+    * last: an unfiltered NULL row would shift every cumulative count on
+    * one engine only and silently desynchronize the oracle.
     */
   def ksDrift(df: DataFrame, side: Column, value: Column): DataFrame =
     ksFromCounts(ksSideCounts(df, side, value))
@@ -216,11 +222,13 @@ object Profile {
     * count) [[ksDrift]] aggregates — exposed so a live maintainer
     * ([[graft.streaming.Streaming.streamingKsDrift]]) can sum-merge it
     * per micro-batch: the state is bounded by the metric's DISCRETE
-    * DOMAIN, never by the feed.
+    * DOMAIN, never by the feed. NULL metrics are dropped here (see
+    * [[ksDrift]]'s NULL-ordering note).
     */
   private[graft] def ksSideCounts(df: DataFrame, side: Column,
                                   value: Column): DataFrame =
     df.select(side.as("s"), round(value * 100).cast("long").as("x"))
+      .filter(col("x").isNotNull)
       .groupBy(col("x"))
       .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
@@ -228,6 +236,12 @@ object Profile {
   /** [[ksDrift]]'s statistic stage over an (x, ca, cb) count table —
     * one definition shared by the batch op and the streaming maintainer
     * so closed-feed equivalence is by construction.
+    *
+    * Range contract: the squared decision needs d_num² · 10⁶ ≤ 10³⁸,
+    * i.e. n_a·n_b ≤ 10¹⁶ (samples up to ~10⁸ each). Beyond it Spark's
+    * decimal multiply would return NULL (non-ANSI) while DuckDB's
+    * HUGEINT errors — so the op FAILS LOUDLY via raise_error instead of
+    * letting the two engines disagree exactly when drift is largest.
     */
   private[graft] def ksFromCounts(byV: DataFrame): DataFrame = {
     val big = DecimalType(38, 0)
@@ -242,7 +256,13 @@ object Profile {
     gaps.groupBy(col("na"), col("nb"))
       .agg(max(struct(col("g").as("g"), (-col("x")).as("nx"))).as("top"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),
-        col("top.g").as("d_num"),
+        // division form: na*nb itself would overflow LONG before 1e16
+        // could be compared if written as a product
+        when(col("nb") > 0 &&
+            col("na") > lit(10000000000000000L) / col("nb"),
+          raise_error(lit("ksDrift: n_a*n_b > 1e16 overflows the " +
+            "squared decision; subsample or widen the arithmetic")))
+          .otherwise(col("top.g")).as("d_num"),
         (col("top.g").cast("double")
           / (col("na") * col("nb")).cast("double")).as("ks_d"),
         (-col("top.nx")).as("d_at_cents"),
@@ -251,6 +271,15 @@ object Profile {
           lit(1844164L).cast(big) * (col("na") + col("nb")).cast(big)
             * col("na").cast(big) * col("nb").cast(big)).as("reject"))
   }
+
+  /** The even/odd-ingest-day population split shared by `drift_report`,
+    * `ks_drift`, and the live [[graft.streaming.Streaming
+    * .streamingKsDrift]] — ONE definition so the batch op, the
+    * streaming maintainer, and their shared oracle can never drift
+    * apart on what the two populations are.
+    */
+  def evenOddDaySide(ts: Column): Column =
+    pmod(datediff(ts.cast("date"), to_date(lit("1970-01-01"))), lit(2))
 
   /** Count-min sketch frequency estimation, demonstrated against exact
     * truth: build a depth-4 × width-`w` CMS over the key column (one

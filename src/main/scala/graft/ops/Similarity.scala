@@ -589,6 +589,15 @@ object Similarity {
     val bins = knn.groupBy(col("n_votes"))
       .agg(count(lit(1)).as("n"),
         sum(col("correct").cast("long")).as("n_correct"))
+      // k here must be the classifier's k: a vote count above it means
+      // the caller paired this with a knnClassify(k != this k) — fail
+      // loudly instead of reporting confidences above 1.0
+      .withColumn("n_votes",
+        when(col("n_votes") > k, raise_error(concat(
+          lit(s"calibrationBins: n_votes > k=$k — pass the SAME k as " +
+            "the classifier (saw "), col("n_votes").cast("string"),
+          lit(")"))))
+          .otherwise(col("n_votes")))
     val gapNum = abs(lit(k.toLong) * col("n_correct")
       - col("n_votes") * col("n"))
     val tot = bins.agg(sum(col("n")).as("nt"),

@@ -31,6 +31,17 @@ object Text {
     * side; the oracle SQL strings restate it per query. */
   def wordHash(w: Column): Column = ascii(w) * lit(31L) + length(w)
 
+  /** The engine's ONE rolling-polynomial fold (acc·1000003 + x mod
+    * 1e9+7) over a long array — the recurrence [[fingerprintCol]],
+    * [[winnowing]]'s k-gram hashes, and [[graft.ops.Graph.graphWalks]]'
+    * node hash all share (and every generated oracle restates). A
+    * constant tweak here is the only way to change it, so no copy can
+    * silently desynchronize from its oracle.
+    */
+  private[graft] def polyFold(xs: Column): Column =
+    aggregate(xs, lit(0L),
+      (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
+
   /** Per-document stats: word count, distinct words, chars, type-token
     * ratio.
     */
@@ -414,11 +425,21 @@ object Text {
     * posting aggregation [[TextDedup]] uses for candidate generation.
     */
   def searchRanked(docs: DataFrame, terms: Seq[String],
-                   k: Int = 20): DataFrame = {
+                   k: Int = 20): DataFrame =
+    rankedFromHits(termHits(docs, terms), terms, k)
+
+  /** The filtered inverted-index view (doc_id, matching term) both
+    * rankers aggregate — extracted so [[rrfFusion]] can compute (and
+    * persist) it ONCE instead of paying the corpus explode per ranker.
+    */
+  private def termHits(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, "literal term list")
-    val hits = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .filter(col("w").isin(terms.map(lit): _*))
+  }
+
+  private def rankedFromHits(hits: DataFrame, terms: Seq[String],
+                             k: Int): DataFrame = {
     val tfCols = terms.map(t =>
       sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val tf = hits.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
@@ -452,15 +473,16 @@ object Text {
     * length scan that a production index precomputes.
     */
   def searchBm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.size <= 8, "literal term list")
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromHits(docs, termHits(docs, terms), terms, k, k1, b)
+
+  private def bm25FromHits(docs: DataFrame, hits: DataFrame,
+                           terms: Seq[String], k: Int,
+                           k1: Double, b: Double): DataFrame = {
     val lens = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val hits = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .filter(col("w").isin(terms.map(lit): _*))
     val tfCols = terms.map(t =>
       sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val tf = hits.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
@@ -507,9 +529,12 @@ object Text {
   def rrfFusion(docs: DataFrame, terms: Seq[String], k: Int = 20,
                 kRrf: Int = 60): DataFrame = {
     val scale = 1000000000000L
-    val a = searchRanked(docs, terms, k)
+    // ONE corpus explode feeds both rankers (persisted: thin 2-column
+    // postings, not text); without this the fusion pays the scan twice
+    val hits = termHits(docs, terms).persist()
+    val a = rankedFromHits(hits, terms, k)
       .select(col("doc_id"), col("rank").as("rank_tfidf"))
-    val b = searchBm25(docs, terms, k)
+    val b = bm25FromHits(docs, hits, terms, k, k1 = 1.2, b = 0.75)
       .select(col("doc_id"), col("rank").as("rank_bm25"))
     def part(rankCol: String): Column =
       coalesce(expr(s"$scale DIV ($kRrf + $rankCol)"), lit(0L))
@@ -569,10 +594,7 @@ object Text {
     * verifier recomputes exactly the fingerprint the dedup path uses.
     */
   def fingerprintCol(text: Column): Column =
-    aggregate(
-      transform(words(text), w => wordHash(w)),
-      lit(0L),
-      (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
+    polyFold(transform(words(text), w => wordHash(w)))
 
   /** Per-document [[fingerprintCol]] as a projection query. */
   def docFingerprint(docs: DataFrame): DataFrame =
@@ -599,10 +621,7 @@ object Text {
   def winnowing(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
     val ws = words(col("text"))
     val gramHashes = transform(sequence(lit(0), size(ws) - lit(k)),
-      g => aggregate(
-        transform(slice(ws, g + 1, lit(k)), x => wordHash(x)),
-        lit(0L),
-        (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L)))
+      g => polyFold(transform(slice(ws, g + 1, lit(k)), x => wordHash(x))))
     Par.widen(docs)
       .filter(size(ws) >= k)
       .select(col("doc_id"), gramHashes.as("hs"))

@@ -463,10 +463,9 @@ object Streaming {
                        scratch: String): DataFrame =
     withStatePartitions(spark, 8) {
       import graft.ops.Profile
-      def sideCol = pmod(datediff(col("ts").cast("date"),
-        to_date(lit("1970-01-01"))), lit(2))
       def counts(df: DataFrame): DataFrame =
-        Profile.ksSideCounts(df, sideCol, col("value"))
+        Profile.ksSideCounts(df, Profile.evenOddDaySide(col("ts")),
+          col("value"))
       var table = counts(events.limit(0)).localCheckpoint()
       val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
         .writeStream

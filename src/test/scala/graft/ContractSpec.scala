@@ -24,14 +24,15 @@ class ContractSpec extends AnyFunSuite {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
       "UTF-8")
-    val qRegs = "\"[a-z0-9_]+\" -> \\(\\(s, dir\\)".r
-      .findAllIn(src).size
-    assert(qRegs === SparkEntry.queries.size,
-      s"$qRegs query registrations in source but " +
-        s"${SparkEntry.queries.size} map entries — a duplicate key is " +
-        "shadowing an operator")
     val names = "\"([a-z0-9_]+)\" -> \\(\\(s, dir\\)".r
       .findAllMatchIn(src).map(_.group(1)).toSeq
+    // set equality (not a bare count): if the regex ever misses a
+    // reformatted registration, the failure NAMES the drifted key
+    // instead of reporting an opaque count mismatch
+    assert(names.toSet === SparkEntry.queries.keySet,
+      s"registry/source drift — regex-missed or shadowed keys: " +
+        s"${(names.toSet diff SparkEntry.queries.keySet) union
+            (SparkEntry.queries.keySet diff names.toSet)}")
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query registrations: $dups")
   }

@@ -128,8 +128,7 @@ class StreamingSpec extends AnyFunSuite {
     val live = Streaming.streamingKsDrift(spark, events, scratch("ksd"))
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
     val batch = ops.Profile.ksDrift(events,
-      side = pmod(datediff(col("ts").cast("date"),
-        to_date(lit("1970-01-01"))), lit(2)),
+      side = ops.Profile.evenOddDaySide(col("ts")),
       value = col("value"))
       .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
     assert(live === batch)

@@ -86,6 +86,18 @@ class Wave29Spec extends AnyFunSuite {
     assert(got === Seq((4L, 4L, 8L, 0.5, 200L, false)))
   }
 
+  test("ksDrift: NULL metric rows are excluded (Spark sorts NULLs " +
+       "first, DuckDB last — an included NULL would desync the CDFs)") {
+    val base = (Seq(1, 2, 3, 4).map(v => (0, Some(v.toDouble))) ++
+      Seq(3, 4, 5, 6).map(v => (1, Some(v.toDouble))))
+    val withNull = (base :+ (0, Option.empty[Double]) :+
+      (1, Option.empty[Double])).toDF("side", "value")
+    val got = graft.ops.Profile.ksDrift(withNull, col("side"), col("value"))
+      .as[(Long, Long, Long, Double, Long, Boolean)].collect().toSeq
+    // identical to the NULL-free hand-computed case above
+    assert(got === Seq((4L, 4L, 8L, 0.5, 200L, false)))
+  }
+
   test("ksDrift: fully disjoint large samples reject at alpha=0.05 " +
        "(the decision branch is live)") {
     // 100 draws of side 0 below 100 draws of side 1: D = 1.0
