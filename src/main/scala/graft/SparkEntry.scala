@@ -737,6 +737,11 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       Text.langId(Tables.documents(s, dir))),
 
+    // Cavnar-Trenkle char-trigram rank profiles + out-of-place distance
+    // (exact integers; see scaladoc degeneracy note re: synthetic langs)
+    "langid_ngram" -> ((s, dir) =>
+      Text.langIdNgram(Tables.documents(s, dir))),
+
     "doc_fingerprint" -> ((s, dir) =>
       Text.docFingerprint(Tables.documents(s, dir))),
 
@@ -5079,6 +5084,39 @@ object SparkEntry {
                    FROM documents))
          SELECT doc_id, n_words, score FROM q
          WHERE (doc_id * 1000003 % 1000000007) % 1000 < floor(score * 1000)""",
+
+    // same trigram ranks (freq desc, gram asc), out-of-place penalty
+    // (miss = profileK), argmin with lang-asc tiebreak
+    "langid_ngram" ->
+      """WITH g AS (SELECT doc_id, lang,
+               unnest(list_transform(range(len(text) - 2),
+                 i -> text[i+1:i+3])) AS g
+             FROM documents WHERE len(text) >= 3),
+         prof AS (SELECT lang AS plang, g,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY count(*) DESC, g) AS lrank
+             FROM g GROUP BY lang, g
+             QUALIFY lrank <= 40),
+         dt AS (SELECT doc_id, g,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY count(*) DESC, g) AS drank
+             FROM g GROUP BY doc_id, g
+             QUALIFY drank <= 20),
+         langs AS (SELECT DISTINCT plang FROM prof),
+         pens AS (SELECT dt.doc_id, l.plang,
+               coalesce(abs(dt.drank - p.lrank), 40) AS pen
+             FROM dt CROSS JOIN langs l
+             LEFT JOIN prof p ON p.plang = l.plang AND p.g = dt.g),
+         d AS (SELECT doc_id, plang, CAST(sum(pen) AS BIGINT) AS dist
+             FROM pens GROUP BY 1, 2),
+         best AS (SELECT doc_id, plang, dist,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY dist, plang) AS rn
+             FROM d)
+         SELECT doc.doc_id, doc.lang,
+           coalesce(b.plang, 'und') AS pred_lang, b.dist
+         FROM documents doc
+         LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rn = 1""",
 
     "lang_id" ->
       """SELECT doc_id, lang,

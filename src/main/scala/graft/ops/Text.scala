@@ -345,6 +345,73 @@ object Text {
           .otherwise("tail"))
   }
 
+  /** Char-trigram language ID (Cavnar & Trenkle 1994 — the classic
+    * n-gram rank-profile classifier [[langId]]'s scaladoc promises):
+    * per-language profiles are the top `profileK` character trigrams by
+    * corpus frequency (rank = freq desc, gram asc — deterministic);
+    * each document's top `docK` trigram ranks are compared with every
+    * profile by the OUT-OF-PLACE measure — Σ |doc rank − profile rank|,
+    * a miss costing `profileK` — and the minimum-distance language wins
+    * (lang asc tiebreak; docs under 3 chars report 'und'). Trained on
+    * the corpus's own lang labels, so it is self-contained.
+    *
+    * Every step is exact integers (counts, row_number ranks, |Δrank|
+    * sums) — bit-portable with no rounding anywhere.
+    *
+    * Degeneracy note (the Gopher lesson applied in advance): the
+    * synthetic corpus draws all languages from one word pool, so the
+    * profiles barely differ and corpus accuracy is near chance — the
+    * oracle still verifies the arithmetic exactly, and the SPEC's
+    * constructed separable corpus is the live evidence the classifier
+    * classifies.
+    *
+    * Scale: one trigram explode (3× text bytes) feeding two map-side-
+    * combinable aggregations; profiles are langs×profileK rows riding a
+    * broadcast; the scoring join fans each doc's docK grams out by
+    * |langs| — bounded, never corpus×corpus.
+    */
+  def langIdNgram(docs: DataFrame, profileK: Int = 40,
+                  docK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Par.widen(docs)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), length(col("text")) - 3),
+          i => col("text").substr(i + 1, lit(3)))).as("g"))
+    val prof = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("lrank") <= profileK)
+      .select(col("lang").as("plang"), col("g"), col("lrank"))
+    val docTop = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("g").asc)))
+      .filter(col("drank") <= docK)
+      .select(col("doc_id"), col("g"), col("drank"))
+    val langs = prof.select(col("plang")).distinct()
+    val pens = docTop.crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("plang", "g"), "left_outer")
+      .select(col("doc_id"), col("plang"),
+        coalesce(abs(col("drank") - col("lrank")),
+          lit(profileK.toLong)).as("pen"))
+    // argmin with lang-asc tiebreak via struct min: (dist, plang)
+    val dists = pens.groupBy(col("doc_id"), col("plang"))
+      .agg(sum(col("pen")).as("dist"))
+    val picked = dists.groupBy(col("doc_id"))
+      .agg(min(struct(col("dist"), col("plang"))).as("top"))
+      .select(col("doc_id"), col("top.plang").as("pred"),
+        col("top.dist").as("dist"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(picked, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred"), lit("und")).as("pred_lang"),
+        col("dist"))
+  }
+
   /** Marker-word language ID. A real pipeline would use char-n-gram
     * profiles; the operator shape (score-per-language, deterministic
     * argmax with alphabetic tiebreak, 'und' fallback) is what scales.

@@ -120,6 +120,28 @@ class Wave29Spec extends AnyFunSuite {
     assert(got._3 === expected)
   }
 
+  // --- langIdNgram -----------------------------------------------------
+
+  test("langIdNgram: separable corpora classify perfectly; short docs " +
+       "fall back to 'und' (the synthetic corpus is near-chance, so " +
+       "this constructed corpus is the live evidence)") {
+    val docs = Seq(
+      (1L, "aaka baka caka daka eaka", "xx"),
+      (2L, "faka gaka haka iaka jaka", "xx"),
+      (3L, "aka kaka laka maka naka", "xx"),
+      (4L, "zuzo vuzo wuzo xuzo yuzo", "yy"),
+      (5L, "quzo ruzo suzo tuzo uzo", "yy"),
+      (6L, "nuzo ouzo puzo zuzo vuzo", "yy"),
+      (7L, "hm", "xx")) // under 3 chars -> 'und'
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.Text.langIdNgram(docs)
+      .select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    (1L to 3L).foreach(d => assert(out(d) === "xx", s"doc $d"))
+    (4L to 6L).foreach(d => assert(out(d) === "yy", s"doc $d"))
+    assert(out(7L) === "und")
+  }
+
   // --- graphWalks ------------------------------------------------------
 
   /** The walk hash, replayed in plain Scala (chars fold, mod p). */
