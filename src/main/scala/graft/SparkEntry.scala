@@ -2664,6 +2664,18 @@ object SparkEntry {
       Text.rrfFusion(Tables.documents(s, dir),
         terms = Seq("batch", "scan", "hash"))),
 
+    // Kendall's tau between the two rankers' top-20 lists — the
+    // agreement check ahead of fusion; exact pair counts, one division
+    "kendall_tau" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("batch", "scan", "hash")
+      graft.ops.Eval.kendallTau(
+        Text.searchRanked(docs, terms)
+          .select(col("doc_id").as("id"), col("rank")),
+        Text.searchBm25(docs, terms)
+          .select(col("doc_id").as("id"), col("rank")))
+    }),
+
     // per-user EWMA of the value stream (α=0.5 dyadic — exact halvings
     // keep the fold bit-portable)
     "ewma_smooth" -> ((s, dir) =>
@@ -6790,6 +6802,71 @@ object SparkEntry {
              CAST(v3 AS BIGINT), 100 FROM w
            UNION ALL SELECT 'user_positive', n_rows,
              CAST(v4 AS BIGINT), 0 FROM w)""",
+
+    // the two ranking chains + exact pair counts over the common set
+    "kendall_tau" ->
+      """WITH h AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('batch', 'scan', 'hash')),
+         tfa AS (SELECT doc_id,
+             CAST(sum(CASE WHEN w = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfb,
+             CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfs,
+             CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfh
+           FROM h GROUP BY 1),
+         dfa AS (SELECT
+             count(DISTINCT CASE WHEN w = 'batch' THEN doc_id END) AS dfb,
+             count(DISTINCT CASE WHEN w = 'scan' THEN doc_id END) AS dfs,
+             count(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS dfh
+           FROM h),
+         ra AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               CAST(tfb AS DOUBLE) / dfb + CAST(tfs AS DOUBLE) / dfs
+                 + CAST(tfh AS DOUBLE) / dfh DESC, doc_id) AS INT) AS ra
+           FROM tfa CROSS JOIN dfa
+           QUALIFY ra <= 20),
+         lens AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         sc AS (SELECT doc_id,
+             round(ln((n_docs - dfb + 0.5) / (dfb + 0.5) + 1.0), 6)
+               * (CAST(tfb AS DOUBLE) * 2.2)
+               / (CAST(tfb AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0), 6)
+               * (CAST(tfs AS DOUBLE) * 2.2)
+               / (CAST(tfs AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfh + 0.5) / (dfh + 0.5) + 1.0), 6)
+               * (CAST(tfh AS DOUBLE) * 2.2)
+               / (CAST(tfh AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS score
+           FROM tfa JOIN lens USING (doc_id) CROSS JOIN dfa CROSS JOIN st),
+         rb AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rb
+           FROM sc QUALIFY rb <= 20),
+         c AS (SELECT ra.doc_id AS id, ra, rb
+               FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM c),
+         p AS (SELECT CAST(sum(CASE WHEN (l.ra < r.ra) = (l.rb < r.rb)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (l.ra < r.ra) = (l.rb < r.rb)
+                   THEN 0 ELSE 1 END) AS BIGINT) AS discordant
+             FROM c l JOIN c r ON l.id < r.id)
+         SELECT n_common, coalesce(concordant, 0) AS concordant,
+           coalesce(discordant, 0) AS discordant,
+           CASE WHEN n_common >= 2 THEN
+             CAST(concordant - discordant AS DOUBLE)
+               / (n_common * (n_common - 1) // 2)
+           ELSE 0.0 END AS tau
+         FROM p CROSS JOIN n""",
 
     // both rankers' oracle chains verbatim, fused by the same
     // 10^12-scaled integer-division reciprocals (// in DuckDB)

@@ -297,4 +297,44 @@ object Eval {
         round(col("positives").cast("double") /
           col("n_units").cast("double"), 6).as("pos_rate"))
   }
+
+  /** Kendall's τ between two rankings of the same items — the exact
+    * rank-correlation a fusion pipeline inspects BEFORE trusting RRF
+    * (near-identical rankers make fusion pointless; anti-correlated
+    * ones make it noise). Inputs are (id, rank) tables; only items in
+    * BOTH rankings participate (the RBO-style conjoint restriction).
+    * Concordant/discordant pair counts are exact integers over the
+    * C(n,2) pairs of the (small, top-k) common set; with distinct ranks
+    * there are no ties, so τ = (C − D) / (n(n−1)/2) is ONE division of
+    * exact longs. Output: one row (n_common, concordant, discordant,
+    * tau).
+    *
+    * Scale: the pair self-join is over the top-k COMMON set (≤ k²/2
+    * pairs) — rank lists, not the corpus; the corpus cost is whatever
+    * produced the rankings.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.select(col("id"), col("rank").as("ra"))
+      .join(b.select(col("id"), col("rank").as("rb")), "id")
+    val l = common.select(col("id").as("id_l"), col("ra").as("ra_l"),
+      col("rb").as("rb_l"))
+    val r = common.select(col("id").as("id_r"), col("ra").as("ra_r"),
+      col("rb").as("rb_r"))
+    val pairs = l.join(r, col("id_l") < col("id_r"))
+      .select(((col("ra_l") < col("ra_r")) === (col("rb_l") < col("rb_r")))
+        .as("conc"))
+    val n = common.agg(count(lit(1)).as("n_common"))
+    pairs.agg(
+        // coalesce: an empty pair set (n_common < 2) sums to NULL
+        coalesce(sum(when(col("conc"), 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(!col("conc"), 1L).otherwise(0L)), lit(0L))
+          .as("discordant"))
+      .crossJoin(broadcast(n))
+      .select(col("n_common"), col("concordant"), col("discordant"),
+        when(col("n_common") >= 2,
+          (col("concordant") - col("discordant")).cast("double") /
+            (col("n_common") * (col("n_common") - 1) / 2).cast("double"))
+          .otherwise(lit(0.0)).as("tau"))
+  }
 }

@@ -120,6 +120,28 @@ class Wave29Spec extends AnyFunSuite {
     assert(got._3 === expected)
   }
 
+  // --- kendallTau ------------------------------------------------------
+
+  test("kendallTau: hand-computed tau, perfect agreement, and reversal") {
+    def rk(rs: (Long, Int)*) = rs.toList.toDF("id", "rank")
+    val a = rk(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4)
+    // one swapped adjacent pair: C=5, D=1, tau = 4/6
+    val b = rk(1L -> 1, 2L -> 3, 3L -> 2, 4L -> 4)
+    val got = graft.ops.Eval.kendallTau(a, b)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((4L, 5L, 1L, 4.0 / 6.0)))
+    // identical -> tau 1; reversed -> tau -1
+    assert(graft.ops.Eval.kendallTau(a, a)
+      .as[(Long, Long, Long, Double)].collect().head._4 === 1.0)
+    val rev = rk(1L -> 4, 2L -> 3, 3L -> 2, 4L -> 1)
+    assert(graft.ops.Eval.kendallTau(a, rev)
+      .as[(Long, Long, Long, Double)].collect().head._4 === -1.0)
+    // disjoint rankings: n_common = 0, tau pinned 0
+    val other = rk(9L -> 1)
+    assert(graft.ops.Eval.kendallTau(a, other)
+      .as[(Long, Long, Long, Double)].collect().head === ((0L, 0L, 0L, 0.0)))
+  }
+
   // --- langIdNgram -----------------------------------------------------
 
   test("langIdNgram: separable corpora classify perfectly; short docs " +
