@@ -2000,6 +2000,11 @@ object SparkEntry {
     "paragraph_dedup" -> ((s, dir) =>
       TextDedup.paragraphDedup(Tables.documents(s, dir))),
 
+    // content-defined chunking dedup: rolling-hash cut points (w=3,
+    // m=8) resynchronize after insertions — shift-robust chunk dedup
+    "cdc_chunk_dedup" -> ((s, dir) =>
+      TextDedup.cdcChunkDedup(Tables.documents(s, dir))),
+
     // SemDeDup: cluster-local semantic dedup — pairwise cosine only
     // within a vector's own cluster, never across the corpus
     "semdedup" -> ((s, dir) =>
@@ -6559,6 +6564,43 @@ object SparkEntry {
          WHERE o_orderkey % 9 = 0"""),
 
     // same stride-1 window expansion and first-occurrence rule
+    // same wordHash + polyFold window rule, conditional end-bound
+    // append (Spark's array_distinct preserves order; DuckDB's may not)
+    "cdc_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         c AS (SELECT doc_id, ws,
+               list_filter(range(3, len(ws) + 1), i ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws[i-2:i],
+                       x -> CAST(ascii(x) AS BIGINT) * 31 + len(x))),
+                   (a, x) -> (a * 1000003 + x) % 1000000007) % 8 = 0)
+                 AS cuts
+             FROM w),
+         b AS (SELECT doc_id, ws,
+               CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = len(ws)
+                    THEN list_concat([CAST(0 AS BIGINT)], cuts)
+                    ELSE list_concat(
+                      list_concat([CAST(0 AS BIGINT)], cuts),
+                      [CAST(len(ws) AS BIGINT)]) END AS bounds
+             FROM c),
+         ch AS (SELECT doc_id, t.j AS pos,
+               array_to_string(ws[bounds[j+1]+1 : bounds[j+2]], ' ')
+                 AS chunk
+             FROM b, UNNEST(range(len(bounds) - 1)) AS t(j)),
+         f AS (SELECT doc_id,
+               CASE WHEN row_number() OVER (PARTITION BY chunk
+                      ORDER BY doc_id, pos) > 1 THEN 1 ELSE 0 END AS dup
+             FROM ch),
+         r AS (SELECT doc_id, count(*) AS nc,
+               CAST(sum(dup) AS BIGINT) AS nd FROM f GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_chunks,
+           CASE WHEN nc IS NULL THEN 0.0
+                ELSE CAST(nd AS DOUBLE) / nc END AS dup_ratio
+         FROM documents d LEFT JOIN r USING (doc_id)""",
+
     "exactsubstr_report" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                     FROM documents),

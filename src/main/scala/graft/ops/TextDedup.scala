@@ -80,6 +80,64 @@ object TextDedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Content-defined chunk dedup report (the rsync/LBFS/FastCDC idea at
+    * word granularity): a chunk boundary falls AFTER word i whenever
+    * the rolling hash of the last `w` words ≡ 0 mod `m` (expected chunk
+    * ≈ m words), so boundaries depend only on LOCAL content — an
+    * insertion near the start of a copied document shifts every word
+    * position but the cut points RESYNCHRONIZE a window later, and the
+    * downstream chunks still match. That is the property
+    * [[paragraphDedup]]'s fixed 16-word grid lacks (one inserted word
+    * misaligns every later chunk) and exactly why dedup systems chunk
+    * by content; the spec proves the contrast on a prepended-word pair.
+    * Each chunk is attributed corpus-wide to its first occurrence
+    * (min (doc_id, pos)); the per-doc report mirrors
+    * [[exactSubstrReport]]: n_chunks, duplicated chunks, dup_ratio.
+    *
+    * Hashing reuses the engine's shared defs ([[Text.wordHash]] per
+    * word, [[Text.polyFold]] across the window) — the oracle restates
+    * the same two primitives.
+    *
+    * Scale: chunking is a per-row projection (no shuffle); the
+    * first-occurrence window is one content-sized shuffle keyed by
+    * chunk text (string equality inside the partition keeps the
+    * decision exact — the [[paragraphDedup]] argument), plus a
+    * doc-keyed rollup.
+    */
+  def cdcChunkDedup(docs: DataFrame, w: Int = 3, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    val cuts = filter(
+      when(n >= w, sequence(lit(w), n))
+        .otherwise(array().cast("array<int>")),
+      i => Text.polyFold(transform(slice(ws, i - w + 1, lit(w)),
+        x => Text.wordHash(x))) % m === 0)
+    val bounds = array_distinct(concat(array(lit(0)), cuts, array(n)))
+    val chunks = transform(sequence(lit(0), size(bounds) - 2),
+      j => struct(j.as("pos"),
+        array_join(slice(ws, element_at(bounds, j + 1) + 1,
+          element_at(bounds, j + 2) - element_at(bounds, j + 1)), " ")
+          .as("chunk")))
+    val parts = Par.widen(docs)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.pos"), col("c.chunk"))
+    val firstWin = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("pos"))
+    val flagged = parts
+      .withColumn("is_dup", (row_number().over(firstWin) > 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("is_dup")).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"),
+        when(col("n_chunks").isNull, lit(0.0d))
+          .otherwise(col("n_dup").cast("double") / col("n_chunks"))
+          .as("dup_ratio"))
+  }
+
   /** Duplicated-span report at STRIDE 1 (the exact-substring signal of
     * Lee et al. 2022 proper, where [[paragraphDedup]] is the
     * chunk-aligned apply): every w-word window of every document,

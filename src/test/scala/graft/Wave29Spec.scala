@@ -120,6 +120,54 @@ class Wave29Spec extends AnyFunSuite {
     assert(got._3 === expected)
   }
 
+  // --- cdcChunkDedup ---------------------------------------------------
+
+  /** Plain-Scala replay of the cut rule (wordHash + polyFold window). */
+  private def cdcCuts(ws: Seq[String], w: Int = 3, m: Int = 8): Seq[Int] = {
+    def wh(s: String): Long = s.headOption.map(_.toLong).getOrElse(0L) * 31 + s.length
+    def pf(xs: Seq[Long]): Long =
+      xs.foldLeft(0L)((a, x) => (a * 1000003L + x) % 1000000007L)
+    (w to ws.length).filter(i => pf(ws.slice(i - w, i).map(wh)) % m == 0)
+  }
+
+  test("cdcChunkDedup: chunk counts replay the hand-computed cut rule") {
+    val words = (1 to 40).map(i => s"w${i * 7 % 19}x$i")
+    val text = words.mkString(" ")
+    val cuts = cdcCuts(words)
+    val expectedChunks = (0 +: cuts :+ words.length).distinct.size - 1
+    val out = graft.ops.TextDedup.cdcChunkDedup(
+      Seq((1L, text, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out === ((1L, expectedChunks.toLong, 0L, 0.0)))
+    assert(expectedChunks > 1, "degenerate: no cut fired on the fixture")
+  }
+
+  test("cdcChunkDedup: boundaries RESYNC after a prepended word (the " +
+       "shift-robustness fixed-grid chunking lacks)") {
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 120).map(_ => s"t${rnd.nextInt(400)}")
+    val a = words.mkString(" ")
+    val b = "inserted " + a
+    val docs = Seq((1L, a, "en", "s", 0L), (2L, b, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cdc = graft.ops.TextDedup.cdcChunkDedup(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // CDC: most of doc 2's chunks re-align with doc 1's
+    assert(cdc(2L)._4 > 0.5,
+      s"CDC dup_ratio ${cdc(2L)._4} — boundaries failed to resync")
+    // fixed-grid contrast: the same prepend misaligns every 16-word
+    // paragraph, so paragraphDedup keeps nearly all of doc 2
+    val fixed = graft.ops.TextDedup.paragraphDedup(docs)
+      .select("doc_id", "n_chunks", "n_kept")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val fixedDupRatio =
+      1.0 - fixed(2L)._3.toDouble / fixed(2L)._2.toDouble
+    assert(fixedDupRatio < cdc(2L)._4,
+      s"fixed-grid dedup ($fixedDupRatio) should trail CDC (${cdc(2L)._4})")
+  }
+
   // --- kendallTau ------------------------------------------------------
 
   test("kendallTau: hand-computed tau, perfect agreement, and reversal") {
