@@ -118,7 +118,10 @@ object Plans {
     "rrf_fusion" -> "fusion join of two 20-row TakeOrdereds (AQE broadcasts at runtime); each ranker re-scans the corpus for its tf/df/length aggs - a production index materializes the posting stats once",
     "graph_walks" -> "per-step 2-column frontier equi-join vs checkpointed posting-list adjacency",
     "kaplan_meier" -> "one user-keyed agg over the feed; window cumsum + prefix fold on the distinct-lifetime table",
-    "ks_drift" -> "one conditional agg keyed by cents value; window CDFs on the distinct-value table; integer decision")
+    "ks_drift" -> "one conditional agg keyed by cents value; window CDFs on the distinct-value table; integer decision",
+    "cdc_chunk_dedup" -> "per-row rolling-hash chunking (no shuffle); one content-keyed first-occurrence window + doc rollup",
+    "langid_ngram" -> "one trigram explode feeds profile + doc-top aggs; langs-by-profileK broadcast scoring join",
+    "kendall_tau" -> "two TakeOrdered rankings; pair counts over the <=k common set (nested-loop on 20 rows, by design)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
