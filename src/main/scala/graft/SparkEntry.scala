@@ -2681,6 +2681,31 @@ object SparkEntry {
           .select(col("doc_id").as("id"), col("rank")))
     }),
 
+    // Spearman's rho over the same two top-20 rankings as kendall_tau
+    // (dense re-rank within the common subset, then the exact d^2 form)
+    "spearman_rho" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("batch", "scan", "hash")
+      graft.ops.Eval.spearmanRho(
+        Text.searchRanked(docs, terms)
+          .select(col("doc_id").as("id"), col("rank")),
+        Text.searchBm25(docs, terms)
+          .select(col("doc_id").as("id"), col("rank")))
+    }),
+
+    // Mann-Whitney U location test over ks_drift's even/odd-day
+    // populations — 2U from the bounded per-value count table, the
+    // tie-corrected z^2 decision cross-multiplied into DECIMAL(38,0)
+    "mann_whitney" -> ((s, dir) =>
+      Profile.mannWhitney(Tables.events(s, dir),
+        side = Profile.evenOddDaySide(col("ts")),
+        value = col("value"))),
+
+    // ROUGE-2 clipped-bigram F1 over adjacent-id document pairs
+    // (even doc_id = candidate, odd = reference)
+    "rouge2_eval" -> ((s, dir) =>
+      graft.ops.Eval.rougeN(Tables.documents(s, dir), n = 2)),
+
     // per-user EWMA of the value stream (α=0.5 dyadic — exact halvings
     // keep the fold bit-portable)
     "ewma_smooth" -> ((s, dir) =>
@@ -6909,6 +6934,124 @@ object SparkEntry {
                / (n_common * (n_common - 1) // 2)
            ELSE 0.0 END AS tau
          FROM p CROSS JOIN n""",
+
+    // kendall_tau's two ranking chains verbatim, then the dense
+    // common-subset re-rank and the exact d^2 formula
+    "spearman_rho" ->
+      """WITH h AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('batch', 'scan', 'hash')),
+         tfa AS (SELECT doc_id,
+             CAST(sum(CASE WHEN w = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfb,
+             CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfs,
+             CAST(sum(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tfh
+           FROM h GROUP BY 1),
+         dfa AS (SELECT
+             count(DISTINCT CASE WHEN w = 'batch' THEN doc_id END) AS dfb,
+             count(DISTINCT CASE WHEN w = 'scan' THEN doc_id END) AS dfs,
+             count(DISTINCT CASE WHEN w = 'hash' THEN doc_id END) AS dfh
+           FROM h),
+         ra AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               CAST(tfb AS DOUBLE) / dfb + CAST(tfs AS DOUBLE) / dfs
+                 + CAST(tfh AS DOUBLE) / dfh DESC, doc_id) AS INT) AS ra
+           FROM tfa CROSS JOIN dfa
+           QUALIFY ra <= 20),
+         lens AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         sc AS (SELECT doc_id,
+             round(ln((n_docs - dfb + 0.5) / (dfb + 0.5) + 1.0), 6)
+               * (CAST(tfb AS DOUBLE) * 2.2)
+               / (CAST(tfb AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0), 6)
+               * (CAST(tfs AS DOUBLE) * 2.2)
+               / (CAST(tfs AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             + round(ln((n_docs - dfh + 0.5) / (dfh + 0.5) + 1.0), 6)
+               * (CAST(tfh AS DOUBLE) * 2.2)
+               / (CAST(tfh AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS score
+           FROM tfa JOIN lens USING (doc_id) CROSS JOIN dfa CROSS JOIN st),
+         rb AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rb
+           FROM sc QUALIFY rb <= 20),
+         c AS (SELECT ra.doc_id AS id, ra, rb
+               FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+         rr AS (SELECT
+               CAST(row_number() OVER (ORDER BY ra, id) AS BIGINT) AS pa,
+               CAST(row_number() OVER (ORDER BY rb, id) AS BIGINT) AS pb
+             FROM c)
+         SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(coalesce(sum((pa - pb) * (pa - pb)), 0) AS BIGINT)
+             AS sum_d2,
+           CASE WHEN count(*) >= 2 THEN
+             1.0 - (6.0 * CAST(sum((pa - pb) * (pa - pb)) AS DOUBLE))
+               / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+           ELSE 0.0 END AS rho
+         FROM rr""",
+
+    // ks_drift's count table, then 2U via the below-count window and
+    // the tie-corrected z^2 decision in HUGEINT
+    "mann_whitney" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 2 AS INT) AS side
+             FROM events WHERE value IS NOT NULL),
+         g AS (SELECT x,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+             FROM b GROUP BY 1),
+         c AS (SELECT x, ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS cbb
+             FROM g),
+         a AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(coalesce(sum(ca * (2 * cbb + cb)), 0) AS BIGINT) AS u2,
+               CAST(coalesce(sum(CAST(ca + cb AS HUGEINT) * (ca + cb)
+                   * (ca + cb) - (ca + cb)), 0) AS HUGEINT) AS ties
+             FROM c)
+         SELECT na AS n_a, nb AS n_b, u2 AS u2_a,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             CAST(u2 - na * nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+           ELSE 0.0 END AS r_rb,
+           CAST(1875 AS HUGEINT) * (u2 - na * nb) * (u2 - na * nb)
+               * (na + nb) * (na + nb - 1) >
+             CAST(2401 AS HUGEINT) * na * nb *
+               (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+                 - (na + nb) - ties) AS reject
+         FROM a""",
+
+    // same positional pairing, clipped-count overlap, single division
+    "rouge2_eval" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents),
+         g AS (SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+               array_to_string(ws[i+1:i+2], ' ') AS gram
+             FROM w, UNNEST(range(len(ws) - 1)) AS t(i)
+             WHERE len(ws) >= 2),
+         cnt AS (SELECT pair_id, gram,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cc,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cr
+             FROM g GROUP BY 1, 2),
+         p AS (SELECT pair_id, CAST(sum(cc) AS BIGINT) AS n_cand,
+               CAST(sum(cr) AS BIGINT) AS n_ref,
+               CAST(sum(least(cc, cr)) AS BIGINT) AS overlap
+             FROM cnt GROUP BY 1)
+         SELECT pair_id, n_cand, n_ref, overlap,
+           (2.0 * CAST(overlap AS DOUBLE))
+             / CAST(n_cand + n_ref AS DOUBLE) AS rouge_f1
+         FROM p WHERE n_cand > 0 AND n_ref > 0""",
 
     // both rankers' oracle chains verbatim, fused by the same
     // 10^12-scaled integer-division reciprocals (// in DuckDB)

@@ -337,4 +337,76 @@ object Eval {
             (col("n_common") * (col("n_common") - 1) / 2).cast("double"))
           .otherwise(lit(0.0)).as("tau"))
   }
+
+  /** Spearman's ρ between two rankings of the same items — the
+    * d²-formula companion to [[kendallTau]] (τ counts pairwise
+    * inversions; ρ weights them by displacement, so a single item
+    * moved far drops ρ much faster than τ). Only items in BOTH
+    * rankings participate, and their ranks are RE-RANKED densely
+    * within the common subset first: top-k lists with different
+    * membership leave gaps (item ranked 3rd in one list, 17th in the
+    * other), and the textbook ρ = 1 − 6Σd²/(n(n²−1)) is only exact
+    * over a permutation of 1..n. After re-ranking there are no ties
+    * (row_number with id tiebreak), so Σd² is an exact long and ρ is
+    * ONE division. Output: one row (n_common, sum_d2, rho).
+    *
+    * Scale: both re-rank windows run over the COMMON set (≤ top-k
+    * rows) — rank lists, not the corpus; an unpartitioned window over
+    * a corpus-sized ranking would be the wrong tool (use the pair
+    * count tables of [[graft.ops.Profile.mannWhitney]] instead).
+    */
+  def spearmanRho(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.select(col("id"), col("rank").as("ra"))
+      .join(b.select(col("id"), col("rank").as("rb")), "id")
+    val rr = common
+      .withColumn("pa",
+        row_number().over(Window.orderBy(col("ra"), col("id"))).cast("long"))
+      .withColumn("pb",
+        row_number().over(Window.orderBy(col("rb"), col("id"))).cast("long"))
+    rr.agg(count(lit(1)).as("n_common"),
+        coalesce(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))),
+          lit(0L)).as("sum_d2"))
+      .select(col("n_common"), col("sum_d2"),
+        when(col("n_common") >= 2,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n_common") * (col("n_common") * col("n_common") - 1))
+              .cast("double"))
+          .otherwise(lit(0.0)).as("rho"))
+  }
+
+  /** ROUGE-N between paired documents: clipped n-gram overlap with
+    * multiplicity (Lin 2004 §3) — the summarization/distillation gate
+    * a pipeline runs over (candidate, reference) pairs. Pairing is
+    * positional here (doc_id div 2 buckets adjacent ids; even side =
+    * candidate, odd = reference) — a caller with a real pairing keys
+    * the same computation by its own pair id. Counts are exact longs:
+    * overlap = Σ_g min(count_cand(g), count_ref(g)); precision =
+    * overlap/n_cand and recall = overlap/n_ref collapse to
+    * F1 = 2·overlap/(n_cand+n_ref), ONE division per pair. Pairs
+    * missing either side (or with < n words on a side) are dropped.
+    *
+    * Scale: n-gram counting is ONE conditional aggregation keyed
+    * (pair, gram) — map-side combined, no self-join of the gram
+    * tables — then a pair-keyed rollup. Shuffle rows are (pair, gram,
+    * 2 counts), never document text.
+    */
+  def rougeN(docs: DataFrame, n: Int = 2): DataFrame = {
+    val w = split(col("text"), " ")
+    Par.widen(docs)
+      .filter(size(w) >= n)
+      .select(expr("doc_id div 2").as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(transform(sequence(lit(0), size(w) - lit(n)),
+          i => array_join(slice(w, i + 1, lit(n)), " "))).as("gram"))
+      .groupBy(col("pair_id"), col("gram"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cr"))
+      .groupBy(col("pair_id"))
+      .agg(sum(col("cc")).as("n_cand"), sum(col("cr")).as("n_ref"),
+        sum(least(col("cc"), col("cr"))).as("overlap"))
+      .filter(col("n_cand") > 0 && col("n_ref") > 0)
+      .select(col("pair_id"), col("n_cand"), col("n_ref"), col("overlap"),
+        ((lit(2.0) * col("overlap").cast("double")) /
+          (col("n_cand") + col("n_ref")).cast("double")).as("rouge_f1"))
+  }
 }

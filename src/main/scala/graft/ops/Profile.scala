@@ -272,6 +272,75 @@ object Profile {
             * col("na").cast(big) * col("nb").cast(big)).as("reject"))
   }
 
+  /** Mann-Whitney U rank-sum test over the same two populations (and
+    * the same bounded per-value count table) as [[ksDrift]] — the KS
+    * statistic is sensitive to ANY CDF gap; U asks the narrower
+    * location question "does one side stochastically dominate", which
+    * is the drift alarm an owner actually pages on when medians shift.
+    *
+    * Exactness: U is computed from the (value, side-count) table, not
+    * per-row ranks — for each distinct value, side-A rows beat every
+    * side-B row below it and half-tie with co-located B rows, so
+    * 2·U_A = Σ_v ca(v)·(2·cbBelow(v) + cb(v)) is an exact long (one
+    * ordered window over the DISCRETE value domain, never the feed).
+    * The normal-approximation decision at α=0.05 is the tie-corrected
+    * z² > 1.96² cross-multiplied into DECIMAL(38,0):
+    * 1875·D²·n·(n−1) > 2401·na·nb·(n³−n−Σ(t³−t)), D = 2U−na·nb —
+    * no sqrt, no doubles, bit-identical across engines. The
+    * rank-biserial effect size r = D/(na·nb) is the one final derived
+    * double.
+    *
+    * Range contract (mirrors [[ksFromCounts]]'s loud-failure
+    * doctrine): the decision fits DECIMAL(38,0) while |D|·n ≤ 2.3·10¹⁷
+    * and n ≤ 1.1·10⁷; beyond either bound the op raise_errors
+    * ("subsample or widen") instead of letting Spark's NULL-on-
+    * overflow and DuckDB's HUGEINT error disagree.
+    */
+  def mannWhitney(df: DataFrame, side: Column, value: Column): DataFrame =
+    mwFromCounts(ksSideCounts(df, side, value))
+
+  /** [[mannWhitney]]'s statistic stage over an (x, ca, cb) count
+    * table — split out so a live maintainer can sum-merge the same
+    * state that feeds [[ksFromCounts]].
+    */
+  private[graft] def mwFromCounts(byV: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    val wPrev = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val agg = byV
+      .select(col("ca"), col("cb"),
+        coalesce(sum(col("cb")).over(wPrev), lit(0L)).as("cbb"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        coalesce(sum(col("ca") * (lit(2L) * col("cbb") + col("cb"))),
+          lit(0L)).as("u2"),
+        coalesce(sum(t.cast(big) * t * t - t), lit(0).cast(big))
+          .as("ties"))
+    val n = (col("na") + col("nb")).cast(big)
+    val d = col("u2").cast(big) - col("na").cast(big) * col("nb")
+    val varTerm = col("na").cast(big) * col("nb") *
+      (n * n * n - n - col("ties"))
+    agg.select(col("na"), col("nb"), col("u2"),
+        d.as("d"), varTerm.as("vt"), n.as("n"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("u2").as("u2_a"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("d").cast("double") /
+            (col("na").cast("double") * col("nb")))
+          .otherwise(lit(0.0)).as("r_rb"),
+        when(col("n") > lit(11000000L).cast(big) ||
+            (col("d") =!= lit(0).cast(big) &&
+              abs(col("d")) > lit(BigDecimal("230000000000000000")).cast(big)
+                / col("n")),
+          raise_error(lit("mannWhitney: decision exceeds DECIMAL(38,0) " +
+            "(n > 1.1e7 or |2U-na*nb|*n > 2.3e17); subsample or widen " +
+            "the arithmetic")))
+          .otherwise(
+            lit(1875).cast(big) * col("d") * col("d") * col("n") *
+              (col("n") - 1) >
+              lit(2401).cast(big) * col("vt")).as("reject"))
+  }
+
   /** The even/odd-ingest-day population split shared by `drift_report`,
     * `ks_drift`, and the live [[graft.streaming.Streaming
     * .streamingKsDrift]] — ONE definition so the batch op, the

@@ -121,7 +121,10 @@ object Plans {
     "ks_drift" -> "one conditional agg keyed by cents value; window CDFs on the distinct-value table; integer decision",
     "cdc_chunk_dedup" -> "per-row rolling-hash chunking (no shuffle); one content-keyed first-occurrence window + doc rollup",
     "langid_ngram" -> "one trigram explode feeds profile + doc-top aggs; langs-by-profileK broadcast scoring join",
-    "kendall_tau" -> "two TakeOrdered rankings; pair counts over the <=k common set (nested-loop on 20 rows, by design)")
+    "kendall_tau" -> "two TakeOrdered rankings; pair counts over the <=k common set (nested-loop on 20 rows, by design)",
+    "spearman_rho" -> "same two TakeOrdered rankings; dense re-rank windows over the <=k common set only; one-row d^2 agg",
+    "mann_whitney" -> "ks_drift's conditional agg keyed by cents value; one below-count window over the discrete domain; DECIMAL(38,0) decision, no sqrt",
+    "rouge2_eval" -> "one conditional (pair,gram)-keyed agg (no gram self-join), map-side combined; pair rollup reuses nothing corpus-sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
