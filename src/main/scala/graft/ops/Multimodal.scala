@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * codec) amortizes its setup per partition, not per row.
   *
   * [[decodeFeatures]] is a REAL multi-format decode: payloads are valid
-  * 24-bit BMP, PCM WAV, and 8-bit grayscale PNG files; the decoder
-  * dispatches on magic bytes and parses them with
-  * [[decodeBmp]]/[[decodeWav]]/[[decodePng]] (the PNG path verifies the
-  * IHDR CRC-32 like a real parser). Only payloads in a genuinely
-  * unknown container (1/8 of the corpus) fall through to a disclosed
-  * STUB branch (deterministic fake features — this container has no
-  * JPEG/H.264 codecs to hand such bytes to); a production pipeline
-  * would plug its codec into that one branch.
+  * 24-bit BMP, PCM WAV, 8-bit grayscale PNG, and LZW-compressed GIF89a
+  * files; the decoder dispatches on magic bytes and parses them with
+  * [[decodeBmp]]/[[decodeWav]]/[[decodePng]]/[[decodeGif]] (the PNG
+  * path verifies the IHDR CRC-32 like a real parser, and the spec
+  * round-trips the BMP/PNG/GIF encoders through the JDK's own ImageIO
+  * codecs to prove the payloads are genuinely valid). Only payloads in
+  * a genuinely unknown container (1/16 of the corpus) fall through to
+  * a disclosed STUB branch (deterministic fake features — this
+  * container has no JPEG/H.264 codecs to hand such bytes to); a
+  * production pipeline would plug its codec into that one branch.
   */
 object Multimodal {
 
@@ -34,12 +36,13 @@ object Multimodal {
 
   private val wavRates = Array(8000, 16000, 22050, 44100)
 
-  /** Ingest-side payload builder: REAL format payloads for 7/8 of the
+  /** Ingest-side payload builder: REAL format payloads for 15/16 of the
     * corpus — valid BMPs (doc_id % 4 ∈ {0,1}), valid PCM WAVs
-    * (doc_id % 4 = 2), valid grayscale PNGs (doc_id % 8 = 3) — and a
-    * headerless binary payload (raw text bytes, doc_id % 8 = 7) to
-    * exercise the unknown-format branch. All parameters derive from
-    * doc_id so the oracle predicts every decoded feature analytically.
+    * (doc_id % 4 = 2), valid grayscale PNGs (doc_id % 8 = 3), valid
+    * LZW-compressed GIFs (doc_id % 16 = 7) — and a headerless binary
+    * payload (raw text bytes, doc_id % 16 = 15) to exercise the
+    * unknown-format branch. All parameters derive from doc_id so the
+    * oracle predicts every decoded feature analytically.
     */
   private def mediaBlob(docId: Long, seed: Array[Byte]): Array[Byte] =
     (docId % 4) match {
@@ -51,6 +54,8 @@ object Multimodal {
       case _ =>
         if (docId % 8 == 3)
           encodePng(8 + (docId % 24).toInt, 4 + (docId % 12).toInt, seed)
+        else if (docId % 16 == 7)
+          encodeGif(10 + (docId % 20).toInt, 5 + (docId % 10).toInt, seed)
         else seed
     }
 
@@ -77,6 +82,11 @@ object Multimodal {
       val f = decodePng(docId, bytes)
       MediaFeatures(docId, "image/png", Some(f.width), Some(f.height),
         Some(f.bit_depth), None, None, f.n_bytes)
+    } else if (bytes.length >= 13 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GIF8") {
+      val f = decodeGif(docId, bytes)
+      MediaFeatures(docId, "image/gif", Some(f.width), Some(f.height),
+        Some(f.palette_bits), None, None, f.n_bytes)
     } else
       // STUB branch (disclosed): unknown container, no codec available
       MediaFeatures(docId, "application/octet-stream",
@@ -118,6 +128,91 @@ object Multimodal {
           .as("target_w"),
         expr(s"CAST(height * $target div greatest(width, height, 1) AS INT)")
           .as("target_h"))
+
+  final case class GifFeatures(doc_id: Long, width: Int, height: Int,
+                               palette_bits: Int, n_bytes: Long)
+
+  /** Build a VALID GIF89a: header + logical screen descriptor, a 2-entry
+    * global color table (black/white), one image descriptor, and a REAL
+    * LZW-compressed raster. The LZW stream emits a Clear code before
+    * every literal so the dictionary never grows and every code stays at
+    * the initial 3-bit width — decodable by any conformant reader (the
+    * spec proves it through the JDK's own ImageIO GIF codec) while
+    * keeping the file size ANALYTIC in (width, height):
+    * total = 32 + L + ceil(L/255) with L = (6·w·h + 10) div 8
+    * (13 header+LSD, 6 GCT, 10 image descriptor, 1 min-code-size,
+    * L data bytes across ceil(L/255) sub-blocks, 1 block terminator,
+    * 1 trailer).
+    */
+  private[graft] def encodeGif(width: Int, height: Int,
+                               pixelSeed: Array[Byte]): Array[Byte] = {
+    val p = width * height
+    // LZW codes at min-code-size 2: Clear=4, End=5, 3-bit width, packed
+    // LSB-first; [Clear, literal] per pixel then End = 2p+1 codes.
+    val lzw = new Array[Byte]((6 * p + 10) / 8)
+    var bitBuf = 0; var bitCnt = 0; var out = 0
+    def putCode(c: Int): Unit = {
+      bitBuf |= c << bitCnt; bitCnt += 3
+      while (bitCnt >= 8) {
+        lzw(out) = (bitBuf & 0xff).toByte; out += 1
+        bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var i = 0
+    while (i < p) {
+      putCode(4)
+      putCode(if (pixelSeed.isEmpty) 0
+        else pixelSeed(i % pixelSeed.length) & 1)
+      i += 1
+    }
+    putCode(5)
+    if (bitCnt > 0) { lzw(out) = (bitBuf & 0xff).toByte; out += 1 }
+    require(out == lzw.length, s"LZW size mismatch: $out vs ${lzw.length}")
+
+    val blocks = (lzw.length + 254) / 255
+    val b = java.nio.ByteBuffer
+      .allocate(32 + lzw.length + blocks)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(width.toShort).putShort(height.toShort)
+      .put(0x80.toByte)                       // GCT present, 2 entries
+      .put(0: Byte).put(0: Byte)              // bg color, aspect
+    b.put(0: Byte).put(0: Byte).put(0: Byte)  // palette 0: black
+      .put(0xff.toByte).put(0xff.toByte).put(0xff.toByte) // 1: white
+    b.put(0x2c.toByte)                        // image descriptor
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)
+      .put(0: Byte)                           // no local color table
+    b.put(2: Byte)                            // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      b.put(n.toByte).put(lzw, off, n)
+      off += n
+    }
+    b.put(0: Byte)                            // block terminator
+    b.put(0x3b.toByte)                        // trailer
+    b.array()
+  }
+
+  /** REAL GIF header decoder: validates the GIF87a/GIF89a magic, reads
+    * width / height little-endian from the logical screen descriptor and
+    * the global-color-table depth from its packed field — the same
+    * screen-descriptor parse every GIF reader performs before touching
+    * raster data.
+    */
+  private[graft] def decodeGif(docId: Long, bytes: Array[Byte]): GifFeatures = {
+    require(bytes.length >= 13 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GIF8" &&
+      (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+      bytes(5) == 'a'.toByte,
+      s"doc $docId: not a GIF payload")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    GifFeatures(docId, width = b.getShort(6) & 0xffff,
+      height = b.getShort(8) & 0xffff,
+      palette_bits = (bytes(10) & 7) + 1, n_bytes = bytes.length.toLong)
+  }
 
   final case class BmpFeatures(doc_id: Long, width: Int, height: Int,
                                bpp: Int, n_bytes: Long)

@@ -89,13 +89,13 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("decodeFeatures dispatches on magic bytes: BMP, WAV and PNG rows " +
-       "are REAL-parsed, only the unknown-container slice hits the stub") {
+  test("decodeFeatures dispatches on magic bytes: BMP, WAV, PNG and GIF " +
+       "rows are REAL-parsed, only the unknown-container slice hits the stub") {
     // doc_id % 4 selects the payload family: 0,1 -> BMP, 2 -> WAV;
-    // % 8 = 3 -> PNG, % 8 = 7 -> raw
+    // % 8 = 3 -> PNG, % 16 = 7 -> GIF, % 16 = 15 -> raw
     val docs = Seq((4L, "bmp doc", "en"), (5L, "bmp too", "en"),
-      (6L, "wav doc", "en"), (7L, "opaque bytes", "en"),
-      (11L, "png doc", "en"))
+      (6L, "wav doc", "en"), (7L, "gif doc", "en"),
+      (11L, "png doc", "en"), (15L, "opaque bytes", "en"))
       .toDF("doc_id", "text", "lang")
     val out = Multimodal.decodeFeatures(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -112,7 +112,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.getInt(4) === 16 && wav.getInt(5) === 16000 && wav.getInt(6) === 2)
     assert(wav.getLong(7) === 44L + (100 + 6) * 2 * 2)
 
-    val raw = out(7L) // headerless -> disclosed stub branch
+    val gif = out(7L) // w = 10+7%20 = 17, h = 5+7%10 = 12
+    assert(gif.getString(1) === "image/gif")
+    assert(gif.getInt(2) === 17 && gif.getInt(3) === 12 && gif.getInt(4) === 1)
+    assert(gif.isNullAt(5) && gif.isNullAt(6))
+    // lzw = (6*204+10)/8 = 154 -> one sub-block: 32 + 154 + 1
+    assert(gif.getLong(7) === 187L)
+
+    val raw = out(15L) // headerless -> disclosed stub branch
     assert(raw.getString(1) === "application/octet-stream")
     assert(raw.getInt(2) === "opaque bytes".length % 640)
     assert(raw.getInt(3) === 'o'.toInt)
@@ -146,5 +153,56 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Int, Int)].collect().head
     // doc 5: w=21 h=13, rowSize=64, dataSize=832; "ab" cycled: 416 a's+b's
     assert(st === ((5L, 832L, 416L * ('a' + 'b'), 'a'.toInt, 'b'.toInt)))
+  }
+
+  test("encodeGif produces a valid header that decodeGif reads back, " +
+       "with the analytic file size") {
+    val seed = "gifpixels".getBytes
+    val bytes = Multimodal.encodeGif(17, 12, seed)
+    val f = Multimodal.decodeGif(7L, bytes)
+    // lzw = (6*204+10)/8 = 154 -> one sub-block -> 32 + 154 + 1
+    assert(f === Multimodal.GifFeatures(7L, 17, 12, 1, 187L))
+    assert(bytes.length === 187)
+    // a raster big enough to need two 255-byte sub-blocks
+    val big = Multimodal.encodeGif(29, 14, seed)
+    val lzw = (6 * 29 * 14 + 10) / 8
+    assert(Multimodal.decodeGif(0L, big).n_bytes === 32L + lzw + 2)
+  }
+
+  test("THIRD-PARTY validity: the JDK's own ImageIO codecs decode the " +
+       "BMP, PNG and GIF payloads with matching dimensions and pixels") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val seed = "decode me".getBytes("US-ASCII")
+
+    val gif = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.encodeGif(17, 12, seed)))
+    assert(gif != null && gif.getWidth === 17 && gif.getHeight === 12)
+    // pixel (x,y) = seed((y*w+x) % len) & 1 through the 2-color palette
+    for (y <- 0 until 12; x <- 0 until 17) {
+      val want = if ((seed((y * 17 + x) % seed.length) & 1) == 1)
+        0xffffffff else 0xff000000
+      assert(gif.getRGB(x, y) === want, s"gif pixel ($x,$y)")
+    }
+
+    val png = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.encodePng(19, 15, seed)))
+    assert(png != null && png.getWidth === 19 && png.getHeight === 15)
+    for (y <- 0 until 15; x <- 0 until 19)
+      assert(png.getRaster.getSample(x, y, 0) ===
+        (seed((y * 19 + x) % seed.length) & 0xff), s"png pixel ($x,$y)")
+
+    val bmp = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.encodeBmp(17, 9, seed)))
+    assert(bmp != null && bmp.getWidth === 17 && bmp.getHeight === 9)
+    // bottom-up rows, BGR byte order, 52-byte padded rows filled from
+    // the cycled seed (padding consumes seed bytes too)
+    val rowSize = 52
+    for (y <- 0 until 9; x <- 0 until 17) {
+      val base = (8 - y) * rowSize + x * 3
+      def px(i: Int) = seed((base + i) % seed.length) & 0xff
+      val want = 0xff000000 | (px(2) << 16) | (px(1) << 8) | px(0)
+      assert(bmp.getRGB(x, y) === want, s"bmp pixel ($x,$y)")
+    }
   }
 }
