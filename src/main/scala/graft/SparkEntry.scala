@@ -392,6 +392,14 @@ object SparkEntry {
         id = col("doc_id"), keepPct = 25)
         .select(col("doc_id"), col("source"), col("n_words"), col("score"))),
 
+    // Theil-Sen robust trend per event type: exact floor-scaled median
+    // of pairwise daily slopes (29% breakdown vs OLS's zero)
+    "theil_sen" -> ((s, dir) =>
+      Profile.theilSen(Tables.events(s, dir), group = col("event_type"),
+        ts = col("ts"), value = col("value"))
+        .select(col("g").as("event_type"), col("n_days"), col("n_pairs"),
+          col("slope"))),
+
     // CUSUM changepoint per event type: the day where cumulative
     // deviation from the series mean peaks, in scaled-integer BIGINT
     "changepoint_cusum" -> ((s, dir) =>
@@ -2584,6 +2592,20 @@ object SparkEntry {
           col("s").cast("double").as("sum_value"), col("mn"), col("mx"))
     }),
 
+    // materialized JOIN-view maintenance: 4 arrival ticks on BOTH
+    // sides advanced by the delta rule == the one-shot join (the
+    // accumulated x accumulated join is never redone; late-arriving
+    // customers pick up their earlier orders via the A_old JOIN dB term)
+    "incremental_join_maintain" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_orderstatus"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      Changelog.maintainJoinTicks(o, c, Seq("custkey"),
+        aTick = col("o_orderkey") % 4, bTick = col("custkey") % 4,
+        ticks = 4)
+    }),
+
     // sample-based join-size estimation vs exact truth: the pre-join
     // quadratic-blowup guard (self-join of lineitem on partkey)
     "join_cardinality_est" -> ((s, dir) => {
@@ -4414,6 +4436,37 @@ object SparkEntry {
                FROM q)
          SELECT doc_id, source, n_words, score FROM r
          WHERE rn * 100 <= n * 25""",
+
+    // identical floor-scaled slope keys ((a - mod) // den is exactly
+    // divisible, so truncate == floor in both engines) and the same
+    // lower-mid-rank median under the (key, den, num) total order
+    "theil_sen" ->
+      """WITH daily AS (SELECT event_type AS g,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         d AS (SELECT g, CAST(date_diff('day',
+                 min(day) OVER (PARTITION BY g), day) AS BIGINT) AS x, y
+             FROM daily),
+         p AS (SELECT a.g, (b.y - a.y) * 1000000 AS num,
+               b.x - a.x AS den
+             FROM d a JOIN d b ON a.g = b.g AND a.x < b.x),
+         k AS (SELECT g, num, den,
+               (num - ((num % den) + den) % den) // den AS slope_key
+             FROM p),
+         r AS (SELECT g, slope_key, num, den,
+               row_number() OVER (PARTITION BY g
+                 ORDER BY slope_key, den, num) AS rn,
+               count(*) OVER (PARTITION BY g) AS cnt
+             FROM k),
+         med AS (SELECT g, slope_key, CAST(cnt AS BIGINT) AS cnt
+             FROM r WHERE rn = (cnt + 1) // 2),
+         nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+             FROM daily GROUP BY 1)
+         SELECT nd.g AS event_type, n_days,
+           coalesce(cnt, 0) AS n_pairs,
+           round(CAST(slope_key AS DOUBLE) / 1000000.0, 6) AS slope
+         FROM nd LEFT JOIN med ON nd.g = med.g""",
 
     // scaled-integer CUSUM: S_t*n = n*cumsum_t - t*total stays BIGINT,
     // so the argmax day is bit-reproducible (earliest-day tiebreak)
@@ -6786,6 +6839,13 @@ object SparkEntry {
            CAST((SELECT sum(c*c) FROM c) AS BIGINT) AS exact_pairs,
            CAST((SELECT sum(c*c)*8 FROM s) AS DOUBLE)
              / (SELECT sum(c*c) FROM c) AS est_ratio""",
+
+    // the delta-rule invariant IS the oracle: the tick-maintained view
+    // equals the one-shot join
+    "incremental_join_maintain" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_orderstatus,
+           c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
 
     // the incremental-equals-full invariant IS the oracle: the merged
     // dimension equals a rebuild over ALL events

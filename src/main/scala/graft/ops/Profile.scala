@@ -701,6 +701,65 @@ object Profile {
       fit(col("sy") * col("sxx") - col("sx") * col("sxy")).as("intercept"))
   }
 
+  /** Per-group Theil-Sen robust trend — the median-of-pairwise-slopes
+    * estimator (Sen 1968) beside [[olsTrend]]'s least squares: OLS
+    * hands a single corrupted day unbounded leverage over the fitted
+    * slope, Theil-Sen tolerates ~29% arbitrary outliers (its breakdown
+    * point), which is the estimator an owner wants when the feed
+    * itself is what's being monitored for corruption.
+    *
+    * Determinism: each pairwise slope is held as the exact floor of
+    * num·10⁶/den (num = Δdaily-cents, den = Δdays > 0; floor computed
+    * as (a − pmod(a, den)) div den, which both engines evaluate
+    * identically since a − pmod is exactly divisible — no native
+    * negative-division semantics involved). The median is the lower
+    * mid-rank element under a total (slope_key, den, num) order, so
+    * tie-breaking is reproducible; the only double is the final
+    * key/10⁶ rescale. NULL metric rows are excluded (the [[ksDrift]]
+    * NULL-ordering rule). Precondition: |Δy|·10⁶ must fit a long
+    * (daily deltas below ~9·10¹² cents) — beyond that, widen to
+    * DECIMAL.
+    *
+    * Scale: pairs expand over the per-group DAILY table — bounded by
+    * the day domain (d days → d(d−1)/2 rows per group), never the
+    * feed; the feed is touched by exactly one map-side-combined
+    * aggregate. Single-day groups emit NULL slope (no pairs), matching
+    * [[olsTrend]]'s degenerate-group contract.
+    */
+  def theilSen(df: DataFrame, group: Column, ts: Column,
+               value: Column): DataFrame = {
+    val cents = round(value * lit(100)).cast("long")
+    val daily = df.select(group.as("g"), ts.cast("date").as("day"),
+        cents.as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("g"), col("day")).agg(sum(col("c")).as("y"))
+    val wg = Window.partitionBy(col("g"))
+    val d = daily
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(wg)).cast("long"))
+    val pairs = d.select(col("g"), col("x").as("xa"), col("y").as("ya"))
+      .join(d.select(col("g").as("g2"), col("x").as("xb"),
+        col("y").as("yb")), col("g") === col("g2") && col("xa") < col("xb"))
+      .select(col("g"),
+        ((col("yb") - col("ya")) * lit(1000000L)).as("num"),
+        (col("xb") - col("xa")).as("den"))
+      .withColumn("slope_key",
+        expr("(num - pmod(num, den)) div den"))
+    val wp = Window.partitionBy(col("g"))
+      .orderBy(col("slope_key"), col("den"), col("num"))
+    val med = pairs
+      .withColumn("rn", row_number().over(wp))
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("g"), col("slope_key"), col("cnt"))
+    daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+      .join(med, Seq("g"), "left")
+      .select(col("g"), col("n_days"),
+        coalesce(col("cnt"), lit(0L)).as("n_pairs"),
+        round(col("slope_key").cast("double") / lit(1000000.0), 6)
+          .as("slope"))
+  }
+
   /** Benford first-digit audit over a money column — the classic
     * fabricated-data / feed-corruption screen: organically-grown
     * magnitudes follow P(d) = log10(1 + 1/d); a synthetic or truncated

@@ -124,7 +124,9 @@ object Plans {
     "kendall_tau" -> "two TakeOrdered rankings; pair counts over the <=k common set (nested-loop on 20 rows, by design)",
     "spearman_rho" -> "same two TakeOrdered rankings; dense re-rank windows over the <=k common set only; one-row d^2 agg",
     "mann_whitney" -> "ks_drift's conditional agg keyed by cents value; one below-count window over the discrete domain; DECIMAL(38,0) decision, no sqrt",
-    "rouge2_eval" -> "one conditional (pair,gram)-keyed agg (no gram self-join), map-side combined; pair rollup reuses nothing corpus-sized")
+    "rouge2_eval" -> "one conditional (pair,gram)-keyed agg (no gram self-join), map-side combined; pair rollup reuses nothing corpus-sized",
+    "theil_sen" -> "one map-side-combined feed agg to the daily table; pair expansion + median window over day-bounded groups only",
+    "incremental_join_maintain" -> "4 delta-sized joins per side vs checkpointed accumulators; the accumulated x accumulated join never appears")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -138,4 +138,75 @@ class Wave30Spec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(got === ((0L, 3L, 3L, 0L, 0.0)))
   }
+
+  // --- theilSen --------------------------------------------------------
+
+  private def series(rows: Seq[(String, Int, Double)]) = {
+    import java.sql.Timestamp
+    rows.map { case (g, day, v) =>
+      (g, new Timestamp(day * 86400000L), v) }.toDF("g", "ts", "value")
+  }
+
+  private def ts(rows: Seq[(String, Int, Double)]) =
+    Profile.theilSen(series(rows), group = col("g"), ts = col("ts"),
+        value = col("value"))
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("theilSen: hand-computed median of three pairwise slopes") {
+    // y = 0, 100, 400 cents -> slopes 100, 200, 300; median 200
+    val got = ts(Seq(("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 4.0)))("a")
+    assert(got === (("a", 3L, 3L, Some(200.0))))
+  }
+
+  test("theilSen: lower mid-rank median with (key, den, num) tiebreak " +
+       "on an even pair count") {
+    // y = 0,100,300,600 -> slope keys 100,150,200,200,250,300; the
+    // 3rd of 6 is the first 200 (den=1 sorts before den=3)
+    val got = ts(Seq(("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 3.0),
+      ("a", 3, 6.0)))("a")
+    assert(got === (("a", 4L, 6L, Some(200.0))))
+  }
+
+  test("theilSen: one wild day cannot move the median slope (the 29% " +
+       "breakdown contrast with OLS)") {
+    // wild day at the ENDPOINT (max |x - mean x|): a center outlier
+    // has zero OLS leverage and would make the contrast vacuous
+    val rows = (0 to 8).map(d =>
+      ("a", d, if (d == 8) 10000.0 else d * 1.0))
+    assert(ts(rows)("a")._4 === Some(100.0))
+    val ols = Profile.olsTrend(series(rows), group = col("g"),
+        ts = col("ts"), value = col("value"))
+      .select(col("slope")).as[Double].collect().head
+    assert(math.abs(ols - 100.0) > 50.0) // OLS dragged far off by one day
+  }
+
+  test("theilSen: single-day group emits NULL slope and zero pairs") {
+    val got = ts(Seq(("solo", 3, 7.0)))("solo")
+    assert(got === (("solo", 1L, 0L, None)))
+  }
+
+  // --- maintainJoin ----------------------------------------------------
+
+  test("maintainJoinTicks: delta-rule view equals the one-shot join, " +
+       "including a dimension row arriving AFTER its fact matches") {
+    import graft.ops.Changelog
+    val a = Seq((1L, "o1", 0), (1L, "o2", 1), (2L, "o3", 0))
+      .toDF("k", "oid", "at")
+    val b = Seq((1L, "late-dim", 2), (2L, "early-dim", 0))
+      .toDF("k", "payload", "bt")
+    val got = Changelog.maintainJoinTicks(
+        a.select(col("k"), col("oid"), col("at")),
+        b.select(col("k"), col("payload"), col("bt")),
+        Seq("k"), aTick = col("at"), bTick = col("bt"), ticks = 3)
+      .select(col("k"), col("oid"), col("payload"))
+      .as[(Long, String, String)].collect().toSet
+    // k=1's dim row arrives at tick 2; o1 (tick 0) and o2 (tick 1)
+    // must still pair with it through the A_old JOIN dB term
+    assert(got === Set((1L, "o1", "late-dim"), (1L, "o2", "late-dim"),
+      (2L, "o3", "early-dim")))
+    val batch = a.join(b, "k").select(col("k"), col("oid"), col("payload"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === batch)
+  }
 }
