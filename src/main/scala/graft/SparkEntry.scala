@@ -85,6 +85,51 @@ object SparkEntry {
       Similarity.calibrationBins(
         Similarity.knnClassify(Tables.embeddings(s, dir)))),
 
+    // isotonic (PAV) fit over the same vote bins via the minimax
+    // characterization — monotone calibrated probabilities, exact
+    // floor-keyed fraction ordering (no iterative pooling loop)
+    "isotonic_calibration" -> ((s, dir) =>
+      Similarity.isotonicCalibration(
+        Similarity.knnClassify(Tables.embeddings(s, dir)))),
+
+    // split-conformal prediction interval per event type: q-hat from
+    // the even-id calibration half at alpha=0.1, empirical coverage
+    // measured on the odd-id holdout — all rank selections over the
+    // bounded (group, cents) count table, one feed scan
+    "conformal_threshold" -> ((s, dir) =>
+      Profile.conformalThreshold(Tables.events(s, dir),
+        group = col("event_type"), id = col("event_id"),
+        value = col("value"))
+        .select(col("g").as("event_type"), col("n_cal"), col("n_test"),
+          col("med_cents"), col("qhat_cents"), col("n_covered"),
+          col("coverage"), col("nominal"))),
+
+    // constraint suggestion from ONE profiling scan: the observed
+    // envelope becomes a DqRule catalog that rulesReport can enforce
+    // as-is (and which passes on the profiled feed by construction)
+    "dq_suggest" -> ((s, dir) =>
+      Quality.dqSuggest(Tables.events(s, dir),
+        numericCols = Seq("value"),
+        keyCols = Seq("event_id", "user_id"))),
+
+    // WITH RECURSIVE transitive closure over the decimal part tree
+    // (the declarative sibling of bom_rollup's iterative loop) —
+    // Spark 4's UnionLoop executes the fixpoint; per-(root, depth)
+    // rollup keeps the result bounded by the hierarchy, not the closure
+    "sql_recursive_cte" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part")
+      s.sql("""WITH RECURSIVE tree AS (
+          SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+          FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT t.root, p.p_partkey AS node, t.depth + 1 AS depth
+          FROM tree t JOIN part p ON p.p_partkey div 10 = t.node
+          WHERE t.depth < 8)
+        SELECT root, depth, count(*) AS n_nodes,
+          CAST(sum(node) AS BIGINT) AS sum_keys
+        FROM tree GROUP BY root, depth""")
+    }),
+
     // per-flag winsorized mean: discrete rank-selected p05/p95 cut values
     "winsorized_stats" -> ((s, dir) =>
       Profile.winsorizedStats(Tables.lineitem(s, dir),
@@ -872,6 +917,13 @@ object SparkEntry {
     // E1: exact shingle-Jaccard near-dup (df-capped candidates + verify)
     "near_dedup" -> ((s, dir) =>
       TextDedup.nearDupJaccard(Tables.documents(s, dir))),
+
+    // E1-complete: AllPairs prefix-filter similarity join — COMPLETE
+    // candidate generation (no df cap, no banding): under the
+    // df-ascending prefix lemma NO true pair >= 3/5 can be missed,
+    // the guarantee the LSH/df-cap paths trade for speed
+    "allpairs_jaccard" -> ((s, dir) =>
+      TextDedup.allPairsJaccard(Tables.documents(s, dir))),
 
     // E1: MinHash+LSH candidates + exact verify (the sub-quadratic path);
     // oracle = ground-truth pairs, i.e. asserts perfect recall on testdata
@@ -5416,6 +5468,164 @@ object SparkEntry {
          FROM inp GROUP BY sha256(text)""",
 
     "near_dedup" -> nearDupOracle,
+
+    // the oracle IS the uncapped brute force — completeness of the
+    // prefix-filter candidates is checked pair-for-pair at t = 3/5
+    "allpairs_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(words[g+1:g+3], ' ') AS shingle
+                FROM w, UNNEST(range(len(words) - 2)) AS t(g) WHERE len(words) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT a AS doc_a, b AS doc_b,
+                CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         FROM pairs JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""",
+
+    // knn chain verbatim, then the interval-lattice minimax: the same
+    // floor key (cc*10^14 // nn) and (key, nn, cc) tie order select the
+    // same interval row, so the final division is the identical double
+    "isotonic_calibration" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+           topk AS (
+             SELECT q.vec_id AS q_id, q.label AS true_label,
+                    c.label AS n_label
+             FROM e q JOIN e c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id % 25 = 0
+             QUALIFY row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) <= 5),
+           votes AS (SELECT q_id, true_label, n_label, count(*) AS n_votes
+                     FROM topk GROUP BY 1, 2, 3),
+           p AS (SELECT q_id, n_votes,
+               CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+             FROM votes
+             QUALIFY row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, n_label ASC) = 1),
+           bins AS (SELECT n_votes, count(*) AS n,
+               CAST(sum(correct) AS BIGINT) AS n_correct
+             FROM p GROUP BY 1),
+           pre AS (SELECT n_votes, n, n_correct,
+               CAST(sum(n) OVER (ORDER BY n_votes
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_n,
+               CAST(sum(n_correct) OVER (ORDER BY n_votes
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_c
+             FROM bins),
+           iv AS (SELECT j.n_votes AS jv, m.n_votes AS mv,
+               m.cum_c - (j.cum_c - j.n_correct) AS cc,
+               m.cum_n - (j.cum_n - j.n) AS nn
+             FROM pre j JOIN pre m ON j.n_votes <= m.n_votes),
+           iv2 AS (SELECT jv, mv, cc, nn,
+               cc * 100000000000000 // nn AS key FROM iv),
+           onb AS (SELECT b.n_votes AS iv_votes, i.jv, i.cc, i.nn, i.key
+             FROM bins b JOIN iv2 i
+             ON i.jv <= b.n_votes AND b.n_votes <= i.mv),
+           mn AS (SELECT iv_votes, jv, cc, nn, key,
+               row_number() OVER (PARTITION BY iv_votes, jv
+                 ORDER BY key, nn, cc) AS rn
+             FROM onb),
+           mx AS (SELECT iv_votes, cc, nn,
+               row_number() OVER (PARTITION BY iv_votes
+                 ORDER BY key DESC, nn, cc) AS rx
+             FROM mn WHERE rn = 1)
+         SELECT b.n_votes, CAST(b.n_votes AS DOUBLE) / 5 AS confidence,
+           CAST(b.n AS BIGINT) AS n, b.n_correct,
+           CAST(b.n_correct AS DOUBLE) / b.n AS accuracy,
+           CAST(x.cc AS DOUBLE) / CAST(x.nn AS DOUBLE) AS iso_p
+         FROM bins b JOIN mx x ON x.iv_votes = b.n_votes AND x.rx = 1""",
+
+    // identical count-table rank selections: median, q-hat, and
+    // coverage all read CUMULATIVE counts, so no tie order exists
+    "conformal_threshold" ->
+      """WITH e AS (SELECT event_type AS g, event_id % 2 AS side,
+               CAST(round(value * 100) AS BIGINT) AS c
+             FROM events WHERE value IS NOT NULL),
+         cnt AS (SELECT g, c,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS ct
+             FROM e GROUP BY 1, 2),
+         b AS (SELECT g, c, ca, ct,
+               CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS n_cal,
+               CAST(sum(ct) OVER (PARTITION BY g) AS BIGINT) AS n_test,
+               CAST(sum(ca) OVER (PARTITION BY g ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_ca
+             FROM cnt),
+         b2 AS (SELECT * FROM b WHERE n_cal > 0 AND n_test > 0),
+         med AS (SELECT g, min(c) AS med_cents FROM b2
+             WHERE cum_ca >= (n_cal + 1) // 2 GROUP BY 1),
+         sc AS (SELECT b2.g, n_cal, n_test, med_cents,
+               abs(c - med_cents) AS s,
+               CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(ct) AS BIGINT) AS st
+             FROM b2 JOIN med ON b2.g = med.g
+             GROUP BY 1, 2, 3, 4, 5),
+         q AS (SELECT g, n_cal, n_test, med_cents, s, st,
+               CAST(sum(sa) OVER (PARTITION BY g ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_sa,
+               least(((n_cal + 1) * 9 + 9) // 10, n_cal) AS k
+             FROM sc),
+         q2 AS (SELECT g, n_cal, n_test, med_cents, s, st,
+               min(CASE WHEN cum_sa >= k THEN s END)
+                 OVER (PARTITION BY g) AS qhat_cents
+             FROM q)
+         SELECT g AS event_type, n_cal, n_test, med_cents, qhat_cents,
+           CAST(sum(CASE WHEN s <= qhat_cents THEN st ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN s <= qhat_cents THEN st ELSE 0 END)
+             AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage,
+           0.9 AS nominal
+         FROM q2 GROUP BY 1, 2, 3, 4, 5""",
+
+    // the observed envelope replayed from one aggregate row
+    "dq_suggest" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_eid,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_uid,
+           min(CAST(round(value * 100) AS BIGINT)) AS min_v,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_v,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS nd_eid,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_uid
+         FROM events)
+         SELECT 'value_not_null' AS rule, 'value' AS "column",
+           'not_null' AS kind, CAST(NULL AS DOUBLE) AS bound,
+           null_value AS tolerance, TRUE AS suggested, n_rows FROM a
+         UNION ALL SELECT 'event_id_not_null', 'event_id', 'not_null',
+           CAST(NULL AS DOUBLE), null_eid, TRUE, n_rows FROM a
+         UNION ALL SELECT 'user_id_not_null', 'user_id', 'not_null',
+           CAST(NULL AS DOUBLE), null_uid, TRUE, n_rows FROM a
+         UNION ALL SELECT 'value_min', 'value', 'min',
+           CAST(min_v AS DOUBLE) / 100.0, CAST(0 AS BIGINT), TRUE, n_rows FROM a
+         UNION ALL SELECT 'value_max', 'value', 'max',
+           CAST(max_v AS DOUBLE) / 100.0, CAST(0 AS BIGINT), TRUE, n_rows FROM a
+         UNION ALL SELECT 'value_positive', 'value', 'positive',
+           CAST(NULL AS DOUBLE), CAST(0 AS BIGINT),
+           coalesce(min_v > 0, FALSE), n_rows FROM a
+         UNION ALL SELECT 'event_id_unique', 'event_id', 'unique',
+           CAST(NULL AS DOUBLE), n_rows - null_eid - nd_eid,
+           nd_eid = n_rows - null_eid, n_rows FROM a
+         UNION ALL SELECT 'user_id_unique', 'user_id', 'unique',
+           CAST(NULL AS DOUBLE), n_rows - null_uid - nd_uid,
+           nd_uid = n_rows - null_uid, n_rows FROM a""",
+
+    // the same fixpoint, DuckDB's native recursive CTE
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+           SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+           FROM part WHERE p_partkey < 10
+           UNION ALL
+           SELECT t.root, p.p_partkey AS node, t.depth + 1 AS depth
+           FROM tree t JOIN part p ON p.p_partkey // 10 = t.node
+           WHERE t.depth < 8)
+         SELECT root, depth, count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_keys
+         FROM tree GROUP BY root, depth""",
 
     "calendar_counts" ->
       """WITH cal AS (SELECT CAST(unnest(generate_series(

@@ -760,6 +760,78 @@ object Profile {
           .as("slope"))
   }
 
+  /** Split-conformal prediction interval per group (Vovk et al. 2005;
+    * Lei et al., JASA 2018) — the distribution-free guarantee an eval
+    * pipeline wants before trusting a point predictor: calibrate a
+    * nonconformity threshold q̂ on one half of the data and the
+    * interval center ± q̂ covers a fresh row with probability ≥ 1 − α,
+    * no matter the distribution. Here the predictor is the calibration
+    * median (the simplest deterministic center), nonconformity is
+    * |value − median|, the split is the even/odd-id halves, and the
+    * output reports the EMPIRICAL holdout coverage next to the nominal
+    * 1 − α so the guarantee is itself measured.
+    *
+    * Determinism: q̂ is the k-th smallest calibration score with
+    * k = ⌈(n_cal+1)(1−α)⌉ in pure integer arithmetic (α = num/den),
+    * capped at n_cal (tiny groups where the conformal set is the whole
+    * line; the cap can only lower coverage, never fake it). Median and
+    * q̂ are rank selections over CUMULATIVE counts, so tie order cannot
+    * exist, and coverage is one exact-long division.
+    *
+    * Scale: ONE feed scan into a (group, cents) count table — every
+    * later stage (median, score distribution, q̂, coverage) is bounded
+    * by the metric's discrete DOMAIN, never the feed (the [[ksDrift]]
+    * count-table discipline) — so the op costs one map-side-combined
+    * aggregate at any corpus size.
+    */
+  def conformalThreshold(df: DataFrame, group: Column, id: Column,
+                         value: Column, alphaNum: Int = 1,
+                         alphaDen: Int = 10): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"conformalThreshold: need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val counts = df.select(group.as("g"), pmod(id, lit(2)).as("side"),
+        round(value * 100).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("g"), col("c"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ct"))
+    val wg = Window.partitionBy(col("g"))
+    val wc = wg.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = counts
+      .withColumn("n_cal", sum(col("ca")).over(wg))
+      .withColumn("n_test", sum(col("ct")).over(wg))
+      .filter(col("n_cal") > 0 && col("n_test") > 0)
+      .withColumn("cum_ca", sum(col("ca")).over(wc))
+    val med = base
+      // lower mid-rank: the smallest c whose cumulative calibration
+      // count reaches rank (n_cal + 1) div 2 (the theilSen discipline)
+      .filter(col("cum_ca") >= expr("(n_cal + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("c")).as("med_cents"))
+    val scores = base.join(med, "g")
+      .groupBy(col("g"), col("n_cal"), col("n_test"), col("med_cents"),
+        abs(col("c") - col("med_cents")).as("s"))
+      .agg(sum(col("ca")).as("sa"), sum(col("ct")).as("st"))
+    val ws = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withQ = scores
+      .withColumn("cum_sa", sum(col("sa")).over(ws))
+      .withColumn("k", expr(s"least(((n_cal + 1) * " +
+        s"${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen, n_cal)"))
+      .withColumn("qhat_cents",
+        min(when(col("cum_sa") >= col("k"), col("s")))
+          .over(Window.partitionBy(col("g"))))
+    withQ.groupBy(col("g"), col("n_cal"), col("n_test"),
+        col("med_cents"), col("qhat_cents"))
+      .agg(sum(when(col("s") <= col("qhat_cents"), col("st"))
+        .otherwise(0L)).as("n_covered"))
+      .select(col("g"), col("n_cal"), col("n_test"), col("med_cents"),
+        col("qhat_cents"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"),
+        lit((alphaDen - alphaNum).toDouble / alphaDen).as("nominal"))
+  }
+
   /** Benford first-digit audit over a money column — the classic
     * fabricated-data / feed-corruption screen: organically-grown
     * magnitudes follow P(d) = log10(1 + 1/d); a synthetic or truncated

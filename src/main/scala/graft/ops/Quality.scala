@@ -62,6 +62,69 @@ object Quality {
         (col("r.n_violations") <= col("r.tolerance")).as("passed"))
   }
 
+  /** Constraint suggestion from one profiling scan — the
+    * Deequ-suggestion / Great-Expectations-profiler shape that closes
+    * the DQ loop: measure the feed once, emit a rule catalog whose
+    * bounds are the OBSERVED envelope, review, then enforce with
+    * [[rulesReport]]. Each suggested row aligns with [[DqRule]]
+    * (rule, column, kind, bound, tolerance), so
+    * `rulesReport(df, suggested)` runs as-is — and by construction
+    * PASSES on the profiled feed itself (tolerances are the observed
+    * violation counts; spec-asserted), so the catalog only fires when a
+    * future feed regresses beyond today's baseline.
+    *
+    * Suggestions: `not_null` for every column (tolerance = observed
+    * null count); `min`/`max` range fences for numeric columns (bound =
+    * observed extreme in exact cents, the envelope a corrupted feed
+    * breaks first); `positive` marked suggested only when the evidence
+    * holds (observed min > 0); `unique` for declared key candidates,
+    * suggested only when distinct == non-null rows (tolerance = the
+    * observed duplicate count otherwise).
+    *
+    * Scale: every statistic folds into ONE map-side-combined aggregate
+    * — profiling 100 TB costs one read no matter how many columns; the
+    * explode runs on the 1-row wide result.
+    */
+  def dqSuggest(df: DataFrame, numericCols: Seq[String],
+                keyCols: Seq[String] = Nil): DataFrame = {
+    val allCols = (numericCols ++ keyCols).distinct
+    require(allCols.nonEmpty, "dqSuggest: no columns to profile")
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("n_rows") +:
+        allCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+          .as(s"__null_$c"))) ++
+      numericCols.flatMap(c => Seq(
+        min(round(col(c) * 100).cast("long")).as(s"__min_$c"),
+        max(round(col(c) * 100).cast("long")).as(s"__max_$c"))) ++
+      keyCols.map(c => count_distinct(col(c)).as(s"__nd_$c"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def row(rule: String, column: String, kind: String, bound: Column,
+            tolerance: Column, suggested: Column): Column =
+      struct(lit(rule).as("rule"), lit(column).as("column"),
+        lit(kind).as("kind"), bound.as("bound"),
+        tolerance.as("tolerance"), suggested.as("suggested"))
+    val noBound = lit(null).cast("double")
+    val rows: Seq[Column] =
+      allCols.map(c => row(s"${c}_not_null", c, "not_null", noBound,
+        col(s"__null_$c"), lit(true))) ++
+      numericCols.flatMap(c => Seq(
+        row(s"${c}_min", c, "min",
+          col(s"__min_$c").cast("double") / lit(100.0), lit(0L),
+          lit(true)),
+        row(s"${c}_max", c, "max",
+          col(s"__max_$c").cast("double") / lit(100.0), lit(0L),
+          lit(true)),
+        row(s"${c}_positive", c, "positive", noBound, lit(0L),
+          coalesce(col(s"__min_$c") > 0, lit(false))))) ++
+      keyCols.map(c => row(s"${c}_unique", c, "unique", noBound,
+        col("n_rows") - col(s"__null_$c") - col(s"__nd_$c"),
+        col(s"__nd_$c") === col("n_rows") - col(s"__null_$c")))
+    wide.select(col("n_rows"), explode(array(rows: _*)).as("r"))
+      .select(col("r.rule"), col("r.column"), col("r.kind"),
+        col("r.bound"), col("r.tolerance"), col("r.suggested"),
+        col("n_rows"))
+  }
+
   /** One row per check: (check_name, metric, passed). */
   def dqReport(df: DataFrame, contract: DqContract): DataFrame = {
     val missing = contract.requiredCols.filterNot(df.columns.contains)

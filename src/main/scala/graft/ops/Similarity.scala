@@ -613,6 +613,72 @@ object Similarity {
           / (lit(k.toLong) * col("nt")).cast("double")).as("ece"))
   }
 
+  /** Isotonic (PAV) calibration over [[knnClassify]]'s vote bins — the
+    * monotone-regression sibling of [[calibrationBins]]: the reliability
+    * diagram reports the RAW per-bin accuracy, which can dip as
+    * confidence rises; the pool-adjacent-violators fit is the unique
+    * monotone non-decreasing curve minimizing squared error (Barlow et
+    * al. 1972), i.e. the calibrated probability a user would actually
+    * map scores through. Computed via the minimax characterization
+    * f(i) = max_{j≤i} min_{m≥i} mean(correct over bins j..m) — no
+    * iterative pooling loop, so the whole fit is one declarative plan
+    * over the interval lattice of the (≤ k)-row bin table.
+    *
+    * Determinism: interval means C/N are ordered by the exact floor key
+    * (C·10¹⁴) div N — distinct fractions with denominators below 10⁶
+    * differ by ≥ 10⁻¹², so their keys differ by ≥ 100 and the order is
+    * the true fraction order; equal fractions tie-break on (N, C), so
+    * both engines select the SAME interval row and emit the identical
+    * double division. Precondition: fewer than 10⁶ probe rows (beyond
+    * that, widen the key to DECIMAL).
+    *
+    * Scale: the interval lattice is k(k+1)/2 rows built from ONE
+    * aggregation of the probe table — the corpus-sized work is
+    * [[knnClassify]]; everything here is constant-sized regardless of
+    * corpus, the always-legal broadcast shape.
+    */
+  def isotonicCalibration(knn: DataFrame, k: Int = 5): DataFrame = {
+    val bins = knn.groupBy(col("n_votes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct").cast("long")).as("n_correct"))
+    val wo = Window.orderBy(col("n_votes"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cum_n", sum(col("n")).over(wo))
+      .withColumn("cum_c", sum(col("n_correct")).over(wo))
+    // interval j..m (by n_votes order): C/N from prefix-sum differences
+    val iv = pre.select(col("n_votes").as("jv"),
+        (col("cum_n") - col("n")).as("n_lo"),
+        (col("cum_c") - col("n_correct")).as("c_lo"))
+      .join(pre.select(col("n_votes").as("mv"),
+        col("cum_n").as("n_hi"), col("cum_c").as("c_hi")),
+        col("jv") <= col("mv"))
+      .select(col("jv"), col("mv"),
+        (col("c_hi") - col("c_lo")).as("cc"),
+        (col("n_hi") - col("n_lo")).as("nn"))
+      .withColumn("key", expr("cc * 100000000000000 div nn"))
+    // f(i): inner min over m >= i per (i, j), then outer max over j <= i
+    val onBin = bins.select(col("n_votes").as("iv_votes"))
+      .join(iv, col("jv") <= col("iv_votes") &&
+        col("iv_votes") <= col("mv"))
+    val wmin = Window.partitionBy(col("iv_votes"), col("jv"))
+      .orderBy(col("key").asc, col("nn").asc, col("cc").asc)
+    val wmax = Window.partitionBy(col("iv_votes"))
+      .orderBy(col("key").desc, col("nn").asc, col("cc").asc)
+    val fit = onBin.withColumn("rn", row_number().over(wmin))
+      .filter(col("rn") === 1)
+      .withColumn("rx", row_number().over(wmax))
+      .filter(col("rx") === 1)
+      .select(col("iv_votes").as("n_votes"),
+        (col("cc").cast("double") / col("nn").cast("double")).as("iso_p"))
+    bins.join(fit, Seq("n_votes"))
+      .select(col("n_votes"),
+        (col("n_votes").cast("double") / k).as("confidence"),
+        col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n")).as("accuracy"),
+        col("iso_p"))
+  }
+
   /** Robust per-dimension scaling of the embedding corpus:
     * (x − median) / IQR per dimension — the outlier-proof
     * normalization ([[dimStats]] gives mean/min/max; a handful of

@@ -289,6 +289,69 @@ object TextDedup {
                      maxDf: Int = 1000): DataFrame =
     jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf)
 
+  /** COMPLETE Jaccard-threshold similarity join by prefix filtering
+    * (AllPairs, Bayardo et al., WWW 2007) — the guarantee the rest of
+    * the near-dedup family trades away: [[nearDupJaccard]]'s df cap and
+    * the MinHash/LSH banding are both RECALL heuristics (a pair sharing
+    * only ultra-frequent shingles, or unlucky in every band, is lost);
+    * here NO true pair above the threshold can be missed. The prefix
+    * lemma: under any global total order of shingles, two sets with
+    * J ≥ num/den must collide inside their prefixes of length
+    * n − ⌈t·n⌉ + 1 — so indexing only prefixes is lossless, and
+    * ordering shingles by ASCENDING document frequency puts the RAREST
+    * shingles in the prefixes, which is what keeps posting lists (and
+    * hence the candidate pair expansion) short without any cap.
+    *
+    * Threshold as an exact rational num/den: the prefix length uses
+    * ⌈num·n/den⌉ in pure integer arithmetic ((num·n + den − 1) div den),
+    * so both the operator and any replay agree on every boundary size;
+    * the final jaccard is the same one double division the whole family
+    * emits. Exact verification reuses [[verifyJaccard]] (full-set
+    * intersection + the size-ratio prune), so precision is 1.0 too —
+    * output identical to an uncapped brute force by construction.
+    *
+    * Scale: two extra id-sized shuffles over [[nearDupJaccard]] (global
+    * df count, per-doc prefix window); prefixes shrink each doc's
+    * indexed shingles by factor ≈ t; the candidate join carries only
+    * (doc_id, shingle-hash) pairs, never text. The df-ascending order
+    * is the load-balancing: the posting skew that forces the df cap
+    * elsewhere lands on SUFFIX shingles, which are never indexed.
+    */
+  def allPairsJaccard(docs: DataFrame, k: Int = 3,
+                      num: Int = 3, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = num.toDouble / den
+    val sh = shingles(docs, k).persist()
+    // the global total order is (df asc, shingle) — rarest first. No
+    // materialized rank id: each doc sorts its OWN shingles by the
+    // order inside a per-doc window (distributed — a global
+    // row_number would be a single-partition sort of the whole
+    // vocabulary), and the candidate join keys on xxhash64(shingle):
+    // 8 bytes on the wire, and a hash collision can only ADD a
+    // candidate (killed by exact verify), never lose one — equal
+    // shingles always hash equal, so completeness survives intact.
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefixes = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // prefix length n - ceil(t*n) + 1, ceil in exact integers
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("tok"))
+      // both sides of the self-join read this — persist the (8+8)-byte
+      // prefix table instead of re-running the df join + window twice
+      .persist()
+    val cand = prefixes.join(
+        prefixes.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's distinct
     * shingles whose FIRST appearance (by doc_id order) is this doc —
     * the dedup-aware curation score that ranks later near-copies low

@@ -126,7 +126,12 @@ object Plans {
     "mann_whitney" -> "ks_drift's conditional agg keyed by cents value; one below-count window over the discrete domain; DECIMAL(38,0) decision, no sqrt",
     "rouge2_eval" -> "one conditional (pair,gram)-keyed agg (no gram self-join), map-side combined; pair rollup reuses nothing corpus-sized",
     "theil_sen" -> "one map-side-combined feed agg to the daily table; pair expansion + median window over day-bounded groups only",
-    "incremental_join_maintain" -> "4 delta-sized joins per side vs checkpointed accumulators; the accumulated x accumulated join never appears")
+    "incremental_join_maintain" -> "4 delta-sized joins per side vs checkpointed accumulators; the accumulated x accumulated join never appears",
+    "allpairs_jaccard" -> "per-doc df-ordered prefix window (NO global sort) -> persisted (doc_id, shingle-hash) self-join -> semi-joined set verify; no df cap, no banding: candidates COMPLETE by the prefix lemma",
+    "isotonic_calibration" -> "knn chain feeds a <=k-row bin table; the interval lattice + minimax windows are constant-sized regardless of corpus",
+    "conformal_threshold" -> "ONE feed scan to the (group,cents) count table; median/q-hat/coverage all cumulative-window selections over the bounded domain",
+    "dq_suggest" -> "single map-side-combined aggregate (counts, extremes, distincts in one pass); explode runs on the 1-row wide result",
+    "sql_recursive_cte" -> "UnionLoop fixpoint: per-iteration join of the frontier against the part scan; depth-bounded, rollup on the closure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
