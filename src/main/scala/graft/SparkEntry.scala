@@ -112,6 +112,27 @@ object SparkEntry {
         numericCols = Seq("value"),
         keyCols = Seq("event_id", "user_id"))),
 
+    // purged k-fold temporal CV report: contiguous day folds + embargo
+    // halos; the leak-proof split for serially-correlated feeds, with
+    // the purge cost reported per fold
+    "purged_kfold" -> ((s, dir) =>
+      Shard.purgedKfold(Tables.events(s, dir), ts = col("ts"))),
+
+    // Fellegi-Sunter agreement-pattern table over blocked customer-name
+    // candidates: exact clamped-ppm m/u estimates, long-fraction odds,
+    // integer link rule. Blocking = last-3 ∪ digits-3-6 windows:
+    // deletion pos <= len-3 keeps the suffix, pos >= 16 keeps the
+    // front-anchored digit window — together every deletion position
+    // is covered, and both block families are BOUNDED (15 resp. 1000
+    // ids per block -> candidate volume LINEAR in corpus size, never
+    // the first-digits quadratic blowup); nationkey is the
+    // discriminative attribute (m ~ 1, u ~ 1/25)
+    "fellegi_sunter" -> ((s, dir) =>
+      Linkage.fellegiSunter(Tables.customer(s, dir),
+        id = col("c_custkey"), name = col("c_name"),
+        attr = col("c_nationkey"),
+        blkA = substring(_, -3, 3), blkB = substring(_, 12, 4))),
+
     // WITH RECURSIVE transitive closure over the decimal part tree
     // (the declarative sibling of bom_rollup's iterative loop) —
     // Spark 4's UnionLoop executes the fixpoint; per-(root, depth)
@@ -1402,6 +1423,16 @@ object SparkEntry {
     "streaming_ks_drift" -> ((s, dir) =>
       graft.streaming.Streaming.streamingKsDrift(s,
         eventsBase(s, dir), tmp(dir, "stream_ks_src"))),
+
+    // live split-conformal monitor: the (group, cents) side-count state
+    // is bounded by the metric's discrete domain; closed-feed readout
+    // runs the literal batch statistic stage — same oracle as batch
+    "streaming_conformal" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingConformal(s,
+        eventsBase(s, dir), tmp(dir, "stream_ks_src"))
+        .select(col("g").as("event_type"), col("n_cal"), col("n_test"),
+          col("med_cents"), col("qhat_cents"), col("n_covered"),
+          col("coverage"), col("nominal"))),
 
     // analytic window-function surface: lag/lead/dense_rank/ntile/
     // percent_rank/cume_dist under one total order
@@ -3222,7 +3253,9 @@ object SparkEntry {
       // live count-table maintenance must land the batch DSIR scores
       ("streaming_dsir" -> baseOracles("dsir_affinity")) +
       // the maintained pair-count table must land the batch KS statistic
-      ("streaming_ks_drift" -> baseOracles("ks_drift"))
+      ("streaming_ks_drift" -> baseOracles("ks_drift")) +
+      // the maintained side-count table must land the batch q-hat/coverage
+      ("streaming_conformal" -> baseOracles("conformal_threshold"))
 
   private def baseOracles: Map[String, String] = Map(
 
@@ -5613,6 +5646,98 @@ object SparkEntry {
          UNION ALL SELECT 'user_id_unique', 'user_id', 'unique',
            CAST(NULL AS DOUBLE), n_rows - null_uid - nd_uid,
            nd_uid = n_rows - null_uid, n_rows FROM a""",
+
+    // identical integer fold/embargo arithmetic over the day domain
+    "purged_kfold" ->
+      """WITH days AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               count(*) AS n
+             FROM events WHERE CAST(ts AS TIMESTAMP) IS NOT NULL
+             GROUP BY 1),
+         b AS (SELECT min(day) AS d0, max(day) AS d1,
+               CAST(sum(n) AS BIGINT) AS n_total FROM days),
+         bd AS (SELECT CAST(date_diff('day', d0, day) AS INT) AS d,
+               CAST(date_diff('day', d0, d1) + 1 AS INT) AS span,
+               n, n_total FROM days, b),
+         f AS (SELECT CAST(least(d * 5 // span, 4) AS INT) AS fold,
+               d, n, n_total FROM bd),
+         fs AS (SELECT fold, min(d) AS d_lo, max(d) AS d_hi,
+               CAST(sum(n) AS BIGINT) AS n_test, max(n_total) AS n_total
+             FROM f GROUP BY 1),
+         ex AS (SELECT fs.fold, fs.d_lo, fs.d_hi, fs.n_test, fs.n_total,
+               CAST(sum(bd.n) AS BIGINT) AS n_excluded
+             FROM fs JOIN bd
+               ON bd.d >= fs.d_lo - 3 AND bd.d <= fs.d_hi + 3
+             GROUP BY 1, 2, 3, 4, 5)
+         SELECT fold, d_lo, d_hi, n_test,
+           n_excluded - n_test AS n_purged,
+           n_total - n_excluded AS n_train
+         FROM ex""",
+
+    // the same clamped-ppm estimation and long-fraction pattern odds;
+    // entity_resolution's dirty-name formula and blocking verbatim
+    "fellegi_sunter" ->
+      """WITH dirty AS (SELECT c_custkey AS rec_id, c_name AS true_name,
+               substr(c_name, 1,
+                 CAST(c_custkey % (length(c_name) - 1) AS INT)) ||
+               substr(c_name,
+                 CAST(c_custkey % (length(c_name) - 1) + 2 AS INT))
+                 AS dirty_name,
+               c_nationkey AS rec_attr
+             FROM customer),
+         catalog AS (SELECT c_name AS canon_name,
+               arg_min(c_nationkey, c_custkey) AS canon_attr
+             FROM customer GROUP BY 1),
+         cand0 AS (
+           SELECT DISTINCT rec_id, dirty_name, true_name, rec_attr,
+             canon_name, canon_attr
+           FROM (
+             SELECT rec_id, dirty_name, true_name, rec_attr,
+               canon_name, canon_attr
+             FROM dirty JOIN catalog
+               ON substr(dirty_name, -3, 3) = substr(canon_name, -3, 3)
+             UNION ALL
+             SELECT rec_id, dirty_name, true_name, rec_attr,
+               canon_name, canon_attr
+             FROM dirty JOIN catalog
+               ON substr(dirty_name, 12, 4) = substr(canon_name, 12, 4))),
+         cand AS (SELECT
+             CASE WHEN substr(dirty_name, -3, 3) = substr(canon_name, -3, 3)
+               THEN 1 ELSE 0 END AS g_a,
+             CASE WHEN substr(dirty_name, 12, 4) = substr(canon_name, 12, 4)
+               THEN 1 ELSE 0 END AS g_b,
+             CASE WHEN rec_attr = canon_attr THEN 1 ELSE 0 END AS g_attr,
+             CASE WHEN true_name = canon_name THEN 1 ELSE 0 END AS is_match
+           FROM cand0),
+         est AS (SELECT
+             greatest(1, least(999999, CAST(sum(g_a * is_match) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(is_match) AS BIGINT), 1))) AS m1,
+             greatest(1, least(999999, CAST(sum(g_b * is_match) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(is_match) AS BIGINT), 1))) AS m2,
+             greatest(1, least(999999, CAST(sum(g_attr * is_match) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(is_match) AS BIGINT), 1))) AS m3,
+             greatest(1, least(999999, CAST(sum(g_a * (1 - is_match)) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(1 - is_match) AS BIGINT), 1))) AS u1,
+             greatest(1, least(999999, CAST(sum(g_b * (1 - is_match)) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(1 - is_match) AS BIGINT), 1))) AS u2,
+             greatest(1, least(999999, CAST(sum(g_attr * (1 - is_match)) AS BIGINT)
+               * 1000000 // greatest(CAST(sum(1 - is_match) AS BIGINT), 1))) AS u3
+           FROM cand),
+         pat AS (SELECT g_a, g_b, g_attr,
+               CAST(sum(is_match) AS BIGINT) AS n_match,
+               CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch
+             FROM cand GROUP BY 1, 2, 3),
+         sc AS (SELECT g_a, g_b, g_attr, n_match, n_nonmatch,
+               (CASE WHEN g_a = 1 THEN m1 ELSE 1000000 - m1 END) *
+               (CASE WHEN g_b = 1 THEN m2 ELSE 1000000 - m2 END) *
+               (CASE WHEN g_attr = 1 THEN m3 ELSE 1000000 - m3 END) AS num,
+               (CASE WHEN g_a = 1 THEN u1 ELSE 1000000 - u1 END) *
+               (CASE WHEN g_b = 1 THEN u2 ELSE 1000000 - u2 END) *
+               (CASE WHEN g_attr = 1 THEN u3 ELSE 1000000 - u3 END) AS den
+             FROM pat, est)
+         SELECT g_a, g_b, g_attr, n_match, n_nonmatch,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS odds,
+           num >= den AS is_link
+         FROM sc""",
 
     // the same fixpoint, DuckDB's native recursive CTE
     "sql_recursive_cte" ->

@@ -84,6 +84,98 @@ object Linkage {
         col("n_candidates"), col("n_within"))
   }
 
+  /** Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969) — the decision-theoretic layer [[resolveEntities]]
+    * lacks: instead of a hard edit-distance cut, each candidate pair
+    * gets a likelihood-ratio score from per-field agreement
+    * probabilities — m (agreement among true matches) vs u (agreement
+    * among non-matches) — and the classic AGREEMENT-PATTERN table is
+    * the output: one row per comparison vector γ ∈ {0,1}³ with its
+    * match/non-match counts, its match odds Π mᵢ/uᵢ (disagreeing
+    * fields contribute (1−mᵢ)/(1−uᵢ)), and the link decision.
+    *
+    * m/u are estimated on the blocked candidate set itself using the
+    * ground truth the deterministic [[dirtyName]] corruption provides
+    * (in production: EM or clerical samples — the ESTIMATOR is the
+    * replaceable part; the pattern/odds machinery is what scales).
+    * All probabilities are exact ppm integers clamped to [1, 999999]
+    * (the Laplace-style guard keeping odds finite); pattern odds are
+    * an exact long fraction (999999³ < 2⁶³) whose single division is
+    * the only double; the link rule num ≥ den is integer-exact.
+    *
+    * Scale: candidates come from the same prefix∪suffix blocking as
+    * [[resolveEntities]] but with NO broadcast hint (an entity catalog
+    * is corpus-proportional; AQE broadcasts while it fits — SCALE.md
+    * §4); the estimation is ONE 1-row aggregate over candidates, and
+    * the pattern table is ≤ 8 rows riding a broadcast.
+    *
+    * Comparison fields: the two blocking windows `blkA`/`blkB` (the
+    * standard multi-pass design: each key also serves as a comparator)
+    * plus attribute agreement.
+    */
+  def fellegiSunter(records: DataFrame, id: Column, name: Column,
+                    attr: Column,
+                    blkA: Column => Column = substring(_, -3, 3),
+                    blkB: Column => Column = substring(_, 1, 3))
+      : DataFrame = {
+    val dirty = records.select(id.as("rec_id"), name.as("true_name"),
+      dirtyName(id, name).as("dirty_name"), attr.as("rec_attr"))
+    val catalog = records.groupBy(name.as("canon_name"))
+      .agg(min(struct(id.as("i"), attr.as("a"))).as("m"))
+      .select(col("canon_name"), col("m.i").as("canon_key"),
+        col("m.a").as("canon_attr"))
+    val byA = dirty.withColumn("blk", blkA(col("dirty_name")))
+      .join(catalog.withColumn("blk", blkA(col("canon_name"))), "blk")
+    val byB = dirty.withColumn("blk", blkB(col("dirty_name")))
+      .join(catalog.withColumn("blk", blkB(col("canon_name"))), "blk")
+    val cand = byA.unionByName(byB)
+      .select(col("rec_id"), col("dirty_name"), col("true_name"),
+        col("rec_attr"), col("canon_name"), col("canon_attr"))
+      .distinct()
+      .select(
+        (blkA(col("dirty_name")) === blkA(col("canon_name")))
+          .cast("int").as("g_a"),
+        (blkB(col("dirty_name")) === blkB(col("canon_name")))
+          .cast("int").as("g_b"),
+        (col("rec_attr") === col("canon_attr")).cast("int").as("g_attr"),
+        (col("true_name") === col("canon_name")).cast("int").as("is_match"))
+      .persist() // estimation and the pattern rollup both read it
+    val est = cand.agg(
+      sum(col("is_match")).as("n_m"),
+      sum(lit(1) - col("is_match")).as("n_u"),
+      sum(col("g_a") * col("is_match")).as("a1"),
+      sum(col("g_b") * col("is_match")).as("a2"),
+      sum(col("g_attr") * col("is_match")).as("a3"),
+      sum(col("g_a") * (lit(1) - col("is_match"))).as("b1"),
+      sum(col("g_b") * (lit(1) - col("is_match"))).as("b2"),
+      sum(col("g_attr") * (lit(1) - col("is_match"))).as("b3"))
+    // exact clamped ppm: probabilities never 0 or 1, so every odds
+    // factor is a finite positive integer fraction
+    def ppm(n: String, d: String): String =
+      s"greatest(1, least(999999, $n * 1000000 div greatest($d, 1)))"
+    val pat = cand.groupBy(col("g_a"), col("g_b"), col("g_attr"))
+      .agg(sum(col("is_match")).as("n_match"),
+        sum(lit(1) - col("is_match")).as("n_nonmatch"))
+    pat.crossJoin(broadcast(est.select(
+        expr(ppm("a1", "n_m")).as("m1"), expr(ppm("a2", "n_m")).as("m2"),
+        expr(ppm("a3", "n_m")).as("m3"), expr(ppm("b1", "n_u")).as("u1"),
+        expr(ppm("b2", "n_u")).as("u2"), expr(ppm("b3", "n_u")).as("u3"))))
+      .select(col("g_a"), col("g_b"), col("g_attr"),
+        col("n_match"), col("n_nonmatch"),
+        expr("""(CASE WHEN g_a = 1 THEN m1 ELSE 1000000 - m1 END) *
+                (CASE WHEN g_b = 1 THEN m2 ELSE 1000000 - m2 END) *
+                (CASE WHEN g_attr = 1 THEN m3 ELSE 1000000 - m3 END)""")
+          .as("num"),
+        expr("""(CASE WHEN g_a = 1 THEN u1 ELSE 1000000 - u1 END) *
+                (CASE WHEN g_b = 1 THEN u2 ELSE 1000000 - u2 END) *
+                (CASE WHEN g_attr = 1 THEN u3 ELSE 1000000 - u3 END)""")
+          .as("den"))
+      .select(col("g_a"), col("g_b"), col("g_attr"),
+        col("n_match"), col("n_nonmatch"),
+        (col("num").cast("double") / col("den").cast("double")).as("odds"),
+        (col("num") >= col("den")).as("is_link"))
+  }
+
   /** ALL pairs of distinct names at edit distance EXACTLY 1, without an
     * all-pairs scan: deletion-neighborhood blocking (FastSS, Bocek et
     * al. 2007). Each name emits its |w| single-deletion variants tagged

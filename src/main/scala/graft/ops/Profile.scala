@@ -786,15 +786,34 @@ object Profile {
     */
   def conformalThreshold(df: DataFrame, group: Column, id: Column,
                          value: Column, alphaNum: Int = 1,
-                         alphaDen: Int = 10): DataFrame = {
-    require(alphaNum > 0 && alphaNum < alphaDen,
-      s"conformalThreshold: need 0 < alpha < 1, got $alphaNum/$alphaDen")
-    val counts = df.select(group.as("g"), pmod(id, lit(2)).as("side"),
+                         alphaDen: Int = 10): DataFrame =
+    conformalFromCounts(conformalSideCounts(df, group, id, value),
+      alphaNum, alphaDen)
+
+  /** [[conformalThreshold]]'s feed stage: the (g, c, ca, ct) count
+    * table — calibration (even id) and holdout (odd id) counts per
+    * (group, cents) — bounded by the metric's discrete DOMAIN, never
+    * the feed; sum-mergeable across batches, which is what the live
+    * maintainer exploits.
+    */
+  private[graft] def conformalSideCounts(df: DataFrame, group: Column,
+                                         id: Column,
+                                         value: Column): DataFrame =
+    df.select(group.as("g"), pmod(id, lit(2)).as("side"),
         round(value * 100).cast("long").as("c"))
       .filter(col("c").isNotNull)
       .groupBy(col("g"), col("c"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("ct"))
+
+  /** [[conformalThreshold]]'s statistic stage over the count table —
+    * one definition shared by the batch op and the streaming
+    * maintainer so closed-feed equivalence is by construction.
+    */
+  private[graft] def conformalFromCounts(counts: DataFrame, alphaNum: Int,
+                                         alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"conformalThreshold: need 0 < alpha < 1, got $alphaNum/$alphaDen")
     val wg = Window.partitionBy(col("g"))
     val wc = wg.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

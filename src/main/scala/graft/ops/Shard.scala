@@ -275,6 +275,55 @@ object Shard {
       .withColumn("moved", col("old_shard") =!= col("new_shard"))
   }
 
+  /** Purged k-fold temporal cross-validation report (López de Prado,
+    * Advances in Financial ML §7) — the CV scheme for serially-
+    * correlated data, where [[splitCol]]'s id-hash split LEAKS: a row
+    * one tick after a test-fold boundary carries the fold's
+    * information into train. Rows land in K contiguous day folds;
+    * train for fold f excludes the fold AND an `embargoDays` halo on
+    * both sides. Output, one row per fold: the fold's day span,
+    * n_test, n_purged (halo rows barred from train — the price of the
+    * guarantee, reported so it is auditable), n_train, and the
+    * partition identity n_test + n_purged + n_train = n_total the
+    * spec asserts.
+    *
+    * Determinism: day indexes and fold ids are pure integer floor
+    * arithmetic from the global [min, max] day span (no quantile
+    * cuts); every count is exact.
+    *
+    * Scale: one map-side-combined aggregate to the (fold, day)-bounded
+    * count table, a 1-row bounds broadcast, and a K-row broadcast
+    * range join over that table — nothing after the first aggregate is
+    * feed-sized.
+    */
+  def purgedKfold(df: DataFrame, ts: Column, k: Int = 5,
+                  embargoDays: Int = 3): DataFrame = {
+    require(k >= 2, s"purgedKfold: need k >= 2, got $k")
+    val days = df.select(ts.cast("date").as("day"))
+      .filter(col("day").isNotNull)
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val bounds = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+      sum(col("n")).as("n_total"))
+    val byDay = days.crossJoin(broadcast(bounds))
+      .select(datediff(col("day"), col("d0")).as("d"),
+        (datediff(col("d1"), col("d0")) + 1).as("span"),
+        col("n"), col("n_total"))
+      .withColumn("fold", expr(s"least(d * $k div span, ${k - 1})"))
+    val folds = byDay.groupBy(col("fold"))
+      .agg(min(col("d")).as("d_lo"), max(col("d")).as("d_hi"),
+        sum(col("n")).as("n_test"))
+    byDay.join(broadcast(folds.select(col("fold").as("f"),
+        col("d_lo"), col("d_hi"), col("n_test"))),
+        col("d") >= col("d_lo") - embargoDays &&
+        col("d") <= col("d_hi") + embargoDays)
+      .groupBy(col("f").as("fold"), col("d_lo"), col("d_hi"),
+        col("n_test"), col("n_total"))
+      .agg(sum(col("n")).as("n_excluded"))
+      .select(col("fold"), col("d_lo"), col("d_hi"), col("n_test"),
+        (col("n_excluded") - col("n_test")).as("n_purged"),
+        (col("n_total") - col("n_excluded")).as("n_train"))
+  }
+
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      k: Int = 200): DataFrame = {
     val cents = round(weight * lit(100)).cast("long")

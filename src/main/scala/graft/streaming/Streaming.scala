@@ -486,6 +486,45 @@ object Streaming {
       Profile.ksFromCounts(table)
     }
 
+  /** LIVE split-conformal monitor — [[graft.ops.Profile
+    * .conformalThreshold]]'s calibration/holdout count table maintained
+    * over the event stream: each micro-batch sum-merges its per-(group,
+    * cents) side counts into state bounded by the metric's DISCRETE
+    * DOMAIN (the [[streamingKsDrift]] constant-state argument), so the
+    * current q̂ and measured holdout coverage are queryable at any
+    * trigger without a feed rescan. The readout runs
+    * [[graft.ops.Profile.conformalFromCounts]] — the literal batch
+    * statistic stage — so the closed-feed result equals batch
+    * `conformal_threshold` by construction (same oracle, identical
+    * hash).
+    */
+  def streamingConformal(spark: SparkSession, events: DataFrame,
+                         scratch: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import graft.ops.Profile
+      def counts(df: DataFrame): DataFrame =
+        Profile.conformalSideCounts(df, col("event_type"),
+          col("event_id"), col("value"))
+      var table = counts(events.limit(0)).localCheckpoint()
+      val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            // localCheckpoint: eager + lineage-cutting; constant plan
+            // depth per trigger (the foreachBatch-maintenance discipline)
+            table = table.unionByName(counts(batch))
+              .groupBy(col("g"), col("c"))
+              .agg(sum(col("ca")).as("ca"), sum(col("ct")).as("ct"))
+              .localCheckpoint()
+            ()
+        }
+        .outputMode("update").start()
+      query.processAllAvailable()
+      query.stop()
+      Profile.conformalFromCounts(table, alphaNum = 1, alphaDen = 10)
+    }
+
   /** Stream-static enrichment: the event stream joins a static dimension
     * snapshot (re-read per micro-batch in real deployments — here the
     * standard broadcast equi-join per batch). Result equals the batch

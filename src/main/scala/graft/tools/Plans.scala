@@ -131,7 +131,9 @@ object Plans {
     "isotonic_calibration" -> "knn chain feeds a <=k-row bin table; the interval lattice + minimax windows are constant-sized regardless of corpus",
     "conformal_threshold" -> "ONE feed scan to the (group,cents) count table; median/q-hat/coverage all cumulative-window selections over the bounded domain",
     "dq_suggest" -> "single map-side-combined aggregate (counts, extremes, distincts in one pass); explode runs on the 1-row wide result",
-    "sql_recursive_cte" -> "UnionLoop fixpoint: per-iteration join of the frontier against the part scan; depth-bounded, rollup on the closure")
+    "sql_recursive_cte" -> "UnionLoop fixpoint: per-iteration join of the frontier against the part scan; depth-bounded, rollup on the closure",
+    "purged_kfold" -> "one map-side-combined scan to the day table; 1-row bounds broadcast + K-row fold range join — nothing feed-sized after the first agg",
+    "fellegi_sunter" -> "two bounded-block joins (15/1000 ids per key, linear candidates), persisted comparison vectors feed the 1-row estimate and the <=8-row pattern rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
