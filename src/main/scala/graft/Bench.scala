@@ -79,11 +79,25 @@ object Bench {
       System.err.println("[bench] variance flags (warm vs previous run, " +
         "ratio this/prev): " + flagged.map { case (k, r) =>
           f"$k=${r}%.2fx" }.mkString(", "))
+    // cold-anomaly flag: a cold time ≥10× the query's OWN warm minimum on
+    // a ≥2 s cold query is either first-touch codegen/classload or in-sweep
+    // host interference — round 8 had three such spikes (rendezvous_hash
+    // 37.6 s cold / 1.1 s warm) that the warm-only comparator never saw.
+    // Surfacing the ratio makes each one attributable instead of silent.
+    val flaggedCold = cold.flatMap { case (k, c) =>
+      warm.get(k).collect {
+        case w if c >= 2.0 && w > 0 && c / w >= 10.0 => k -> (c / w)
+      }
+    }
+    if (flaggedCold.nonEmpty)
+      System.err.println("[bench] cold-anomaly flags (cold/warm ratio): " +
+        flaggedCold.map { case (k, r) => f"$k=${r}%.1fx" }.mkString(", "))
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
       s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
       s""""warm_passes":${reps - 1},""" +
       s""""variance_flags":${fmt(flagged)},""" +
+      s""""variance_flags_cold":${fmt(flaggedCold)},""" +
       s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}"""
     println(json)
     // stdout of a 260-query run has been truncated by capture layers

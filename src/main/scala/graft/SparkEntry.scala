@@ -1526,7 +1526,17 @@ object SparkEntry {
     // banding derived from the threshold + corpus size (SCALE.md rule),
     // not inherited test tuning — (4, 32) at the gate corpus
     "embedding_near_dup" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      // the synthetic vectors are near-orthogonal gaussians — genuine
+      // cosine≥0.5 pairs all but vanish at small SF (0 pairs at sf0.001,
+      // 1 at sf0.01), which turned this query into the 0=0 oracle blind
+      // spot. Inject a ×2-scaled copy of every 50th vector (doubling is
+      // EXACT in IEEE — both engines compute the identical cos), so the
+      // op provably finds planted near-dups at every SF
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val e = base.unionByName(planted)
       val (bits, bands) = Similarity.bandingFor(0.5, e.count())
       Similarity.cosineNearDup(e, threshold = 0.5,
         bitsPerBand = bits, bands = bands)
@@ -1778,7 +1788,9 @@ object SparkEntry {
         col("p_partkey"),
         regexp_extract(col("p_type"), "([A-Z]+) ([A-Z]+)", 2).as("second_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
-        col("p_brand").rlike("#[0-9]+$").as("numbered_brand"))),
+        // a DISCRIMINATING pattern (brands are Brand#xy, x,y ∈ 1..5 —
+        // '#[0-9]+$' matched every row, so the flag verified nothing)
+        col("p_brand").rlike("#1[0-9]$").as("numbered_brand"))),
 
     // RANGE window frame: per-user trailing-1-hour event count and exact
     // value sum, anchored on event-time micros
@@ -2105,6 +2117,23 @@ object SparkEntry {
     // rightmost tie-break — zero-shuffle projection
     "winnowing" -> ((s, dir) =>
       Text.winnowing(Tables.documents(s, dir))),
+
+    // E3+: Unicode canonicalization ahead of the hash-dedup family
+    // (NFC here — the DuckDB-expressible subset; production uses NFKC).
+    // The corpus is ASCII, so mixed composed/decomposed accents, a C0
+    // control, and ragged whitespace are injected deterministically —
+    // the normalization itself is what the oracle verifies
+    "text_normalize" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          // even ids: decomposed e+U+0301, odd ids: composed U+00E9;
+          // NFC maps both to identical bytes
+          when(col("doc_id") % 2 === 0, lit("Cafe\u0301"))
+            .otherwise(lit("Caf\u00e9")),
+          lit("\u0007\t "), col("text"), lit("  \n")).as("text"))
+      Text.textNormalize(aug, form = "NFC")
+        .select(col("doc_id"), col("text"), col("content_hash"))
+    }),
 
     // character-entropy quality signal (deterministic fold order)
     "char_entropy" -> ((s, dir) =>
@@ -2640,6 +2669,13 @@ object SparkEntry {
     "exactsubstr_report" -> ((s, dir) =>
       TextDedup.exactSubstrReport(Tables.documents(s, dir))),
 
+    // ExactSubstr APPLY (Lee et al. 2022): remove every token inside a
+    // ≥8-token span duplicated at ANY offset, first occurrence wins —
+    // the arbitrary-alignment span surgery paragraph_dedup's fixed grid
+    // cannot do (spec proves the off-by-3-words contrast)
+    "exactsubstr_dedup" -> ((s, dir) =>
+      TextDedup.exactSubstrDedup(Tables.documents(s, dir))),
+
     // contrastive hard-negative mining: top-5 nearest DIFFERENT-label
     // vectors per probe (the decision-boundary examples)
     "hard_negatives" -> ((s, dir) => {
@@ -2659,9 +2695,19 @@ object SparkEntry {
         schema_of_variant(parse_json(col("props"))).as("v_schema"))),
 
     // per-segment language ID: code-switching docs the whole-doc
-    // classifier misses
+    // classifier misses. The synthetic corpus is single-language per
+    // doc, so is_mixed would be STRUCTURALLY false (the gopher
+    // dup-column class) — every 7th doc gets a deterministic
+    // code-switch injection (an en-marker chunk then es-marker chunks,
+    // mirrored in the oracle) so the flag provably fires
     "segment_langid" -> ((s, dir) =>
-      Text.segmentLangId(Tables.documents(s, dir))),
+      Text.segmentLangId(Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" " + Seq.fill(16)("the").mkString(" ") +
+                " " + Seq.fill(32)("la").mkString(" ")))
+            .otherwise(lit(""))).as("text")))),
 
     // materialized-view maintenance: the corpus agg table advanced by a
     // new batch equals the full recompute (corpus never rescanned)
@@ -3017,7 +3063,10 @@ object SparkEntry {
             col("l_partkey"), col("l_suppkey")),
         a = "l_partkey", b = "l_suppkey", bits = 16,
         scratchDir = tmp(dir, "zorder_prune"),
-        loA = 100L, hiA = 400L, loB = 10L, hiB = 40L)),
+        // the box intersects EVERY SF's key space (suppkeys are 0..9 at
+        // sf0.001 — the old [10,40] band returned 0 rows there, the
+        // oracle blind spot DegeneracySpec guards)
+        loA = 100L, hiA = 400L, loB = 2L, hiB = 8L)),
 
     // bloom-filter layout: row-group skipping for point lookups on a
     // high-cardinality UNSORTED key (the case zone maps can't prune);
@@ -6285,8 +6334,15 @@ object SparkEntry {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT key, id, ts, next_id, next_ts FROM x WHERE event_type = 'purchase'""",
 
+    // same ×2-scaled plant of every 50th vector (doubling is exact, so
+    // both engines see bit-identical cosines)
     "embedding_near_dup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH inp AS (SELECT vec_id, embedding FROM embeddings
+                      UNION ALL
+                      SELECT vec_id + 1000000,
+                             list_transform(embedding, x -> x * 2)
+                      FROM embeddings WHERE vec_id % 50 = 0),
+         e AS (SELECT vec_id, inp.embedding::DOUBLE[] AS v FROM inp)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 list_cosine_similarity(a.v, b.v) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -6507,7 +6563,7 @@ object SparkEntry {
       """SELECT p_partkey,
            regexp_extract(p_type, '([A-Z]+) ([A-Z]+)', 2) AS second_word,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-           regexp_matches(p_brand, '#[0-9]+$') AS numbered_brand
+           regexp_matches(p_brand, '#1[0-9]$') AS numbered_brand
          FROM part""",
 
     "join_semi_anti" ->
@@ -6855,6 +6911,22 @@ object SparkEntry {
            list_min(hs[s+1:s+4]) AS fp
          FROM h, UNNEST(range(len(hs) - 3)) AS u(s)""",
 
+    // same augmentation (chr codes restate the Scala \u escapes), same
+    // step order: NFC → whitespace-collapse → control-strip → trim.
+    // Explicit char classes (not \s) so Java regex and RE2 agree
+    "text_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'Cafe' || chr(769)
+                 ELSE 'Caf' || chr(233) END)
+           || chr(7) || chr(9) || ' ' || text || '  ' || chr(10) AS text
+         FROM documents),
+         n AS (SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g'),
+             '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')) AS text
+         FROM aug)
+         SELECT doc_id, text, sha256(text) AS content_hash FROM n""",
+
     // identical fold order (sorted distinct chars, left-to-right) and the
     // same 1e-6 rounding of the lone transcendental
     "char_entropy" ->
@@ -7043,6 +7115,39 @@ object SparkEntry {
                 ELSE CAST(nd AS DOUBLE) / nw END AS dup_ratio
          FROM documents d LEFT JOIN r USING (doc_id)""",
 
+    // same stride-1 window relation, first-occurrence rank, and
+    // covered-token rebuild (token j removed iff ∃ flagged start s,
+    // s ≤ j < s+8)
+    "exactsubstr_dedup" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, t.g AS pos,
+                 array_to_string(ws[g+1:g+8], ' ') AS gram
+               FROM w, UNNEST(range(len(ws) - 7)) AS t(g)
+               WHERE len(ws) >= 8),
+         r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                   ORDER BY doc_id, pos) AS rn
+               FROM g),
+         f AS (SELECT doc_id, list_sort(list(pos)) AS starts
+               FROM r WHERE rn > 1 GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CASE WHEN starts IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(list_filter(range(len(ws)),
+                  j -> len(list_filter(starts,
+                    s -> s <= j AND j < s + 8)) > 0)) AS BIGINT)
+           END AS n_removed,
+           CASE WHEN starts IS NULL THEN text
+                -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+                -- array_join of an empty array is '' (fully-removed docs)
+                ELSE coalesce(array_to_string(list_transform(
+                  list_filter(range(len(ws)),
+                    j -> len(list_filter(starts,
+                      s -> s <= j AND j < s + 8)) = 0),
+                  j -> ws[j + 1]), ' '), '')
+           END AS text_dedup
+         FROM w LEFT JOIN f USING (doc_id)""",
+
     // the brute-force top-k oracle with the different-label constraint
     "hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
@@ -7069,9 +7174,13 @@ object SparkEntry {
          FROM events""",
 
     // same chunking, marker scores, prediction rule, and
-    // (count desc, lang asc) majority
+    // (count desc, lang asc) majority; same every-7th-doc code-switch
+    // injection (16 en markers + 32 es markers)
     "segment_langid" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, string_split(
+                      text || CASE WHEN doc_id % 7 = 0
+                        THEN repeat(' the', 16) || repeat(' la', 32)
+                        ELSE '' END, ' ') AS ws
                     FROM documents),
          segs AS (SELECT doc_id,
              array_to_string(
@@ -8036,7 +8145,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
          FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 400
-           AND l_suppkey BETWEEN 10 AND 40""",
+           AND l_suppkey BETWEEN 2 AND 8""",
 
     // bloom-layout roundtrip == point lookup on the source table
     "bloom_layout_lookup" ->

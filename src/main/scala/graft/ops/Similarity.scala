@@ -137,7 +137,12 @@ object Similarity {
         col("v_norm").as("va_norm")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("v_norm").as("vb_norm")), "vec_b")
-      .withColumn("cos", cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")))
+      // clamp to the mathematical range: identical-direction vectors
+      // round to 1+2ulp under dot/(|a||b|), while DuckDB's
+      // list_cosine_similarity caps at 1 — both engines must agree
+      .withColumn("cos", least(
+        cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")),
+        lit(1.0)))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .distinct()
@@ -151,7 +156,12 @@ object Similarity {
     val b = withVec(embeddings, "vec_b", "vb")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")))
+      // clamp to the mathematical range: identical-direction vectors
+      // round to 1+2ulp under dot/(|a||b|), while DuckDB's
+      // list_cosine_similarity caps at 1 — both engines must agree
+      .withColumn("cos", least(
+        cosine(col("va"), col("vb"), col("va_norm"), col("vb_norm")),
+        lit(1.0)))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -42,6 +42,41 @@ object Text {
     aggregate(xs, lit(0L),
       (acc, x) => (acc * lit(1000003L) + x) % lit(1000000007L))
 
+  /** Unicode canonicalization ahead of the hash-dedup family (the
+    * reference's `sanitize_dataframe`, data_pipeline.py:20-23, is the
+    * parity anchor for canonicalize-before-write).
+    *
+    * Steps, in order (each a deterministic single-pass projection —
+    * zero shuffle, one scan at 100 TB):
+    *  1. Unicode-normalize (`form`: NFKC for production — folds
+    *     ligatures/fullwidth/compatibility forms; NFC for the
+    *     oracle-expressible subset) via the codegen
+    *     [[graft.functions.UnicodeNormalize]] expression;
+    *  2. collapse runs of whitespace `[ \t\n\r\f]+` to one space (the
+    *     explicit class, not `\s`, so Java and RE2 oracles agree —
+    *     Java's `\s` includes U+000B, RE2's does not);
+    *  3. strip remaining C0/DEL control characters
+    *     `[\x00-\x08\x0B\x0E-\x1F\x7F]` (the class excludes the
+    *     whitespace already collapsed in step 2);
+    *  4. trim; 5. optional lowercase.
+    *
+    * Without this, composed vs decomposed accents ("é" U+00E9 vs
+    * "e"+U+0301) are byte-different and every downstream
+    * `sha2`/shingle/MinHash key silently treats identical documents as
+    * distinct.
+    */
+  def textNormalize(docs: DataFrame, form: String = "NFKC",
+                    lowercase: Boolean = false): DataFrame = {
+    val normed = graft.functions.UnicodeNormalize(col("text"), form)
+    val collapsed = regexp_replace(normed, "[ \\t\\n\\r\\f]+", " ")
+    val stripped = regexp_replace(collapsed,
+      "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
+    val trimmed = trim(stripped)
+    val finalText = if (lowercase) lower(trimmed) else trimmed
+    docs.withColumn("text", finalText)
+      .withColumn("content_hash", sha2(col("text"), 256))
+  }
+
   /** Per-document stats: word count, distinct words, chars, type-token
     * ratio.
     */

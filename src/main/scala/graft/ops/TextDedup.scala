@@ -179,6 +179,65 @@ object TextDedup {
           .as("dup_ratio"))
   }
 
+  /** ExactSubstr dedup APPLY (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): REMOVE every token that lies
+    * inside a ≥`w`-token span duplicated anywhere in the corpus at ANY
+    * offset, keeping the first occurrence (min (doc_id, pos)).
+    *
+    * Where [[exactSubstrReport]] measures the duplicated-span share and
+    * [[paragraphDedup]] removes only GRID-ALIGNED repeats (an off-by-3-
+    * words copy defeats its fixed 16-word chunking entirely — the spec
+    * proves the contrast), this is the real span surgery: the criterion
+    * "token j of doc d is covered by some duplicated w-window" is
+    * EXACTLY "token j is inside a duplicated span of length ≥ w",
+    * because a duplicated span of length L ≥ w is the union of its
+    * L−w+1 duplicated w-windows, and any duplicated w-window is itself
+    * a ≥w duplicated span. Lee et al. build a suffix array for this;
+    * over a DataFrame the stride-1 window relation IS the suffix
+    * array's first-w-tokens view, and first-occurrence ranking replaces
+    * the pointer scan.
+    *
+    * Scale: the stride-1 window explode is w× the corpus in shuffle
+    * bytes keyed by window TEXT (string equality inside the partition —
+    * no hash-collision risk), the flagged-start set per doc is bounded
+    * by doc length, and the rebuild is a per-row projection. One
+    * content-sized shuffle + one doc-keyed rollup, same shape as
+    * [[exactSubstrReport]] — the known, disclosed price of the exact
+    * signal.
+    */
+  def exactSubstrDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val grams = Par.widen(docs)
+      .filter(size(ws) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(ws) - lit(w)),
+          i => array_join(slice(ws, i + 1, lit(w)), " ")))
+          .as(Seq("pos", "gram")))
+    val firstWin = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id"), col("pos"))
+    // flagged = window starts whose text occurred earlier (corpus order)
+    val flaggedStarts = grams
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    // rebuild: token j survives unless ∃ start s with s ≤ j < s+w
+    val toks = split(col("text"), " ")
+    val covered = filter(sequence(lit(0), size(toks) - 1),
+      j => exists(col("starts"), s => s <= j && j < s + lit(w)))
+    docs.select(col("doc_id"), col("text"))
+      .join(flaggedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        when(col("starts").isNull, lit(0L))
+          .otherwise(size(covered).cast("long")).as("n_removed"),
+        when(col("starts").isNull, col("text"))
+          .otherwise(array_join(transform(
+            filter(sequence(lit(0), size(toks) - 1),
+              j => !exists(col("starts"), s => s <= j && j < s + lit(w))),
+            j => element_at(toks, j + 1)), " ")).as("text_dedup"))
+  }
+
   /** Distinct word k-shingles per document: (doc_id, shingle).
     * Distinctness is per-document, so it's enforced with a per-row
     * `array_distinct` BEFORE the explode — no shuffle, unlike a

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Text, TextDedup}
+
+/** Round-9 operators: Unicode canonicalization and ExactSubstr apply. */
+class Round9OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- textNormalize ---------------------------------------------------
+
+  test("textNormalize: composed and decomposed accents hash-merge under " +
+       "both NFC and NFKC (the canonicalize-before-sha2 contract)") {
+    val df = Seq(
+      (1L, "Café au lait"),   // composed U+00E9
+      (2L, "Café au lait"),  // decomposed e + combining acute
+      (3L, "ﬁn de siècle"), // ﬁ ligature (compatibility form)
+      (4L, "fin de siècle")
+    ).toDF("doc_id", "text")
+    for (form <- Seq("NFC", "NFKC")) {
+      val h = Text.textNormalize(df, form = form)
+        .select(col("doc_id"), col("content_hash"))
+        .as[(Long, String)].collect().toMap
+      assert(h(1L) === h(2L), s"$form must merge composed/decomposed")
+      if (form == "NFKC")
+        assert(h(3L) === h(4L), "NFKC folds the fi ligature")
+      else
+        assert(h(3L) !== h(4L), "NFC must NOT fold compatibility forms")
+    }
+  }
+
+  test("textNormalize: control strip + whitespace collapse + trim + " +
+       "optional lowercase") {
+    val df = Seq((1L, "  Hello  World\tX\n ")).toDF("doc_id", "text")
+    val out = Text.textNormalize(df, lowercase = true)
+      .select(col("text")).as[String].head()
+    //  (BEL) and  (VT) stripped, runs of space/tab/newline
+    // collapsed, ends trimmed, lowercased
+    assert(out === "hello world x")
+    val kept = Text.textNormalize(df)
+      .select(col("text")).as[String].head()
+    assert(kept === "Hello World X")
+  }
+
+  test("textNormalize: null text passes through as null (no NPE in the " +
+       "codegen path)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "ok"))
+      .toDF("doc_id", "text")
+    val out = Text.textNormalize(df)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(out(1L) === null && out(2L) === "ok")
+  }
+
+  // ---- exactSubstrDedup -------------------------------------------------
+
+  test("exactSubstrDedup removes an off-by-3-words repeat that " +
+       "paragraphDedup's fixed 16-word grid misses entirely") {
+    val p = (1 to 8).map(i => s"p$i").mkString(" ") // the copied phrase
+    val doc1 = (p +: (1 to 8).map(i => s"b$i")).mkString(" ")         // P at offset 0
+    val doc2 = (Seq("f1", "f2", "f3") ++ Seq(p) ++
+      (1 to 5).map(i => s"c$i")).mkString(" ")                        // P at offset 3
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+
+    // the grid path: both docs are one 16-word chunk each, the chunks
+    // differ (offset 3), so NOTHING is removed
+    val para = TextDedup.paragraphDedup(docs)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("text_dedup"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(para(2L)._3 === para(2L)._2, "grid dedup keeps every chunk")
+    assert(para(2L)._4 === doc2, "grid dedup leaves the copy in place")
+
+    // the ExactSubstr path: doc 2's phrase window (pos 3) is flagged,
+    // its 8 tokens removed, first occurrence (doc 1) untouched
+    val es = TextDedup.exactSubstrDedup(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("text_dedup"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(es(1L)._3 === 0L && es(1L)._4 === doc1, "first occurrence kept")
+    assert(es(2L)._3 === 8L)
+    assert(es(2L)._4 === "f1 f2 f3 c1 c2 c3 c4 c5")
+  }
+
+  test("exactSubstrDedup: self-repeat within one doc keeps only the " +
+       "first copy; docs shorter than w pass through") {
+    val p = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p $p"),      // the phrase twice back-to-back
+      (2L, "tiny doc")     // < 8 tokens: no windows, untouched
+    ).toDF("doc_id", "text")
+    val es = TextDedup.exactSubstrDedup(docs)
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(es(1L)._2 === 8L && es(1L)._3 === p)
+    assert(es(2L)._2 === 0L && es(2L)._3 === "tiny doc")
+  }
+
+  test("exactSubstrDedup agrees with an independent plain-Scala " +
+       "reference on seeded random corpora (tiny vocab forces repeats)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("x", "y", "z") // 3 symbols → dense w-gram collisions
+    val w = 4
+    val corpus = (0L until 12L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(3))).mkString(" "))
+    }
+    // reference: global first-occurrence scan in (doc_id, pos) order
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.split(" ")
+      val flagged = (0 to toks.length - w).filter { i =>
+        val g = toks.slice(i, i + w).mkString(" ")
+        if (seen.contains(g)) true else { seen += g; false }
+      }
+      val removed = flagged.flatMap(i => i until i + w).toSet
+      val keptText = toks.zipWithIndex.collect {
+        case (t, j) if !removed.contains(j) => t }.mkString(" ")
+      id -> ((removed.size.toLong, keptText))
+    }.toMap
+    val got = TextDedup.exactSubstrDedup(corpus.toDF("doc_id", "text"), w)
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expected)
+  }
+}
