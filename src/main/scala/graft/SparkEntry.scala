@@ -2676,6 +2676,21 @@ object SparkEntry {
     "exactsubstr_dedup" -> ((s, dir) =>
       TextDedup.exactSubstrDedup(Tables.documents(s, dir))),
 
+    // the curation front-door as ONE fused plan: NFC canonicalize →
+    // content-hash dedup → near-dedup verdicts. Every 10th doc gets a
+    // DECOMPOSED-form twin of its composed-prefix original — the twins
+    // hash-merge in the exact stage IFF the normalize stage ran (stage
+    // coupling the oracle replays end-to-end)
+    "curation_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = d.select(col("doc_id"),
+        concat(lit("Caf\u00e9 "), col("text")).as("text"))
+      val twins = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(lit("Cafe\u0301 "), col("text")).as("text"))
+      TextDedup.curationPipeline(base.unionByName(twins))
+    }),
+
     // contrastive hard-negative mining: top-5 nearest DIFFERENT-label
     // vectors per probe (the decision-boundary examples)
     "hard_negatives" -> ((s, dir) => {
@@ -7147,6 +7162,49 @@ object SparkEntry {
                   j -> ws[j + 1]), ' '), '')
            END AS text_dedup
          FROM w LEFT JOIN f USING (doc_id)""",
+
+    // the full chain replayed: same twin plant (chr codes restate the
+    // Scala \u escapes), same NFC→collapse→strip→trim normalize, exact
+    // stage as a min-over-hash-partition, near stage as the UNCAPPED
+    // brute-force shingle Jaccard, same min-partner canonical rule
+    "curation_pipeline" ->
+      """WITH inp AS (SELECT doc_id,
+               'Caf' || chr(233) || ' ' || text AS text FROM documents
+             UNION ALL
+             SELECT doc_id + 20000, 'Cafe' || chr(769) || ' ' || text
+             FROM documents WHERE doc_id % 10 = 0),
+         n AS (SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g'),
+                   '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')) AS text
+               FROM inp),
+         e AS (SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_canon
+               FROM n),
+         s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM e
+               WHERE doc_id = exact_canon),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(ws[g+1:g+3], ' ') AS shingle
+                FROM s, UNNEST(range(len(ws) - 2)) AS t(g)
+                WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         nd AS (SELECT db AS doc_id, min(da) AS near_canon
+                FROM pairs JOIN sz x ON da = x.doc_id
+                           JOIN sz y ON db = y.doc_id
+                WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+                GROUP BY 1)
+         SELECT e.doc_id,
+           CASE WHEN e.doc_id <> e.exact_canon THEN 'exact_dup'
+                WHEN nd.near_canon IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           CASE WHEN e.doc_id <> e.exact_canon THEN e.exact_canon
+                WHEN nd.near_canon IS NOT NULL THEN nd.near_canon
+                ELSE e.doc_id END AS canonical_id
+         FROM e LEFT JOIN nd USING (doc_id)""",
 
     // the brute-force top-k oracle with the different-label constraint
     "hard_negatives" ->

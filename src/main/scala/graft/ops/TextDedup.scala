@@ -179,6 +179,48 @@ object TextDedup {
           .as("dup_ratio"))
   }
 
+  /** The curation front-door as ONE fused plan: Unicode canonicalize →
+    * exact content-hash dedup (keep min doc_id) → word-shingle
+    * near-dedup over the survivors — the normalize→dedup→near-dedup
+    * chain every production corpus pipeline runs, here as a single
+    * DataFrame composition so Catalyst fuses the normalize + hash
+    * projections into the scan (one pass over the text) and the whole
+    * thing costs two content-keyed shuffles (hash groups, shingle
+    * postings) + the verify join.
+    *
+    * Stage coupling is what the composition verifies: without the NFC
+    * step, a composed-form document and its decomposed-form twin hash
+    * DIFFERENTLY and leak past the exact stage (the registered query
+    * plants exactly such twins — they merge iff normalization ran).
+    *
+    * Output: one verdict row per input doc —
+    * (doc_id, status ∈ kept|exact_dup|near_dup, canonical_id), where
+    * near canonical is the doc's smallest near-dup partner (direct
+    * partner, not transitive closure — [[dedupClusters]] is the
+    * transitive path when chains matter).
+    */
+  def curationPipeline(docs: DataFrame, k: Int = 3,
+                       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = Text.textNormalize(docs, form = "NFC")
+    val exact = norm.withColumn("exact_canon",
+      min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+    val survivors = exact.filter(col("doc_id") === col("exact_canon"))
+      .select(col("doc_id"), col("text"))
+    val nearCanon = nearDupJaccard(survivors, k, threshold, maxDf)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_canon"))
+    exact.select(col("doc_id"), col("exact_canon"))
+      .join(nearCanon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_canon"), lit("exact_dup"))
+          .when(col("near_canon").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("doc_id") =!= col("exact_canon"), col("exact_canon"))
+          .when(col("near_canon").isNotNull, col("near_canon"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+  }
+
   /** ExactSubstr dedup APPLY (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better"): REMOVE every token that lies
     * inside a ≥`w`-token span duplicated anywhere in the corpus at ANY
@@ -648,13 +690,16 @@ object TextDedup {
     */
   def nearDupJaccardChars(docs: DataFrame, n: Int = 5,
                           threshold: Double = 0.5,
-                          maxDf: Int = 100): DataFrame = {
+                          maxDf: Int = -1): DataFrame = {
+    val (bands, dfCap, margin) = charFunnelParams(threshold,
+      if (maxDf > 0) 0L else docs.count())
+    val cap = if (maxDf > 0) maxDf else dfCap
     val hashed = charHashedShingles(docs, n)
       .persist() // reused: signatures, rare index, int-set verify
     val sigs = minhashSigs(hashed, charNumHashes, lshPrime)
       .persist() // reused: banding + the prefilter
-    val cand = charCandidates(hashed, sigs, maxDf)
-    val pre = charSigAgreement(cand, sigs, threshold)
+    val cand = charCandidates(hashed, sigs, cap, bands)
+    val pre = charSigAgreement(cand, sigs, threshold, margin)
     val nearExact = charHashedSetJaccard(pre, hashed, threshold)
 
     // Stage 3 — the exact STRING-set decision (precision 1.0, the
@@ -668,6 +713,43 @@ object TextDedup {
   // regressions to.
 
   private[graft] val charNumHashes = 64
+
+  /** Derive the char funnel's three tuning constants from (threshold,
+    * corpus size) the way [[Similarity.bandingFor]] derives embedding
+    * banding — no inherited test tuning on the engine's heaviest query
+    * (the SCALE.md rule: every recall/cost knob is a FORMULA of the
+    * threshold and corpus stats, never a constant that happened to pass
+    * a gate).
+    *
+    *  - rows-per-band r: the densest banding (largest r, fewest
+    *    candidates) whose per-pair miss at J = threshold,
+    *    (1 − tʳ)^(64/r), stays ≤ 2e-4 — at t = 0.5 that picks r = 2
+    *    (0.75³² ≈ 1.0e-4; r = 3 gives 6e-2, three orders too lossy);
+    *  - signature-prefilter margin: Hoeffding on 64 Bernoulli
+    *    agreements, margin = sqrt(ln(1/δ)/(2·64)) at δ = 2e-3 → 0.2203
+    *    (P[miss a true pair AT threshold] ≤ δ, vanishing above it);
+    *  - rare-index df cap: shingles shared by > 2 % of a LARGE corpus
+    *    are template boilerplate — they carry no pair discrimination
+    *    the LSH generator doesn't already provide, and their posting
+    *    lists cost df² pair expansions. Small corpora keep the
+    *    exhaustive floor (100 — expansion is cheap there); the 1024
+    *    ceiling bounds the worst per-shingle explode at planetary
+    *    corpus sizes.
+    */
+  private[graft] def charFunnelParams(threshold: Double, corpusSize: Long,
+                                      lshMiss: Double = 2e-4,
+                                      sigMiss: Double = 2e-3): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val r = (4 to 1 by -1).find { r =>
+      math.pow(1.0 - math.pow(threshold, r), charNumHashes / r) <= lshMiss
+    }.getOrElse(1)
+    val bands = charNumHashes / r
+    val margin = math.sqrt(math.log(1.0 / sigMiss) / (2.0 * charNumHashes))
+    val dfCap = math.min(1024L,
+      math.max(100L, math.ceil(0.02 * corpusSize).toLong)).toInt
+    (bands, dfCap, margin)
+  }
 
   /** Char shingles hashed into the MinHash domain (doc_id, x). */
   private[graft] def charHashedShingles(docs: DataFrame, n: Int): DataFrame =
@@ -683,8 +765,8 @@ object TextDedup {
     * the bench before the funnel).
     */
   private[graft] def charCandidates(hashed: DataFrame, sigs: DataFrame,
-                                    maxDf: Int): DataFrame = {
-    val lsh = bucketPairs(bandsOf(sigs, charNumHashes, bands = 32))
+                                    maxDf: Int, bands: Int = 32): DataFrame = {
+    val lsh = bucketPairs(bandsOf(sigs, charNumHashes, bands))
     val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
       .select(col("doc_a"), col("doc_b"))
     lsh.unionByName(rare).distinct()
@@ -714,9 +796,10 @@ object TextDedup {
     * round-6 fix.
     */
   private[graft] def charSigAgreement(cand: DataFrame, sigs: DataFrame,
-                                      threshold: Double): DataFrame = {
+                                      threshold: Double,
+                                      margin: Double = 0.22): DataFrame = {
     val minAgree =
-      math.max(0, math.ceil((threshold - 0.22) * charNumHashes)).toInt
+      math.max(0, math.ceil((threshold - margin) * charNumHashes)).toInt
     val sigInts = sigs.select(col("doc_id"),
       transform(col("sig"), v => v.cast("int")).as("sig"))
     cand

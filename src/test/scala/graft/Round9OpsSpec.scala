@@ -96,6 +96,48 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(es(2L)._2 === 0L && es(2L)._3 === "tiny doc")
   }
 
+  // ---- curationPipeline ----------------------------------------------
+
+  test("curationPipeline: unicode twins merge in the exact stage (stage " +
+       "coupling — they hash-merge IFF normalize ran), near-copies get " +
+       "near_dup verdicts, the rest stay kept") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "Caf\u00e9 " + body),                     // composed form
+      (2L, "Cafe\u0301 " + body),                    // decomposed twin of 1
+      (3L, "Caf\u00e9 " + body + " tail1 tail2"),     // near-copy of 1
+      (4L, (1 to 30).map(i => s"z$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val out = TextDedup.curationPipeline(docs)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("kept", 1L)))
+    assert(out(2L) === (("exact_dup", 1L)), "decomposed twin must merge " +
+      "with the composed original — only NFC makes their hashes equal")
+    assert(out(3L) === (("near_dup", 1L)))
+    assert(out(4L) === (("kept", 4L)))
+  }
+
+  // ---- charFunnelParams ---------------------------------------------
+
+  test("charFunnelParams: the derivation reproduces the measured gate " +
+       "constants at t=0.5 and adapts the df cap with corpus size") {
+    // gate corpora (500 / 5 000 docs): 32 bands of 2 rows, Hoeffding
+    // margin 0.2203 (same minAgree=18 as the old 0.22 constant), df cap
+    // pinned at the exhaustive floor
+    for (n <- Seq(500L, 5000L)) {
+      val (bands, cap, margin) = TextDedup.charFunnelParams(0.5, n)
+      assert(bands === 32 && cap === 100)
+      assert(math.abs(margin - 0.2203) < 5e-4)
+      assert(math.ceil((0.5 - margin) * 64).toInt ===
+             math.ceil((0.5 - 0.22) * 64).toInt, "minAgree unchanged")
+    }
+    // at 10⁹ docs the cap hits the explode-bound ceiling
+    assert(TextDedup.charFunnelParams(0.5, 1000000000L)._2 === 1024)
+    // a higher threshold affords denser banding (fewer candidates):
+    // at t=0.9, r=4 rows/band has miss (1-0.9⁴)^16 ≈ 4e-8
+    assert(TextDedup.charFunnelParams(0.9, 5000L)._1 === 16)
+  }
+
   test("exactSubstrDedup agrees with an independent plain-Scala " +
        "reference on seeded random corpora (tiny vocab forces repeats)") {
     val rnd = new scala.util.Random(42)
