@@ -6088,22 +6088,23 @@ object SparkEntry {
            CASE WHEN doc_id % 4 = 2 THEN 'audio/wav'
                 WHEN doc_id % 8 = 3 THEN 'image/png'
                 WHEN doc_id % 16 = 7 THEN 'image/gif'
-                WHEN doc_id % 16 = 15 THEN 'application/octet-stream'
+                WHEN doc_id % 16 = 15 THEN 'image/jpeg'
                 ELSE 'image/bmp' END AS format,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 16 + doc_id % 32
                      WHEN doc_id % 8 = 3 THEN 8 + doc_id % 24
                      WHEN doc_id % 16 = 7 THEN 10 + doc_id % 20
-                     WHEN doc_id % 16 = 15 THEN length(text) % 640
+                     WHEN doc_id % 16 = 15 THEN 12 + doc_id % 20
                 END AS INT) AS width,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 8 + doc_id % 16
                      WHEN doc_id % 8 = 3 THEN 4 + doc_id % 12
                      WHEN doc_id % 16 = 7 THEN 5 + doc_id % 10
-                     WHEN doc_id % 16 = 15 THEN ascii(substr(text, 1, 1))
+                     WHEN doc_id % 16 = 15 THEN 6 + doc_id % 10
                 END AS INT) AS height,
            CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 24
                      WHEN doc_id % 4 = 2 THEN 16
                      WHEN doc_id % 8 = 3 THEN 8
-                     WHEN doc_id % 16 = 7 THEN 1 END AS INT) AS bpp,
+                     WHEN doc_id % 16 = 7 THEN 1
+                     WHEN doc_id % 16 = 15 THEN 24 END AS INT) AS bpp,
            CAST(CASE WHEN doc_id % 4 = 2 THEN
                   CASE (doc_id % 16) // 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                        WHEN 2 THEN 22050 ELSE 44100 END
@@ -6118,7 +6119,10 @@ object SparkEntry {
                   68 + (4 + doc_id % 12) * (9 + doc_id % 24)
                      WHEN doc_id % 16 = 7 THEN
                   32 + lzw + (lzw + 254) // 255
-                     ELSE length(text) END AS BIGINT) AS n_bytes
+                     -- jpeg: decoded framebuffer w*h*3 (lossy container
+                     -- length is encoder-dependent, not analytic)
+                     ELSE (12 + doc_id % 20) * (6 + doc_id % 10) * 3
+                END AS BIGINT) AS n_bytes
          FROM documents JOIN gif USING (doc_id)""",
 
     "dq_quarantine" ->

@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * codec) amortizes its setup per partition, not per row.
   *
   * [[decodeFeatures]] is a REAL multi-format decode: payloads are valid
-  * 24-bit BMP, PCM WAV, 8-bit grayscale PNG, and LZW-compressed GIF89a
-  * files; the decoder dispatches on magic bytes and parses them with
-  * [[decodeBmp]]/[[decodeWav]]/[[decodePng]]/[[decodeGif]] (the PNG
+  * 24-bit BMP, PCM WAV, 8-bit grayscale PNG, LZW-compressed GIF89a,
+  * and baseline JPEG files; the decoder dispatches on magic bytes and
+  * parses them with [[decodeBmp]]/[[decodeWav]]/[[decodePng]]/
+  * [[decodeGif]] plus the JDK's own ImageIO JPEG codec (a true LOSSY
+  * path — encode and decode run the real DCT round trip; the PNG
   * path verifies the IHDR CRC-32 like a real parser, and the spec
-  * round-trips the BMP/PNG/GIF encoders through the JDK's own ImageIO
-  * codecs to prove the payloads are genuinely valid). Only payloads in
-  * a genuinely unknown container (1/16 of the corpus) fall through to
-  * a disclosed STUB branch (deterministic fake features — this
-  * container has no JPEG/H.264 codecs to hand such bytes to); a
-  * production pipeline would plug its codec into that one branch.
+  * round-trips the BMP/PNG/GIF encoders through ImageIO to prove the
+  * payloads are genuinely valid). Every fixture slice now routes
+  * through a real codec; the disclosed STUB branch survives only as
+  * the defensive fallthrough for genuinely unknown containers
+  * (exercised by the spec with headerless bytes, never by the
+  * registered corpus) — a production pipeline would plug an H.264/AV1
+  * codec into that one branch.
   */
 object Multimodal {
 
@@ -56,7 +59,8 @@ object Multimodal {
           encodePng(8 + (docId % 24).toInt, 4 + (docId % 12).toInt, seed)
         else if (docId % 16 == 7)
           encodeGif(10 + (docId % 20).toInt, 5 + (docId % 10).toInt, seed)
-        else seed
+        else // doc_id % 16 == 15: real baseline JPEG via the JDK codec
+          encodeJpeg(12 + (docId % 20).toInt, 6 + (docId % 10).toInt, seed)
     }
 
   /** Format sniffing + REAL decode: dispatch on magic bytes exactly like
@@ -65,7 +69,7 @@ object Multimodal {
     * branch (deterministic byte-derived features) — the seam where a
     * JPEG/PNG/H.264 codec would slot in.
     */
-  private def sniffDecode(docId: Long, bytes: Array[Byte]): MediaFeatures =
+  private[graft] def sniffDecode(docId: Long, bytes: Array[Byte]): MediaFeatures =
     if (bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
       val f = decodeBmp(docId, bytes)
       MediaFeatures(docId, "image/bmp", Some(f.width), Some(f.height),
@@ -87,6 +91,24 @@ object Multimodal {
       val f = decodeGif(docId, bytes)
       MediaFeatures(docId, "image/gif", Some(f.width), Some(f.height),
         Some(f.palette_bits), None, None, f.n_bytes)
+    } else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xFF &&
+      (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF) {
+      // real lossy decode: the JDK's ImageIO JPEG reader runs the full
+      // entropy-decode + IDCT. n_bytes reports the DECODED framebuffer
+      // (w·h·3): the container length of a lossy codec varies with
+      // encoder version/quality tables and is not an analytic quantity,
+      // while the framebuffer is exact and engine-portable
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img != null)
+        MediaFeatures(docId, "image/jpeg", Some(img.getWidth),
+          Some(img.getHeight), Some(24), None, None,
+          img.getWidth.toLong * img.getHeight.toLong * 3L)
+      else
+        MediaFeatures(docId, "application/octet-stream",
+          Some(bytes.length % 640),
+          Some(bytes.headOption.getOrElse(0: Byte) & 0xff),
+          None, None, None, bytes.length.toLong)
     } else
       // STUB branch (disclosed): unknown container, no codec available
       MediaFeatures(docId, "application/octet-stream",
@@ -222,6 +244,32 @@ object Multimodal {
     * image files. Dimensions derive from the doc id, pixels from the doc
     * text cycled; everything deterministic.
     */
+  /** Real baseline JPEG via the JDK's ImageIO writer: deterministic
+    * seed-derived RGB pixels through the actual DCT/quantize/entropy
+    * pipeline. Dimensions survive the lossy round trip exactly; pixel
+    * values intentionally do not (that is what makes it a true lossy
+    * codec path, unlike the analytic BMP/PNG/GIF encoders).
+    */
+  private[graft] def encodeJpeg(width: Int, height: Int,
+                                seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val n = math.max(1, seed.length)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val b = seed((y * width + x) % n) & 0xff
+        img.setRGB(x, y, (b << 16) | (((x * 31 + y * 7) & 0xff) << 8) | (b ^ 0x5a))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
   private[graft] def encodeBmp(width: Int, height: Int, pixelSeed: Array[Byte]): Array[Byte] = {
     val rowSize = ((width * 3 + 3) / 4) * 4
     val dataSize = rowSize * height

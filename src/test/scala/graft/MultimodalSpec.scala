@@ -89,10 +89,10 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("decodeFeatures dispatches on magic bytes: BMP, WAV, PNG and GIF " +
-       "rows are REAL-parsed, only the unknown-container slice hits the stub") {
+  test("decodeFeatures dispatches on magic bytes: BMP, WAV, PNG, GIF and " +
+       "JPEG rows are all REAL-parsed (every fixture slice has a codec)") {
     // doc_id % 4 selects the payload family: 0,1 -> BMP, 2 -> WAV;
-    // % 8 = 3 -> PNG, % 16 = 7 -> GIF, % 16 = 15 -> raw
+    // % 8 = 3 -> PNG, % 16 = 7 -> GIF, % 16 = 15 -> JPEG via ImageIO
     val docs = Seq((4L, "bmp doc", "en"), (5L, "bmp too", "en"),
       (6L, "wav doc", "en"), (7L, "gif doc", "en"),
       (11L, "png doc", "en"), (15L, "opaque bytes", "en"))
@@ -119,11 +119,18 @@ class MultimodalSpec extends AnyFunSuite {
     // lzw = (6*204+10)/8 = 154 -> one sub-block: 32 + 154 + 1
     assert(gif.getLong(7) === 187L)
 
-    val raw = out(15L) // headerless -> disclosed stub branch
-    assert(raw.getString(1) === "application/octet-stream")
-    assert(raw.getInt(2) === "opaque bytes".length % 640)
-    assert(raw.getInt(3) === 'o'.toInt)
-    assert(raw.getLong(7) === "opaque bytes".length.toLong)
+    val jpg = out(15L) // w = 12+15%20 = 27, h = 6+15%10 = 11, real JPEG
+    assert(jpg.getString(1) === "image/jpeg")
+    assert(jpg.getInt(2) === 27 && jpg.getInt(3) === 11 && jpg.getInt(4) === 24)
+    assert(jpg.isNullAt(5) && jpg.isNullAt(6))
+    // n_bytes = decoded framebuffer (lossy container length isn't analytic)
+    assert(jpg.getLong(7) === 27L * 11L * 3L)
+
+    // the defensive stub branch survives for genuinely unknown
+    // containers (no registered slice routes here anymore)
+    val raw = Multimodal.sniffDecode(99L, "no codec for this".getBytes)
+    assert(raw.format === "application/octet-stream")
+    assert(raw.n_bytes === "no codec for this".length.toLong)
 
     val png = out(11L) // w = 8+11%24 = 19, h = 4+11%12 = 15
     assert(png.getString(1) === "image/png")
