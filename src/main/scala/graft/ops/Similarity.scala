@@ -750,11 +750,15 @@ object Similarity {
     */
   def pcaPower(embeddings: DataFrame, iterations: Int = 6): DataFrame = {
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    // the exploded (id, dim, q) relation is read twice per round —
+    // persist it once instead of re-scanning the parquet every join
+    // (iterative-algorithm caching, same as pagerank's adjacency)
     val e = embeddings
       .select(col("vec_id").as("id"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("id"), col("dim").cast("long").as("dim"),
         round(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
+      .persist()
     var v = e.select(col("dim")).distinct()
       .withColumn("v", lit(1000000L).cast(big))
     for (_ <- 1 to iterations) {
@@ -765,14 +769,24 @@ object Similarity {
         .groupBy(col("dim"))
         .agg(sum(col("u") * col("q").cast(big)).as("w"))
       val s = w.agg(max(abs(col("w"))).as("s"))
+      // CUT LINEAGE each round: v's expression embeds the previous v
+      // TWICE (once via u, once via w), so inlining doubles the subtree
+      // per iteration — the un-cut plan held 632 parquet scans and 3 348
+      // nodes at 6 rounds (the oracle's own scaladoc warned of exactly
+      // this and materializes per step; now both sides do). v is
+      // dim-sized, so the checkpoint is ~d rows — always cheap
       v = w.crossJoin(broadcast(s))
         .select(col("dim"),
           when(col("s") === 0, lit(0L).cast(big))
             .otherwise(expr("(w + s) * 1000000 div s - 1000000")
               .cast(big)).as("v"))
+        .localCheckpoint()
     }
-    v.select(col("dim"), col("v").cast("long").as("loading_q"),
+    val out = v.select(col("dim"), col("v").cast("long").as("loading_q"),
       round(col("v").cast("double") / lit(1000000.0), 6).as("loading"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** The DuckDB oracle for [[pcaPower]]: the same integer recurrence

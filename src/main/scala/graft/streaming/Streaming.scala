@@ -27,6 +27,24 @@ object Streaming {
   private def nextName(prefix: String): String =
     synchronized { counter += 1; s"${prefix}_$counter" }
 
+  /** Last executed MICRO-BATCH plan of the most recent stateful query —
+    * the plan-audit evidence for streaming ops. A streaming op's
+    * returned DataFrame is a memory-sink readout (its explain is just a
+    * LocalTableScan), so the plan that matters — the one with
+    * StreamingSymmetricHashJoin / stateful aggregates — lives on the
+    * StreamExecution and is captured here right before stop().
+    */
+  @volatile private[graft] var lastMicroBatchPlan: String = ""
+
+  private def captureStreamPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+        q.explain()
+      }
+      lastMicroBatchPlan = baos.toString("UTF-8")
+    } catch { case _: Throwable => () }
+
   /** The canonical 5-column events projection every events-driven op
     * here streams from. */
   private val events5Cols =
@@ -915,6 +933,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
+    captureStreamPlan(query)
     query.stop()
     spark.table(name).select(col("user_id"), col("view_id"), col("view_ts"),
       col("purchase_id"), col("purchase_ts"))

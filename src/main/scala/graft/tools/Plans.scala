@@ -133,7 +133,17 @@ object Plans {
     "dq_suggest" -> "single map-side-combined aggregate (counts, extremes, distincts in one pass); explode runs on the 1-row wide result",
     "sql_recursive_cte" -> "UnionLoop fixpoint: per-iteration join of the frontier against the part scan; depth-bounded, rollup on the closure",
     "purged_kfold" -> "one map-side-combined scan to the day table; 1-row bounds broadcast + K-row fold range join — nothing feed-sized after the first agg",
-    "fellegi_sunter" -> "two bounded-block joins (15/1000 ids per key, linear candidates), persisted comparison vectors feed the 1-row estimate and the <=8-row pattern rollup")
+    "fellegi_sunter" -> "two bounded-block joins (15/1000 ids per key, linear candidates), persisted comparison vectors feed the 1-row estimate and the <=8-row pattern rollup",
+    // round 9: the heavy-warm tail the round-8 verdict flagged as unaudited
+    "pagerank" -> "contrib join + sum agg per round over the PERSISTED edge/degree tables (InMemoryTableScan); every-4th-round localCheckpoint bounds the visible plan to the last rounds",
+    "dedup_clusters" -> "label-propagation loop runs at GRAPH size in a child session (shuffles sized to the pair graph, corpus never in the loop); the returned plan is only the post-loop labeling window",
+    "dedup_canonical" -> "canonical pick over the loop's label output: one window + filter, two label-sized exchanges; corpus joined once",
+    "split_by_cluster" -> "split assignment is a projection + one exchange over the post-loop label table; nothing corpus-sized after the clustering",
+    "k_core" -> "per-round degree agg + broadcast semi-join peel on the persisted edge table, lineage cut per round; final plan is the bounded last-rounds tail",
+    "pca_power" -> "per-round broadcast-vector x decimal-sum aggs over the PERSISTED exploded matrix; v localCheckpoint'ed per round (the un-cut plan doubled per round - 632 scans / 3348 nodes at 6 iters; now one cached scan + a LogicalRDD tail)",
+    "curation_pipeline" -> "fused front: NFC normalize + sha2 inside the scan projection; hash-partition window dedup; shingle near-dedup runs on survivors only",
+    "exactsubstr_dedup" -> "stride-1 window explode (w x corpus, disclosed); ONE content-keyed first-occurrence window; covered-token rebuild is a per-row projection",
+    "text_normalize" -> "zero-shuffle projection: codegen'd UnicodeNormalize + two regex passes + trim + sha2 in one scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -157,6 +167,15 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode)
       sb ++= s"\n## $name — $why\n\n```\n$plan```\n"
     }
+
+    // streaming ops return a memory-sink readout (whose explain is just a
+    // LocalTableScan) — the plan that matters is the stateful MICRO-BATCH
+    // plan on the StreamExecution, captured right before stop()
+    graft.SparkEntry.queries("streaming_join_outer")(spark, sfDir).count()
+    sb ++= "\n## streaming_join_outer — stateful stream-stream left-outer: " +
+      "StreamingSymmetricHashJoin with watermark-bounded state on both " +
+      "sides (the executed micro-batch plan, not the readout)\n\n```\n" +
+      graft.streaming.Streaming.lastMicroBatchPlan + "```\n"
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${audited.size} plans)")
     spark.stop()
