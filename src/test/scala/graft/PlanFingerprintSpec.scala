@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden plan-shape gate for the plan-critical queries: an accidental
+  * cartesian, a lost pushdown that re-scans the corpus, or an
+  * exponential lineage blowup must fail a TEST, not wait for a bench
+  * read or a judge pass (round 9's pca_power audit found exactly that:
+  * 632 parquet scans in one plan — this spec would have caught it at
+  * ≤ the golden bound).
+  *
+  * The fingerprint is deliberately coarse — operator COUNTS from the
+  * formatted explain string, not a text hash — so benign plan drift
+  * (AQE decisions, column renames, rule reordering) passes while the
+  * pathological classes fail:
+  *   - CartesianProduct: forbidden outright in every listed query;
+  *   - BroadcastNestedLoopJoin: bounded at the audited count (three
+  *     listed queries carry documented 1-row-BNLJ crossJoin sites —
+  *     broadcast-tiny totals/cutoffs; everywhere else the bound is 0);
+  *   - "Scan parquet" and Exchange counts bounded at 1.5× the audited
+  *     PLANS.md value — loop operators' round counts move a little
+  *     with data regeneration, a blowup moves 10-600×.
+  *
+  * Counting method matches tools.Plans provenance: substring counts
+  * over `explain("formatted")` at sf0.001 (scans appear twice — tree
+  * line + detail block — consistently on both sides of the bound).
+  */
+class PlanFingerprintSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // (query, maxScanTokens, maxExchangeTokens) — audited values from
+  // PLANS.md (round 9) with 1.5× headroom applied in the assertion
+  private val golden: Seq[(String, Int, Int, Int)] = Seq(
+    ("agg_rollup", 2, 1, 0),
+    ("join_revenue", 8, 1, 0),
+    ("window_rank", 2, 1, 0),
+    ("asof_join_native", 4, 2, 0),
+    ("embedding_near_dup", 16, 5, 0),
+    ("simhash_pairs", 3, 3, 0),
+    ("near_dedup_chars", 45, 91, 0),
+    ("near_dedup_incremental", 24, 50, 0),
+    ("minhash_lsh", 8, 26, 0),
+    ("allpairs_jaccard", 45, 73, 0),
+    ("paragraph_dedup", 4, 3, 0),
+    ("exactsubstr_report", 4, 3, 0),
+    ("exactsubstr_dedup", 4, 3, 0),
+    ("curation_pipeline", 12, 12, 0),
+    ("text_normalize", 2, 0, 0),
+    ("semdedup", 10, 12, 6),
+    ("cdc_chunk_dedup", 4, 3, 0),
+    ("pagerank", 0, 18, 0),
+    ("dedup_clusters", 2, 3, 0),
+    ("dedup_canonical", 2, 3, 0),
+    ("split_by_cluster", 2, 2, 0),
+    ("k_core", 0, 29, 0),
+    ("pca_power", 0, 0, 0),
+    ("cc_star", 2, 3, 0),
+    ("graph_bfs", 0, 125, 0),
+    ("link_predict", 0, 6, 0),
+    ("triangle_count", 0, 75, 0),
+    ("entity_resolution", 8, 4, 0),
+    ("salted_join", 4, 0, 0),
+    ("bucketed_join", 4, 0, 0),
+    ("dpp_join", 6, 3, 0),
+    ("zorder_prune", 2, 0, 0),
+    ("sql_q9_profit", 10, 2, 0),
+    ("sql_q19_disjunctive", 4, 1, 0),
+    ("join_q5_shape", 12, 2, 0),
+    ("dsir_affinity", 4, 3, 0),
+    ("bpe_encode", 2, 1, 0),
+    ("gopher_repetition", 2, 1, 0),
+    ("rrf_fusion", 9, 7, 6),
+    ("fellegi_sunter", 12, 8, 2)
+  )
+
+  private def count(hay: String, needle: String): Int = {
+    var n = 0; var i = hay.indexOf(needle)
+    while (i >= 0) { n += 1; i = hay.indexOf(needle, i + 1) }
+    n
+  }
+
+  for ((name, maxScans, maxExch, maxBnlj) <- golden) {
+    test(s"plan fingerprint: $name (scans ≤ ${maxScans}·1.5, " +
+         s"exchanges ≤ ${maxExch}·1.5, no cartesian)") {
+      val df = SparkEntry.queries(name)(TestSpark.spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(count(plan, "CartesianProduct") === 0,
+        s"$name grew a cartesian product")
+      // maxBnlj > 0 marks the audited 1-row-BNLJ crossJoin sites
+      // (broadcast-tiny totals/cutoffs — the documented legal pattern);
+      // growth beyond the audited count is a new nested loop
+      assert(count(plan, "BroadcastNestedLoopJoin") <= maxBnlj,
+        s"$name grew a nested-loop join beyond the $maxBnlj audited " +
+        "1-row-BNLJ sites")
+      val scans = count(plan, "Scan parquet")
+      // line-anchored: plain shuffle Exchange tree nodes only (NOT
+      // BroadcastExchange/ReusedExchange, same counting as the goldens)
+      val exch = """(?m)^[\s+:|-]*Exchange \(""".r.findAllIn(plan).size
+      assert(scans <= math.ceil(maxScans * 1.5).toInt + 1,
+        s"$name scan-token count $scans blew past the audited $maxScans " +
+        "— a lost reuse/pushdown or an unrolled-lineage blowup")
+      assert(exch <= math.ceil(maxExch * 1.5).toInt + 1,
+        s"$name exchange count $exch blew past the audited $maxExch")
+    }
+  }
+}
