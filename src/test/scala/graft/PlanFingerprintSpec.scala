@@ -83,6 +83,15 @@ class PlanFingerprintSpec extends AnyFunSuite {
   for ((name, maxScans, maxExch, maxBnlj) <- golden) {
     test(s"plan fingerprint: $name (scans ≤ ${maxScans}·1.5, " +
          s"exchanges ≤ ${maxExch}·1.5, no cartesian)") {
+      // the scan-token metric is cache-state-sensitive: a relation
+      // persisted by an EARLIER suite (DegeneracySpec runs every query)
+      // substitutes InMemoryRelation blocks whose embedded cached plans
+      // re-print the child scans, inflating counts 2-4x. Clear the
+      // shared session's cache so every fingerprint is taken under the
+      // same fresh-session conditions the goldens were generated in
+      // (tools.Plans). Suites run sequentially in the forked test JVM,
+      // so this cannot race another suite's job.
+      TestSpark.spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(TestSpark.spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
