@@ -859,6 +859,13 @@ object SparkEntry {
     "quality_prune_curve" -> ((s, dir) =>
       Text.qualityPruneCurve(Tables.documents(s, dir))),
 
+    // E3+: in-engine quality-probe TRAINING (CCNet/GPT-3-style "learn a
+    // cheap filter over the corpus"): 6 batch-GD steps, each ONE corpus
+    // scan to a 4-number DECIMAL gradient; rational fast-sigmoid link so
+    // the oracle replays every step bit-for-bit (no transcendentals)
+    "quality_probe" -> ((s, dir) =>
+      Text.qualityProbe(Tables.documents(s, dir))),
+
     // E3+: Gopher repetition filters (n-gram half) — per-row sorted-run
     // folds, zero key shuffle
     "gopher_repetition" -> ((s, dir) =>
@@ -5238,6 +5245,10 @@ object SparkEntry {
     // independent algorithm for the same exact integers: the op folds
     // sorted in-row n-gram runs; the oracle explodes every n-gram and
     // two-level-groups. Fractions are single divisions of exact longs.
+    // the identical training loop unrolled + materialized per step,
+    // generated beside the operator (the pcaPower precedent)
+    "quality_probe" -> Text.qualityProbeOracleSql(),
+
     "gopher_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
                CAST(len(text) AS BIGINT) AS tc FROM documents),

@@ -1343,4 +1343,146 @@ object Text {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
   }
+
+  // ---- in-engine quality-probe training ------------------------------
+
+  /** Train a linear quality probe IN THE ENGINE — the fastText-style
+    * "learn a cheap classifier over the corpus, then filter with it"
+    * loop (CCNet / GPT-3 quality filtering), as batch gradient descent
+    * where each step is ONE corpus scan producing a 4-number gradient.
+    * At 100 TB this is the only shape that works: features are a
+    * per-row projection, the gradient is a map-side-combined aggregate,
+    * and the model (4 weights) is driver-held bounded state — the same
+    * legality class as the dim probe / 5-row DQ report collects.
+    *
+    * Exact-arithmetic contract (the engine's clamped-ppm style): all
+    * features, scores, and weights live in micro-units (×10⁶) as
+    * integers. The logistic link is the RATIONAL fast sigmoid
+    * σ(z) ≈ 1/2 + z / (2(1+|z|)) — one integer division, no exp — so
+    * the DuckDB oracle replays every training step bit-for-bit
+    * (truncating integer division is IDENTICAL across Spark `div`,
+    * DuckDB `//`, and BigInt `/` — verified toward-zero on all three).
+    * Gradient sums go through DECIMAL(38,0): order-independent at any
+    * partitioning. Weights clamp to ±20·10⁶ (the sigmoid saturates by
+    * |z| = 20 anyway), which also keeps every per-row dot inside LONG.
+    *
+    * Features: capped n_words/100, type-token ratio, mean word length
+    * (+bias); label = (lang = 'en'). The probe's contract here is the
+    * REPRODUCIBLE TRAINING MECHANISM — swap in real quality labels and
+    * richer features in production.
+    */
+  def qualityProbe(docs: DataFrame, iterations: Int = 6): DataFrame = {
+    val S = 1000000L
+    val f = docs
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).cast("long").as("nw"),
+        size(array_distinct(words(col("text")))).cast("long").as("nd"),
+        length(col("text")).cast("long").as("nc"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", lit(S)).otherwise(lit(0L)).as("y"),
+        lit(S).as("x0"),
+        (least(col("nw"), lit(100000L)) * lit(10000L)).as("x1"),
+        expr("nd * 1000000 div nw").as("x2"),
+        least(expr("(nc - nw + 1) * 1000000 div nw"), lit(100000000L))
+          .as("x3"))
+      .persist()
+    val n = f.count()
+
+    def scoredWith(w: Array[BigInt]): DataFrame =
+      f.withColumn("dot",
+          col("x0") * lit(w(0).toLong) + col("x1") * lit(w(1).toLong) +
+          col("x2") * lit(w(2).toLong) + col("x3") * lit(w(3).toLong))
+        .withColumn("zc", greatest(least(expr("dot div 1000000"),
+          lit(20L * S)), lit(-20L * S)))
+        .withColumn("s", lit(500000L) +
+          expr("(zc * 1000000) div (2 * (1000000 + abs(zc)))"))
+
+    val dec = DecimalType(38, 0)
+    var w = Array.fill(4)(BigInt(0))
+    val den = BigInt(4L) * BigInt(n) * BigInt(S) // lr = 1/4
+    val lim = BigInt(20L * S)
+    for (_ <- 1 to iterations) {
+      val g = scoredWith(w)
+        .withColumn("err", col("s") - col("y"))
+        .agg(
+          sum((col("err") * col("x0")).cast(dec)).as("g0"),
+          sum((col("err") * col("x1")).cast(dec)).as("g1"),
+          sum((col("err") * col("x2")).cast(dec)).as("g2"),
+          sum((col("err") * col("x3")).cast(dec)).as("g3"))
+        .collect()(0) // 4 numbers: the model, not data rows
+      w = w.indices.map { j =>
+        val gj = BigInt(g.getDecimal(j).toBigInteger)
+        (w(j) - gj / den).max(-lim).min(lim)
+      }.toArray
+    }
+    // decision column: ABOVE-MEAN, not a fixed 0.5 cut — a 6-step probe's
+    // scores hover near 0.5 and a fixed cut degenerates to all-true/all-
+    // false (the constant-flag class DegeneracySpec forbids); the
+    // production cut is relative anyway (CCNet keeps quantile slices).
+    // Exact rational compare score·n > Σscores: integer arithmetic, and
+    // structurally two-valued whenever any two scores differ. The 1-row
+    // (n, total) side rides the documented tiny-crossJoin pattern.
+    val scored = scoredWith(w)
+    val tot = scored.agg(
+      sum(col("s").cast(dec)).as("tot"), count(lit(1)).as("nn"))
+    val out = scored.crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr("y div 1000000").as("label"),
+        col("s").as("score_q"),
+        (col("s").cast(dec) * col("nn").cast(dec) > col("tot"))
+          .as("above_mean"))
+      .localCheckpoint() // the trained scoring, lineage-free
+    f.unpersist()
+    out
+  }
+
+  /** DuckDB oracle for [[qualityProbe]]: the identical training loop
+    * unrolled and MATERIALIZED per step (the pcaPower precedent), with
+    * `//` everywhere Spark uses `div` — both truncate toward zero.
+    * Generated beside the operator so both sides share one definition
+    * of the arithmetic, clamps included.
+    */
+  def qualityProbeOracleSql(iterations: Int = 6): String = {
+    def scoreFrom(wRel: String) =
+      s"""SELECT doc_id, y, x0, x1, x2, x3,
+         |  500000 + (zc * 1000000) // (2 * (1000000 + abs(zc))) AS s
+         |FROM (SELECT f.doc_id, f.y, f.x0, f.x1, f.x2, f.x3,
+         |        greatest(least((w0*x0 + w1*x1 + w2*x2 + w3*x3) // 1000000,
+         |          20000000), -20000000) AS zc
+         |      FROM f, $wRel) t""".stripMargin
+    val steps = (1 to iterations).map { i =>
+      s"""p$i AS MATERIALIZED (${scoreFrom(s"w${i - 1}")}),
+         | g$i AS (SELECT CAST(sum((s - y) * x0) AS HUGEINT) AS g0,
+         |   CAST(sum((s - y) * x1) AS HUGEINT) AS g1,
+         |   CAST(sum((s - y) * x2) AS HUGEINT) AS g2,
+         |   CAST(sum((s - y) * x3) AS HUGEINT) AS g3,
+         |   count(*) AS n FROM p$i),
+         | w$i AS (SELECT
+         |   greatest(least(w0 - g0 // (4 * n * 1000000), 20000000), -20000000) AS w0,
+         |   greatest(least(w1 - g1 // (4 * n * 1000000), 20000000), -20000000) AS w1,
+         |   greatest(least(w2 - g2 // (4 * n * 1000000), 20000000), -20000000) AS w2,
+         |   greatest(least(w3 - g3 // (4 * n * 1000000), 20000000), -20000000) AS w3
+         | FROM w${i - 1}, g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS MATERIALIZED (SELECT doc_id,
+       |   CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
+       |   CAST(1000000 AS BIGINT) AS x0,
+       |   least(len(string_split(text, ' ')), 100000) * 10000 AS x1,
+       |   (len(list_distinct(string_split(text, ' '))) * 1000000)
+       |     // len(string_split(text, ' ')) AS x2,
+       |   least((length(text) - len(string_split(text, ' ')) + 1) * 1000000
+       |     // len(string_split(text, ' ')), 100000000) AS x3
+       | FROM documents),
+       | w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$steps,
+       | fin AS MATERIALIZED (${scoreFrom(s"w$iterations")}),
+       | tot AS (SELECT CAST(sum(s) AS HUGEINT) AS tot, count(*) AS nn
+       |         FROM fin)
+       |SELECT doc_id, CAST(y // 1000000 AS BIGINT) AS label,
+       |  -- BIGINT cast: s rides HUGEINT weights and pandas renders
+       |  -- HUGEINT as float (the known sum() gotcha)
+       |  CAST(s AS BIGINT) AS score_q,
+       |  s * nn > tot AS above_mean
+       |FROM fin, tot""".stripMargin
+  }
 }

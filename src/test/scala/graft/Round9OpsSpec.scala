@@ -117,6 +117,33 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(4L) === (("kept", 4L)))
   }
 
+  // ---- qualityProbe ---------------------------------------------------
+
+  test("qualityProbe: training moves scores the right way on a separable " +
+       "fixture (en docs long-worded, others short-worded), and the " +
+       "arithmetic is reproducible run-to-run") {
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0)
+        (i, "en", Seq.fill(20)(s"wonderful$i word${i % 7}").mkString(" "))
+      else
+        (i, "xx", Seq.fill(20)(s"a$i b${i % 7}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = Text.qualityProbe(docs)
+      .select(col("doc_id"), col("label"), col("score_q"))
+      .as[(Long, Long, Long)].collect()
+    val en = out.filter(_._2 == 1L).map(_._3.toDouble)
+    val xx = out.filter(_._2 == 0L).map(_._3.toDouble)
+    // mean-word-length separates the classes; after 6 GD steps the en
+    // mean score must sit strictly above the xx mean score
+    assert(en.sum / en.length > xx.sum / xx.length,
+      s"probe failed to separate: en=${en.sum / en.length} " +
+      s"xx=${xx.sum / xx.length}")
+    // bit-reproducible: a second training run returns identical scores
+    val out2 = Text.qualityProbe(docs)
+      .select(col("doc_id"), col("score_q")).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, s) => assert(out2(id) === s) }
+  }
+
   // ---- charFunnelParams ---------------------------------------------
 
   test("charFunnelParams: the derivation reproduces the measured gate " +
