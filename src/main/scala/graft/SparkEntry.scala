@@ -1354,6 +1354,12 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
 
+    // E5: REAL thumbnail pass — decode, nearest-neighbor resample to
+    // 16×8, re-encode a valid BMP; checksum taken from the re-encoded
+    // bytes so decode+resample+encode are verified in one analytic shot
+    "multimodal_thumbnail" -> ((s, dir) =>
+      Multimodal.thumbnail(Tables.documents(s, dir))),
+
     // §2.9: tumbling-window streaming counts (file-backed readStream)
     "streaming_window" -> ((s, dir) =>
       graft.streaming.Streaming.windowedCounts(s, Tables.events(s, dir),
@@ -6237,6 +6243,25 @@ object SparkEntry {
              // greatest(16 + doc_id % 32, 8 + doc_id % 16, 1) AS INT) AS target_w,
            CAST((8 + doc_id % 16) * 224
              // greatest(16 + doc_id % 32, 8 + doc_id % 16, 1) AS INT) AS target_h
+         FROM documents WHERE doc_id % 4 IN (0, 1)""",
+
+    // every source byte is analytic in (doc_id, text): the fixture BMP
+    // streams text bytes cyclically, so thumb pixel (tx,ty,c) samples
+    // text[(sy·rowSize + sx·3 + c) mod len] with sy = ty·h div 8,
+    // sx = tx·w div 16 — the checksum replays decode+resample+encode
+    "multimodal_thumbnail" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(16 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+           CAST(list_sum(list_transform(range(16 * 8 * 3), i ->
+             ascii(substr(text, CAST(
+               ((((i // 3) // 16) * (8 + doc_id % 16) // 8)
+                  * (((16 + doc_id % 32) * 3 + 3) // 4) * 4
+                + (((i // 3) % 16) * (16 + doc_id % 32) // 16) * 3
+                + (i % 3)) % length(text) AS BIGINT) + 1, 1))))
+             AS BIGINT) AS thumb_checksum,
+           CAST(54 + 48 * 8 AS BIGINT) AS thumb_n_bytes
          FROM documents WHERE doc_id % 4 IN (0, 1)""",
 
     // frames are 64 ASCII bytes (text is pure ASCII: chars == bytes);

@@ -135,6 +135,68 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL thumbnail pass for the BMP slice: decode the source raster,
+    * nearest-neighbor-resample it to `tw`×`th` (src = t·dim div tdim —
+    * integral arithmetic, engine-portable), and RE-ENCODE a valid
+    * 24-bit BMP, all partition-wise (the codec-amortization shape every
+    * op in this file uses). This upgrades [[resizePlan]]'s geometry-only
+    * answer to actual pixel surgery: the checksum is computed from the
+    * RE-ENCODED thumbnail's data area, so the oracle (which predicts
+    * every source byte analytically from (doc_id, text)) verifies the
+    * decode, the resample arithmetic, and the encode round trip at once.
+    * The default 16×8 thumb keeps rows 4-byte aligned (48 = 16·3), so
+    * the data area is pure pixels — no padding in the checksum.
+    *
+    * Sampling operates in STORED raster order (BMPs are bottom-up, and
+    * the fixture encoder streams seed bytes in the same order), so the
+    * transform is orientation-preserving by construction.
+    *
+    * Scale: per-row projection, zero shuffle; only the 7-column feature
+    * row leaves the task.
+    */
+  def thumbnail(docs: DataFrame, tw: Int = 16, th: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 4 < 2) // the BMP slice, selected at scan
+      .select(col("doc_id"), col("text").cast("binary").as("blob"), col("lang"))
+      .as[Blob]
+      .mapPartitions { it =>
+        it.map { bl =>
+          val src = mediaBlob(bl.doc_id, bl.blob)
+          val bb = java.nio.ByteBuffer.wrap(src)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = bb.getInt(18); val h = bb.getInt(22)
+          val rowSize = ((w * 3 + 3) / 4) * 4
+          val thumb = new Array[Byte](3 * tw * th)
+          var ty = 0
+          while (ty < th) {
+            val sy = ty * h / th
+            var tx = 0
+            while (tx < tw) {
+              val sx = tx * w / tw
+              var c = 0
+              while (c < 3) {
+                thumb(ty * tw * 3 + tx * 3 + c) =
+                  src(54 + sy * rowSize + sx * 3 + c)
+                c += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          val enc = encodeBmp(tw, th, thumb)
+          // checksum over the re-encoded data area (pure pixels: tw·3
+          // is 4-byte aligned, no padding)
+          var sum = 0L
+          var i = 54
+          while (i < enc.length) { sum += enc(i) & 0xff; i += 1 }
+          (bl.doc_id, w, h, tw, th, sum, enc.length.toLong)
+        }
+      }
+      .toDF("doc_id", "width", "height", "thumb_w", "thumb_h",
+        "thumb_checksum", "thumb_n_bytes")
+  }
+
   /** Resize planning on decoded IMAGE features: fit into a `target`-pixel
     * box preserving aspect ratio — pure integral arithmetic (`div`) so
     * the result is engine-portable. Non-image rows (null dimensions) are

