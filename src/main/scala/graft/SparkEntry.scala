@@ -1437,6 +1437,13 @@ object SparkEntry {
       graft.streaming.Streaming.streamingDsir(s,
         Tables.documents(s, dir), tmp(dir, "stream_dsir_src"))),
 
+    // train-offline / score-online: frozen probe weights + cutoff score
+    // the doc stream as a pure STATELESS projection (no state store);
+    // closed-feed readout == batch quality_probe (same oracle)
+    "streaming_quality_score" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingQualityScore(s,
+        Tables.documents(s, dir), tmp(dir, "stream_qscore_src"))),
+
     // live KS drift monitor: per-cents pair counts sum-merged per
     // micro-batch (state bounded by the metric domain, not the feed);
     // closed-feed readout IS the batch ks_drift statistic stage
@@ -3336,6 +3343,8 @@ object SparkEntry {
       ("streaming_sketch_quantiles" -> streamingSketchQuantilesOracle) +
       // live count-table maintenance must land the batch DSIR scores
       ("streaming_dsir" -> baseOracles("dsir_affinity")) +
+      // the frozen-model streaming scorer must land the batch probe rows
+      ("streaming_quality_score" -> baseOracles("quality_probe")) +
       // the maintained pair-count table must land the batch KS statistic
       ("streaming_ks_drift" -> baseOracles("ks_drift")) +
       // the maintained side-count table must land the batch q-hat/coverage
@@ -6974,8 +6983,10 @@ object SparkEntry {
          FROM h, UNNEST(range(len(hs) - 3)) AS u(s)""",
 
     // same augmentation (chr codes restate the Scala \u escapes), same
-    // step order: NFC → whitespace-collapse → control-strip → trim.
-    // Explicit char classes (not \s) so Java regex and RE2 agree
+    // step order: control-strip → NFC → whitespace-collapse → trim
+    // (strip FIRST, so removals never create un-normalized adjacencies
+    // — the idempotence property). Explicit char classes (not \s) so
+    // Java regex and RE2 agree
     "text_normalize" ->
       """WITH aug AS (SELECT doc_id,
            (CASE WHEN doc_id % 2 = 0 THEN 'Cafe' || chr(769)
@@ -6983,9 +6994,9 @@ object SparkEntry {
            || chr(7) || chr(9) || ' ' || text || '  ' || chr(10) AS text
          FROM documents),
          n AS (SELECT doc_id,
-           trim(regexp_replace(
-             regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g'),
-             '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')) AS text
+           trim(regexp_replace(nfc_normalize(
+             regexp_replace(text, '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')),
+             '[ \t\n\r\f]+', ' ', 'g')) AS text
          FROM aug)
          SELECT doc_id, text, sha256(text) AS content_hash FROM n""",
 
@@ -7221,9 +7232,10 @@ object SparkEntry {
              SELECT doc_id + 20000, 'Cafe' || chr(769) || ' ' || text
              FROM documents WHERE doc_id % 10 = 0),
          n AS (SELECT doc_id,
-                 trim(regexp_replace(
-                   regexp_replace(nfc_normalize(text), '[ \t\n\r\f]+', ' ', 'g'),
-                   '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')) AS text
+                 trim(regexp_replace(nfc_normalize(
+                   regexp_replace(text,
+                     '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')),
+                   '[ \t\n\r\f]+', ' ', 'g')) AS text
                FROM inp),
          e AS (SELECT doc_id, text,
                  min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_canon

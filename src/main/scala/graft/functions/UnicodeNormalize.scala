@@ -49,8 +49,13 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     // fast path: already-normalized text (the common case for real
-    // corpora) returns without re-encoding
-    if (Normalizer.isNormalized(s, normForm)) input
+    // corpora) skips re-encoding. clone(), NOT the input reference: the
+    // incoming UTF8String points into a row buffer the scan reuses for
+    // the next row — returning it un-copied aliases mutating memory
+    // (surfaced as a NONDETERMINISTIC self-comparison by the
+    // idempotence property test: count() saw 20 "diffs", collect() saw 0)
+    if (Normalizer.isNormalized(s, normForm))
+      input.asInstanceOf[UTF8String].clone()
     else UTF8String.fromString(Normalizer.normalize(s, normForm))
   }
 
@@ -59,10 +64,12 @@ case class UnicodeNormalize(child: Expression, form: String)
       classOf[Normalizer.Form].getName)
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
+      // same clone() rationale as nullSafeEval: never hand back a
+      // pointer into the scan's reused row buffer
       s"""
          |String $s = $c.toString();
          |${ev.value} = java.text.Normalizer.isNormalized($s, $formRef)
-         |  ? $c
+         |  ? $c.clone()
          |  : org.apache.spark.unsafe.types.UTF8String.fromString(
          |      java.text.Normalizer.normalize($s, $formRef));
        """.stripMargin

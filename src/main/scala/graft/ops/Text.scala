@@ -48,16 +48,23 @@ object Text {
     *
     * Steps, in order (each a deterministic single-pass projection —
     * zero shuffle, one scan at 100 TB):
-    *  1. Unicode-normalize (`form`: NFKC for production — folds
+    *  1. strip C0/DEL control characters
+    *     `[\x00-\x08\x0B\x0E-\x1F\x7F]` (the class excludes the
+    *     whitespace handled in step 3). Stripping runs FIRST — the
+    *     idempotence property test caught the reverse order creating
+    *     un-normalized adjacencies: "c"+BEL+"◌́" stripped AFTER NFC
+    *     leaves an uncomposed c+◌́ pair that a second run then
+    *     composes (normalize-of-normalized must be a no-op, or replays
+    *     double-process documents);
+    *  2. Unicode-normalize (`form`: NFKC for production — folds
     *     ligatures/fullwidth/compatibility forms; NFC for the
     *     oracle-expressible subset) via the codegen
-    *     [[graft.functions.UnicodeNormalize]] expression;
-    *  2. collapse runs of whitespace `[ \t\n\r\f]+` to one space (the
+    *     [[graft.functions.UnicodeNormalize]] expression (NFKC can
+    *     emit new SPACES — e.g. U+00A0 — but never controls, so the
+    *     later collapse sees them and step 1 never needs to rerun);
+    *  3. collapse runs of whitespace `[ \t\n\r\f]+` to one space (the
     *     explicit class, not `\s`, so Java and RE2 oracles agree —
     *     Java's `\s` includes U+000B, RE2's does not);
-    *  3. strip remaining C0/DEL control characters
-    *     `[\x00-\x08\x0B\x0E-\x1F\x7F]` (the class excludes the
-    *     whitespace already collapsed in step 2);
     *  4. trim; 5. optional lowercase.
     *
     * Without this, composed vs decomposed accents ("é" U+00E9 vs
@@ -67,11 +74,11 @@ object Text {
     */
   def textNormalize(docs: DataFrame, form: String = "NFKC",
                     lowercase: Boolean = false): DataFrame = {
-    val normed = graft.functions.UnicodeNormalize(col("text"), form)
-    val collapsed = regexp_replace(normed, "[ \\t\\n\\r\\f]+", " ")
-    val stripped = regexp_replace(collapsed,
+    val stripped = regexp_replace(col("text"),
       "[\\x00-\\x08\\x0B\\x0E-\\x1F\\x7F]", "")
-    val trimmed = trim(stripped)
+    val normed = graft.functions.UnicodeNormalize(stripped, form)
+    val collapsed = regexp_replace(normed, "[ \\t\\n\\r\\f]+", " ")
+    val trimmed = trim(collapsed)
     val finalText = if (lowercase) lower(trimmed) else trimmed
     docs.withColumn("text", finalText)
       .withColumn("content_hash", sha2(col("text"), 256))
@@ -1371,38 +1378,50 @@ object Text {
     * REPRODUCIBLE TRAINING MECHANISM — swap in real quality labels and
     * richer features in production.
     */
-  def qualityProbe(docs: DataFrame, iterations: Int = 6): DataFrame = {
-    val S = 1000000L
-    val f = docs
+  private val probeScale = 1000000L
+
+  /** The probe's feature projection: fixed-point micro-unit integers
+    * (see [[qualityProbe]]'s arithmetic contract). */
+  private[graft] def probeFeatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         size(words(col("text"))).cast("long").as("nw"),
         size(array_distinct(words(col("text")))).cast("long").as("nd"),
         length(col("text")).cast("long").as("nc"))
       .select(col("doc_id"),
-        when(col("lang") === "en", lit(S)).otherwise(lit(0L)).as("y"),
-        lit(S).as("x0"),
+        when(col("lang") === "en", lit(probeScale)).otherwise(lit(0L)).as("y"),
+        lit(probeScale).as("x0"),
         (least(col("nw"), lit(100000L)) * lit(10000L)).as("x1"),
         expr("nd * 1000000 div nw").as("x2"),
         least(expr("(nc - nw + 1) * 1000000 div nw"), lit(100000000L))
           .as("x3"))
-      .persist()
-    val n = f.count()
 
-    def scoredWith(w: Array[BigInt]): DataFrame =
-      f.withColumn("dot",
-          col("x0") * lit(w(0).toLong) + col("x1") * lit(w(1).toLong) +
-          col("x2") * lit(w(2).toLong) + col("x3") * lit(w(3).toLong))
-        .withColumn("zc", greatest(least(expr("dot div 1000000"),
-          lit(20L * S)), lit(-20L * S)))
-        .withColumn("s", lit(500000L) +
-          expr("(zc * 1000000) div (2 * (1000000 + abs(zc)))"))
+  /** Score a feature frame with literal weights (the rational
+    * fast-sigmoid link; adds `s`). */
+  private[graft] def probeScore(f: DataFrame, w: Array[BigInt]): DataFrame =
+    f.withColumn("dot",
+        col("x0") * lit(w(0).toLong) + col("x1") * lit(w(1).toLong) +
+        col("x2") * lit(w(2).toLong) + col("x3") * lit(w(3).toLong))
+      .withColumn("zc", greatest(least(expr("dot div 1000000"),
+        lit(20L * probeScale)), lit(-20L * probeScale)))
+      .withColumn("s", lit(500000L) +
+        expr("(zc * 1000000) div (2 * (1000000 + abs(zc)))"))
 
+  /** Train the probe and return the FROZEN model artifacts: the four
+    * weights, the score total, and the row count (the latter two define
+    * the above-mean decision boundary). This is the offline half the
+    * streaming scorer replays verbatim.
+    */
+  private[graft] def probeModel(docs: DataFrame, iterations: Int)
+      : (Array[BigInt], BigInt, Long) = {
     val dec = DecimalType(38, 0)
+    val f = probeFeatures(docs).persist()
+    val n = f.count()
     var w = Array.fill(4)(BigInt(0))
-    val den = BigInt(4L) * BigInt(n) * BigInt(S) // lr = 1/4
-    val lim = BigInt(20L * S)
+    val den = BigInt(4L) * BigInt(n) * BigInt(probeScale) // lr = 1/4
+    val lim = BigInt(20L * probeScale)
     for (_ <- 1 to iterations) {
-      val g = scoredWith(w)
+      val g = probeScore(f, w)
         .withColumn("err", col("s") - col("y"))
         .agg(
           sum((col("err") * col("x0")).cast(dec)).as("g0"),
@@ -1415,24 +1434,27 @@ object Text {
         (w(j) - gj / den).max(-lim).min(lim)
       }.toArray
     }
+    val tot = probeScore(f, w).agg(sum(col("s").cast(dec)).as("t"))
+      .collect()(0).getDecimal(0)
+    f.unpersist()
+    (w, BigInt(tot.toBigInteger), n)
+  }
+
+  def qualityProbe(docs: DataFrame, iterations: Int = 6): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val (w, tot, n) = probeModel(docs, iterations)
     // decision column: ABOVE-MEAN, not a fixed 0.5 cut — a 6-step probe's
     // scores hover near 0.5 and a fixed cut degenerates to all-true/all-
     // false (the constant-flag class DegeneracySpec forbids); the
     // production cut is relative anyway (CCNet keeps quantile slices).
     // Exact rational compare score·n > Σscores: integer arithmetic, and
-    // structurally two-valued whenever any two scores differ. The 1-row
-    // (n, total) side rides the documented tiny-crossJoin pattern.
-    val scored = scoredWith(w)
-    val tot = scored.agg(
-      sum(col("s").cast(dec)).as("tot"), count(lit(1)).as("nn"))
-    val out = scored.crossJoin(broadcast(tot))
+    // structurally two-valued whenever any two scores differ.
+    probeScore(probeFeatures(docs), w)
       .select(col("doc_id"), expr("y div 1000000").as("label"),
         col("s").as("score_q"),
-        (col("s").cast(dec) * col("nn").cast(dec) > col("tot"))
-          .as("above_mean"))
+        (col("s").cast(dec) * lit(n).cast(dec) >
+          lit(tot.toString).cast(dec)).as("above_mean"))
       .localCheckpoint() // the trained scoring, lineage-free
-    f.unpersist()
-    out
   }
 
   /** DuckDB oracle for [[qualityProbe]]: the identical training loop

@@ -467,6 +467,47 @@ object Streaming {
       .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
   }
 
+  /** Train-offline / score-online: the quality probe's weights and
+    * above-mean cutoff are trained in BATCH ([[graft.ops.Text.probeModel]]
+    * — the frozen model artifact a production pipeline ships), then the
+    * document stream is scored by a PURE STATELESS PROJECTION carrying
+    * the weights and cutoff as literals — no state store at all, the
+    * cheapest possible streaming shape (scales to any rate; nothing to
+    * checkpoint but the source offsets). Closed-feed contract: the
+    * readout hash-equals batch `quality_probe` by construction — the
+    * scoring expression, weights, and decision literals are identical.
+    */
+  def streamingQualityScore(spark: SparkSession, docs: DataFrame,
+                            scratch: String,
+                            iterations: Int = 6): DataFrame = {
+    import graft.ops.Text
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    val (w, tot, n) = Text.probeModel(base, iterations)
+
+    val fingerprint = base.schema.toDDL + "|" +
+      base.queryExecution.analyzed.canonicalized.toString
+    synchronized {
+      if (!fixturesWritten.get(scratch).contains(fingerprint)) {
+        base.repartition(4).write.mode("overwrite").parquet(scratch)
+        fixturesWritten(scratch) = fingerprint
+      }
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val name = nextName("graft_quality_score")
+    val query = Text.probeScore(Text.probeFeatures(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 2).parquet(scratch)), w)
+      .select(col("doc_id"), expr("y div 1000000").as("label"),
+        col("s").as("score_q"),
+        (col("s").cast(dec) * lit(n).cast(dec) >
+          lit(tot.toString).cast(dec)).as("above_mean"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
   /** LIVE two-sample KS drift monitor — [[graft.ops.Profile.ksDrift]]'s
     * even/odd-day populations maintained over the event stream: each
     * micro-batch sum-merges its per-cents-value pair counts into the

@@ -45,6 +45,31 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(kept === "Hello World X")
   }
 
+  test("textNormalize is IDEMPOTENT on random mixed junk (normalize of " +
+       "normalized text is a no-op — the property that makes re-running " +
+       "the canonicalize stage safe in any pipeline replay)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c\t\né" + "́" + "ﬁＡ㎒  "
+    val docs = (1L to 64L).map { i =>
+      (i, Seq.fill(24)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    for (form <- Seq("NFC", "NFKC")) {
+      val once = Text.textNormalize(docs, form = form)
+        .select(col("doc_id"), col("text"))
+      val twice = Text.textNormalize(once, form = form)
+        .select(col("doc_id"), col("text").as("text2"))
+      val bad = once.join(twice, "doc_id")
+        .filter(col("text") =!= col("text2"))
+        .collect()
+      bad.take(2).foreach { r =>
+        println(s"[$form] doc=${r.getLong(0)}")
+        println("  once : " + r.getString(1).map(c => f"${c.toInt}%04x").mkString(" "))
+        println("  twice: " + r.getString(2).map(c => f"${c.toInt}%04x").mkString(" "))
+      }
+      assert(bad.length === 0, s"$form normalization is not idempotent")
+    }
+  }
+
   test("textNormalize: null text passes through as null (no NPE in the " +
        "codegen path)") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "ok"))
