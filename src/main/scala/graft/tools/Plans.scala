@@ -143,7 +143,9 @@ object Plans {
     "pca_power" -> "per-round broadcast-vector x decimal-sum aggs over the PERSISTED exploded matrix; v localCheckpoint'ed per round (the un-cut plan doubled per round - 632 scans / 3348 nodes at 6 iters; now one cached scan + a LogicalRDD tail)",
     "curation_pipeline" -> "fused front: NFC normalize + sha2 inside the scan projection; hash-partition window dedup; shingle near-dedup runs on survivors only",
     "exactsubstr_dedup" -> "stride-1 window explode (w x corpus, disclosed); ONE content-keyed first-occurrence window; covered-token rebuild is a per-row projection",
-    "text_normalize" -> "zero-shuffle projection: codegen'd UnicodeNormalize + two regex passes + trim + sha2 in one scan")
+    "text_normalize" -> "zero-shuffle projection: codegen'd UnicodeNormalize + two regex passes + trim + sha2 in one scan",
+    "quality_probe" -> "trained scoring as a LogicalRDD tail (the 6 GD steps each ran ONE scan to a 4-number gradient; the model is literals, not data)",
+    "multimodal_thumbnail" -> "partition-wise decode-resample-re-encode projection; zero shuffle, only the 7-column feature row leaves the task")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

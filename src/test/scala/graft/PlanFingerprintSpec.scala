@@ -71,7 +71,9 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("bpe_encode", 2, 1, 0),
     ("gopher_repetition", 2, 1, 0),
     ("rrf_fusion", 9, 7, 6),
-    ("fellegi_sunter", 12, 8, 2)
+    ("fellegi_sunter", 12, 8, 2),
+    ("quality_probe", 0, 0, 0),
+    ("multimodal_thumbnail", 2, 0, 0)
   )
 
   private def count(hay: String, needle: String): Int = {
