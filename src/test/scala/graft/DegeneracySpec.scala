@@ -62,6 +62,27 @@ class DegeneracySpec extends AnyFunSuite {
        "where pruning occurs and asserts the flag equals ground truth")
   )
 
+  /** Numeric-activity gates: the round-8 gopher bite was a NUMERIC
+    * column that was structurally zero (the dup-gram fractions), which
+    * neither the non-empty check nor the boolean-flag check can see.
+    * For curated signal columns, assert the given aggregate expression
+    * is strictly positive at sf0.001 — a dedup/repetition metric whose
+    * corpus-wide total is zero measures nothing.
+    */
+  private val positiveAgg: Map[String, String] = Map(
+    // the ExactSubstr family must actually find duplicated material
+    "exactsubstr_dedup" -> "sum(n_removed)",
+    "exactsubstr_report" -> "sum(n_dup_windows)",
+    "cdc_chunk_dedup" -> "sum(n_dup_chunks)",
+    "paragraph_dedup" -> "sum(n_chunks - n_kept)",
+    // the round-8 bite itself: the dup/top n-gram fractions
+    "gopher_repetition" ->
+      "sum(top2_frac + dup5_frac + dup10_frac)",
+    // near-dup verdicts must fire beyond the planted exact twins
+    "curation_pipeline" ->
+      "sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)"
+  )
+
   /** Filter-shaped ops: output must be a STRICT subset of the named
     * input rowcount — proof the filter predicate is live at sf0.001.
     * Only ops whose output-rows ⊆ input-rows semantics were verified by
@@ -127,6 +148,14 @@ class DegeneracySpec extends AnyFunSuite {
         val in = inCount(spark, dir)
         assert(n < in,
           s"'$name' kept all $in input rows — the filter is dead.")
+      }
+
+      positiveAgg.get(name).foreach { aggExpr =>
+        val v = df.agg(org.apache.spark.sql.functions.expr(aggExpr))
+          .collect()(0).get(0)
+        val pos = Option(v).exists(x => BigDecimal(x.toString) > 0)
+        assert(pos, s"'$name': $aggExpr = $v at sf0.001 — the metric is " +
+          "structurally zero (the gopher-column class) and verifies nothing.")
       }
     }
   }
