@@ -1560,6 +1560,13 @@ object SparkEntry {
       // EXACT in IEEE — both engines compute the identical cos), so the
       // op provably finds planted near-dups at every SF
       val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // the planted ids live at +1000000; if a scale-up ever pushes real
+      // ids past the offset the plants would silently ALIAS real vectors
+      // (both engines transform identically, so the hash gate could not
+      // see it) — fail loudly instead. One-column agg, bounded collect.
+      val maxVecId = base.agg(max(col("vec_id"))).head.getLong(0)
+      require(maxVecId < 1000000L,
+        s"planted vec_id offset 1000000 would alias real ids (max=$maxVecId)")
       val planted = base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
@@ -2710,6 +2717,12 @@ object SparkEntry {
     // coupling the oracle replays end-to-end)
     "curation_pipeline" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // twin ids live at +20000; a corpus whose real doc_ids reach the
+      // offset would silently duplicate keys through the verdict join
+      // (mirrored in the oracle, so the gate could not see it) \u2014 assert.
+      val maxDocId = d.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxDocId < 20000L,
+        s"planted doc_id offset 20000 would alias real ids (max=$maxDocId)")
       val base = d.select(col("doc_id"),
         concat(lit("Caf\u00e9 "), col("text")).as("text"))
       val twins = d.filter(col("doc_id") % 10 === 0)
@@ -7222,7 +7235,8 @@ object SparkEntry {
          FROM w LEFT JOIN f USING (doc_id)""",
 
     // the full chain replayed: same twin plant (chr codes restate the
-    // Scala \u escapes), same NFC→collapse→strip→trim normalize, exact
+    // Scala \u escapes), same strip→NFC→collapse→trim normalize (the
+    // idempotence-mandated order: strip control chars BEFORE NFC), exact
     // stage as a min-over-hash-partition, near stage as the UNCAPPED
     // brute-force shingle Jaccard, same min-partner canonical rule
     "curation_pipeline" ->

@@ -328,7 +328,11 @@ object Multimodal {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", baos)
+    // ImageIO.write returns false when no JPEG writer is registered; a
+    // silent false would hand a 0-byte payload to the stub fallthrough
+    // and change the decoded format with no error signal — fail loudly.
+    require(javax.imageio.ImageIO.write(img, "jpg", baos),
+      s"no registered JPEG ImageWriter on this JRE (${width}x$height fixture)")
     baos.toByteArray
   }
 
