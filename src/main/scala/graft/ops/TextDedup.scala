@@ -147,12 +147,19 @@ object TextDedup {
     * paying for span surgery. Stride 1 catches UNALIGNED copying
     * (quotes, shifted boilerplate) that chunk-aligned dedup misses.
     *
-    * Scale: one content-sized shuffle (the window keyed by its text —
-    * same reasoning as [[paragraphDedup]]: string equality inside the
-    * partition keeps the decision exact) plus a doc-keyed rollup.
-    * Stride-1 expansion is w× the corpus in shuffle bytes — the known
-    * price of the exact signal; production amortizes it by computing
-    * this once per corpus snapshot.
+    * Scale: the first-occurrence window is keyed by a 96-bit hash PAIR
+    * (xxhash64 ∥ murmur3-32) of the window text, computed map-side
+    * BEFORE the exchange — the shuffle carries (doc_id, pos, 12 hash
+    * bytes) per window instead of the w-token string, cutting shuffle
+    * bytes from ~w× the corpus to ~(12+12)B per window (~30× less at
+    * w=8 English text). Equal grams always hash equal, so no duplicate
+    * is ever MISSED; a false merge needs two DIFFERENT grams colliding
+    * on both hashes at once — for G distinct grams the expected count
+    * is G²/2⁹⁷ (birthday bound; ≈6e-4 corpus-wide even at G=10¹³,
+    * i.e. the 100 TB regime), the same disclosed-bound trade as the
+    * LSH band-key packing in [[nearDupJaccardChars]]. Plus a doc-keyed
+    * rollup; production amortizes the pass by computing it once per
+    * corpus snapshot.
     */
   def exactSubstrReport(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -163,7 +170,10 @@ object TextDedup {
         posexplode(transform(sequence(lit(0), size(ws) - lit(w)),
           i => array_join(slice(ws, i + 1, lit(w)), " ")))
           .as(Seq("pos", "gram")))
-    val firstWin = Window.partitionBy(col("gram"))
+      // hash map-side so the window exchange never carries gram text
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("g64"), hash(col("gram")).as("g32"))
+    val firstWin = Window.partitionBy(col("g64"), col("g32"))
       .orderBy(col("doc_id"), col("pos"))
     val flagged = grams
       .withColumn("is_dup", (row_number().over(firstWin) > 1).cast("long"))
@@ -239,13 +249,18 @@ object TextDedup {
     * array's first-w-tokens view, and first-occurrence ranking replaces
     * the pointer scan.
     *
-    * Scale: the stride-1 window explode is w× the corpus in shuffle
-    * bytes keyed by window TEXT (string equality inside the partition —
-    * no hash-collision risk), the flagged-start set per doc is bounded
-    * by doc length, and the rebuild is a per-row projection. One
-    * content-sized shuffle + one doc-keyed rollup, same shape as
-    * [[exactSubstrReport]] — the known, disclosed price of the exact
-    * signal.
+    * Scale: the stride-1 window explode shuffles (doc_id, pos, 96-bit
+    * hash pair) per window — the gram is hashed MAP-SIDE (xxhash64 ∥
+    * murmur3-32) so the exchange carries ~24 B/window instead of the
+    * w-token string (~w× corpus bytes at w=8; ~30× reduction). Equal
+    * grams hash equal, so no duplicated span is missed; a spurious
+    * removal needs two different grams colliding on BOTH hashes —
+    * expected G²/2⁹⁷ false merges for G distinct grams (≈6e-4 even at
+    * G=10¹³, the 100 TB regime), the same disclosed-bound trade as the
+    * 8-byte LSH band-key packing. The flagged-start set per doc is
+    * bounded by doc length, and the rebuild is a per-row projection.
+    * One hash-keyed shuffle + one doc-keyed rollup, same shape as
+    * [[exactSubstrReport]].
     */
   def exactSubstrDedup(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -256,7 +271,10 @@ object TextDedup {
         posexplode(transform(sequence(lit(0), size(ws) - lit(w)),
           i => array_join(slice(ws, i + 1, lit(w)), " ")))
           .as(Seq("pos", "gram")))
-    val firstWin = Window.partitionBy(col("gram"))
+      // hash map-side so the window exchange never carries gram text
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("g64"), hash(col("gram")).as("g32"))
+    val firstWin = Window.partitionBy(col("g64"), col("g32"))
       .orderBy(col("doc_id"), col("pos"))
     // flagged = window starts whose text occurred earlier (corpus order)
     val flaggedStarts = grams
