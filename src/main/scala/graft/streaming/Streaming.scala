@@ -36,6 +36,17 @@ object Streaming {
     */
   @volatile private[graft] var lastMicroBatchPlan: String = ""
 
+  /** Capture-then-stop — EVERY streaming op funnels its shutdown through
+    * here so [[lastMicroBatchPlan]] always holds the plan of the query
+    * that just ran (tools.Plans and the fingerprint gate read it);
+    * before this, only the outer-join op captured and the audit of any
+    * other streaming op silently re-printed a stale plan.
+    */
+  private def stopCaptured(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    captureStreamPlan(q)
+    q.stop()
+  }
+
   private def captureStreamPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try {
       val baos = new java.io.ByteArrayOutputStream()
@@ -129,7 +140,7 @@ object Streaming {
       .outputMode("complete").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
 
     spark.table(name).select(
       col("window.start").as("window_start"),
@@ -173,7 +184,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     target
   }
 
@@ -217,7 +228,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     view
   }
 
@@ -271,7 +282,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     view.filter(col("op") =!= "D").drop("op")
   }
 
@@ -308,7 +319,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     Profile.hllEstimate(view, Seq("day"))
   }
 
@@ -348,7 +359,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     val total = view.agg(sum(col("n")).as("total"))
     view.crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") / col("total"))
@@ -398,7 +409,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     Profile.quantilesOfSample(view)
       .withColumnRenamed("g", "event_type")
   }
@@ -458,7 +469,7 @@ object Streaming {
       .outputMode("update").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     val delta = tables.select(col("b"),
       (expr("cnt_t * 1000000 div sum(cnt_t) over ()") -
         expr("cnt_r * 1000000 div sum(cnt_r) over ()")).as("delta"))
@@ -504,7 +515,7 @@ object Streaming {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name)
   }
 
@@ -541,7 +552,7 @@ object Streaming {
         }
         .outputMode("update").start()
       query.processAllAvailable()
-      query.stop()
+      stopCaptured(query)
       Profile.ksFromCounts(table)
     }
 
@@ -580,7 +591,7 @@ object Streaming {
         }
         .outputMode("update").start()
       query.processAllAvailable()
-      query.stop()
+      stopCaptured(query)
       Profile.conformalFromCounts(table, alphaNum = 1, alphaDen = 10)
     }
 
@@ -599,7 +610,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name)
   }
 
@@ -668,7 +679,13 @@ object Streaming {
     val query = probe
       .join(buckets, Seq("band", "key"))
       .select(col("doc_a"), col("doc_b"), col("set_b"), col("n_b"))
-      .join(broadcast(sets), Seq("doc_a"))
+      // NO broadcast hint: `sets` is the CORPUS-side shingle index —
+      // corpus-proportional, the one thing that must never be forced
+      // into executor memory (SCALE.md §4 doctrine, same reasoning as
+      // verifyJaccard's semi-join). The planner broadcasts it while its
+      // persisted size fits the threshold and degrades to a shuffled
+      // join beyond that; production pre-buckets the index on doc_a.
+      .join(sets, Seq("doc_a"))
       // same size-ratio prune + exact intersection as verifyJaccard
       .filter(col("n_a") >= lit(threshold) * col("n_b") &&
               col("n_b") >= lit(threshold) * col("n_a"))
@@ -683,7 +700,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name)
   }
 
@@ -717,7 +734,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name)
   }
 
@@ -755,7 +772,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
 
     spark.table(name).select(
       col("window.start").as("window_start"),
@@ -787,7 +804,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name)
   }
 
@@ -828,7 +845,7 @@ object Streaming {
         .outputMode("append").start()
 
       query.processAllAvailable()
-      query.stop()
+      stopCaptured(query)
       spark.table(name)
     }
 
@@ -873,7 +890,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
     spark.table(name).select(col("user_id"), col("view_id"),
       col("purchase_id"), col("view_ts"), col("purchase_ts"))
   }
@@ -974,8 +991,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    captureStreamPlan(query)
-    query.stop()
+    stopCaptured(query)
     spark.table(name).select(col("user_id"), col("view_id"), col("view_ts"),
       col("purchase_id"), col("purchase_ts"))
   }
@@ -1061,7 +1077,7 @@ object Streaming {
       .outputMode("append").start()
 
     query.processAllAvailable()
-    query.stop()
+    stopCaptured(query)
 
     // final = each key's last update
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))

@@ -145,7 +145,40 @@ object Plans {
     "exactsubstr_dedup" -> "stride-1 window explode (w x corpus, disclosed); ONE content-keyed first-occurrence window; covered-token rebuild is a per-row projection",
     "text_normalize" -> "zero-shuffle projection: codegen'd UnicodeNormalize + two regex passes + trim + sha2 in one scan",
     "quality_probe" -> "trained scoring as a LogicalRDD tail (the 6 GD steps each ran ONE scan to a 4-number gradient; the model is literals, not data)",
-    "multimodal_thumbnail" -> "partition-wise decode-resample-re-encode projection; zero shuffle, only the 7-column feature row leaves the task")
+    "multimodal_thumbnail" -> "partition-wise decode-resample-re-encode projection; zero shuffle, only the 7-column feature row leaves the task",
+    // round 10: the last >3s-warm queries without an audit (the r9
+    // verdict's criterion-as-stated), now gated by HeavyTailAuditSpec
+    "curation_report" -> "union of its parts' plans: hash-groupBy uniques + inverted-index pair candidates + edge-sized label loop (child session); the five report numbers meet in 1-row crossJoins (the documented BNLJ pattern)",
+    "embedding_pq" -> "per-subspace decimal Lloyd training over a persisted (id, subvector) projection (shuffles carry k·subDim partial rows, never vectors); broadcast-centroid argmax encode; only constant-width code rows reach the final per-vector shuffle")
+
+  /** Streaming ops whose returned DataFrame is a memory-sink readout
+    * (explain = LocalTableScan) — the audited evidence is the executed
+    * MICRO-BATCH plan captured off the StreamExecution right before
+    * stop() ([[graft.streaming.Streaming.lastMicroBatchPlan]]).
+    */
+  private val streamingAudited = Seq(
+    "streaming_join_outer" -> ("stateful stream-stream left-outer: " +
+      "StreamingSymmetricHashJoin with watermark-bounded state on both sides"),
+    "streaming_join" -> ("stream-stream interval inner join: " +
+      "StreamingSymmetricHashJoin; state bounded by the join window + watermark"),
+    "streaming_near_dup" -> ("stream-static probe of the persisted corpus " +
+      "MinHash index: band equi-join + shingle-set verify join (no forced " +
+      "broadcast of the corpus side); the ONLY stateful operator is the " +
+      "pair-key dropDuplicates"),
+    "streaming_dedup" -> ("stateful dropDuplicates on the event key: " +
+      "one exchange to the state store; state = one key per distinct id"),
+    "streaming_dedup_watermark" -> ("dropDuplicatesWithinWatermark: same " +
+      "key exchange, state EVICTED by event-time watermark (bounded, the " +
+      "production shape)"),
+    "streaming_window_append" -> ("watermarked tumbling-window aggregate in " +
+      "append mode: partial agg before the window-key exchange, final agg " +
+      "against the state store, rows emitted on watermark close"))
+
+  /** Every audited query name — the HeavyTailAuditSpec gate asserts the
+    * latest bench's >3 s-warm set is a subset of this.
+    */
+  val auditedNames: Set[String] =
+    audited.map(_._1).toSet ++ streamingAudited.map(_._1).toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -173,11 +206,12 @@ object Plans {
     // streaming ops return a memory-sink readout (whose explain is just a
     // LocalTableScan) — the plan that matters is the stateful MICRO-BATCH
     // plan on the StreamExecution, captured right before stop()
-    graft.SparkEntry.queries("streaming_join_outer")(spark, sfDir).count()
-    sb ++= "\n## streaming_join_outer — stateful stream-stream left-outer: " +
-      "StreamingSymmetricHashJoin with watermark-bounded state on both " +
-      "sides (the executed micro-batch plan, not the readout)\n\n```\n" +
-      graft.streaming.Streaming.lastMicroBatchPlan + "```\n"
+    streamingAudited.foreach { case (name, why) =>
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      sb ++= s"\n## $name — $why (the executed micro-batch plan, " +
+        "not the readout)\n\n```\n" +
+        graft.streaming.Streaming.lastMicroBatchPlan + "```\n"
+    }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${audited.size} plans)")
     spark.stop()

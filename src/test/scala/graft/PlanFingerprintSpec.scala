@@ -73,7 +73,32 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("rrf_fusion", 9, 7, 6),
     ("fellegi_sunter", 12, 8, 2),
     ("quality_probe", 0, 0, 0),
-    ("multimodal_thumbnail", 2, 0, 0)
+    ("multimodal_thumbnail", 2, 0, 0),
+    // round 10: the last >3s-warm queries without a fingerprint. The
+    // BNLJ counts are the documented broadcast-tiny sites: curation
+    // report's four 1-row report crossJoins (×2 explain tokens), and
+    // embedding_pq's per-subspace crossJoin(broadcast(16-row codebook))
+    // — 4 subspaces × (train assign + encode) × 2 tokens
+    ("curation_report", 23, 31, 8),
+    ("embedding_pq", 25, 40, 16)
+  )
+
+  /** Micro-batch fingerprints for the streaming heavy tail: the op's
+    * returned DataFrame is a memory-sink readout, so the gated plan is
+    * [[graft.streaming.Streaming.lastMicroBatchPlan]] — captured by the
+    * shared stopCaptured() shutdown path right before stop(). Bounds
+    * are audited PLANS.md round-10 values with the same 1.5× headroom;
+    * `marker` pins the load-bearing stateful operator so a silent
+    * rewrite to a stateless (or unbounded-state) shape fails the test.
+    */
+  private val streamingGolden: Seq[(String, String, Int, Int)] = Seq(
+    // (query, required stateful marker, maxScanTokens, maxExchangeTokens)
+    ("streaming_join", "StreamingSymmetricHashJoin", 0, 2),
+    ("streaming_join_outer", "StreamingSymmetricHashJoin", 0, 2),
+    ("streaming_near_dup", "StreamingDeduplicate", 9, 5),
+    ("streaming_dedup", "StreamingDeduplicate", 1, 1),
+    ("streaming_dedup_watermark", "StreamingDeduplicate", 1, 1),
+    ("streaming_window_append", "StateStoreSave", 0, 1)
   )
 
   private def count(hay: String, needle: String): Int = {
@@ -114,6 +139,32 @@ class PlanFingerprintSpec extends AnyFunSuite {
         "— a lost reuse/pushdown or an unrolled-lineage blowup")
       assert(exch <= math.ceil(maxExch * 1.5).toInt + 1,
         s"$name exchange count $exch blew past the audited $maxExch")
+    }
+  }
+
+  for ((name, marker, maxScans, maxExch) <- streamingGolden) {
+    test(s"micro-batch fingerprint: $name (marker $marker, scans ≤ " +
+         s"${maxScans}·1.5, state exchanges ≤ ${maxExch}·1.5)") {
+      TestSpark.spark.catalog.clearCache()
+      // running the query executes the feed end-to-end; the shared
+      // stopCaptured() shutdown records the executed micro-batch plan
+      SparkEntry.queries(name)(TestSpark.spark, dir).count()
+      val plan = graft.streaming.Streaming.lastMicroBatchPlan
+      assert(plan.nonEmpty, s"$name captured no micro-batch plan")
+      assert(count(plan, marker) >= 1,
+        s"$name lost its $marker — the stateful shape was rewritten")
+      assert(count(plan, "CartesianProduct") === 0,
+        s"$name grew a cartesian product in the micro-batch plan")
+      assert(count(plan, "BroadcastNestedLoopJoin") === 0,
+        s"$name grew a nested-loop join in the micro-batch plan")
+      val scans = count(plan, "Scan parquet")
+      // micro-batch explain is the simple string mode: exchanges print
+      // as `Exchange hashpartitioning`, not the formatted `Exchange (n)`
+      val exch = count(plan, "Exchange hashpartitioning")
+      assert(scans <= math.ceil(maxScans * 1.5).toInt + 1,
+        s"$name micro-batch scan count $scans blew past the audited $maxScans")
+      assert(exch <= math.ceil(maxExch * 1.5).toInt + 1,
+        s"$name micro-batch exchange count $exch blew past the audited $maxExch")
     }
   }
 }
