@@ -7237,14 +7237,21 @@ object SparkEntry {
     // the full chain replayed: same twin plant (chr codes restate the
     // Scala \u escapes), same strip→NFC→collapse→trim normalize (the
     // idempotence-mandated order: strip control chars BEFORE NFC), exact
-    // stage as a min-over-hash-partition, near stage as the UNCAPPED
-    // brute-force shingle Jaccard, same min-partner canonical rule
+    // stage as a min-over-hash-partition, near stage as the shingle
+    // Jaccard under the SAME derived df cap the plan applies —
+    // clamp(ceil(0.02*n), 100, 1024) of the input count, TextDedup
+    // .dfCapFor — so capped semantics (inter is a lower bound once a
+    // shingle's survivor-df exceeds the cap) are replayed, not just
+    // coincidentally untripped at the gate corpus; same min-partner
+    // canonical rule
     "curation_pipeline" ->
       """WITH inp AS (SELECT doc_id,
                'Caf' || chr(233) || ' ' || text AS text FROM documents
              UNION ALL
              SELECT doc_id + 20000, 'Cafe' || chr(769) || ' ' || text
              FROM documents WHERE doc_id % 10 = 0),
+         cap AS (SELECT least(greatest(CAST(ceil(0.02 * count(*)) AS BIGINT),
+                   100), 1024) AS c FROM inp),
          n AS (SELECT doc_id,
                  trim(regexp_replace(nfc_normalize(
                    regexp_replace(text,
@@ -7261,9 +7268,12 @@ object SparkEntry {
                 FROM s, UNNEST(range(len(ws) - 2)) AS t(g)
                 WHERE len(ws) >= 3),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         df AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= (SELECT c FROM cap)),
          pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
                    FROM sh a JOIN sh b
                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN df ON a.shingle = df.shingle
                    GROUP BY 1, 2),
          nd AS (SELECT db AS doc_id, min(da) AS near_canon
                 FROM pairs JOIN sz x ON da = x.doc_id

@@ -208,16 +208,29 @@ object TextDedup {
     * near canonical is the doc's smallest near-dup partner (direct
     * partner, not transitive closure — [[dedupClusters]] is the
     * transitive path when chains matter).
+    *
+    * The near stage's df cap is DERIVED from the input corpus size by
+    * [[dfCapFor]] when `maxDf` ≤ 0 (the default) — a fixed literal cap
+    * was an advisor finding: the registered oracle was uncapped, so on
+    * any corpus where a survivor shingle's df exceeded the literal the
+    * capped plan could miss near_dup verdicts the oracle asserted, and
+    * the gate corpus was too small to ever exercise the divergence.
+    * With the formula on BOTH sides (the oracle computes the same
+    * clamp(⌈0.02·n⌉, 100, 1024) from the same input count), capped
+    * semantics are disclosed and replayable at every corpus size. The
+    * `docs.count()` this costs is one column-pruned pass, the same
+    * derive-at-registration shape as `bandingFor`.
     */
   def curationPipeline(docs: DataFrame, k: Int = 3,
-                       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+                       threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cap = if (maxDf > 0) maxDf else dfCapFor(docs.count())
     val norm = Text.textNormalize(docs, form = "NFC")
     val exact = norm.withColumn("exact_canon",
       min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
     val survivors = exact.filter(col("doc_id") === col("exact_canon"))
       .select(col("doc_id"), col("text"))
-    val nearCanon = nearDupJaccard(survivors, k, threshold, maxDf)
+    val nearCanon = nearDupJaccard(survivors, k, threshold, cap)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("near_canon"))
     exact.select(col("doc_id"), col("exact_canon"))
@@ -764,10 +777,24 @@ object TextDedup {
     }.getOrElse(1)
     val bands = charNumHashes / r
     val margin = math.sqrt(math.log(1.0 / sigMiss) / (2.0 * charNumHashes))
-    val dfCap = math.min(1024L,
-      math.max(100L, math.ceil(0.02 * corpusSize).toLong)).toInt
-    (bands, dfCap, margin)
+    (bands, dfCapFor(corpusSize), margin)
   }
+
+  /** The disclosed df-cap rule shared by every capped inverted-index
+    * stage (char funnel, curation near stage): a shingle in more than
+    * clamp(⌈2% of corpus⌉, 100, 1024) documents is boilerplate — its
+    * posting list would emit O(df²) candidate pairs while contributing
+    * ~zero discriminative evidence to any single pair's Jaccard. The 2%
+    * slope keeps the rule corpus-relative (SCALE.md §near-dedup
+    * derivation); the 1024 ceiling bounds the worst posting expansion
+    * at ~0.5M pairs/shingle regardless of corpus size. Any oracle
+    * replaying a capped stage MUST apply the same formula to the same
+    * corpus-size input — [[pairIntersections]]' `inter` is a LOWER
+    * bound once the cap engages, and an uncapped oracle would assert
+    * pairs the capped plan can legitimately miss.
+    */
+  def dfCapFor(corpusSize: Long): Int =
+    math.min(1024L, math.max(100L, math.ceil(0.02 * corpusSize).toLong)).toInt
 
   /** Char shingles hashed into the MinHash domain (doc_id, x). */
   private[graft] def charHashedShingles(docs: DataFrame, n: Int): DataFrame =
