@@ -2731,6 +2731,37 @@ object SparkEntry {
       TextDedup.curationPipeline(base.unionByName(twins))
     }),
 
+    // the SAME curation front door over the events table's JSON props:
+    // the reference's flatten path (P1) feeding the LLM path as one
+    // code chain. flattenJsonColumn parses/flattens the payload, the
+    // flat fields render to a canonical text (every 10th doc spells the
+    // marker word in DECOMPOSED form so it hash-merges iff normalize
+    // ran), and curationPipeline runs normalize, exact dedup, and the
+    // near-dedup verdicts. Near dups arise naturally: events sharing
+    // (user, k, type) but differing in value bucket differ in ONE of
+    // six shingles (J = 5/7 >= 0.5). The token ORDER is deliberate:
+    // the marker sits next to the high-cardinality user token so every
+    // shingle's df stays ~corpus/users ~= 64 at every SF (users scale
+    // with SF) -- placing it next to the 5-value type token pushed the
+    // prefix shingle's df over the derived cap and silently killed the
+    // near stage (caught by the positiveAgg degeneracy gate). Buckets
+    // ride the repo's portable cents arithmetic (round, BIGINT,
+    // truncating div).
+    "curation_pipeline_events" -> ((s, dir) => {
+      val flat = Flatten.flattenJsonColumn(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+        "props", StructType(Seq(StructField("k", LongType))))
+      val docs = flat.select(col("event_id").as("doc_id"),
+        concat_ws(" ",
+          when(col("event_id") % 10 === 0, lit("Cafe\u0301"))
+            .otherwise(lit("Caf\u00e9")),
+          lit("user"), col("user_id"), lit("k"), col("props_k"),
+          col("event_type"), lit("b"),
+          expr("CAST(round(value*100) AS BIGINT) div 10000")).as("text"))
+      TextDedup.curationPipeline(docs)
+    }),
+
     // contrastive hard-negative mining: top-5 nearest DIFFERENT-label
     // vectors per probe (the decision-boundary examples)
     "hard_negatives" -> ((s, dir) => {
@@ -7250,6 +7281,63 @@ object SparkEntry {
              UNION ALL
              SELECT doc_id + 20000, 'Cafe' || chr(769) || ' ' || text
              FROM documents WHERE doc_id % 10 = 0),
+         cap AS (SELECT least(greatest(CAST(ceil(0.02 * count(*)) AS BIGINT),
+                   100), 1024) AS c FROM inp),
+         n AS (SELECT doc_id,
+                 trim(regexp_replace(nfc_normalize(
+                   regexp_replace(text,
+                     '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g')),
+                   '[ \t\n\r\f]+', ' ', 'g')) AS text
+               FROM inp),
+         e AS (SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY sha256(text)) AS exact_canon
+               FROM n),
+         s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM e
+               WHERE doc_id = exact_canon),
+         sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(ws[g+1:g+3], ' ') AS shingle
+                FROM s, UNNEST(range(len(ws) - 2)) AS t(g)
+                WHERE len(ws) >= 3),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         df AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= (SELECT c FROM cap)),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   JOIN df ON a.shingle = df.shingle
+                   GROUP BY 1, 2),
+         nd AS (SELECT db AS doc_id, min(da) AS near_canon
+                FROM pairs JOIN sz x ON da = x.doc_id
+                           JOIN sz y ON db = y.doc_id
+                WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+                GROUP BY 1)
+         SELECT e.doc_id,
+           CASE WHEN e.doc_id <> e.exact_canon THEN 'exact_dup'
+                WHEN nd.near_canon IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           CASE WHEN e.doc_id <> e.exact_canon THEN e.exact_canon
+                WHEN nd.near_canon IS NOT NULL THEN nd.near_canon
+                ELSE e.doc_id END AS canonical_id
+         FROM e LEFT JOIN nd USING (doc_id)""",
+
+    // the events-payload front door replayed end-to-end: the same JSON
+    // flatten (json_extract_string = the k leaf), the same canonical
+    // text rendering (decomposed marker on every 10th event, portable
+    // cents bucket via round → BIGINT → truncating //), then the
+    // identical strip→NFC→collapse→trim normalize, capped near stage,
+    // and min-partner canonical rule as curation_pipeline
+    "curation_pipeline_events" ->
+      """WITH inp AS (SELECT event_id AS doc_id,
+               (CASE WHEN event_id % 10 = 0 THEN 'Cafe' || chr(769)
+                     ELSE 'Caf' || chr(233) END)
+               || ' user ' || CAST(user_id AS VARCHAR)
+               || ' k '
+               || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS VARCHAR)
+               || ' ' || event_type || ' b '
+               || CAST(CAST(round(value * 100) AS BIGINT) // 10000
+                       AS VARCHAR) AS text
+             FROM events),
          cap AS (SELECT least(greatest(CAST(ceil(0.02 * count(*)) AS BIGINT),
                    100), 1024) AS c FROM inp),
          n AS (SELECT doc_id,

@@ -149,6 +149,7 @@ object Plans {
     // round 10: the last >3s-warm queries without an audit (the r9
     // verdict's criterion-as-stated), now gated by HeavyTailAuditSpec
     "curation_report" -> "union of its parts' plans: hash-groupBy uniques + inverted-index pair candidates + edge-sized label loop (child session); the five report numbers meet in 1-row crossJoins (the documented BNLJ pattern)",
+    "curation_pipeline_events" -> "parity-P1 flatten (from_json k leaf) + text render + NFC normalize + sha2 fused into the ONE events scan projection; then the same hash-window dedup + survivor-only near stage as curation_pipeline",
     "embedding_pq" -> "per-subspace decimal Lloyd training over a persisted (id, subvector) projection (shuffles carry k·subDim partial rows, never vectors); broadcast-centroid argmax encode; only constant-width code rows reach the final per-vector shuffle")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout

@@ -80,7 +80,13 @@ class DegeneracySpec extends AnyFunSuite {
       "sum(top2_frac + dup5_frac + dup10_frac)",
     // near-dup verdicts must fire beyond the planted exact twins
     "curation_pipeline" ->
-      "sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)"
+      "sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)",
+    // the events-payload front door must exercise BOTH dedup stages:
+    // exact dups (repeated (type,k,bucket) renderings) and near dups
+    // (same (type,k), different bucket)
+    "curation_pipeline_events" ->
+      ("sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) * " +
+       "sum(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END)")
   )
 
   /** Filter-shaped ops: output must be a STRICT subset of the named

@@ -80,7 +80,8 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // embedding_pq's per-subspace crossJoin(broadcast(16-row codebook))
     // — 4 subspaces × (train assign + encode) × 2 tokens
     ("curation_report", 23, 31, 8),
-    ("embedding_pq", 25, 40, 16)
+    ("embedding_pq", 25, 40, 16),
+    ("curation_pipeline_events", 6, 12, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
