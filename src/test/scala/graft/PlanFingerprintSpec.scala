@@ -25,13 +25,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * over `explain("formatted")` at sf0.001 (scans appear twice — tree
   * line + detail block — consistently on both sides of the bound).
   */
+object PlanFingerprintSpec {
+  /** Names carrying a golden plan fingerprint — read by the CATALOG.md
+    * generator so the catalog can cross-link fingerprint coverage.
+    */
+  private[graft] def fingerprintedNames: Set[String] = {
+    val s = new PlanFingerprintSpec
+    (s.golden.map(_._1) ++ s.streamingGolden.map(_._1)).toSet
+  }
+}
+
 class PlanFingerprintSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
   // (query, maxScanTokens, maxExchangeTokens) — audited values from
   // PLANS.md (round 9) with 1.5× headroom applied in the assertion
-  private val golden: Seq[(String, Int, Int, Int)] = Seq(
+  private[graft] val golden: Seq[(String, Int, Int, Int)] = Seq(
     ("agg_rollup", 2, 1, 0),
     ("join_revenue", 8, 1, 0),
     ("window_rank", 2, 1, 0),
@@ -92,7 +102,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
     * `marker` pins the load-bearing stateful operator so a silent
     * rewrite to a stateless (or unbounded-state) shape fails the test.
     */
-  private val streamingGolden: Seq[(String, String, Int, Int)] = Seq(
+  private[graft] val streamingGolden: Seq[(String, String, Int, Int)] = Seq(
     // (query, required stateful marker, maxScanTokens, maxExchangeTokens)
     ("streaming_join", "StreamingSymmetricHashJoin", 0, 2),
     ("streaming_join_outer", "StreamingSymmetricHashJoin", 0, 2),
