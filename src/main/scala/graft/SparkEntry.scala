@@ -1564,7 +1564,10 @@ object SparkEntry {
       // ids past the offset the plants would silently ALIAS real vectors
       // (both engines transform identically, so the hash gate could not
       // see it) — fail loudly instead. One-column agg, bounded collect.
-      val maxVecId = base.agg(max(col("vec_id"))).head.getLong(0)
+      // coalesce: max() is NULL on an empty table — the guard must say
+      // so, not NPE (advice round 10)
+      val maxVecId =
+        base.agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0)
       require(maxVecId < 1000000L,
         s"planted vec_id offset 1000000 would alias real ids (max=$maxVecId)")
       val planted = base.filter(col("vec_id") % 50 === 0)
@@ -2720,7 +2723,10 @@ object SparkEntry {
       // twin ids live at +20000; a corpus whose real doc_ids reach the
       // offset would silently duplicate keys through the verdict join
       // (mirrored in the oracle, so the gate could not see it) \u2014 assert.
-      val maxDocId = d.agg(max(col("doc_id"))).head.getLong(0)
+      // coalesce: max() is NULL on an empty table — the guard must say
+      // so, not NPE (advice round 10)
+      val maxDocId =
+        d.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
       require(maxDocId < 20000L,
         s"planted doc_id offset 20000 would alias real ids (max=$maxDocId)")
       val base = d.select(col("doc_id"),
@@ -2752,13 +2758,20 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("event_type"), col("value"), col("props")),
         "props", StructType(Seq(StructField("k", LongType))))
+      // concat_ws SKIPS null tokens while the oracle's || NULLIFIES the
+      // whole text \u2014 a single null payload field would silently diverge
+      // the gate. Coalesce every nullable token to the literal 'null' on
+      // BOTH sides (a no-op on the current all-non-null data, so hashes
+      // are unchanged; 'null' cannot collide with the numeric tokens).
       val docs = flat.select(col("event_id").as("doc_id"),
         concat_ws(" ",
           when(col("event_id") % 10 === 0, lit("Cafe\u0301"))
             .otherwise(lit("Caf\u00e9")),
-          lit("user"), col("user_id"), lit("k"), col("props_k"),
-          col("event_type"), lit("b"),
-          expr("CAST(round(value*100) AS BIGINT) div 10000")).as("text"))
+          lit("user"), coalesce(col("user_id").cast("string"), lit("null")),
+          lit("k"), coalesce(col("props_k").cast("string"), lit("null")),
+          coalesce(col("event_type"), lit("null")), lit("b"),
+          coalesce(expr("CAST(round(value*100) AS BIGINT) div 10000")
+            .cast("string"), lit("null"))).as("text"))
       TextDedup.curationPipeline(docs)
     }),
 
@@ -7330,13 +7343,14 @@ object SparkEntry {
       """WITH inp AS (SELECT event_id AS doc_id,
                (CASE WHEN event_id % 10 = 0 THEN 'Cafe' || chr(769)
                      ELSE 'Caf' || chr(233) END)
-               || ' user ' || CAST(user_id AS VARCHAR)
+               || ' user ' || coalesce(CAST(user_id AS VARCHAR), 'null')
                || ' k '
-               || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-                       AS VARCHAR)
-               || ' ' || event_type || ' b '
-               || CAST(CAST(round(value * 100) AS BIGINT) // 10000
-                       AS VARCHAR) AS text
+               || coalesce(
+                    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS VARCHAR), 'null')
+               || ' ' || coalesce(event_type, 'null') || ' b '
+               || coalesce(CAST(CAST(round(value * 100) AS BIGINT) // 10000
+                                AS VARCHAR), 'null') AS text
              FROM events),
          cap AS (SELECT least(greatest(CAST(ceil(0.02 * count(*)) AS BIGINT),
                    100), 1024) AS c FROM inp),

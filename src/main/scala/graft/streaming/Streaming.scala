@@ -47,7 +47,12 @@ object Streaming {
     q.stop()
   }
 
-  private def captureStreamPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  private def captureStreamPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // reset FIRST: a failed capture must leave the var empty, not the
+    // previous op's stale plan — ops sharing a stateful marker (the two
+    // StreamingDeduplicate dedups) would otherwise pass the fingerprint
+    // gate against the wrong plan (advice round 10)
+    lastMicroBatchPlan = ""
     try {
       val baos = new java.io.ByteArrayOutputStream()
       Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
@@ -55,6 +60,7 @@ object Streaming {
       }
       lastMicroBatchPlan = baos.toString("UTF-8")
     } catch { case _: Throwable => () }
+  }
 
   /** The canonical 5-column events projection every events-driven op
     * here streams from. */

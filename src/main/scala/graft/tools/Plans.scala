@@ -142,7 +142,7 @@ object Plans {
     "k_core" -> "per-round degree agg + broadcast semi-join peel on the persisted edge table, lineage cut per round; final plan is the bounded last-rounds tail",
     "pca_power" -> "per-round broadcast-vector x decimal-sum aggs over the PERSISTED exploded matrix; v localCheckpoint'ed per round (the un-cut plan doubled per round - 632 scans / 3348 nodes at 6 iters; now one cached scan + a LogicalRDD tail)",
     "curation_pipeline" -> "fused front: NFC normalize + sha2 inside the scan projection; hash-partition window dedup; shingle near-dedup runs on survivors only",
-    "exactsubstr_dedup" -> "stride-1 window explode (w x corpus, disclosed); ONE content-keyed first-occurrence window; covered-token rebuild is a per-row projection",
+    "exactsubstr_dedup" -> "stride-1 window explode (w x corpus, disclosed); ONE first-occurrence window keyed by a 96-bit hash pair (xxhash64 || murmur3-32) computed map-side, so the exchange carries (doc_id, pos, 12 hash bytes) instead of w-token strings; covered-token rebuild is a per-row projection",
     "text_normalize" -> "zero-shuffle projection: codegen'd UnicodeNormalize + two regex passes + trim + sha2 in one scan",
     "quality_probe" -> "trained scoring as a LogicalRDD tail (the 6 GD steps each ran ONE scan to a 4-number gradient; the model is literals, not data)",
     "multimodal_thumbnail" -> "partition-wise decode-resample-re-encode projection; zero shuffle, only the 7-column feature row leaves the task",
@@ -208,10 +208,14 @@ object Plans {
     // LocalTableScan) — the plan that matters is the stateful MICRO-BATCH
     // plan on the StreamExecution, captured right before stop()
     streamingAudited.foreach { case (name, why) =>
+      // clear first: a run that fails before stopCaptured must not
+      // silently re-print the previous op's plan (advice round 10)
+      graft.streaming.Streaming.lastMicroBatchPlan = ""
       graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val plan = graft.streaming.Streaming.lastMicroBatchPlan
+      require(plan.nonEmpty, s"$name: no micro-batch plan captured")
       sb ++= s"\n## $name — $why (the executed micro-batch plan, " +
-        "not the readout)\n\n```\n" +
-        graft.streaming.Streaming.lastMicroBatchPlan + "```\n"
+        "not the readout)\n\n```\n" + plan + "```\n"
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${audited.size} plans)")

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import java.io.File
 import java.nio.file.{Files, Paths}
 
 /** Empirical scaling-exponent harness (round-9 verdict item 4): the
@@ -22,23 +21,14 @@ import java.nio.file.{Files, Paths}
   */
 object Scaling {
 
-  /** Top-N warm query names from the newest committed bench snapshot —
-    * the same file HeavyTailAuditSpec reads.
+  /** Top-N warm query names from the newest PARSEABLE bench snapshot
+    * on disk — the same selection HeavyTailAuditSpec uses
+    * ([[BenchFiles.latestWarm]] skips the driver's truncated-tail
+    * wrapper files, which have no warm map).
     */
   def topWarm(n: Int): Seq[String] = {
-    val repo = new File("/root/repo")
-    val all = repo.listFiles((_: File, f: String) =>
-      f.matches("BENCH_r\\d+(_local)?\\.json")).toSeq
-    require(all.nonEmpty, "no BENCH_r*.json snapshot")
-    def round(f: File): Int = "\\d+".r.findFirstIn(f.getName).get.toInt
-    val maxRound = all.map(round).max
-    val atMax = all.filter(round(_) == maxRound)
-    val f = atMax.find(_.getName.contains("_local")).getOrElse(atMax.head)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val warm = mapper.readTree(f).get("queries_warm")
-    val buf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    warm.fields().forEachRemaining(e => buf += ((e.getKey, e.getValue.asDouble())))
-    buf.sortBy(-_._2).take(n).map(_._1).toSeq
+    val (_, warm) = BenchFiles.latestWarm()
+    warm.toSeq.sortBy(-_._2).take(n).map(_._1)
   }
 
   def main(args: Array[String]): Unit = {

@@ -157,6 +157,9 @@ class PlanFingerprintSpec extends AnyFunSuite {
     test(s"micro-batch fingerprint: $name (marker $marker, scans ≤ " +
          s"${maxScans}·1.5, state exchanges ≤ ${maxExch}·1.5)") {
       TestSpark.spark.catalog.clearCache()
+      // clear the capture var so a run that never reaches stopCaptured
+      // cannot pass this test against the PREVIOUS op's plan
+      graft.streaming.Streaming.lastMicroBatchPlan = ""
       // running the query executes the feed end-to-end; the shared
       // stopCaptured() shutdown records the executed micro-batch plan
       SparkEntry.queries(name)(TestSpark.spark, dir).count()
