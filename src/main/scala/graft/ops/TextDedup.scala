@@ -729,13 +729,32 @@ object TextDedup {
       .persist() // reused: signatures, rare index, int-set verify
     val sigs = minhashSigs(hashed, charNumHashes, lshPrime)
       .persist() // reused: banding + the prefilter
-    val cand = charCandidates(hashed, sigs, cap, bands)
-    val pre = charSigAgreement(cand, sigs, threshold, margin)
+    val pre = charFusedCandidates(hashed, sigs, cap, bands, threshold, margin)
+    // persist, not localCheckpoint: an A/B'd localCheckpoint here
+    // (cutting the textual lineage the verify stage quintuple-prints)
+    // ran the whole op 1.7× SLOWER — the eager RDD materialization
+    // path forgoes the adaptive finalization the SQL path gets — so
+    // the explain-token inflation is accepted and documented in the
+    // fingerprint golden instead (runtime scans are cache-deduplicated;
+    // only the printed tree repeats the funnel subtree).
     val nearExact = charHashedSetJaccard(pre, hashed, threshold)
+      .persist() // read 5×: survivor-doc list + verifyJaccard's joins
 
     // Stage 3 — the exact STRING-set decision (precision 1.0, the
-    // oracle's arithmetic) now touches only near-threshold survivors.
-    verifyJaccard(nearExact, charShingles(docs, n), threshold)
+    // oracle's arithmetic) touches only near-threshold survivors, and
+    // the string-shingle explode runs over SURVIVOR DOCS ONLY: the
+    // semi-join is applied to `docs` BEFORE charShingles, so the
+    // second corpus-wide explode the staged shape paid (verifyJaccard
+    // can only semi-join AFTER its `sh` input is exploded) never runs
+    // — at 100 TB, re-exploding every document to feed a 10⁻⁴-slice
+    // verify is the difference between a corpus pass and a near-dup-
+    // slice pass (round-11 A/B, BENCH_NOTES).
+    val survDocs = nearExact.select(col("doc_a").as("doc_id"))
+      .unionByName(nearExact.select(col("doc_b").as("doc_id")))
+      .distinct()
+    verifyJaccard(nearExact,
+      charShingles(docs.join(survDocs, Seq("doc_id"), "left_semi"), n),
+      threshold)
   }
 
   // The char funnel's stage builders are shared with the dev profiler
@@ -801,58 +820,78 @@ object TextDedup {
     charShingles(docs, n)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(lshPrime)).as("x"))
 
-  /** Candidate pairs: LSH banding ∪ rare-shingle inverted index,
-    * deduplicated. Three-stage funnel rationale (stages below): char
-    * shingles are so dense that unrelated documents share a moderate
-    * baseline Jaccard, and 2-row bands then admit nearly every pair as
-    * a candidate — at 10× gate scale the exact verify intersected
-    * millions of ~10³-element sets (measured: this op alone was HALF
-    * the bench before the funnel).
+  /** Fused candidate generation + signature-agreement prefilter:
+    * LSH banding ∪ rare-shingle inverted index, with the 64-int
+    * agreement test applied INSIDE each generator so only surviving
+    * pairs are ever shuffled.
+    *
+    * Funnel rationale: char shingles are so dense that unrelated
+    * documents share a moderate baseline Jaccard, and 2-row bands then
+    * admit nearly every pair as a candidate — at 10× gate scale the
+    * exact verify intersected millions of ~10³-element sets (measured:
+    * this op alone was HALF the bench before the funnel). E[agreement]
+    * = J over the 64 MinHash trials, so 64 integer compares per pair
+    * discard the far-below-threshold mass; cutoff threshold−0.22 keeps
+    * a true pair AT the threshold with P(miss) ≤ exp(−2·64·0.22²) ≈
+    * 2e-3 (Hoeffding; vanishing above it) — the same
+    * probabilistic-recall regime as the LSH generator itself.
+    *
+    * Fusion (round-11 A/B, BENCH_NOTES): the previous staged shape
+    * union'd the RAW band-hit pairs, distinct'ed them (the single most
+    * expensive stage — 8.0M 16-byte pairs through an exchange at
+    * sf0.1), then joined signatures back onto the deduplicated pairs.
+    * Here the int-cast signature rides the band row (8·numHashes/4 =
+    * 256 B/doc/band), band keys and signature come from the SAME row
+    * (no join), and the agreement filter runs on the pair explode's
+    * output INSIDE the bucket aggregation's partitions — the
+    * downstream distinct sees only agreeing pairs (651K vs 8.0M at
+    * sf0.1, a 12× exchange-row cut; warm 12.3 → 7.4 s, hash-identical
+    * output). The earlier measurement that rejected sig-joins on the
+    * raw band-hit stream still holds — this is NOT that shape: no join
+    * materializes per-hit signature arrays; the signature is carried
+    * once per (doc, band) into the bucket shuffle, which is
+    * band-count-bounded (32/doc) where raw pair hits are
+    * bucket-size-quadratic. The rare-shingle generator's pairs pass
+    * the IDENTICAL filter through signature joins (rare pairs are few
+    * — posting-capped — so the join cost is negligible), keeping the
+    * admitted pair set exactly equal to the staged funnel's
+    * (filter∘distinct∘union = distinct∘union∘filter for a per-pair
+    * predicate). Skew note: the giant-template-bucket fanout
+    * repartition (see [[bucketPairs]]) is kept; its rows grow from
+    * 12 B to ~270 B (the carried signature), still far below the
+    * per-pair bytes the staged shape shuffled.
     */
-  private[graft] def charCandidates(hashed: DataFrame, sigs: DataFrame,
-                                    maxDf: Int, bands: Int = 32): DataFrame = {
-    val lsh = bucketPairs(bandsOf(sigs, charNumHashes, bands))
-    val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
-      .select(col("doc_a"), col("doc_b"))
-    lsh.unionByName(rare).distinct()
-  }
-
-  /** Stage 1 — signature agreement: the signatures are already in hand
-    * from banding and E[agreement] = J, so 64 integer compares per
-    * pair discard the far-below-threshold mass. Candidates are
-    * DEDUPLICATED first — the distinct shuffles 16-byte pairs, whereas
-    * running the sig joins on the multi-band-hit stream materializes
-    * two signature arrays per raw pair (measured 2× slower at sf0.1;
-    * and on template-heavy corpora the band-hit duplication factor
-    * approaches the band count, so distinct-first is also the
-    * scale-robust ordering) — and the signature sides carry signatures
-    * as ints (the hash domain is < 2³¹), halving the per-pair bytes.
-    * The signature joins carry NO broadcast hint: the signature table
-    * is corpus-proportional (64 ints/doc ≈ 300 GB at 10⁹ docs — a
-    * forced broadcast is an OOM, not a slowdown); AQE broadcasts it
-    * while its runtime size fits and degrades to shuffle joins beyond
-    * that, the same discipline as the embedding verify join
-    * (Similarity.cosineNearDup). Shuffle-degradation is spec-asserted
-    * in PlanShapeSpec. Cutoff threshold−0.22 keeps a true pair AT the
-    * threshold with P(miss) ≤ exp(−2·64·0.22²) ≈ 2e-3 (Hoeffding;
-    * vanishing above it) — the same probabilistic-recall regime as the
-    * LSH generator itself. Recall vs the uncapped all-pairs oracle is
-    * re-measured at sf0.1: 256/256, unchanged from the unfiltered
-    * round-6 fix.
-    */
-  private[graft] def charSigAgreement(cand: DataFrame, sigs: DataFrame,
-                                      threshold: Double,
-                                      margin: Double = 0.22): DataFrame = {
+  private[graft] def charFusedCandidates(hashed: DataFrame, sigs: DataFrame,
+                                         maxDf: Int, bands: Int = 32,
+                                         threshold: Double = 0.5,
+                                         margin: Double = 0.22): DataFrame = {
     val minAgree =
       math.max(0, math.ceil((threshold - margin) * charNumHashes)).toInt
-    val sigInts = sigs.select(col("doc_id"),
-      transform(col("sig"), v => v.cast("int")).as("sig"))
-    cand
-      .join(sigInts.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigInts.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree)
+    def agrees(sa: Column, sb: Column): Column =
+      size(filter(zip_with(sa, sb,
+        (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree
+    val sigInts = sigs.select(col("doc_id"), col("sig"),
+      transform(col("sig"), v => v.cast("int")).as("sigi"))
+    val bandRows = sigInts
+      .select(col("doc_id"), col("sigi"),
+        explode(bandKeyArray(charNumHashes, bands)).as("bk"))
+      .select(col("doc_id"), col("sigi"), col("bk.band"), col("bk.key"))
+    val lsh = bandRows
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"),
+        col("sigi").as("sig_a"))
+      .join(bandRows.select(col("band"), col("key"),
+        col("doc_id").as("doc_b"), col("sigi").as("sig_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(agrees(col("sig_a"), col("sig_b")))
       .select(col("doc_a"), col("doc_b"))
+    val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sigInts.select(col("doc_id").as("doc_a"), col("sigi").as("sig_a")), "doc_a")
+      .join(sigInts.select(col("doc_id").as("doc_b"), col("sigi").as("sig_b")), "doc_b")
+      .filter(agrees(col("sig_a"), col("sig_b")))
+      .select(col("doc_a"), col("doc_b"))
+    lsh.unionByName(rare).distinct()
   }
 
   /** Stage 2 — exact Jaccard over the HASHED shingle sets (longs):
@@ -1176,18 +1215,25 @@ object TextDedup {
     * not pinned at 32.
     */
   private[graft] def bandsOf(sigs: DataFrame, numHashes: Int,
-                      bands: Int): DataFrame = {
+                      bands: Int): DataFrame =
+    sigs.select(col("doc_id"), explode(bandKeyArray(numHashes, bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+  /** The packed (band, key) struct array computed from `sig` — shared by
+    * [[bandsOf]] and the fused char-funnel candidate builder
+    * ([[charFusedCandidates]]) so a packing change can never diverge the
+    * two band-key derivations.
+    */
+  private def bandKeyArray(numHashes: Int, bands: Int): Column = {
     val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
+    array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         (0 until rowsPerBand)
           .map(j => element_at(col("sig"), b * rowsPerBand + j + 1))
           .reduce((acc, v) =>
             acc.bitwiseAND(lit(0x7FFFFFFFL)) * lit(lshPrime) + v)
           .as("key")).as(s"b$b")
-    }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    }: _*)
   }
 
   /** Near-dup CLUSTERS from verified pairs — the step that turns pairwise

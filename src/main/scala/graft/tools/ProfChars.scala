@@ -7,12 +7,13 @@ import graft.ops.TextDedup
 
 /** Dev profiler for the char near-dedup funnel (`near_dedup_chars`) —
   * the heaviest bench query. Times each funnel stage independently so a
-  * regression (or an optimization) can be attributed to candidate
-  * generation, signature prefilter, hashed-set verify, or the exact
-  * string decision. Calls the op's OWN stage builders
-  * (TextDedup.charCandidates/charSigAgreement/charHashedSetJaccard), so
-  * tuning the op can never leave this tool measuring a different
-  * pipeline. Not part of the driver contract.
+  * regression (or an optimization) can be attributed to fused candidate
+  * generation (LSH + rare index + in-bucket signature prefilter),
+  * hashed-set verify, or the exact string decision. Calls the op's OWN
+  * stage builders
+  * (TextDedup.charFusedCandidates/charHashedSetJaccard), so tuning the
+  * op can never leave this tool measuring a different pipeline. Not
+  * part of the driver contract.
   * Usage: runMain graft.tools.ProfChars [sfDir]
   */
 object ProfChars {
@@ -49,22 +50,24 @@ object ProfChars {
       .minhashSigs(hashed, TextDedup.charNumHashes, TextDedup.lshPrime)
       .persist()
     time("minhash sigs persist")(sigs.count())
-    time("lsh band pairs")(TextDedup.bucketPairs(
-      TextDedup.bandsOf(sigs, TextDedup.charNumHashes, bands = 32)).count())
     time("rare-shingle pairs")(TextDedup.pairIntersections(
       hashed.withColumnRenamed("x", "shingle"), maxDf).count())
-    val cand = TextDedup.charCandidates(hashed, sigs, maxDf).persist()
-    time("union distinct")(cand.count())
-    val pre = TextDedup.charSigAgreement(cand, sigs, threshold).persist()
-    time("stage1 sig-agreement")(pre.count())
+    val pre = TextDedup.charFusedCandidates(hashed, sigs, maxDf,
+      threshold = threshold).persist()
+    time("fused cand+sig-prefilter")(pre.count())
     val nearExact = TextDedup.charHashedSetJaccard(pre, hashed, threshold)
       .persist()
     time("stage2 hashed-set jaccard")(nearExact.count())
+    val survDocs = nearExact.select(col("doc_a").as("doc_id"))
+      .unionByName(nearExact.select(col("doc_b").as("doc_id")))
+      .distinct()
     time("stage3 exact strings")(
       TextDedup.verifyJaccard(nearExact,
-        TextDedup.charShingles(docs, n), threshold).count())
+        TextDedup.charShingles(
+          docs.join(survDocs, Seq("doc_id"), "left_semi"), n),
+        threshold).count())
 
-    hashed.unpersist(); sigs.unpersist(); cand.unpersist()
+    hashed.unpersist(); sigs.unpersist()
     pre.unpersist(); nearExact.unpersist()
 
     time("FULL near_dedup_chars")(

@@ -48,7 +48,14 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("asof_join_native", 4, 2, 0),
     ("embedding_near_dup", 16, 5, 0),
     ("simhash_pairs", 3, 3, 0),
-    ("near_dedup_chars", 45, 91, 0),
+    // round 11: the fused funnel's band self-join doubles the signature
+    // subtree and the verify stage references the persisted survivor
+    // table 5×, so the PRINTED tree repeats the funnel lineage ~9×
+    // (401/638 tokens vs the staged shape's 45/91). Runtime scans are
+    // cache-deduplicated (hashed/sigs/nearExact persist); an A/B'd
+    // localCheckpoint lineage cut ran 1.7× slower (TextDedup scaladoc),
+    // so the inflation is accepted — the gate stays relative (1.5×)
+    ("near_dedup_chars", 401, 638, 0),
     ("near_dedup_incremental", 24, 50, 0),
     ("minhash_lsh", 8, 26, 0),
     ("allpairs_jaccard", 45, 73, 0),
@@ -104,7 +111,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
     */
   private[graft] val streamingGolden: Seq[(String, String, Int, Int)] = Seq(
     // (query, required stateful marker, maxScanTokens, maxExchangeTokens)
-    ("streaming_join", "StreamingSymmetricHashJoin", 0, 2),
+    // 2 scans: the round-11 stale-capture fix revealed the old golden's
+    // 0 was read from a PREVIOUS op's leftover plan (the advice's exact
+    // scenario) — the true micro-batch plan scans both file feeds
+    ("streaming_join", "StreamingSymmetricHashJoin", 2, 2),
     ("streaming_join_outer", "StreamingSymmetricHashJoin", 0, 2),
     ("streaming_near_dup", "StreamingDeduplicate", 9, 5),
     ("streaming_dedup", "StreamingDeduplicate", 1, 1),
