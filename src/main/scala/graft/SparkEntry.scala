@@ -2753,27 +2753,22 @@ object SparkEntry {
     // near stage (caught by the positiveAgg degeneracy gate). Buckets
     // ride the repo's portable cents arithmetic (round, BIGINT,
     // truncating div).
-    "curation_pipeline_events" -> ((s, dir) => {
-      val flat = Flatten.flattenJsonColumn(
-        Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          col("event_type"), col("value"), col("props")),
-        "props", StructType(Seq(StructField("k", LongType))))
-      // concat_ws SKIPS null tokens while the oracle's || NULLIFIES the
-      // whole text \u2014 a single null payload field would silently diverge
-      // the gate. Coalesce every nullable token to the literal 'null' on
-      // BOTH sides (a no-op on the current all-non-null data, so hashes
-      // are unchanged; 'null' cannot collide with the numeric tokens).
-      val docs = flat.select(col("event_id").as("doc_id"),
-        concat_ws(" ",
-          when(col("event_id") % 10 === 0, lit("Cafe\u0301"))
-            .otherwise(lit("Caf\u00e9")),
-          lit("user"), coalesce(col("user_id").cast("string"), lit("null")),
-          lit("k"), coalesce(col("props_k").cast("string"), lit("null")),
-          coalesce(col("event_type"), lit("null")), lit("b"),
-          coalesce(expr("CAST(round(value*100) AS BIGINT) div 10000")
-            .cast("string"), lit("null"))).as("text"))
-      TextDedup.curationPipeline(docs)
-    }),
+    "curation_pipeline_events" -> ((s, dir) =>
+      TextDedup.curationPipeline(eventsCurationDocs(rawEventsSlice(s, dir)))),
+
+    // the SAME front door as a STREAMING ingest: raw event rows (JSON
+    // props and all) stream from the feed, every micro-batch runs the
+    // SHARED flatten+render+normalize+hash projection (stateless \u2014 no
+    // state store) into a parquet staging sink, and the closed-feed
+    // readout runs the literal batch verdict tail over the staged
+    // corpus \u2014 hash-equal to curation_pipeline_events by construction
+    // (same oracle). The render function object is the same value the
+    // batch registration uses; the verdict tail is the same method \u2014
+    // batch and stream cannot drift.
+    "streaming_curation_events" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingCurationEvents(s,
+        rawEventsSlice(s, dir), eventsCurationDocs,
+        tmp(dir, "stream_curation"))),
 
     // contrastive hard-negative mining: top-5 nearest DIFFERENT-label
     // vectors per probe (the decision-boundary examples)
@@ -3328,6 +3323,36 @@ object SparkEntry {
   private def tmp(dir: String, name: String): String =
     s"/root/repo/target/graft-tmp/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** The raw 5-column events slice both curation front doors ingest. */
+  private def rawEventsSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  /** events → curation documents: the P1 flatten of the JSON `props`
+    * payload plus the canonical text render — pure projections, shared
+    * BY VALUE between the batch `curation_pipeline_events` registration
+    * and the streaming ingest (`streaming_curation_events`), so the two
+    * front doors parse and render identically by construction. See the
+    * batch registration commentary for the marker/token-order rationale;
+    * concat_ws SKIPS null tokens while the oracle's || NULLIFIES the
+    * row, so every nullable token is coalesced to the literal 'null' on
+    * BOTH sides (a no-op on the current all-non-null data; 'null'
+    * cannot collide with the numeric tokens).
+    */
+  private val eventsCurationDocs: DataFrame => DataFrame = raw => {
+    val flat = Flatten.flattenJsonColumn(raw, "props",
+      StructType(Seq(StructField("k", LongType))))
+    flat.select(col("event_id").as("doc_id"),
+      concat_ws(" ",
+        when(col("event_id") % 10 === 0, lit("Cafe\u0301"))
+          .otherwise(lit("Caf\u00e9")),
+        lit("user"), coalesce(col("user_id").cast("string"), lit("null")),
+        lit("k"), coalesce(col("props_k").cast("string"), lit("null")),
+        coalesce(col("event_type"), lit("null")), lit("b"),
+        coalesce(expr("CAST(round(value*100) AS BIGINT) div 10000")
+          .cast("string"), lit("null"))).as("text"))
+  }
+
   // ---- oracle SQL (DuckDB) --------------------------------------------
 
   /** All events columns at microsecond ts precision (DuckDB reads the
@@ -3405,7 +3430,10 @@ object SparkEntry {
       // the maintained pair-count table must land the batch KS statistic
       ("streaming_ks_drift" -> baseOracles("ks_drift")) +
       // the maintained side-count table must land the batch q-hat/coverage
-      ("streaming_conformal" -> baseOracles("conformal_threshold"))
+      ("streaming_conformal" -> baseOracles("conformal_threshold")) +
+      // the streamed staging table + batch verdict tail must land the
+      // batch front door's verdict rows exactly
+      ("streaming_curation_events" -> extraOracles("curation_pipeline_events"))
 
   private def baseOracles: Map[String, String] = Map(
 

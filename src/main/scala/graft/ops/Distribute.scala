@@ -29,7 +29,7 @@ object Distribute {
     * behind, and tolerates the location being a plain file (listFiles
     * returns null there).
     */
-  private def deleteRecursively(f: java.io.File): Unit =
+  private[graft] def deleteRecursively(f: java.io.File): Unit =
     if (f.exists()) {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -223,9 +223,24 @@ object TextDedup {
     */
   def curationPipeline(docs: DataFrame, k: Int = 3,
                        threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cap = if (maxDf > 0) maxDf else dfCapFor(docs.count())
-    val norm = Text.textNormalize(docs, form = "NFC")
+    curationVerdicts(Text.textNormalize(docs, form = "NFC"), k, threshold, cap)
+  }
+
+  /** The post-normalize verdict tail of [[curationPipeline]] — exact
+    * content-hash dedup (keep min doc_id) then word-shingle near-dedup
+    * over the survivors. Split out so the STREAMING front door
+    * ([[graft.streaming.Streaming.streamingCurationEvents]]), whose
+    * micro-batches run the normalize+hash projection live into a
+    * staging sink, can run the IDENTICAL verdict arithmetic over the
+    * staged corpus — one code chain, so batch and streaming cannot
+    * drift. `norm` must carry (doc_id, text, content_hash) as produced
+    * by [[Text.textNormalize]].
+    */
+  private[graft] def curationVerdicts(norm: DataFrame, k: Int,
+                                      threshold: Double,
+                                      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exact = norm.withColumn("exact_canon",
       min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
     val survivors = exact.filter(col("doc_id") === col("exact_canon"))

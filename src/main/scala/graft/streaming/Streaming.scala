@@ -525,6 +525,68 @@ object Streaming {
     spark.table(name)
   }
 
+  /** The events curation front door LIVE — the reference's JSON flatten
+    * path (P1) feeding the LLM curation chain as a STREAMING ingest.
+    * Raw event rows (JSON `props` payload and all) stream from the
+    * feed; each micro-batch runs the caller-supplied flatten→render
+    * projection plus NFC normalize + sha2 — ALL pure projections, no
+    * state store (the cheapest streaming shape, same class as
+    * [[streamingQualityScore]]) — and appends the normalized
+    * (doc_id, text, content_hash) rows to a parquet STAGING SINK with
+    * exactly-once file-commit semantics. This is the production front
+    * door: the stream maintains the curation staging table; the
+    * verdict pass runs per corpus snapshot. On feed close the readout
+    * runs [[graft.ops.TextDedup.curationVerdicts]] — the literal batch
+    * verdict tail — over the staged corpus with the same
+    * corpus-derived df cap, so the closed-feed result hash-equals
+    * batch `curation_pipeline_events` by construction (one code chain
+    * end to end; the render function itself is shared with the batch
+    * registration).
+    *
+    * Scale: per-tick cost is one projection over the batch (no join,
+    * no shuffle, no state); the sink is an append-only parquet table —
+    * the same staging-table shape S3 uses — and the verdict pass costs
+    * exactly the batch pipeline. The sink + checkpoint restart clean
+    * per invocation: deterministic re-runs beat reasoning about
+    * resume-state interactions on a test fixture.
+    */
+  def streamingCurationEvents(spark: SparkSession, rawEvents: DataFrame,
+                              render: DataFrame => DataFrame,
+                              scratch: String,
+                              k: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    import graft.ops.{Text, TextDedup}
+    val srcPath = scratch + "_src"
+    val sinkPath = scratch + "_sink"
+    val ckptPath = scratch + "_ckpt"
+    val fingerprint = rawEvents.schema.toDDL + "|" +
+      rawEvents.queryExecution.analyzed.canonicalized.toString
+    synchronized {
+      if (!fixturesWritten.get(srcPath).contains(fingerprint)) {
+        rawEvents.repartition(4).write.mode("overwrite").parquet(srcPath)
+        fixturesWritten(srcPath) = fingerprint
+      }
+    }
+    graft.ops.Distribute.deleteRecursively(new java.io.File(sinkPath))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckptPath))
+    val staged = Text.textNormalize(
+      render(spark.readStream.schema(rawEvents.schema)
+        .option("maxFilesPerTrigger", 2).parquet(srcPath)),
+      form = "NFC")
+      .select(col("doc_id"), col("text"), col("content_hash"))
+    val query = staged.writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+    stopCaptured(query)
+    val corpus = spark.read.parquet(sinkPath)
+    TextDedup.curationVerdicts(corpus, k, threshold,
+      TextDedup.dfCapFor(corpus.count()))
+  }
+
   /** LIVE two-sample KS drift monitor — [[graft.ops.Profile.ksDrift]]'s
     * even/odd-day populations maintained over the event stream: each
     * micro-batch sum-merges its per-cents-value pair counts into the

@@ -173,7 +173,12 @@ object Plans {
       "production shape)"),
     "streaming_window_append" -> ("watermarked tumbling-window aggregate in " +
       "append mode: partial agg before the window-key exchange, final agg " +
-      "against the state store, rows emitted on watermark close"))
+      "against the state store, rows emitted on watermark close"),
+    "streaming_curation_events" -> ("the events curation front door live: " +
+      "flatten(from_json)+render+NFC-normalize+sha2 as ONE stateless " +
+      "micro-batch projection into the parquet staging sink (no state " +
+      "store, no shuffle per tick); the verdict tail runs batch over the " +
+      "staged corpus on close"))
 
   /** Every audited query name — the HeavyTailAuditSpec gate asserts the
     * latest bench's >3 s-warm set is a subset of this.

@@ -119,7 +119,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("streaming_near_dup", "StreamingDeduplicate", 9, 5),
     ("streaming_dedup", "StreamingDeduplicate", 1, 1),
     ("streaming_dedup_watermark", "StreamingDeduplicate", 1, 1),
-    ("streaming_window_append", "StateStoreSave", 0, 1)
+    ("streaming_window_append", "StateStoreSave", 0, 1),
+    // round 11: the curation front door's micro-batch must stay ONE
+    // stateless scan→projection into the staging sink — the marker is
+    // the codegen'd normalize expression, proving the normalize stage
+    // runs IN the stream, not in the readout
+    ("streaming_curation_events", "unicodenormalize", 1, 0)
   )
 
   private def count(hay: String, needle: String): Int = {
