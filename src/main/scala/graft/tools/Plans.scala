@@ -148,6 +148,10 @@ object Plans {
     "multimodal_thumbnail" -> "partition-wise decode-resample-re-encode projection; zero shuffle, only the 7-column feature row leaves the task",
     // round 10: the last >3s-warm queries without an audit (the r9
     // verdict's criterion-as-stated), now gated by HeavyTailAuditSpec
+    // round 11: near_dedup drifted over the 3 s bar (3.005 s warm in
+    // BENCH_r11_local under +4% whole-sweep host drift) — the gate
+    // red-flagged it exactly as designed; audited here
+    "near_dedup" -> "word-shingle inverted index, no LSH needed at word sparsity: posting-list groupBy (df-capped, pair expansion bounded df^2) -> per-pair intersection counts -> two doc-size count joins -> exact Jaccard filter; shuffles carry (shingle, id) postings and (id,id,count) pairs, never text",
     "curation_report" -> "union of its parts' plans: hash-groupBy uniques + inverted-index pair candidates + edge-sized label loop (child session); the five report numbers meet in 1-row crossJoins (the documented BNLJ pattern)",
     "curation_pipeline_events" -> "parity-P1 flatten (from_json k leaf) + text render + NFC normalize + sha2 fused into the ONE events scan projection; then the same hash-window dedup + survivor-only near stage as curation_pipeline",
     "embedding_pq" -> "per-subspace decimal Lloyd training over a persisted (id, subvector) projection (shuffles carry k·subDim partial rows, never vectors); broadcast-centroid argmax encode; only constant-width code rows reach the final per-vector shuffle")
