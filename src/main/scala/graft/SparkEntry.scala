@@ -871,6 +871,32 @@ object SparkEntry {
     "gopher_repetition" -> ((s, dir) =>
       Text.gopherRepetition(Tables.documents(s, dir))),
 
+    // the line-duplicate half of the Gopher A1 table (the n-gram half
+    // above shipped alone in round 8 because the corpus is single-line
+    // — these fractions were STRUCTURALLY zero). Deterministic
+    // injection, mirrored in the oracle: docs with >= 8 words render as
+    // four word-quarters joined by newlines, and every 3rd doc repeats
+    // quarter 1 in slot 3, so dup_line_frac provably fires (~1/4 on the
+    // injected docs) while the rest stay multi-line negatives
+    "gopher_line_dup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val m = size(ws)
+      val q = floor(m / lit(4)).cast("int")
+      def part(start: org.apache.spark.sql.Column,
+               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(slice(ws, start, len), " ")
+      val l1 = part(lit(1), q)
+      val l2 = part(q + 1, q)
+      val l3 = part(lit(2) * q + 1, q)
+      val l4 = part(lit(3) * q + 1, m - lit(3) * q)
+      val injected = when(m >= 8,
+        concat_ws("\n", l1, l2,
+          when(col("doc_id") % 3 === 0, l1).otherwise(l3), l4))
+        .otherwise(col("text"))
+      Text.gopherLineDup(base.select(col("doc_id"), injected.as("text")))
+    }),
+
     // E3+: CCNet head/middle/tail perplexity terciles per language
     "ccnet_buckets" -> ((s, dir) =>
       Text.ccnetBuckets(Tables.documents(s, dir))),
@@ -5355,6 +5381,46 @@ object SparkEntry {
     // the identical training loop unrolled + materialized per step,
     // generated beside the operator (the pcaPower precedent)
     "quality_probe" -> Text.qualityProbeOracleSql(),
+
+    // the same quarter-injection as the registration (every 3rd doc with
+    // >= 8 words repeats quarter 1 in slot 3), then the all-but-first
+    // duplicate-line counts from (all, distinct) pairs
+    "gopher_line_dup" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+         p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
+               FROM w),
+         t AS (SELECT doc_id,
+                 CASE WHEN m >= 8 THEN
+                   array_to_string(ws[1:q], ' ') || chr(10)
+                   || array_to_string(ws[q+1:2*q], ' ') || chr(10)
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN array_to_string(ws[1:q], ' ')
+                            ELSE array_to_string(ws[2*q+1:3*q], ' ') END)
+                   || chr(10)
+                   || array_to_string(ws[3*q+1:m], ' ')
+                 ELSE text END AS t2
+               FROM p),
+         l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM t),
+         s AS (SELECT doc_id, ls, list_distinct(ls) AS dls FROM l),
+         c AS (SELECT doc_id,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(ls) - len(dls) AS BIGINT) AS n_dup,
+                 CAST(list_sum(list_transform(ls, x -> len(x)))
+                      AS BIGINT) AS tot,
+                 CAST(list_sum(list_transform(dls, x -> len(x)))
+                      AS BIGINT) AS dtot
+               FROM s),
+         f AS (SELECT doc_id, n_lines, n_dup,
+                 round(CAST(n_dup AS DOUBLE) / n_lines, 6) AS lf,
+                 CASE WHEN tot > 0
+                      THEN round(CAST(tot - dtot AS DOUBLE) / tot, 6)
+                      ELSE 0.0 END AS cf
+               FROM c)
+         SELECT doc_id, n_lines, n_dup AS n_dup_lines,
+           lf AS dup_line_frac, cf AS dup_char_frac,
+           (lf <= 0.30 AND cf <= 0.20) AS line_pass
+         FROM f""",
 
     "gopher_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,

@@ -310,6 +310,43 @@ object Text {
     * same counts by explode + two-level groupBy — an independent
     * algorithm agreeing on exact integers.
     */
+  /** Gopher LINE-level repetition metrics (Rae et al. 2021 table A1's
+    * duplicate-line half — [[gopherRepetition]] is the n-gram half,
+    * which round 8 shipped alone because the synthetic corpus is
+    * single-line and these fractions were structurally zero; the
+    * registered query closes that gap by injecting a deterministic
+    * multi-line structure, mirrored in the oracle, so the metrics
+    * provably fire — the `segment_langid` pattern). Definitions:
+    * a line occurrence beyond the FIRST occurrence of its content is a
+    * duplicate; `dup_line_frac` = duplicate occurrences / lines and
+    * `dup_char_frac` = characters in duplicate occurrences / characters
+    * in all lines (the all-but-first reading both engines can compute
+    * from (all, distinct) pairs). `line_pass` applies the paper's
+    * document-filter thresholds (≤ 0.30 / ≤ 0.20).
+    *
+    * Scale: per-row array folds over the line split — zero shuffle,
+    * same class as [[gopherRepetition]]; fractions are ROUNDED(6) on
+    * integer operands so the cross-engine hash is exact.
+    */
+  def gopherLineDup(docs: DataFrame): DataFrame = {
+    val ls = split(col("text"), "\n")
+    val dls = array_distinct(ls)
+    def chars(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val totChars = chars(ls)
+    val dupChars = totChars - chars(dls)
+    val dupLines = (size(ls) - size(dls)).cast("long")
+    val lineFrac = round(dupLines.cast("double") / size(ls), 6)
+    val charFrac = when(totChars > 0,
+      round(dupChars.cast("double") / totChars, 6)).otherwise(lit(0.0))
+    Par.widen(docs).select(col("doc_id"),
+      size(ls).cast("long").as("n_lines"),
+      dupLines.as("n_dup_lines"),
+      lineFrac.as("dup_line_frac"),
+      charFrac.as("dup_char_frac"),
+      (lineFrac <= 0.30 && charFrac <= 0.20).as("line_pass"))
+  }
+
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     def gramStats(n: Int): Column = {
