@@ -7,13 +7,16 @@ import java.io.File
 /** Gate over the committed scaling-exponent measurement (SCALING.json,
   * produced by `sbt "runMain graft.tools.Scaling"`): for every measured
   * heavy query, the warm-min time ratio t(sf0.1)/t(sf0.01) across the
-  * 10× data step must stay ≤ 15 (implied exponent ≈ 1.18) — the
-  * empirical check behind the 100 TB story that plan reading alone
-  * cannot give (round-9/10 verdict item). A quadratic stage would show
-  * ratio → 100; shuffle-volume blowups show as ratios well above the
-  * bar long before that. Ratios BELOW 1 happen when fixed per-query
-  * overhead (session, planning, codegen) dominates at both SFs — fine,
-  * the gate is one-sided.
+  * 10× data step must stay ≤ 10 — i.e. measured wall grows NO WORSE
+  * THAN LINEARLY in data (fixed per-query overhead only pulls the
+  * ratio DOWN, so linear work can never legitimately exceed the data
+  * ratio). This is the empirical check behind the 100 TB story that
+  * plan reading alone cannot give (round-9/10 verdict item). A
+  * quadratic stage would show ratio → 100; shuffle-volume blowups show
+  * well above the bar long before that. Measured headroom: the top-20
+  * sweep's worst ratio is 2.6× (round 11), ~4× under the bar, and
+  * run-to-run ratio noise is a few tenths. Ratios BELOW 1 happen when
+  * fixed overhead dominates at both SFs — fine, the gate is one-sided.
   *
   * The file is a committed artifact (both SFs measured in ONE JVM,
   * minutes apart, so the ratio is host-load-robust); this spec fails
@@ -21,7 +24,7 @@ import java.io.File
   */
 class ScalingSpec extends AnyFunSuite {
 
-  private val maxRatio = 15.0
+  private val maxRatio = 10.0
 
   test(s"every measured heavy query scales ≤ ${maxRatio}× across the " +
        "10× sf0.01→sf0.1 step (SCALING.json)") {
