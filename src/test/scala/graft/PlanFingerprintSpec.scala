@@ -101,7 +101,11 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // — 4 subspaces × (train assign + encode) × 2 tokens
     ("curation_report", 23, 31, 8),
     ("embedding_pq", 25, 40, 16),
-    ("curation_pipeline_events", 6, 12, 0)
+    ("curation_pipeline_events", 6, 12, 0),
+    // round 11 near-bar pre-audit (2.4 s warm — the next +25% sweep
+    // drift would trip the 3 s heavy-tail gate): the 2 BNLJ tokens are
+    // the broadcast 1-row basket-total crossJoin
+    ("market_basket", 14, 12, 2)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
@@ -127,7 +131,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // stateless scan→projection into the staging sink — the marker is
     // the codegen'd normalize expression, proving the normalize stage
     // runs IN the stream, not in the readout
-    ("streaming_curation_events", "unicodenormalize", 1, 0)
+    ("streaming_curation_events", "unicodenormalize", 1, 0),
+    // round 11 near-bar pre-audit: stateless stream-static monitor —
+    // the marker is the broadcast baseline join; no state store at all
+    ("streaming_anomaly", "BroadcastHashJoin", 4, 2)
   )
 
   private def count(hay: String, needle: String): Int = {
