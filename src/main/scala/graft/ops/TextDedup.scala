@@ -871,10 +871,25 @@ object TextDedup {
     * — posting-capped — so the join cost is negligible), keeping the
     * admitted pair set exactly equal to the staged funnel's
     * (filter∘distinct∘union = distinct∘union∘filter for a per-pair
-    * predicate). Skew note: the giant-template-bucket fanout
-    * repartition (see [[bucketPairs]]) is kept; its rows grow from
-    * 12 B to ~270 B (the carried signature), still far below the
-    * per-pair bytes the staged shape shuffled.
+    * predicate). Skew note (corrected r12 — the round-11 scaladoc
+    * wrongly claimed the [[bucketPairs]] fanout repartition "is kept";
+    * the fused self-join never had it): giant-template-bucket skew is
+    * handled DIFFERENTLY here, and better. The LSH generator is a plain
+    * shuffle self-join on (band, key), which is exactly the shape AQE's
+    * OptimizeSkewedJoin (on by default) can split at runtime — a
+    * skewed join partition is divided into sub-splits with the matching
+    * other side duplicated, so even a SINGLE giant key fans out across
+    * tasks. The bucketPairs fanout repartition only separates DISTINCT
+    * giant keys into different tasks (a lone giant still lands whole in
+    * one task), and a groupBy-collect shape cannot be split at all
+    * (aggregation must see every row of its key). Measured (interleaved
+    * one-JVM A/B/C at sf0.1, tools.AbChar, BENCH_NOTES r12): shipped
+    * self-join 10.3 s; self-join over 8×-fanout-repartitioned band rows
+    * 2.0× slower (the extra full shuffle of ~270 B rows × 2 sides costs
+    * far more than the skew it spreads); bucketPairs-style groupBy
+    * carrying (doc_id, sigi) structs 3.5× slower (object-hash
+    * collect_list + struct-array explode). Identical 256-row output all
+    * three arms.
     */
   private[graft] def charFusedCandidates(hashed: DataFrame, sigs: DataFrame,
                                          maxDf: Int, bands: Int = 32,
@@ -887,19 +902,51 @@ object TextDedup {
         (x, y) => when(x === y, lit(1))), e => e.isNotNull)) >= minAgree
     val sigInts = sigs.select(col("doc_id"), col("sig"),
       transform(col("sig"), v => v.cast("int")).as("sigi"))
+    val fanout =
+      sigs.sparkSession.sessionState.conf.numShufflePartitions * 8
     val bandRows = sigInts
       .select(col("doc_id"), col("sigi"),
         explode(bandKeyArray(charNumHashes, bands)).as("bk"))
       .select(col("doc_id"), col("sigi"), col("bk.band"), col("bk.key"))
-    val lsh = bandRows
-      .select(col("band"), col("key"), col("doc_id").as("doc_a"),
-        col("sigi").as("sig_a"))
-      .join(bandRows.select(col("band"), col("key"),
-        col("doc_id").as("doc_b"), col("sigi").as("sig_b")),
-        Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(agrees(col("sig_a"), col("sig_b")))
-      .select(col("doc_a"), col("doc_b"))
+    // A/B toggle for the skew-mitigation measurement (BENCH_NOTES r12):
+    // "join" (shipped) = plain band self-join; "join_repart" = self-join
+    // over pre-repartitioned band rows (2.0× slower, interleaved A/B);
+    // "group" = bucketPairs-style groupBy carrying sig structs (3.5×
+    // slower). Kept re-runnable via tools.AbChar.
+    val variant = sys.props.getOrElse("graft.char.lsh", "join")
+    val lsh = variant match {
+      case "join" =>
+        bandRows
+          .select(col("band"), col("key"), col("doc_id").as("doc_a"),
+            col("sigi").as("sig_a"))
+          .join(bandRows.select(col("band"), col("key"),
+            col("doc_id").as("doc_b"), col("sigi").as("sig_b")),
+            Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(agrees(col("sig_a"), col("sig_b")))
+          .select(col("doc_a"), col("doc_b"))
+      case "join_repart" =>
+        val rp = bandRows.repartition(fanout, col("band"), col("key"))
+        rp.select(col("band"), col("key"), col("doc_id").as("doc_a"),
+            col("sigi").as("sig_a"))
+          .join(rp.select(col("band"), col("key"),
+            col("doc_id").as("doc_b"), col("sigi").as("sig_b")),
+            Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(agrees(col("sig_a"), col("sig_b")))
+          .select(col("doc_a"), col("doc_b"))
+      case _ =>
+        bandRows
+          .repartition(fanout, col("band"), col("key"))
+          .groupBy(col("band"), col("key"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sigi"))))
+            .as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(explode(pairsOf(col("ds"))).as("p"))
+          .filter(agrees(col("p.a.sigi"), col("p.b.sigi")))
+          .select(col("p.a.doc_id").as("doc_a"),
+            col("p.b.doc_id").as("doc_b"))
+    }
     val rare = pairIntersections(hashed.withColumnRenamed("x", "shingle"), maxDf)
       .select(col("doc_a"), col("doc_b"))
       .join(sigInts.select(col("doc_id").as("doc_a"), col("sigi").as("sig_a")), "doc_a")

@@ -555,7 +555,6 @@ object Streaming {
                               scratch: String,
                               k: Int = 3,
                               threshold: Double = 0.5): DataFrame = {
-    import graft.ops.{Text, TextDedup}
     val srcPath = scratch + "_src"
     val sinkPath = scratch + "_sink"
     val ckptPath = scratch + "_ckpt"
@@ -569,8 +568,28 @@ object Streaming {
     }
     graft.ops.Distribute.deleteRecursively(new java.io.File(sinkPath))
     graft.ops.Distribute.deleteRecursively(new java.io.File(ckptPath))
+    val stagedSchema = runCurationStream(spark, rawEvents.schema, render,
+      srcPath, sinkPath, ckptPath)
+    curationReadout(spark, stagedSchema, sinkPath, k, threshold)
+  }
+
+  /** One resumable pass of the curation ingest stream: drain every file
+    * currently visible under `srcPath` into the parquet staging sink,
+    * honoring an existing checkpoint (NO cleanup here — the caller owns
+    * sink/checkpoint lifetime, which is what lets
+    * [[graft.StreamingRestartSpec]] kill the feed mid-delivery and
+    * restart it against the same checkpoint). Returns the staged schema
+    * for the readout. Extracted from [[streamingCurationEvents]] r12.
+    */
+  private[graft] def runCurationStream(spark: SparkSession,
+                                       rawSchema: org.apache.spark.sql.types.StructType,
+                                       render: DataFrame => DataFrame,
+                                       srcPath: String, sinkPath: String,
+                                       ckptPath: String)
+      : org.apache.spark.sql.types.StructType = {
+    import graft.ops.Text
     val staged = Text.textNormalize(
-      render(spark.readStream.schema(rawEvents.schema)
+      render(spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 2).parquet(srcPath)),
       form = "NFC")
       .select(col("doc_id"), col("text"), col("content_hash"))
@@ -582,7 +601,21 @@ object Streaming {
       .start()
     query.processAllAvailable()
     stopCaptured(query)
-    val corpus = spark.read.parquet(sinkPath)
+    staged.schema
+  }
+
+  /** Closed-feed verdict readout over the staging sink — the literal
+    * batch verdict tail with the same corpus-derived df cap. Explicit
+    * schema: an empty feed leaves only _spark_metadata in the sink, and
+    * schema inference would throw where the batch front door returns an
+    * empty verdict table (ADVICE r12).
+    */
+  private[graft] def curationReadout(spark: SparkSession,
+                                     stagedSchema: org.apache.spark.sql.types.StructType,
+                                     sinkPath: String, k: Int,
+                                     threshold: Double): DataFrame = {
+    import graft.ops.TextDedup
+    val corpus = spark.read.schema(stagedSchema).parquet(sinkPath)
     TextDedup.curationVerdicts(corpus, k, threshold,
       TextDedup.dfCapFor(corpus.count()))
   }

@@ -26,12 +26,15 @@ import java.io.File
   */
 object BenchFiles {
 
-  /** (filename, warm-query map) of the newest parseable snapshot. */
-  def latestWarm(): (String, Map[String, Double]) = {
-    val repo = new File("/root/repo")
+  /** (filename, warm-query map) of the newest parseable snapshot.
+    * `dir` is overridable so the corrupt-snapshot failure path is unit
+    * testable against a scratch directory.
+    */
+  def latestWarm(dir: String = "/root/repo"): (String, Map[String, Double]) = {
+    val repo = new File(dir)
     val all = Option(repo.listFiles((_: File, n: String) =>
       n.matches("BENCH_r\\d+(_local)?\\.json"))).map(_.toSeq).getOrElse(Seq.empty)
-    require(all.nonEmpty, "no BENCH_r*.json snapshot in /root/repo")
+    require(all.nonEmpty, s"no BENCH_r*.json snapshot in $dir")
     def round(f: File): Int = "\\d+".r.findFirstIn(f.getName).get.toInt
     // highest round first; _local preferred within a round
     val ordered = all.sortBy(f => (-round(f), if (f.getName.contains("_local")) 0 else 1))
@@ -43,7 +46,21 @@ object BenchFiles {
           Option(root.get("queries_warm"))
             .orElse(Option(root.get("queries"))) // pre-warm-pass snapshots
             .filter(_.isObject)
-        } catch { case _: Exception => None }
+        } catch {
+          case e: Exception if f.getName.contains("_local") =>
+            // A corrupted isolated snapshot must NOT silently demote the
+            // heavy-tail gate to an older round's data (ADVICE r12):
+            // _local files are this repo's own artifacts — fail loudly.
+            throw new IllegalStateException(
+              s"isolated snapshot ${f.getName} exists but fails to parse" +
+              " — regenerate it rather than gating against stale data", e)
+          case _: Exception => None // driver wrapper files: skippable
+        }
+      if (warm.isEmpty && f.getName.contains("_local"))
+        throw new IllegalStateException(
+          s"isolated snapshot ${f.getName} parses but has no " +
+          "queries_warm/queries object — regenerate it rather than " +
+          "gating against stale data")
       f.getName -> warm
     }
     val found = parsed.collectFirst { case (name, Some(node)) =>
@@ -56,4 +73,16 @@ object BenchFiles {
       s"among ${ordered.map(_.getName).mkString(", ")} — run " +
       "`sbt \"runMain graft.Bench\"` to produce an isolated BENCH_rN_local.json"))
   }
+
+  /** The heavy-tail gate's decision function, extracted so the spec can
+    * drive the REAL bar-filter + audited-subset path with a synthetic
+    * warm map (ADVICE r12 — the previous \"gate bites\" test only
+    * checked set membership of a made-up name). Returns the queries
+    * above `barSec` warm that are absent from `audited`, worst first.
+    */
+  def unauditedHeavy(warm: Map[String, Double], barSec: Double,
+                     audited: Set[String]): Seq[(String, Double)] =
+    warm.toSeq.filter(_._2 > barSec)
+      .filterNot { case (q, _) => audited.contains(q) }
+      .sortBy(-_._2)
 }

@@ -6,34 +6,46 @@ import java.nio.file.{Files, Paths}
 
 /** Empirical scaling-exponent harness (round-9 verdict item 4): the
   * 100 TB story was argued entirely from plan shapes; this measures it.
-  * For the heavy warm tail, run sf0.01 and sf0.1 in ONE JVM (1 cold +
-  * 2 warm passes per SF, per-query warm MIN — the bench's own noise
-  * methodology) and report t(0.1)/t(0.01) plus the implied exponent
-  * log10(ratio): 1.0 = linear, 2.0 = quadratic. Both SFs run under the
-  * same host conditions minutes apart, so the RATIO is far more
-  * load-robust than either absolute number.
+  * For the heavy warm tail, run sf0.001, sf0.01 and sf0.1 in ONE JVM
+  * (1 cold + 2 warm passes per SF, per-query warm MIN — the bench's
+  * own noise methodology) and report BOTH decades:
+  *  - ratio   = t(0.1)/t(0.01)  (10× data)  with exponent log10(ratio)
+  *  - ratio100 = t(0.1)/t(0.001) (100× data) with exponent
+  *    log10(ratio100)/2
+  * 1.0 = linear, 2.0 = quadratic. The second decade distinguishes
+  * fixed-overhead flattening from true sub-linearity for queries whose
+  * 10× ratio sits near 1 (round-11 verdict item 4). All SFs run under
+  * the same host conditions minutes apart, so the RATIOS are far more
+  * load-robust than the absolute numbers.
+  *
+  * Selection (round-11 verdict item 3 — self-maintaining coverage):
+  * every query above `marginBar` (1.5 s) warm in the newest isolated
+  * snapshot, NOT a fixed top-N. ScalingSpec gates coverage at 2.0 s,
+  * so the 0.5 s margin absorbs round-to-round warm drift (±20–30%
+  * measured) without the gate going red between measurement runs.
   *
   * Output: /root/repo/SCALING.json (committed; ScalingSpec gates it)
   * and a markdown table on stdout for SCALE.md.
   *
-  * Usage: sbt "runMain graft.tools.Scaling [topN]"  (default 12 —
-  * the latest committed bench's top-N warm queries)
+  * Usage: sbt "runMain graft.tools.Scaling [marginBarSec]"
   */
 object Scaling {
 
-  /** Top-N warm query names from the newest PARSEABLE bench snapshot
-    * on disk — the same selection HeavyTailAuditSpec uses
+  /** All query names above `bar` seconds warm in the newest PARSEABLE
+    * bench snapshot on disk — the same source HeavyTailAuditSpec uses
     * ([[BenchFiles.latestWarm]] skips the driver's truncated-tail
     * wrapper files, which have no warm map).
     */
-  def topWarm(n: Int): Seq[String] = {
+  def warmAbove(bar: Double): Seq[String] = {
     val (_, warm) = BenchFiles.latestWarm()
-    warm.toSeq.sortBy(-_._2).take(n).map(_._1)
+    warm.toSeq.filter(_._2 > bar).sortBy(-_._2).map(_._1)
   }
 
   def main(args: Array[String]): Unit = {
-    val topN = args.headOption.map(_.toInt).getOrElse(12)
-    val names = topWarm(topN)
+    val marginBar = args.headOption.map(_.toDouble).getOrElse(1.5)
+    val names = warmAbove(marginBar)
+    println(s"measuring ${names.size} queries (> $marginBar s warm) " +
+      "at sf0.001 / sf0.01 / sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,25 +70,33 @@ object Scaling {
       }.toMap
     }
 
+    val t0001 = measure("/root/testdata/sf0.001")
     val t001 = measure("/root/testdata/sf0.01")
     val t01 = measure("/root/testdata/sf0.1")
 
     val rows = names.map { n =>
-      val a = t001(n); val b = t01(n)
-      val ratio = b / a
-      val expo = math.log10(ratio)
-      (n, a, b, ratio, expo)
-    }.sortBy(-_._4)
+      val s = t0001(n); val a = t001(n); val b = t01(n)
+      val r10 = b / a
+      val r100 = b / s
+      (n, s, a, b, r10, math.log10(r10), r100, math.log10(r100) / 2.0)
+    }.sortBy(-_._5)
 
-    println("| query | t(sf0.01) s | t(sf0.1) s | ratio | exponent |")
-    println("|---|---|---|---|---|")
-    rows.foreach { case (n, a, b, r, e) =>
-      println(f"| `$n` | $a%.2f | $b%.2f | $r%.1fx | $e%.2f |")
+    println("| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | " +
+      "ratio 10x | exp | ratio 100x | exp |")
+    println("|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, s, a, b, r, e, r2, e2) =>
+      println(f"| `$n` | $s%.2f | $a%.2f | $b%.2f | $r%.1fx | $e%.2f " +
+        f"| $r2%.1fx | $e2%.2f |")
     }
 
-    val json = rows.map { case (n, a, b, r, e) =>
-      f"""{"query":"$n","t001":$a%.4f,"t01":$b%.4f,"ratio":$r%.3f,"exponent":$e%.3f}"""
-    }.mkString("""{"data_ratio":10.0,"entries":[""", ",", "]}")
+    val json = rows.map { case (n, s, a, b, r, e, r2, e2) =>
+      f"""{"query":"$n","t0001":$s%.4f,"t001":$a%.4f,"t01":$b%.4f,""" +
+        f""""ratio":$r%.3f,"exponent":$e%.3f,""" +
+        f""""ratio100":$r2%.3f,"exponent100":$e2%.3f}"""
+    }.mkString(
+      """{"data_ratio":10.0,"data_ratio_100":100.0,"margin_bar_sec":""" +
+        f"$marginBar%.1f" + ""","entries":[""",
+      ",", "]}")
     Files.writeString(Paths.get("/root/repo/SCALING.json"), json + "\n")
     println(s"wrote SCALING.json (${rows.size} queries)")
     spark.stop()

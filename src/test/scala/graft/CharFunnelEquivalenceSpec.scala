@@ -76,4 +76,37 @@ class CharFunnelEquivalenceSpec extends AnyFunSuite {
         s"(e.g. ${onlyStaged.take(3)})")
     } finally { hashed.unpersist(); sigs.unpersist() }
   }
+
+  test("all three A/B LSH shapes admit the identical candidate set") {
+    // the r12 skew A/B (tools.AbChar / BENCH_NOTES) compared plan
+    // SHAPES only; this pins that the toggle arms are semantically one
+    // operator, so a timing rerun can never compare different outputs
+    val spark = TestSpark.spark
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val (bands, cap, margin) =
+      TextDedup.charFunnelParams(threshold, docs.count())
+    val hashed = TextDedup.charHashedShingles(docs, n).persist()
+    val sigs = TextDedup.minhashSigs(hashed, TextDedup.charNumHashes,
+      TextDedup.lshPrime).persist()
+    val prev = sys.props.get("graft.char.lsh")
+    try {
+      val sets = Seq("join", "join_repart", "group").map { arm =>
+        sys.props("graft.char.lsh") = arm
+        arm -> TextDedup
+          .charFusedCandidates(hashed, sigs, cap, bands, threshold, margin)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(sets.head._2.nonEmpty, "degenerate: zero candidates")
+      for (Seq((a, sa), (b, sb)) <- sets.sliding(2))
+        assert(sa == sb, s"$a vs $b candidate sets diverged: " +
+          s"${(sa -- sb).size} only-$a, ${(sb -- sa).size} only-$b")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.char.lsh") = v
+        case None => sys.props -= "graft.char.lsh"
+      }
+      hashed.unpersist(); sigs.unpersist()
+    }
+  }
 }

@@ -29,24 +29,60 @@ class HeavyTailAuditSpec extends AnyFunSuite {
 
   test(s"every query > $barSec s warm in the latest bench is plan-audited") {
     val (fname, warm) = graft.tools.BenchFiles.latestWarm()
-    val heavy = warm.toSeq.filter(_._2 > barSec)
-    assert(heavy.nonEmpty,
+    assert(warm.exists(_._2 > barSec),
       s"$fname: zero >$barSec s queries — either the bench " +
       "snapshot is truncated or the bar needs lowering; inspect")
-    val unaudited = heavy.filterNot { case (q, _) =>
-      graft.tools.Plans.auditedNames.contains(q) }
+    val unaudited = graft.tools.BenchFiles.unauditedHeavy(
+      warm, barSec, graft.tools.Plans.auditedNames)
     assert(unaudited.isEmpty,
       s"$fname: heavy-tail queries with NO plan audit " +
       s"(add to tools.Plans + PlanFingerprintSpec): " +
-      unaudited.sortBy(-_._2).map { case (q, t) =>
-        f"$q (${t}%.1f s)" }.mkString(", "))
+      unaudited.map { case (q, t) => f"$q (${t}%.1f s)" }.mkString(", "))
   }
 
-  test("the gate still red-flags a hypothetical unaudited heavy query") {
-    // the verdict's done-criterion: prove the subset assertion bites
-    val fake = Seq(("zz_unaudited_hypothetical", 9.9))
-    val unaudited = fake.filterNot { case (q, _) =>
-      graft.tools.Plans.auditedNames.contains(q) }
-    assert(unaudited.nonEmpty)
+  test("the gate red-flags an unaudited heavy query via the real path") {
+    // Drive the actual bar-filter + audited-subset function (not just
+    // set membership — ADVICE r12) with a synthetic warm map covering
+    // all three classes: audited-heavy passes, unaudited-light passes,
+    // unaudited-heavy is flagged (and ordered worst-first).
+    val auditedName = graft.tools.Plans.auditedNames.headOption.getOrElse(
+      fail("auditedNames is empty — the audit registry itself is broken"))
+    val warm = Map(
+      auditedName -> 9.9,                      // heavy but audited → OK
+      "zz_light_unaudited" -> (barSec - 0.1),  // unaudited but light → OK
+      "zz_heavy_unaudited" -> (barSec + 1.0),  // the case that must bite
+      "zz_heavier_unaudited" -> (barSec + 5.0))
+    val flagged = graft.tools.BenchFiles.unauditedHeavy(
+      warm, barSec, graft.tools.Plans.auditedNames)
+    assert(flagged ==
+      Seq("zz_heavier_unaudited" -> (barSec + 5.0),
+          "zz_heavy_unaudited" -> (barSec + 1.0)),
+      s"gate decision function returned $flagged")
+  }
+
+  test("a corrupted _local snapshot fails loudly instead of silently " +
+       "demoting the gate to an older round (ADVICE r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchfiles")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r01_local.json"),
+      """{"queries_warm":{"q":1.0}}""")
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r02_local.json"),
+      """{"queries_warm": TRUNCATED GARBAGE""")
+    val e = intercept[IllegalStateException] {
+      graft.tools.BenchFiles.latestWarm(dir.toString)
+    }
+    assert(e.getMessage.contains("BENCH_r02_local.json"))
+    // a parseable _local WITHOUT a warm map is equally a red flag
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r02_local.json"),
+      """{"n": 2, "tail": "wrapper-shaped"}""")
+    val e2 = intercept[IllegalStateException] {
+      graft.tools.BenchFiles.latestWarm(dir.toString)
+    }
+    assert(e2.getMessage.contains("no queries_warm"))
+    // driver wrapper files stay skippable: same content, non-_local name
+    java.nio.file.Files.delete(dir.resolve("BENCH_r02_local.json"))
+    java.nio.file.Files.writeString(dir.resolve("BENCH_r02.json"),
+      """{"n": 2, "tail": "wrapper-shaped"}""")
+    val (fname, warm) = graft.tools.BenchFiles.latestWarm(dir.toString)
+    assert(fname == "BENCH_r01_local.json" && warm == Map("q" -> 1.0))
   }
 }

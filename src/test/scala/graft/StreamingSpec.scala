@@ -231,6 +231,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("streamingCurationEvents on an EMPTY feed returns an empty " +
+       "verdict table, like the batch front door (ADVICE r12)") {
+    // an empty feed leaves only _spark_metadata in the staging sink;
+    // before the explicit-schema fix the readout threw a parquet
+    // schema-inference error instead of returning zero verdicts
+    val raw = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .limit(0)
+    val render = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("event_id").as("doc_id"),
+        coalesce(col("event_type"), lit("null")).as("text"))
+    val out = Streaming.streamingCurationEvents(spark, raw, render,
+      scratch("curation_empty"))
+    assert(out.count() === 0L)
+    assert(out.columns.nonEmpty)
+  }
+
   test("statefulSessionize equals batch gaps-and-islands for any batching") {
     val out = Streaming.statefulSessionize(spark, events, 1800L, scratch("sess"))
       .select(col("key"), col("session_id"), col("n_events"))

@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Round-close artifact regeneration (round-11 verdict stretch item 8):
+# ONE documented command reproduces every committed measurement artifact
+# so they cannot drift apart. Takes ~1.5 h end-to-end (matrix dominates).
+#
+#   tools/roundclose.sh <round-number>        e.g. tools/roundclose.sh 12
+#
+# Produces, in dependency order:
+#   1. BENCH_r<N>_local.json   isolated bench snapshot (sf0.1, local[32])
+#   2. SCALING.json            3-SF scaling sweep — reads snapshot (1) via
+#                              BenchFiles.latestWarm, so order matters
+#   3. PLANS.md                formatted-explain audits (sf0.001)
+#   4. CATALOG.md              registry-derived coverage catalog
+#   5. CORRECTNESS_MATRIX.json cross-SF verify+oracle matrix (~45 min)
+#   6. sbt test                the full gate suite against 1-5
+#
+# LEAKCHECK.json / COPYCHECK.json are produced by the DRIVER per round,
+# not here. The driver's BENCH_r<N>.json wrapper is also driver-owned.
+set -euo pipefail
+cd /root/repo
+
+N="${1:?usage: tools/roundclose.sh <round-number>}"
+N2=$(printf "%02d" "$N")
+
+echo "== 1/6 isolated bench snapshot (sf0.1, local[32]) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench"
+cp target/bench.json "BENCH_r${N2}_local.json"
+echo "wrote BENCH_r${N2}_local.json"
+
+echo "== 2/6 scaling sweep (3 SFs, one JVM) =="
+sbt -batch "runMain graft.tools.Scaling"
+
+echo "== 3/6 PLANS.md =="
+sbt -batch "runMain graft.tools.Plans"
+
+echo "== 4/6 CATALOG.md =="
+sbt -batch "Test/runMain graft.CatalogGen"
+
+echo "== 5/6 cross-SF correctness matrix =="
+python3 tools/matrix.py
+
+echo "== 6/6 full gate suite =="
+sbt -batch test
+
+echo "round-close artifacts regenerated; review git diff, then commit."
