@@ -15,6 +15,8 @@ object PlanProbe {
     println("exchTokens=" + """(?m)^[\s+:|-]*Exchange \(""".r.findAllIn(plan).size)
     println("reused=" + count("ReusedExchange"))
     println("sorts=" + count("Sort ("))
+    println("bnlj=" + count("BroadcastNestedLoopJoin"))
+    println("cartesian=" + count("CartesianProduct"))
     println(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).take(40).mkString("\n"))
     spark.stop()
   }

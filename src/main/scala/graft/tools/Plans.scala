@@ -46,11 +46,13 @@ object Plans {
     "embedding_quantize" -> "one calibration scan; broadcast bounds; projection-only encode",
     "dq_freshness" -> "global max via window over per-key aggregates: one scan by construction",
     "ngram_novelty" -> "first-seen aggregation + per-doc rollup; ratio is one exact division",
-    "source_overlap" -> "posting-list pair expansion; pair space is source-count-squared",
+    // detail upgraded r12: steepest-scaler pin (SCALING.json 10x 4.6x)
+    "source_overlap" -> "source-pair shingle Jaccard from an inverted index: distinct (source, shingle) posting lists -> collect_set(source) per shingle -> pairsOf expansion (pair space = source-count^2, never doc^2 and never a self-join) -> per-pair intersection counts + two source-size joins at source cardinality",
     "temperature_sample" -> "stratum-count quota frame broadcast; literal budget keeps WindowGroupLimit",
     "paragraph_dedup" -> "two content-sized shuffles: first-occurrence window + doc reassembly",
     "semdedup" -> "broadcast centroid argmax; one cent_id shuffle; pairwise stays in-cluster",
-    "winnowing" -> "zero-shuffle projection: k-gram hash + window-min select per row",
+    // detail upgraded r12: steepest-scaler pin (SCALING.json 10x 5.6x)
+    "winnowing" -> "per-doc window-min fingerprints (MOSS): ONE scan, the whole k-gram hash + per-window min + rightmost tie-break + per-doc array_distinct runs as a codegen'd higher-order-function projection; the single exchange is the Par.widen round-robin, no agg, no join",
     "char_entropy" -> "zero-shuffle projection; fixed fold order for portable doubles",
     "multimodal_phash" -> "pixels decoded in-task; only (id, 8-byte hash) shuffles for group counts",
     "cdc_apply" -> "one key shuffle: WindowGroupLimit-pruned latest-wins + tombstone filter",
@@ -157,7 +159,18 @@ object Plans {
     "near_dedup" -> "word-shingle inverted index, no LSH needed at word sparsity: posting-list groupBy (df-capped, pair expansion bounded df^2) -> per-pair intersection counts -> two doc-size count joins -> exact Jaccard filter; shuffles carry (shingle, id) postings and (id,id,count) pairs, never text",
     "curation_report" -> "union of its parts' plans: hash-groupBy uniques + inverted-index pair candidates + edge-sized label loop (child session); the five report numbers meet in 1-row crossJoins (the documented BNLJ pattern)",
     "curation_pipeline_events" -> "parity-P1 flatten (from_json k leaf) + text render + NFC normalize + sha2 fused into the ONE events scan projection; then the same hash-window dedup + survivor-only near stage as curation_pipeline",
-    "embedding_pq" -> "per-subspace decimal Lloyd training over a persisted (id, subvector) projection (shuffles carry k·subDim partial rows, never vectors); broadcast-centroid argmax encode; only constant-width code rows reach the final per-vector shuffle")
+    "embedding_pq" -> "per-subspace decimal Lloyd training over a persisted (id, subvector) projection (shuffles carry k·subDim partial rows, never vectors); broadcast-centroid argmax encode; only constant-width code rows reach the final per-vector shuffle",
+    // round 12: the three STEEPEST measured scalers (SCALING.json 10x
+    // ratios 5.6x winnowing / 4.6x ngram_diversity / 4.6x
+    // source_overlap — i.e. the queries where data work is the largest
+    // share of wall, so a plan regression hurts most at scale) are all
+    // audited + fingerprinted even though all are under the 3 s bar:
+    // the steep ratio is fixed overhead giving way to LINEAR per-doc
+    // work (two-decade exponents 0.31-0.34), not a superlinear stage —
+    // the plans are the evidence. winnowing/source_overlap were
+    // already audited (entries above, detail upgraded r12); the one
+    // new audit is:
+    "ngram_diversity" -> "distinct-n readout for n=1..3: per-n explode -> (source, gram) count agg (map-side partial collapses repeated grams before the exchange) -> per-source distinct/total rollup; three branches union; no join")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

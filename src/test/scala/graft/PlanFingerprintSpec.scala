@@ -105,7 +105,14 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // round 11 near-bar pre-audit (2.4 s warm — the next +25% sweep
     // drift would trip the 3 s heavy-tail gate): the 2 BNLJ tokens are
     // the broadcast 1-row basket-total crossJoin
-    ("market_basket", 14, 12, 2)
+    ("market_basket", 14, 12, 2),
+    // round 12: the three steepest measured scalers (SCALING.json 10×
+    // ratios 5.6× / 4.6× / 4.6× — the queries with the largest
+    // data-work share of wall time, where a plan regression would hurt
+    // most at 100 TB) — all under the 3 s bar, pinned proactively
+    ("winnowing", 2, 1, 0),
+    ("ngram_diversity", 6, 6, 0),
+    ("source_overlap", 6, 6, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
