@@ -211,6 +211,48 @@ object Plans {
   val auditedNames: Set[String] =
     audited.map(_._1).toSet ++ streamingAudited.map(_._1).toSet
 
+  /** Strip run-varying ids so a PLANS.md regeneration diffs ONLY on
+    * real plan changes (r12: a no-op regeneration used to churn ~11k
+    * lines of exprId noise, burying the three lines that mattered):
+    * exprIds (`#123`/`#123L`), exchange `plan_id`s, and the random
+    * `/tmp/temporary-*` checkpoint dirs in micro-batch plans. The
+    * operator structure, column names, pushed filters, and partitioning
+    * arguments — everything the audits reason about — are untouched.
+    */
+  private[graft] def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("/tmp/temporary-[0-9a-f-]+", "/tmp/temporary-x")
+      // codegen stage numbering varies with traversal order run to run;
+      // the WholeStageCodegen SPAN STRUCTURE (what the audits read) is
+      // unchanged by renaming the ids. The bare "Arguments: N" line is
+      // the WholeStageCodegen node's stage id — same class of noise.
+      .replaceAll("codegen id : \\d+", "codegen id : x")
+      .replaceAll("(?m)^Arguments: \\d+$", "Arguments: x")
+      // JVM lambda identities (typed mapPartitions codecs)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda\\$x")
+      // object identity hashes, stream runId/watermark UUIDs, and the
+      // randomly-sampled part file the InMemoryFileIndex line names
+      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "x")
+      .replaceAll("part-\\d{5}-", "part-x-")
+      // micro-batch captures: WHICH epoch is the last one before stop()
+      // varies with file-listing order, and the epoch drags its batch
+      // id, state version, and watermark millis/micros along — the
+      // operator tree is the audited content, not the tick scalars.
+      // (Three small noise classes remain un-normalized by design: the
+      // count-distinct Expand's branch order inside one batch plan,
+      // per-epoch codegen star ids, and whether a stream's FINAL
+      // captured tick is an empty watermark-flush batch (LocalTableScan
+      // <empty> feeds) — a few hundred lines total vs the ~21k-line
+      // churn before normalization, and the fingerprint gates only
+      // use upper bounds so an empty capture cannot false-fail them.)
+      .replaceAll("epoch: \\d+", "epoch: x")
+      .replaceAll("ver = \\d+", "ver = x")
+      .replaceAll("\\b\\d{13,16}\\b", "x")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -231,7 +273,7 @@ object Plans {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      sb ++= s"\n## $name — $why\n\n```\n$plan```\n"
+      sb ++= s"\n## $name — $why\n\n```\n${normalize(plan)}```\n"
     }
 
     // streaming ops return a memory-sink readout (whose explain is just a
@@ -245,7 +287,7 @@ object Plans {
       val plan = graft.streaming.Streaming.lastMicroBatchPlan
       require(plan.nonEmpty, s"$name: no micro-batch plan captured")
       sb ++= s"\n## $name — $why (the executed micro-batch plan, " +
-        "not the readout)\n\n```\n" + plan + "```\n"
+        "not the readout)\n\n```\n" + normalize(plan) + "```\n"
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${audited.size} plans)")
