@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the PLANS.md id-normalizer (r12): the regexes must strip the
+  * run-varying token classes WITHOUT touching the operator tokens the
+  * plan audits and fingerprint gates count. A too-greedy pattern here
+  * would silently rewrite the evidence file the round reviews hinge on.
+  */
+class PlansNormalizeSpec extends AnyFunSuite {
+
+  private val n = graft.tools.Plans.normalize _
+
+  private val sample =
+    """(5) Exchange
+      |Input [2]: [l_returnflag#8, sum#43L]
+      |Arguments: hashpartitioning(l_returnflag#8, 4), ENSURE_REQUIREMENTS, [plan_id=19]
+      |(6) HashAggregate [codegen id : 6]
+      |Arguments: 12
+      |(7) Scan parquet
+      |Location: InMemoryFileIndex [file:/x/part-00028-b26d5397-a28a-4468-96d7-3ffe2a7bec75-c000.snappy.parquet]
+      |(8) BroadcastNestedLoopJoin
+      |obj#11: graft.ops.Multimodal$$Lambda$6552/0x00007fab297072a8@415c790e
+      |WriteToDataSourceV2 MicroBatchWrite[epoch: 4, writer: Memory@64051260]
+      |state info [ checkpoint = file:/tmp/temporary-74201a44-dc9f-43a9-8945-aa751b3a6802/state, runId = a9bf8ec6-3c99-4b85-ba44-5a90f34c008d, ver = 4 ]
+      |left value predicate: (view_ts#98-T3600000ms <= 1706649038234000)
+      |""".stripMargin
+
+  test("normalization is idempotent") {
+    assert(n(n(sample)) === n(sample))
+  }
+
+  test("run-varying ids are stripped") {
+    val out = n(sample)
+    for (leak <- Seq("#8", "#43L", "plan_id=19", "codegen id : 6",
+        "part-00028", "b26d5397", "@415c790e", "epoch: 4",
+        "temporary-74201a44", "runId = a9bf8ec6", "ver = 4",
+        "1706649038234000"))
+      assert(!out.contains(leak), s"unstripped varying id: $leak")
+  }
+
+  test("the operator tokens the gates count are untouched") {
+    val out = n(sample)
+    // same substrings PlanFingerprintSpec counts
+    for (tok <- Seq("Exchange", "Scan parquet", "BroadcastNestedLoopJoin",
+        "HashAggregate", "hashpartitioning(", "ENSURE_REQUIREMENTS",
+        "l_returnflag", "InMemoryFileIndex", "MicroBatchWrite"))
+      assert(out.contains(tok), s"normalizer ate operator token: $tok")
+    // partitioning arity (a real argument, not an id) survives
+    assert(out.contains("hashpartitioning(l_returnflag#x, 4)"))
+  }
+}
