@@ -110,6 +110,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"AQE did not split the skewed partition; final plan:\n$p")
   }
 
+  test("AQE splits the char-funnel band self-join on a giant template " +
+       "bucket (skew=true on the REAL operator, not a synthetic join)") {
+    // The r12 skew resolution (BENCH_NOTES §Round 12): the fused LSH
+    // generator keeps the plain (band, key) self-join — 2.0–3.5×
+    // faster than both manual mitigations — BECAUSE a shuffle join is
+    // the one shape OptimizeSkewedJoin can re-split at runtime, even
+    // for a SINGLE giant bucket. Prove that on the operator itself:
+    // 600 identical template docs (one ~180 KB bucket per band, far
+    // over the lowered 32 KB threshold) + 60 unique docs, broadcast
+    // disabled so the join must shuffle.
+    import graft.ops.TextDedup
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.sharedState.cacheManager.clearCache()
+    val template =
+      "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = s.range(660).select(col("id").as("doc_id"),
+      when(col("id") < 600, lit(template)).otherwise(
+        concat(lit("unique filler payload number "),
+          col("id").cast("string"), lit(" tail "),
+          (col("id") * 7).cast("string"))).as("text"))
+    val hashed = TextDedup.charHashedShingles(docs, 5).persist()
+    val sigs = TextDedup.minhashSigs(hashed, TextDedup.charNumHashes,
+      TextDedup.lshPrime).persist()
+    try {
+      val cand = TextDedup.charFusedCandidates(hashed, sigs, maxDf = 5,
+        bands = 32, threshold = 0.5, margin = 0.22)
+      // execute THIS dataframe; identical docs agree on all 64 lanes,
+      // so every giant-bucket pair survives the prefilter
+      val n = cand.collect().length
+      assert(n >= 600 * 599 / 2, s"giant bucket admitted only $n pairs")
+      val p = cand.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        "join broadcast despite threshold=-1 — skew test did not shuffle")
+      assert(p.contains("skew=true"),
+        s"AQE did not split the giant template bucket; final plan:\n" +
+        p.take(4000))
+    } finally { hashed.unpersist(); sigs.unpersist() }
+  }
+
   test("AQE coalesces over-partitioned small shuffles at runtime " +
        "(AQEShuffleRead coalesced) — why shuffle.partitions can be " +
        "sized for the LARGEST stage without taxing the small ones") {
