@@ -897,6 +897,51 @@ object SparkEntry {
       Text.gopherLineDup(base.select(col("doc_id"), injected.as("text")))
     }),
 
+    // E3+: C4 page cleaning (Raffel et al. 2020 §2.2) — line-level keep
+    // rules (terminal punctuation + >= 3 words) and page-level drop
+    // rules ("{", "lorem ipsum", too few surviving lines). The corpus
+    // is single-line unpunctuated word salad, so the registered query
+    // renders gopher_line_dup's four-quarter structure and injects each
+    // rule trigger deterministically, mirrored in the oracle: line i
+    // gets a terminal '.' unless (doc_id + i) % 3 == 0; every 7th doc
+    // appends " {" to line 2 (code-markup page drop); every 11th doc's
+    // line 3 becomes "lorem ipsum." (placeholder page drop, and a
+    // 2-word line the word rule also rejects)
+    "c4_line_filter" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val m = size(ws)
+      val q = floor(m / lit(4)).cast("int")
+      def part(start: org.apache.spark.sql.Column,
+               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(slice(ws, start, len), " ")
+      def punct(line: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+        when((col("doc_id") + i) % 3 =!= 0, concat(line, lit(".")))
+          .otherwise(line)
+      val l1 = punct(part(lit(1), q), 1)
+      val l2p = punct(part(q + 1, q), 2)
+      val l2 = when(col("doc_id") % 7 === 0, concat(l2p, lit(" {")))
+        .otherwise(l2p)
+      val l3 = when(col("doc_id") % 11 === 0, lit("lorem ipsum."))
+        .otherwise(punct(part(lit(2) * q + 1, q), 3))
+      val l4 = punct(part(lit(3) * q + 1, m - lit(3) * q), 4)
+      val injected = when(m >= 8, concat_ws("\n", l1, l2, l3, l4))
+        .otherwise(col("text"))
+      Text.c4LineFilter(base.select(col("doc_id"), injected.as("text")))
+    }),
+
+    // E3+ (ingest hygiene): ftfy-style mojibake repair. The corpus is
+    // pure ASCII, so every 5th doc gets the three classic double-
+    // encoding artifact families prepended (mirrored in the oracle);
+    // the operator repairs them with the fixed literal-replace chain
+    "fix_encoding" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val injected = when(col("doc_id") % 5 === 0,
+        concat(lit(Text.mojibakePrefix), col("text")))
+        .otherwise(col("text"))
+      Text.fixEncoding(base.select(col("doc_id"), injected.as("text")))
+    }),
+
     // E3+: CCNet head/middle/tail perplexity terciles per language
     "ccnet_buckets" -> ((s, dir) =>
       Text.ccnetBuckets(Tables.documents(s, dir))),
@@ -5421,6 +5466,61 @@ object SparkEntry {
            lf AS dup_line_frac, cf AS dup_char_frac,
            (lf <= 0.30 AND cf <= 0.20) AS line_pass
          FROM f""",
+
+    // the same four-quarter injection as the registration (terminal '.'
+    // unless (doc_id+i)%3==0; " {" on line 2 for every 7th doc;
+    // "lorem ipsum." as line 3 for every 11th), then C4's line keep
+    // rules and page drop rules recomputed with DuckDB list functions
+    "c4_line_filter" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+         p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
+               FROM w),
+         r AS (SELECT doc_id, text, m,
+                 CASE WHEN (doc_id + 1) % 3 <> 0
+                      THEN array_to_string(ws[1:q], ' ') || '.'
+                      ELSE array_to_string(ws[1:q], ' ') END AS r1,
+                 CASE WHEN (doc_id + 2) % 3 <> 0
+                      THEN array_to_string(ws[q+1:2*q], ' ') || '.'
+                      ELSE array_to_string(ws[q+1:2*q], ' ') END AS r2,
+                 CASE WHEN (doc_id + 3) % 3 <> 0
+                      THEN array_to_string(ws[2*q+1:3*q], ' ') || '.'
+                      ELSE array_to_string(ws[2*q+1:3*q], ' ') END AS r3,
+                 CASE WHEN (doc_id + 4) % 3 <> 0
+                      THEN array_to_string(ws[3*q+1:m], ' ') || '.'
+                      ELSE array_to_string(ws[3*q+1:m], ' ') END AS r4
+               FROM p),
+         t AS (SELECT doc_id,
+                 CASE WHEN m >= 8 THEN
+                   r1 || chr(10)
+                   || (CASE WHEN doc_id % 7 = 0 THEN r2 || ' {'
+                            ELSE r2 END) || chr(10)
+                   || (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum.'
+                            ELSE r3 END) || chr(10)
+                   || r4
+                 ELSE text END AS t2
+               FROM r),
+         l AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS ls FROM t),
+         k AS (SELECT doc_id, t2, ls,
+                 list_filter(ls, x -> ends_with(x, '.')
+                   AND len(string_split(x, ' ')) >= 3) AS kept
+               FROM l)
+         SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(list_sum(list_transform(kept, x -> len(x))), 0)
+                AS BIGINT) AS kept_chars,
+           contains(t2, '{') AS has_brace,
+           contains(t2, 'lorem ipsum') AS has_lorem,
+           (len(kept) >= 2 AND NOT contains(t2, '{')
+             AND NOT contains(t2, 'lorem ipsum')) AS c4_pass
+         FROM k""",
+
+    // generated beside the operator from the ONE mojibake table +
+    // injection prefix (the qualityProbeOracleSql precedent), so the
+    // repair chain and the every-5th-doc injection cannot drift
+    // between the Spark and DuckDB sides
+    "fix_encoding" -> Text.fixEncodingOracleSql(),
 
     "gopher_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,

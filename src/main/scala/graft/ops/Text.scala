@@ -1544,4 +1544,118 @@ object Text {
        |  s * nn > tot AS above_mean
        |FROM fin, tot""".stripMargin
   }
+
+  /** C4-style heuristic page cleaning (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 — the public recipe behind the C4 corpus;
+    * the most-cited curation filter not already in the catalog:
+    * [[gopherLineDup]] is Gopher's duplicate-LINE metric, this is C4's
+    * keep-rules). LINE rules: retain a line only if it ends in a
+    * terminal punctuation mark AND contains >= 3 words. PAGE rules:
+    * drop pages containing "{" (the paper's code-markup rule) or the
+    * phrase "lorem ipsum" (placeholder text), and pages with fewer than
+    * `minKeptLines` surviving lines — the paper's 5-sentence floor,
+    * scaled to the registered query's 4-line render (documented
+    * variant; likewise the punctuation set here is the injected '.'
+    * only, and the paper's bad-words page rule is [[wordlistFilter]]'s
+    * job, not repeated here).
+    *
+    * Emits per-page accounting rather than the cleaned text so both
+    * rule levels stay auditable: line counts before/after, surviving
+    * characters, each page-rule flag, and the composite `c4_pass`.
+    *
+    * Scale: pure per-row higher-order functions over the line split
+    * (`filter`/`aggregate`) — zero shuffle, one scan, whole-stage
+    * codegen; the same class as [[gopherLineDup]].
+    */
+  def c4LineFilter(docs: DataFrame, minKeptLines: Int = 2): DataFrame = {
+    val ls = split(col("text"), "\n")
+    val kept = filter(ls, l =>
+      l.endsWith(".") && size(split(l, " ")) >= 3)
+    val hasBrace = col("text").contains("{")
+    val hasLorem = col("text").contains("lorem ipsum")
+    Par.widen(docs).select(
+      col("doc_id"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      aggregate(kept, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .as("kept_chars"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      (size(kept) >= minKeptLines && !hasBrace && !hasLorem).as("c4_pass"))
+  }
+
+  /** The classic UTF-8-bytes-decoded-as-Windows-1252 artifacts and
+    * their repairs (the high-frequency subset of ftfy's table — Speer
+    * 2019, "ftfy: fixes text for you", zenodo 2591652): "Ã©" is é's
+    * UTF-8 byte pair (C3 A9) mis-decoded, "â€™" is ’'s byte triple
+    * (E2 80 99), etc. The patterns are mutually prefix-free (the â€
+    * family differs in the third char; the Ã family is disjoint), so
+    * replacement order cannot mis-fire; longest-first kept anyway as
+    * the safe convention. Unicode escapes, not glyphs, so the table is
+    * source-encoding-proof.
+    */
+  private[graft] val mojibakeTable: Seq[(String, String)] = Seq(
+    "\u00E2\u20AC\u2122" -> "\u2019", // â€™ -> ’ (RIGHT SINGLE QUOTE)
+    "\u00E2\u20AC\u0153" -> "\u201C", // â€œ -> “ (LEFT DOUBLE QUOTE)
+    "\u00E2\u20AC\u201C" -> "\u2013", // â€“ -> – (EN DASH)
+    "\u00C3\u00A9" -> "\u00E9", // Ã© -> é (e-acute)
+    "\u00C3\u00A8" -> "\u00E8", // Ã¨ -> è (e-grave)
+    "\u00C3\u00BC" -> "\u00FC", // Ã¼ -> ü (u-umlaut)
+    "\u00C3\u00B6" -> "\u00F6", // Ã¶ -> ö (o-umlaut)
+    "\u00C3\u00B1" -> "\u00F1") // Ã± -> ñ (n-tilde)
+
+  /** Mojibake repair — the standard first step of a web-corpus ingest
+    * (ftfy-style; see [[mojibakeTable]]): repair double-encoded UTF-8
+    * artifacts with a fixed literal-replace chain and report per-doc
+    * accounting (`chars_saved` — every repair strikes net characters,
+    * so the delta is an exact activity metric; `changed` — whether the
+    * doc was touched at all).
+    *
+    * Scale: a chain of literal `replace` projections — single scan,
+    * zero shuffle, whole-stage codegen; the repair table is a compile-
+    * time constant, never a join.
+    */
+  def fixEncoding(docs: DataFrame): DataFrame = {
+    val fixed = mojibakeTable.foldLeft(col("text")) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    Par.widen(docs).select(
+      col("doc_id"),
+      fixed.as("text_fixed"),
+      (length(col("text")) - length(fixed)).cast("long").as("chars_saved"),
+      (fixed =!= col("text")).as("changed"))
+  }
+
+  /** The artifact prefix the registered `fix_encoding` query injects
+    * into every 5th doc — one exemplar from each [[mojibakeTable]]
+    * family (2-byte C3-xx, 3-byte E2-80-xx), shared by the Spark
+    * registration and the generated oracle so the injection cannot
+    * drift between engines. Repairs to "café don’t über ".
+    */
+  val mojibakePrefix: String =
+    "caf\u00C3\u00A9 don\u00E2\u20AC\u2122t \u00C3\u00BCber " // cafÃ© donâ€™t Ã¼ber
+
+  /** DuckDB oracle for the registered `fix_encoding` query, generated
+    * from [[mojibakeTable]] and [[mojibakePrefix]] — ONE definition of
+    * the repair chain and the injection on both sides (the
+    * qualityProbeOracleSql precedent). SQL single quotes are the only
+    * escape concern; none of the table's glyphs is a quote in the
+    * artifact direction, but escape defensively anyway.
+    */
+  def fixEncodingOracleSql(): String = {
+    def q(s: String): String = s.replace("'", "''")
+    val chain = mojibakeTable.foldLeft("t2") {
+      case (acc, (bad, good)) =>
+        s"replace($acc, '${q(bad)}', '${q(good)}')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |       CASE WHEN doc_id % 5 = 0 THEN '${q(mojibakePrefix)}' || text
+       |            ELSE text END AS t2
+       |     FROM documents),
+       | f AS (SELECT doc_id, t2, $chain AS fx FROM t)
+       |SELECT doc_id, fx AS text_fixed,
+       |  CAST(length(t2) - length(fx) AS BIGINT) AS chars_saved,
+       |  fx <> t2 AS changed
+       |FROM f""".stripMargin
+  }
 }
