@@ -942,6 +942,46 @@ object SparkEntry {
       Text.fixEncoding(base.select(col("doc_id"), injected.as("text")))
     }),
 
+    // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
+    // completing the trilogy beside gopher_repetition and
+    // gopher_line_dup). The 50-word floor is live UNINJECTED (corpus
+    // word counts span 10–99); the other rule triggers are injected
+    // deterministically, first match wins, mirrored in the generated
+    // oracle: %17 docs rewritten to 15-char placeholder words (mean-
+    // word-length fail), %13 docs rendered as four bullet-prefixed
+    // quarter lines (bullet fail; the '•' words also dilute alpha),
+    // %9 docs get a ceil(m/4)-long ' #' run appended (symbol fail,
+    // alpha fail unless 4|m), %6 docs rendered with ellipsis endings
+    // on lines 1–2 (ellipsis fail)
+    "gopher_quality" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val m = size(ws)
+      val q = floor(m / lit(4)).cast("int")
+      def part(start: org.apache.spark.sql.Column,
+               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_join(slice(ws, start, len), " ")
+      val l1 = part(lit(1), q)
+      val l2 = part(q + 1, q)
+      val l3 = part(lit(2) * q + 1, q)
+      val l4 = part(lit(3) * q + 1, m - lit(3) * q)
+      val bullet = lit(Text.BulletPrefix)
+      val ell = lit(Text.Ellipsis)
+      val injected =
+        when(col("doc_id") % 17 === 0,
+          array_join(transform(ws, _ => lit(Text.LongWord)), " "))
+        .when(col("doc_id") % 13 === 0 && m >= 8,
+          concat_ws("\n", concat(bullet, l1), concat(bullet, l2),
+            concat(bullet, l3), concat(bullet, l4)))
+        .when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            repeat(lit(" #"), ceil(m.cast("double") / 4.0).cast("int"))))
+        .when(col("doc_id") % 6 === 0 && m >= 8,
+          concat_ws("\n", concat(l1, ell), concat(l2, ell), l3, l4))
+        .otherwise(col("text"))
+      Text.gopherQuality(base.select(col("doc_id"), injected.as("text")))
+    }),
+
     // E3+: CCNet head/middle/tail perplexity terciles per language
     "ccnet_buckets" -> ((s, dir) =>
       Text.ccnetBuckets(Tables.documents(s, dir))),
@@ -5521,6 +5561,12 @@ object SparkEntry {
     // repair chain and the every-5th-doc injection cannot drift
     // between the Spark and DuckDB sides
     "fix_encoding" -> Text.fixEncodingOracleSql(),
+
+    // generated beside the operator: the injection CASE chain, the
+    // bullet/ellipsis glyphs, the stop-word list, and every published
+    // threshold are single-sourced (stop-word floor scaled 2 -> 1,
+    // documented in the operator scaladoc)
+    "gopher_quality" -> Text.gopherQualityOracleSql(),
 
     "gopher_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,

@@ -1626,6 +1626,175 @@ object Text {
       (fixed =!= col("text")).as("changed"))
   }
 
+  /** Gopher QUALITY rules (Rae et al. 2021, arXiv:2112.11446 table A1's
+    * quality-filter half — completing the Gopher trilogy:
+    * [[gopherRepetition]] is the n-gram half, [[gopherLineDup]] the
+    * duplicate-line half). Per document, the paper's seven signals and
+    * their published thresholds:
+    *
+    *  - word count in [50, 100_000]  (`words_pass` — live UNINJECTED on
+    *    this corpus: word counts span 10–99, so the 50 floor splits it)
+    *  - mean word length in [3, 10]  (`wordlen_pass`)
+    *  - symbol-to-word ratio ≤ 0.1 for '#' and ellipsis  (`symbol_pass`)
+    *  - ≤ 90% of lines starting with a bullet  (`bullet_pass`)
+    *  - ≤ 30% of lines ending with an ellipsis  (`ellipsis_pass`)
+    *  - ≥ 80% of words containing ≥ 1 alphabetic char  (`alpha_pass`)
+    *  - stop-word hits ≥ `minStopWords` among the paper's eight
+    *    {the, be, to, of, and, that, have, with}  (`stop_pass`;
+    *    DISTINCT words, so a hundred "the"s count once). Default
+    *    scaled 2 → 1: the synthetic vocabulary contains exactly ONE of
+    *    the paper's stop words ("the", in ~78% of docs), so the
+    *    paper's 2 would be structurally false — the documented-variant
+    *    convention of [[c4LineFilter]]'s minKeptLines
+    *
+    * plus the composite `quality_pass` (AND of all seven). Words are
+    * split on space OR newline so the multi-line renders the
+    * registered query injects don't glue words across line breaks;
+    * fractions are ROUND(6) single IEEE divisions of exact longs
+    * ([[gopherLineDup]]'s parity rule).
+    *
+    * Scale: pure per-row splits/filters/folds — zero shuffle, one
+    * scan, whole-stage codegen; the same class as the other two
+    * Gopher halves.
+    */
+  def gopherQuality(docs: DataFrame, minStopWords: Int = 1): DataFrame = {
+    val ws = split(col("text"), "[ \n]")
+    val ls = split(col("text"), "\n")
+    val nWords = size(ws).cast("long")
+    val wordChars = aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long"))
+    val meanLen = round(wordChars.cast("double") / nWords, 6)
+    def occurrences(ch: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), lit(ch), lit("")))).cast("long")
+    val nSymbols = occurrences("#") + occurrences(Ellipsis)
+    val symbolRatio = round(nSymbols.cast("double") / nWords, 6)
+    val bulletFrac = round(
+      size(filter(ls, l => l.startsWith(BulletPrefix))).cast("double") /
+        size(ls), 6)
+    val ellipsisFrac = round(
+      size(filter(ls, l => l.endsWith(Ellipsis))).cast("double") /
+        size(ls), 6)
+    val alphaFrac = round(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
+    val nStop = size(array_intersect(array_distinct(ws),
+      array(GopherStopWords.map(lit): _*))).cast("long")
+    val flags: Seq[(String, Column)] = Seq(
+      "words_pass" -> (nWords >= 50 && nWords <= 100000L),
+      "wordlen_pass" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_pass" -> (symbolRatio <= 0.1),
+      "bullet_pass" -> (bulletFrac <= 0.9),
+      "ellipsis_pass" -> (ellipsisFrac <= 0.3),
+      "alpha_pass" -> (alphaFrac >= 0.8),
+      "stop_pass" -> (nStop >= minStopWords))
+    val stats = Seq(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_stop_words"))
+    Par.widen(docs).select(
+      col("doc_id") +: (stats ++ flags.map { case (n, c) => c.as(n) }
+        :+ flags.map(_._2).reduce(_ && _).as("quality_pass")): _*)
+  }
+
+  /** Shared glyph constants for [[gopherQuality]]'s rules and the
+    * registered query's injection — single-sourced so the Spark side
+    * and the generated oracle cannot drift (unicode escapes:
+    * encoding-proof source).
+    */
+  private[graft] val BulletPrefix: String = "\u2022 " // bullet + space
+  private[graft] val Ellipsis: String = "\u2026"      // horizontal ellipsis
+  private[graft] val LongWord: String = "longplaceholder" // 15 chars
+  private[graft] val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DuckDB oracle for the registered `gopher_quality` query, generated
+    * beside the operator ([[fixEncodingOracleSql]]'s pattern) so the
+    * injection CASE chain, the glyphs, and every threshold are defined
+    * once. Mirrors the registration exactly: %17 long-word rewrite,
+    * %13 bullet render (m ≥ 8), %9 '#'-run append, %6 ellipsis render
+    * (m ≥ 8), first match wins.
+    */
+  def gopherQualityOracleSql(minStopWords: Int = 1): String = {
+    val stopList = GopherStopWords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |     FROM documents),
+       | p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
+       |     FROM w),
+       | r AS (SELECT doc_id, text, ws, m, q,
+       |         array_to_string(ws[1:q], ' ') AS l1,
+       |         array_to_string(ws[q+1:2*q], ' ') AS l2,
+       |         array_to_string(ws[2*q+1:3*q], ' ') AS l3,
+       |         array_to_string(ws[3*q+1:m], ' ') AS l4
+       |       FROM p),
+       | t AS (SELECT doc_id,
+       |         CASE
+       |           WHEN doc_id % 17 = 0
+       |             THEN array_to_string(
+       |                    list_transform(ws, x -> '$LongWord'), ' ')
+       |           WHEN doc_id % 13 = 0 AND m >= 8
+       |             THEN '$BulletPrefix' || l1 || chr(10)
+       |               || '$BulletPrefix' || l2 || chr(10)
+       |               || '$BulletPrefix' || l3 || chr(10)
+       |               || '$BulletPrefix' || l4
+       |           WHEN doc_id % 9 = 0
+       |             THEN text || repeat(' #', CAST(ceil(m / 4.0) AS INT))
+       |           WHEN doc_id % 6 = 0 AND m >= 8
+       |             THEN l1 || '$Ellipsis' || chr(10)
+       |               || l2 || '$Ellipsis' || chr(10)
+       |               || l3 || chr(10) || l4
+       |           ELSE text END AS t2
+       |       FROM r),
+       | x AS (SELECT doc_id, t2,
+       |         string_split_regex(t2, '[ \\n]') AS wsf,
+       |         string_split(t2, chr(10)) AS lsf
+       |       FROM t),
+       | c AS (SELECT doc_id,
+       |         CAST(len(wsf) AS BIGINT) AS n_words,
+       |         CAST(list_sum(list_transform(wsf, x -> len(x)))
+       |              AS BIGINT) AS wchars,
+       |         CAST(length(t2) - length(replace(t2, '#', ''))
+       |            + length(t2) - length(replace(t2, '$Ellipsis', ''))
+       |              AS BIGINT) AS n_sym,
+       |         CAST(len(lsf) AS BIGINT) AS n_lines,
+       |         CAST(len(list_filter(lsf,
+       |              l -> starts_with(l, '$BulletPrefix')))
+       |              AS BIGINT) AS n_bul,
+       |         CAST(len(list_filter(lsf, l -> ends_with(l, '$Ellipsis')))
+       |              AS BIGINT) AS n_ell,
+       |         CAST(len(list_filter(wsf,
+       |              x -> regexp_matches(x, '[A-Za-z]')))
+       |              AS BIGINT) AS n_alpha,
+       |         CAST(len(list_intersect(list_distinct(wsf), $stopList))
+       |              AS BIGINT) AS n_stop
+       |       FROM x),
+       | f AS (SELECT doc_id, n_words,
+       |         round(CAST(wchars AS DOUBLE) / n_words, 6) AS mean_word_len,
+       |         round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       |         round(CAST(n_bul AS DOUBLE) / n_lines, 6)
+       |           AS bullet_line_frac,
+       |         round(CAST(n_ell AS DOUBLE) / n_lines, 6)
+       |           AS ellipsis_line_frac,
+       |         round(CAST(n_alpha AS DOUBLE) / n_words, 6)
+       |           AS alpha_word_frac,
+       |         n_stop AS n_stop_words
+       |       FROM c)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       |  n_stop_words,
+       |  (n_words >= 50 AND n_words <= 100000) AS words_pass,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS wordlen_pass,
+       |  (symbol_ratio <= 0.1) AS symbol_pass,
+       |  (bullet_line_frac <= 0.9) AS bullet_pass,
+       |  (ellipsis_line_frac <= 0.3) AS ellipsis_pass,
+       |  (alpha_word_frac >= 0.8) AS alpha_pass,
+       |  (n_stop_words >= $minStopWords) AS stop_pass,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+       |    AND n_stop_words >= $minStopWords) AS quality_pass
+       |FROM f""".stripMargin
+  }
+
   /** The artifact prefix the registered `fix_encoding` query injects
     * into every 5th doc — one exemplar from each [[mojibakeTable]]
     * family (2-byte C3-xx, 3-byte E2-80-xx), shared by the Spark

@@ -71,6 +71,75 @@ class Wave33Spec extends AnyFunSuite {
     }
   }
 
+  // --- gopherQuality -----------------------------------------------------
+
+  private def gq(rows: Seq[(Long, String)]) =
+    Text.gopherQuality(rows.toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+
+  test("gopherQuality: hand doc — every signal computed exactly") {
+    // 4 words ("a bb cc3 ####"), 1 line, 10 word chars -> mean 2.5,
+    // one 4-'#' run, 3 alpha words, no stop words
+    val r = gq(Seq((1L, "a bb cc3 ####")))(0)
+    assert(r.getLong(1) === 4L)                       // n_words
+    assert(r.getDouble(2) === 2.5)                    // mean_word_len
+    assert(r.getDouble(3) === 1.0)                    // symbol_ratio 4/4
+    assert(r.getDouble(6) === 0.75)                   // alpha 3/4
+    assert(r.getLong(7) === 0L)                       // n_stop_words
+    assert(!r.getBoolean(8) && !r.getBoolean(9))      // words, len fail
+    assert(!r.getBoolean(10))                         // symbol fail
+    assert(!r.getBoolean(13) && !r.getBoolean(14))    // alpha, stop fail
+    assert(!r.getBoolean(15))                         // composite fail
+  }
+
+  test("gopherQuality: line rules — bullets and ellipses count by line") {
+    val page = Seq(
+      Text.BulletPrefix + "first bullet line",
+      Text.BulletPrefix + "second bullet line",
+      "plain line" + Text.Ellipsis,
+      "plain line").mkString("\n")
+    val r = gq(Seq((1L, page)))(0)
+    assert(r.getDouble(4) === 0.5)  // bullet_line_frac 2/4
+    assert(r.getDouble(5) === 0.25) // ellipsis_line_frac 1/4
+    assert(r.getBoolean(11))        // bullet_pass (0.5 <= 0.9)
+    assert(r.getBoolean(12))        // ellipsis_pass (0.25 <= 0.3)
+    val all = (1 to 4).map(i => Text.BulletPrefix + s"line $i").mkString("\n")
+    assert(!gq(Seq((2L, all)))(0).getBoolean(11)) // 1.0 > 0.9 fails
+  }
+
+  test("gopherQuality: the published word-count and word-length bounds") {
+    val fifty = (1 to 50).map(i => "word").mkString(" ")
+    val r50 = gq(Seq((1L, fifty)))(0)
+    assert(r50.getBoolean(8))                       // 50 words: pass
+    assert(r50.getDouble(2) === 4.0 && r50.getBoolean(9))
+    val r49 = gq(Seq((1L, (1 to 49).map(_ => "word").mkString(" "))))(0)
+    assert(!r49.getBoolean(8))                      // 49 words: fail
+    val long = (1 to 50).map(_ => Text.LongWord).mkString(" ")
+    val rl = gq(Seq((1L, long)))(0)
+    assert(rl.getDouble(2) === 15.0 && !rl.getBoolean(9)) // mean 15 > 10
+  }
+
+  test("gopher_quality registration: every rule flag is live at sf0.001 " +
+       "and the injection classes hit their target rules") {
+    val df = SparkEntry.queries("gopher_quality")(spark,
+      "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val flagIdx = Map("words" -> 8, "wordlen" -> 9, "symbol" -> 10,
+      "bullet" -> 11, "ellipsis" -> 12, "alpha" -> 13, "stop" -> 14,
+      "composite" -> 15)
+    for ((nm, i) <- flagIdx) {
+      assert(rows.exists(_.getBoolean(i)) && rows.exists(r => !r.getBoolean(i)),
+        s"$nm flag constant at sf0.001")
+    }
+    // precedence: %17 docs always fail wordlen; %13 (not %17, >=8 words)
+    // always fail bullet
+    for (r <- rows; id = r.getLong(0)) {
+      if (id % 17 == 0) assert(!r.getBoolean(9), s"doc $id wordlen")
+      else if (id % 13 == 0 && r.getLong(1) >= 8)
+        assert(!r.getBoolean(11), s"doc $id bullet")
+    }
+  }
+
   // --- fixEncoding -------------------------------------------------------
 
   private def fix(rows: Seq[(Long, String)]) =
