@@ -170,7 +170,14 @@ object Plans {
     // the plans are the evidence. winnowing/source_overlap were
     // already audited (entries above, detail upgraded r12); the one
     // new audit is:
-    "ngram_diversity" -> "distinct-n readout for n=1..3: per-n explode -> (source, gram) count agg (map-side partial collapses repeated grams before the exchange) -> per-source distinct/total rollup; three branches union; no join")
+    "ngram_diversity" -> "distinct-n readout for n=1..3: per-n explode -> (source, gram) count agg (map-side partial collapses repeated grams before the exchange) -> per-source distinct/total rollup; three branches union; no join",
+    // round 12 continuation: the three new curation ops all claim
+    // "zero-shuffle single-scan projection" in their scaladoc — pin the
+    // claim here so a future rewrite that grows an agg/join fails the
+    // fingerprint gate instead of surviving as prose
+    "c4_line_filter" -> "C4 line+page rules as ONE codegen'd HOF projection (quarter-render injection, line filter/aggregate folds); no agg, no join; the only exchange is the Par.widen round-robin",
+    "fix_encoding" -> "mojibake repair: literal replace chain as a pure codegen projection at scan speed; Par.widen round-robin is the only exchange",
+    "gopher_quality" -> "seven Gopher quality signals + flags in one per-row projection (regex-split words/lines, filter/aggregate folds, array_intersect stop-word probe); no agg, no join; Par.widen round-robin only")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

@@ -112,7 +112,13 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // most at 100 TB) — all under the 3 s bar, pinned proactively
     ("winnowing", 2, 1, 0),
     ("ngram_diversity", 6, 6, 0),
-    ("source_overlap", 6, 6, 0)
+    ("source_overlap", 6, 6, 0),
+    // round 12 continuation: the three new curation ops' scaladoc
+    // claims "zero-shuffle single-scan projection" — pinned: 1 scan
+    // (2 tokens) and ONLY the Par.widen round-robin exchange (2 tokens)
+    ("c4_line_filter", 2, 2, 0),
+    ("fix_encoding", 2, 2, 0),
+    ("gopher_quality", 2, 2, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
