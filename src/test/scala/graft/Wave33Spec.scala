@@ -175,6 +175,48 @@ class Wave33Spec extends AnyFunSuite {
         s"'$a' and '$b' collide — the replace chain order would matter")
   }
 
+  // --- seeded property sweeps (the PropertySpec convention) --------------
+
+  test("properties on seeded random multi-line docs: structural " +
+       "invariants of all three round-12 ops hold") {
+    val rnd = new scala.util.Random(33)
+    val frags = Seq("alpha beta.", "x.", "no punct here at all",
+      "{ brace", "lorem ipsum", "one two three.", Text.BulletPrefix + "pt",
+      "tail" + Text.Ellipsis, "cafÃ© word", "donâ€™t stop")
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(5))(frags(rnd.nextInt(frags.length)))
+        .mkString("\n"))
+    }
+    val c4 = Text.c4LineFilter(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean)].collect()
+    val byId = docs.toMap
+    for (r <- c4) {
+      assert(r._3 <= r._2, s"doc ${r._1}: kept lines > lines")
+      assert(r._4 <= byId(r._1).length.toLong, s"doc ${r._1}: kept chars")
+      // composite decomposes exactly
+      assert(r._7 === (r._3 >= 2 && !r._5 && !r._6), s"doc ${r._1}: pass")
+    }
+    val gq = Text.gopherQuality(docs.toDF("doc_id", "text")).collect()
+    for (r <- gq) {
+      for (i <- Seq(3, 4, 5, 6)) { // ratio/fraction columns in [0, ...)
+        assert(r.getDouble(i) >= 0.0, s"doc ${r.getLong(0)} col $i < 0")
+      }
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(5) <= 1.0 &&
+        r.getDouble(6) <= 1.0)
+      assert(r.getBoolean(15) === (8 to 14).forall(r.getBoolean),
+        s"doc ${r.getLong(0)}: composite != AND of flags")
+    }
+    val fx = Text.fixEncoding(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Boolean)].collect()
+    for (r <- fx) {
+      assert(r._4 === (r._3 > 0), s"doc ${r._1}: changed != saved>0")
+      assert(r._2.length.toLong === byId(r._1).length - r._3)
+      // repaired text contains no artifact pattern
+      for ((bad, _) <- Text.mojibakeTable)
+        assert(!r._2.contains(bad), s"doc ${r._1}: residual '$bad'")
+    }
+  }
+
   test("fix_encoding registration: exactly the every-5th docs change " +
        "at sf0.001, each saving the prefix's 4 chars") {
     val rows = SparkEntry.queries("fix_encoding")(spark,
