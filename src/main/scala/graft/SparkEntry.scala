@@ -35,6 +35,35 @@ object SparkEntry {
 
   private val eventKeys = Seq("user_id", "event_type")
 
+  /** The deterministic rule-trigger injection shared by the
+    * `c4_line_filter` report and `c4_apply` queries (mirrored in their
+    * oracles' common CTE chain): quarter-render with a terminal '.'
+    * unless (doc_id + i) % 3 == 0, " {" appended to line 2 of every
+    * 7th doc, "lorem ipsum." as line 3 of every 11th.
+    */
+  private def c4Injected(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val m = size(ws)
+    val q = floor(m / lit(4)).cast("int")
+    def part(start: org.apache.spark.sql.Column,
+             len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(slice(ws, start, len), " ")
+    def punct(line: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+      when((col("doc_id") + i) % 3 =!= 0, concat(line, lit(".")))
+        .otherwise(line)
+    val l1 = punct(part(lit(1), q), 1)
+    val l2p = punct(part(q + 1, q), 2)
+    val l2 = when(col("doc_id") % 7 === 0, concat(l2p, lit(" {")))
+      .otherwise(l2p)
+    val l3 = when(col("doc_id") % 11 === 0, lit("lorem ipsum."))
+      .otherwise(punct(part(lit(2) * q + 1, q), 3))
+    val l4 = punct(part(lit(3) * q + 1, m - lit(3) * q), 4)
+    val injected = when(m >= 8, concat_ws("\n", l1, l2, l3, l4))
+      .otherwise(col("text"))
+    base.select(col("doc_id"), injected.as("text"))
+  }
+
   // ---- driver contract -------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -907,28 +936,15 @@ object SparkEntry {
     // appends " {" to line 2 (code-markup page drop); every 11th doc's
     // line 3 becomes "lorem ipsum." (placeholder page drop, and a
     // 2-word line the word rule also rejects)
-    "c4_line_filter" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ws = split(col("text"), " ")
-      val m = size(ws)
-      val q = floor(m / lit(4)).cast("int")
-      def part(start: org.apache.spark.sql.Column,
-               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        array_join(slice(ws, start, len), " ")
-      def punct(line: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
-        when((col("doc_id") + i) % 3 =!= 0, concat(line, lit(".")))
-          .otherwise(line)
-      val l1 = punct(part(lit(1), q), 1)
-      val l2p = punct(part(q + 1, q), 2)
-      val l2 = when(col("doc_id") % 7 === 0, concat(l2p, lit(" {")))
-        .otherwise(l2p)
-      val l3 = when(col("doc_id") % 11 === 0, lit("lorem ipsum."))
-        .otherwise(punct(part(lit(2) * q + 1, q), 3))
-      val l4 = punct(part(lit(3) * q + 1, m - lit(3) * q), 4)
-      val injected = when(m >= 8, concat_ws("\n", l1, l2, l3, l4))
-        .otherwise(col("text"))
-      Text.c4LineFilter(base.select(col("doc_id"), injected.as("text")))
-    }),
+    "c4_line_filter" -> ((s, dir) =>
+      Text.c4LineFilter(c4Injected(s, dir))),
+
+    // the APPLY half of the C4 pair (the exactsubstr_report/_dedup
+    // convention): surviving lines rejoined, failing pages dropped —
+    // the cleaned corpus a training pipeline consumes. Same injection,
+    // same shared kept-lines rule as the report op
+    "c4_apply" -> ((s, dir) =>
+      Text.c4Apply(c4Injected(s, dir))),
 
     // E3+ (ingest hygiene): ftfy-style mojibake repair. The corpus is
     // pure ASCII, so every 5th doc gets the three classic double-
@@ -941,6 +957,18 @@ object SparkEntry {
         .otherwise(col("text"))
       Text.fixEncoding(base.select(col("doc_id"), injected.as("text")))
     }),
+
+    // the complete published Gopher A1 document filter: repetition ∧
+    // line-dup ∧ quality verdicts joined per doc (the production
+    // shape: per-filter verdict tables -> one keep list), with the
+    // first failing half as reject_reason. Each half runs its own
+    // registered query, injections included, so the composite is
+    // hash-pinned to the three halves it claims to compose
+    "gopher_filter" -> ((s, dir) =>
+      Text.gopherFilter(
+        queries("gopher_repetition")(s, dir),
+        queries("gopher_line_dup")(s, dir),
+        queries("gopher_quality")(s, dir))),
 
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
@@ -3544,7 +3572,65 @@ object SparkEntry {
       ("streaming_conformal" -> baseOracles("conformal_threshold")) +
       // the streamed staging table + batch verdict tail must land the
       // batch front door's verdict rows exactly
-      ("streaming_curation_events" -> extraOracles("curation_pipeline_events"))
+      ("streaming_curation_events" -> extraOracles("curation_pipeline_events")) +
+      // the complete Gopher A1 filter is the per-doc AND of the three
+      // halves' oracles — composed verbatim, so the composite verifies
+      // at the full depth of all three (incl. the repetition half's
+      // explode + two-level groupBy, the heaviest oracle in the file)
+      // NB: no stripMargin here — the embedded half-oracles contain
+      // lines that BEGIN with SQL's || concat operator, which a margin
+      // strip would truncate to a binary | and break the SQL
+      ("gopher_filter" ->
+        ("""SELECT r.doc_id, r.gopher_pass, l.line_pass, q.quality_pass,
+             (r.gopher_pass AND l.line_pass AND q.quality_pass) AS keep,
+             CASE WHEN NOT r.gopher_pass THEN 'repetition'
+                  WHEN NOT l.line_pass THEN 'line_dup'
+                  WHEN NOT q.quality_pass THEN 'quality'
+                  ELSE 'keep' END AS reject_reason
+           FROM (""" + baseOracles("gopher_repetition") + """) r
+           JOIN (""" + baseOracles("gopher_line_dup") + """) l
+             ON r.doc_id = l.doc_id
+           JOIN (""" + baseOracles("gopher_quality") + """) q
+             ON q.doc_id = r.doc_id"""))
+
+  /** Shared CTE chain for the C4 pair's oracles: the quarter-render
+    * injection (mirroring [[c4Injected]]) and the kept-lines rule, so
+    * the report and apply oracles cannot drift from each other.
+    */
+  private val c4OracleCtes: String =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+         p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
+               FROM w),
+         r AS (SELECT doc_id, text, m,
+                 CASE WHEN (doc_id + 1) % 3 <> 0
+                      THEN array_to_string(ws[1:q], ' ') || '.'
+                      ELSE array_to_string(ws[1:q], ' ') END AS r1,
+                 CASE WHEN (doc_id + 2) % 3 <> 0
+                      THEN array_to_string(ws[q+1:2*q], ' ') || '.'
+                      ELSE array_to_string(ws[q+1:2*q], ' ') END AS r2,
+                 CASE WHEN (doc_id + 3) % 3 <> 0
+                      THEN array_to_string(ws[2*q+1:3*q], ' ') || '.'
+                      ELSE array_to_string(ws[2*q+1:3*q], ' ') END AS r3,
+                 CASE WHEN (doc_id + 4) % 3 <> 0
+                      THEN array_to_string(ws[3*q+1:m], ' ') || '.'
+                      ELSE array_to_string(ws[3*q+1:m], ' ') END AS r4
+               FROM p),
+         t AS (SELECT doc_id,
+                 CASE WHEN m >= 8 THEN
+                   r1 || chr(10)
+                   || (CASE WHEN doc_id % 7 = 0 THEN r2 || ' {'
+                            ELSE r2 END) || chr(10)
+                   || (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum.'
+                            ELSE r3 END) || chr(10)
+                   || r4
+                 ELSE text END AS t2
+               FROM r),
+         l AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS ls FROM t),
+         k AS (SELECT doc_id, t2, ls,
+                 list_filter(ls, x -> ends_with(x, '.')
+                   AND len(string_split(x, ' ')) >= 3) AS kept
+               FROM l)"""
 
   private def baseOracles: Map[String, String] = Map(
 
@@ -5510,41 +5596,10 @@ object SparkEntry {
     // the same four-quarter injection as the registration (terminal '.'
     // unless (doc_id+i)%3==0; " {" on line 2 for every 7th doc;
     // "lorem ipsum." as line 3 for every 11th), then C4's line keep
-    // rules and page drop rules recomputed with DuckDB list functions
-    "c4_line_filter" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-               FROM documents),
-         p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
-               FROM w),
-         r AS (SELECT doc_id, text, m,
-                 CASE WHEN (doc_id + 1) % 3 <> 0
-                      THEN array_to_string(ws[1:q], ' ') || '.'
-                      ELSE array_to_string(ws[1:q], ' ') END AS r1,
-                 CASE WHEN (doc_id + 2) % 3 <> 0
-                      THEN array_to_string(ws[q+1:2*q], ' ') || '.'
-                      ELSE array_to_string(ws[q+1:2*q], ' ') END AS r2,
-                 CASE WHEN (doc_id + 3) % 3 <> 0
-                      THEN array_to_string(ws[2*q+1:3*q], ' ') || '.'
-                      ELSE array_to_string(ws[2*q+1:3*q], ' ') END AS r3,
-                 CASE WHEN (doc_id + 4) % 3 <> 0
-                      THEN array_to_string(ws[3*q+1:m], ' ') || '.'
-                      ELSE array_to_string(ws[3*q+1:m], ' ') END AS r4
-               FROM p),
-         t AS (SELECT doc_id,
-                 CASE WHEN m >= 8 THEN
-                   r1 || chr(10)
-                   || (CASE WHEN doc_id % 7 = 0 THEN r2 || ' {'
-                            ELSE r2 END) || chr(10)
-                   || (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum.'
-                            ELSE r3 END) || chr(10)
-                   || r4
-                 ELSE text END AS t2
-               FROM r),
-         l AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS ls FROM t),
-         k AS (SELECT doc_id, t2, ls,
-                 list_filter(ls, x -> ends_with(x, '.')
-                   AND len(string_split(x, ' ')) >= 3) AS kept
-               FROM l)
+    // rules and page drop rules recomputed with DuckDB list functions;
+    // the CTE chain is shared with c4_apply (one injection + one kept-
+    // lines definition on the oracle side too)
+    "c4_line_filter" -> (c4OracleCtes + """
          SELECT doc_id,
            CAST(len(ls) AS BIGINT) AS n_lines,
            CAST(len(kept) AS BIGINT) AS n_kept_lines,
@@ -5554,7 +5609,15 @@ object SparkEntry {
            contains(t2, 'lorem ipsum') AS has_lorem,
            (len(kept) >= 2 AND NOT contains(t2, '{')
              AND NOT contains(t2, 'lorem ipsum')) AS c4_pass
-         FROM k""",
+         FROM k"""),
+
+    // APPLY half: same CTE chain, page rules as the WHERE clause,
+    // surviving lines rejoined
+    "c4_apply" -> (c4OracleCtes + """
+         SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean
+         FROM k
+         WHERE len(kept) >= 2 AND NOT contains(t2, '{')
+           AND NOT contains(t2, 'lorem ipsum')"""),
 
     // generated beside the operator from the ONE mojibake table +
     // injection prefix (the qualityProbeOracleSql precedent), so the

@@ -1567,10 +1567,18 @@ object Text {
     * (`filter`/`aggregate`) — zero shuffle, one scan, whole-stage
     * codegen; the same class as [[gopherLineDup]].
     */
+  /** C4's line keep rule — ONE definition shared by the report
+    * ([[c4LineFilter]]) and apply ([[c4Apply]]) halves so they cannot
+    * drift: a line survives iff it ends in the terminal mark and has
+    * >= 3 words.
+    */
+  private def c4Kept: Column =
+    filter(split(col("text"), "\n"), l =>
+      l.endsWith(".") && size(split(l, " ")) >= 3)
+
   def c4LineFilter(docs: DataFrame, minKeptLines: Int = 2): DataFrame = {
     val ls = split(col("text"), "\n")
-    val kept = filter(ls, l =>
-      l.endsWith(".") && size(split(l, " ")) >= 3)
+    val kept = c4Kept
     val hasBrace = col("text").contains("{")
     val hasLorem = col("text").contains("lorem ipsum")
     Par.widen(docs).select(
@@ -1582,6 +1590,62 @@ object Text {
       hasBrace.as("has_brace"),
       hasLorem.as("has_lorem"),
       (size(kept) >= minKeptLines && !hasBrace && !hasLorem).as("c4_pass"))
+  }
+
+  /** The APPLY half of [[c4LineFilter]] (the `exactsubstr_report` /
+    * `exactsubstr_dedup` pairing convention): emit the CLEANED corpus a
+    * training pipeline actually consumes — surviving lines rejoined,
+    * pages failing the page rules (or the `minKeptLines` floor) dropped
+    * entirely. Same rule definitions as the report op, by construction:
+    * both build on the same kept-lines expression.
+    *
+    * Scale: the same zero-shuffle single-scan projection as the report
+    * half, plus the page filter — output strictly ⊆ input rows.
+    */
+  def c4Apply(docs: DataFrame, minKeptLines: Int = 2): DataFrame = {
+    val kept = c4Kept
+    val pass = size(kept) >= minKeptLines &&
+      !col("text").contains("{") && !col("text").contains("lorem ipsum")
+    Par.widen(docs)
+      .filter(pass)
+      .select(col("doc_id"), array_join(kept, "\n").as("text_clean"))
+  }
+
+  /** The complete published Gopher document filter (Rae et al. 2021
+    * table A1): a document survives iff it passes the REPETITION half
+    * ([[gopherRepetition]]'s nine n-gram thresholds), the LINE-DUP half
+    * ([[gopherLineDup]]'s 0.30/0.20), and the QUALITY half
+    * ([[gopherQuality]]'s seven signals). This op composes the three
+    * registered verdicts per doc — the production shape: per-filter
+    * verdict tables joined into one keep list — and adds
+    * `reject_reason`, the FIRST failing half in the paper's table
+    * order (repetition, line_dup, quality; 'keep' when none fails).
+    *
+    * Each half sees the same text form its registered query sees (the
+    * line/quality halves' deterministic injections are test scaffolding
+    * for the synthetic single-line corpus — on a real corpus all three
+    * read the raw text; the injections live in the REGISTRATION, not
+    * here, so this op receives pre-shaped frames).
+    *
+    * Scale: three zero-shuffle per-row projections + two doc_id
+    * equi-joins — doc-count-sized rows (id + bits), never text, cross
+    * the wire; the joins hash-partition on the same key so AQE can
+    * coalesce, and nothing is corpus² anywhere.
+    */
+  def gopherFilter(repetition: DataFrame, lineDup: DataFrame,
+                   quality: DataFrame): DataFrame = {
+    val rep = repetition.select(col("doc_id"), col("gopher_pass"))
+    val line = lineDup.select(col("doc_id"), col("line_pass"))
+    val qual = quality.select(col("doc_id"), col("quality_pass"))
+    rep.join(line, "doc_id").join(qual, "doc_id")
+      .select(col("doc_id"), col("gopher_pass"), col("line_pass"),
+        col("quality_pass"),
+        (col("gopher_pass") && col("line_pass") && col("quality_pass"))
+          .as("keep"),
+        when(!col("gopher_pass"), "repetition")
+          .when(!col("line_pass"), "line_dup")
+          .when(!col("quality_pass"), "quality")
+          .otherwise("keep").as("reject_reason"))
   }
 
   /** The classic UTF-8-bytes-decoded-as-Windows-1252 artifacts and

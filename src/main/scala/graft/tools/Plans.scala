@@ -177,7 +177,9 @@ object Plans {
     // fingerprint gate instead of surviving as prose
     "c4_line_filter" -> "C4 line+page rules as ONE codegen'd HOF projection (quarter-render injection, line filter/aggregate folds); no agg, no join; the only exchange is the Par.widen round-robin",
     "fix_encoding" -> "mojibake repair: literal replace chain as a pure codegen projection at scan speed; Par.widen round-robin is the only exchange",
-    "gopher_quality" -> "seven Gopher quality signals + flags in one per-row projection (regex-split words/lines, filter/aggregate folds, array_intersect stop-word probe); no agg, no join; Par.widen round-robin only")
+    "gopher_quality" -> "seven Gopher quality signals + flags in one per-row projection (regex-split words/lines, filter/aggregate folds, array_intersect stop-word probe); no agg, no join; Par.widen round-robin only",
+    "c4_apply" -> "the report op's kept-lines projection + page-rule filter + line rejoin — still one scan, zero key shuffle; output rows strictly subset input",
+    "gopher_filter" -> "three per-row verdict projections joined twice on doc_id — only (id, bits) rows cross the wire; the repetition half's n-gram folds stay per-row inside their branch, no corpus-sized agg anywhere")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

@@ -102,7 +102,10 @@ class DegeneracySpec extends AnyFunSuite {
     "window_latest" -> ((s, d) => Tables.events(s, d).count()),
     // content-hash dedup over documents ∪ re-keyed documents (2N rows in,
     // every text duplicated once → strictly fewer out)
-    "dedup_content_hash" -> ((s, d) => 2L * Tables.documents(s, d).count())
+    "dedup_content_hash" -> ((s, d) => 2L * Tables.documents(s, d).count()),
+    // C4 apply drops failing pages outright — the injected brace/lorem
+    // classes guarantee drops at every SF
+    "c4_apply" -> ((s, d) => Tables.documents(s, d).count())
   )
 
   private lazy val spark = TestSpark.spark

@@ -118,7 +118,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // (2 tokens) and ONLY the Par.widen round-robin exchange (2 tokens)
     ("c4_line_filter", 2, 2, 0),
     ("fix_encoding", 2, 2, 0),
-    ("gopher_quality", 2, 2, 0)
+    ("gopher_quality", 2, 2, 0),
+    // apply half: same single-scan shape plus the page filter
+    ("c4_apply", 2, 2, 0),
+    // 3 verdict scans + 2 doc_id joins (hash joins at sf0.001; only
+    // (id, bits) rows ever shuffle) — cartesian stays forbidden
+    ("gopher_filter", 6, 10, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's

@@ -71,6 +71,49 @@ class Wave33Spec extends AnyFunSuite {
     }
   }
 
+  // --- c4Apply + gopherFilter (the composition layer) --------------------
+
+  test("c4Apply: emits exactly the kept lines of passing pages; " +
+       "failing pages are dropped rows") {
+    val goodLines = "one good line here.\nsecond good line here."
+    val out = Text.c4Apply(Seq(
+      (1L, goodLines + "\nno punct filler"),
+      (2L, goodLines + "\ncode { marker"),
+      (3L, "only one good line here.")).toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, goodLines))) // 2 and 3 dropped
+  }
+
+  test("gopherFilter: composite AND + first-failing-half reject reason " +
+       "in the paper's table order") {
+    def half(flag: String, bits: Seq[(Long, Boolean)]) =
+      bits.toDF("doc_id", flag)
+    val rep = half("gopher_pass",
+      Seq(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+    val line = half("line_pass",
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+    val qual = half("quality_pass",
+      Seq(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
+    val out = Text.gopherFilter(rep, line, qual).orderBy(col("doc_id"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)].collect()
+    assert(out.map(r => (r._1, r._5, r._6)).toSeq === Seq(
+      (1L, true, "keep"),
+      (2L, false, "repetition"),  // repetition outranks the others
+      (3L, false, "repetition"),
+      (4L, false, "line_dup"),
+      (5L, false, "quality")))
+  }
+
+  test("gopher_filter registration: all three reject classes and the " +
+       "keep class are populated at sf0.001") {
+    val reasons = SparkEntry.queries("gopher_filter")(spark,
+        "/root/testdata/sf0.001")
+      .groupBy(col("reject_reason")).count()
+      .as[(String, Long)].collect().toMap
+    for (r <- Seq("keep", "repetition", "line_dup", "quality"))
+      assert(reasons.getOrElse(r, 0L) > 0, s"class '$r' empty")
+  }
+
   // --- gopherQuality -----------------------------------------------------
 
   private def gq(rows: Seq[(Long, String)]) =
