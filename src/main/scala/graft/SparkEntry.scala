@@ -35,6 +35,30 @@ object SparkEntry {
 
   private val eventKeys = Seq("user_id", "event_type")
 
+  /** The four-quarter word-render scaffold every documents-table
+    * line-structure injection builds on (the synthetic corpus is
+    * single-line, so multi-line rule triggers need a deterministic
+    * render): `ws`/`m`/`q` and the four quarter strings. ONE
+    * definition — `c4Injected`, the `gopher_line_dup` registration,
+    * and the `gopher_quality` registration all decorate these same
+    * columns, so the render cannot drift between injections (each
+    * decoration is still mirrored in its own oracle).
+    */
+  private case class Quarters(ws: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column, l1: org.apache.spark.sql.Column,
+      l2: org.apache.spark.sql.Column, l3: org.apache.spark.sql.Column,
+      l4: org.apache.spark.sql.Column)
+  private def quarterRender: Quarters = {
+    val ws = split(col("text"), " ")
+    val m = size(ws)
+    val q = floor(m / lit(4)).cast("int")
+    def part(start: org.apache.spark.sql.Column,
+             len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(slice(ws, start, len), " ")
+    Quarters(ws, m, part(lit(1), q), part(q + 1, q),
+      part(lit(2) * q + 1, q), part(lit(3) * q + 1, m - lit(3) * q))
+  }
+
   /** The deterministic rule-trigger injection shared by the
     * `c4_line_filter` report and `c4_apply` queries (mirrored in their
     * oracles' common CTE chain): quarter-render with a terminal '.'
@@ -43,23 +67,18 @@ object SparkEntry {
     */
   private def c4Injected(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val ws = split(col("text"), " ")
-    val m = size(ws)
-    val q = floor(m / lit(4)).cast("int")
-    def part(start: org.apache.spark.sql.Column,
-             len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array_join(slice(ws, start, len), " ")
+    val r = quarterRender
     def punct(line: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
       when((col("doc_id") + i) % 3 =!= 0, concat(line, lit(".")))
         .otherwise(line)
-    val l1 = punct(part(lit(1), q), 1)
-    val l2p = punct(part(q + 1, q), 2)
+    val l1 = punct(r.l1, 1)
+    val l2p = punct(r.l2, 2)
     val l2 = when(col("doc_id") % 7 === 0, concat(l2p, lit(" {")))
       .otherwise(l2p)
     val l3 = when(col("doc_id") % 11 === 0, lit("lorem ipsum."))
-      .otherwise(punct(part(lit(2) * q + 1, q), 3))
-    val l4 = punct(part(lit(3) * q + 1, m - lit(3) * q), 4)
-    val injected = when(m >= 8, concat_ws("\n", l1, l2, l3, l4))
+      .otherwise(punct(r.l3, 3))
+    val l4 = punct(r.l4, 4)
+    val injected = when(r.m >= 8, concat_ws("\n", l1, l2, l3, l4))
       .otherwise(col("text"))
     base.select(col("doc_id"), injected.as("text"))
   }
@@ -909,19 +928,10 @@ object SparkEntry {
     // injected docs) while the rest stay multi-line negatives
     "gopher_line_dup" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ws = split(col("text"), " ")
-      val m = size(ws)
-      val q = floor(m / lit(4)).cast("int")
-      def part(start: org.apache.spark.sql.Column,
-               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        array_join(slice(ws, start, len), " ")
-      val l1 = part(lit(1), q)
-      val l2 = part(q + 1, q)
-      val l3 = part(lit(2) * q + 1, q)
-      val l4 = part(lit(3) * q + 1, m - lit(3) * q)
-      val injected = when(m >= 8,
-        concat_ws("\n", l1, l2,
-          when(col("doc_id") % 3 === 0, l1).otherwise(l3), l4))
+      val r = quarterRender
+      val injected = when(r.m >= 8,
+        concat_ws("\n", r.l1, r.l2,
+          when(col("doc_id") % 3 === 0, r.l1).otherwise(r.l3), r.l4))
         .otherwise(col("text"))
       Text.gopherLineDup(base.select(col("doc_id"), injected.as("text")))
     }),
@@ -983,29 +993,20 @@ object SparkEntry {
     // on lines 1–2 (ellipsis fail)
     "gopher_quality" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ws = split(col("text"), " ")
-      val m = size(ws)
-      val q = floor(m / lit(4)).cast("int")
-      def part(start: org.apache.spark.sql.Column,
-               len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        array_join(slice(ws, start, len), " ")
-      val l1 = part(lit(1), q)
-      val l2 = part(q + 1, q)
-      val l3 = part(lit(2) * q + 1, q)
-      val l4 = part(lit(3) * q + 1, m - lit(3) * q)
+      val r = quarterRender
       val bullet = lit(Text.BulletPrefix)
       val ell = lit(Text.Ellipsis)
       val injected =
         when(col("doc_id") % 17 === 0,
-          array_join(transform(ws, _ => lit(Text.LongWord)), " "))
-        .when(col("doc_id") % 13 === 0 && m >= 8,
-          concat_ws("\n", concat(bullet, l1), concat(bullet, l2),
-            concat(bullet, l3), concat(bullet, l4)))
+          array_join(transform(r.ws, _ => lit(Text.LongWord)), " "))
+        .when(col("doc_id") % 13 === 0 && r.m >= 8,
+          concat_ws("\n", concat(bullet, r.l1), concat(bullet, r.l2),
+            concat(bullet, r.l3), concat(bullet, r.l4)))
         .when(col("doc_id") % 9 === 0,
           concat(col("text"),
-            repeat(lit(" #"), ceil(m.cast("double") / 4.0).cast("int"))))
-        .when(col("doc_id") % 6 === 0 && m >= 8,
-          concat_ws("\n", concat(l1, ell), concat(l2, ell), l3, l4))
+            repeat(lit(" #"), ceil(r.m.cast("double") / 4.0).cast("int"))))
+        .when(col("doc_id") % 6 === 0 && r.m >= 8,
+          concat_ws("\n", concat(r.l1, ell), concat(r.l2, ell), r.l3, r.l4))
         .otherwise(col("text"))
       Text.gopherQuality(base.select(col("doc_id"), injected.as("text")))
     }),
@@ -5606,9 +5607,9 @@ object SparkEntry {
            CAST(coalesce(list_sum(list_transform(kept, x -> len(x))), 0)
                 AS BIGINT) AS kept_chars,
            contains(t2, '{') AS has_brace,
-           contains(t2, 'lorem ipsum') AS has_lorem,
+           contains(lower(t2), 'lorem ipsum') AS has_lorem,
            (len(kept) >= 2 AND NOT contains(t2, '{')
-             AND NOT contains(t2, 'lorem ipsum')) AS c4_pass
+             AND NOT contains(lower(t2), 'lorem ipsum')) AS c4_pass
          FROM k"""),
 
     // APPLY half: same CTE chain, page rules as the WHERE clause,
@@ -5617,7 +5618,7 @@ object SparkEntry {
          SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean
          FROM k
          WHERE len(kept) >= 2 AND NOT contains(t2, '{')
-           AND NOT contains(t2, 'lorem ipsum')"""),
+           AND NOT contains(lower(t2), 'lorem ipsum')"""),
 
     // generated beside the operator from the ONE mojibake table +
     // injection prefix (the qualityProbeOracleSql precedent), so the

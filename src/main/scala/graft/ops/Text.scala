@@ -1545,6 +1545,15 @@ object Text {
        |FROM fin, tot""".stripMargin
   }
 
+  /** C4's line keep rule — ONE definition shared by the report
+    * ([[c4LineFilter]]) and apply ([[c4Apply]]) halves so they cannot
+    * drift: a line survives iff it ends in the terminal mark and has
+    * >= 3 words.
+    */
+  private def c4Kept: Column =
+    filter(split(col("text"), "\n"), l =>
+      l.endsWith(".") && size(split(l, " ")) >= 3)
+
   /** C4-style heuristic page cleaning (Raffel et al. 2020,
     * arXiv:1910.10683 §2.2 — the public recipe behind the C4 corpus;
     * the most-cited curation filter not already in the catalog:
@@ -1552,7 +1561,8 @@ object Text {
     * keep-rules). LINE rules: retain a line only if it ends in a
     * terminal punctuation mark AND contains >= 3 words. PAGE rules:
     * drop pages containing "{" (the paper's code-markup rule) or the
-    * phrase "lorem ipsum" (placeholder text), and pages with fewer than
+    * phrase "lorem ipsum" (placeholder text; matched on the lower-cased
+    * page, as the paper lower-cases before matching), and pages with fewer than
     * `minKeptLines` surviving lines — the paper's 5-sentence floor,
     * scaled to the registered query's 4-line render (documented
     * variant; likewise the punctuation set here is the injected '.'
@@ -1567,20 +1577,11 @@ object Text {
     * (`filter`/`aggregate`) — zero shuffle, one scan, whole-stage
     * codegen; the same class as [[gopherLineDup]].
     */
-  /** C4's line keep rule — ONE definition shared by the report
-    * ([[c4LineFilter]]) and apply ([[c4Apply]]) halves so they cannot
-    * drift: a line survives iff it ends in the terminal mark and has
-    * >= 3 words.
-    */
-  private def c4Kept: Column =
-    filter(split(col("text"), "\n"), l =>
-      l.endsWith(".") && size(split(l, " ")) >= 3)
-
   def c4LineFilter(docs: DataFrame, minKeptLines: Int = 2): DataFrame = {
     val ls = split(col("text"), "\n")
     val kept = c4Kept
     val hasBrace = col("text").contains("{")
-    val hasLorem = col("text").contains("lorem ipsum")
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
     Par.widen(docs).select(
       col("doc_id"),
       size(ls).cast("long").as("n_lines"),
@@ -1605,7 +1606,8 @@ object Text {
   def c4Apply(docs: DataFrame, minKeptLines: Int = 2): DataFrame = {
     val kept = c4Kept
     val pass = size(kept) >= minKeptLines &&
-      !col("text").contains("{") && !col("text").contains("lorem ipsum")
+      !col("text").contains("{") &&
+      !lower(col("text")).contains("lorem ipsum")
     Par.widen(docs)
       .filter(pass)
       .select(col("doc_id"), array_join(kept, "\n").as("text_clean"))
@@ -1653,9 +1655,14 @@ object Text {
     * 2019, "ftfy: fixes text for you", zenodo 2591652): "Ã©" is é's
     * UTF-8 byte pair (C3 A9) mis-decoded, "â€™" is ’'s byte triple
     * (E2 80 99), etc. The patterns are mutually prefix-free (the â€
-    * family differs in the third char; the Ã family is disjoint), so
-    * replacement order cannot mis-fire; longest-first kept anyway as
-    * the safe convention. Unicode escapes, not glyphs, so the table is
+    * family differs in the third char; the Ã family is disjoint), so no
+    * artifact can hide another in the input. A repair can still
+    * SYNTHESIZE a later pattern on adversarial fragments (a dangling
+    * "â€" ahead of a repaired quote), so the chain ORDER is part of
+    * the operator definition — which is safe here because the oracle
+    * is generated from this same table in this same order
+    * ([[fixEncodingOracleSql]]), so both engines walk the identical
+    * chain. Unicode escapes, not glyphs, so the table is
     * source-encoding-proof.
     */
   private[graft] val mojibakeTable: Seq[(String, String)] = Seq(
@@ -1740,7 +1747,9 @@ object Text {
         size(ls), 6)
     val alphaFrac = round(
       size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
-    val nStop = size(array_intersect(array_distinct(ws),
+    // array_intersect already returns distinct elements (as does the
+    // oracle's list_intersect), so no explicit distinct pass is needed
+    val nStop = size(array_intersect(ws,
       array(GopherStopWords.map(lit): _*))).cast("long")
     val flags: Seq[(String, Column)] = Seq(
       "words_pass" -> (nWords >= 50 && nWords <= 100000L),
@@ -1827,7 +1836,7 @@ object Text {
        |         CAST(len(list_filter(wsf,
        |              x -> regexp_matches(x, '[A-Za-z]')))
        |              AS BIGINT) AS n_alpha,
-       |         CAST(len(list_intersect(list_distinct(wsf), $stopList))
+       |         CAST(len(list_intersect(wsf, $stopList))
        |              AS BIGINT) AS n_stop
        |       FROM x),
        | f AS (SELECT doc_id, n_words,
