@@ -210,12 +210,45 @@ class Wave33Spec extends AnyFunSuite {
     assert(twice(0)._2 === "café don’t über tail words")
   }
 
-  test("fixEncoding: mojibake patterns are mutually prefix-free, so " +
-       "replacement order cannot mis-fire") {
+  test("fixEncoding: mojibake patterns are mutually prefix-free — no " +
+       "pattern can hide inside another's prefix") {
+    // NB prefix-freeness is all this gives: a repair can still
+    // SYNTHESIZE a later pattern (pinned below), so the chain order
+    // stays part of the operator definition (advice round 12).
     val pats = Text.mojibakeTable.map(_._1)
     for (a <- pats; b <- pats if a != b)
       assert(!a.startsWith(b) && !b.startsWith(a),
-        s"'$a' and '$b' collide — the replace chain order would matter")
+        s"'$a' and '$b' collide — one would shadow the other's start")
+  }
+
+  test("fixEncoding: the documented synthesize case — a dangling 'â€' " +
+       "before a repaired left quote forms the en-dash artifact, which " +
+       "the chain then repairs because â€“ runs AFTER â€œ") {
+    // input: â€ (dangling artifact head) + â€œ (left-quote
+    // artifact). The â€œ repair yields â€“ — exactly the
+    // â€“ artifact — which the next link repairs to the en dash. The
+    // shipped table order therefore fully repairs it; a reversed order
+    // would strand the synthesized artifact.
+    val dangling = "\u00E2\u20AC"            // artifact head (a-circ + euro)
+    val quoteArtifact = "\u00E2\u20AC\u0153" // the left-quote artifact
+    val got = fix(Seq((1L, dangling + quoteArtifact)))
+    assert(got(0)._2 === "\u2013", // en dash
+      "chain should repair the synthesized artifact")
+    assert(got(0)._3 === 4L && got(0)._4)
+    // and the order-dependence is real: stopping after the quote link
+    // leaves the en-dash artifact in the text
+    val afterQuoteOnly = (dangling + quoteArtifact)
+      .replace(quoteArtifact, "\u201C") // left double quote
+    assert(afterQuoteOnly === "\u00E2\u20AC\u201C", // the en-dash artifact
+      "the quote repair synthesizes the en-dash artifact on this fragment")
+  }
+
+  test("fixEncoding: every mojibakeTable repair strictly shrinks — the " +
+       "chars_saved activity metric depends on it") {
+    for ((bad, good) <- Text.mojibakeTable)
+      assert(bad.length > good.length,
+        s"repair '$bad' -> '$good' does not shrink; chars_saved would " +
+          "stop tracking activity (advice round 12)")
   }
 
   // --- seeded property sweeps (the PropertySpec convention) --------------
