@@ -65,8 +65,10 @@ object SparkEntry {
     * unless (doc_id + i) % 3 == 0, " {" appended to line 2 of every
     * 7th doc, "lorem ipsum." as line 3 of every 11th.
     */
-  private def c4Injected(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  private case class C4InjectedLines(m: org.apache.spark.sql.Column,
+      l1: org.apache.spark.sql.Column, l2: org.apache.spark.sql.Column,
+      l3: org.apache.spark.sql.Column, l4: org.apache.spark.sql.Column)
+  private def c4InjectedLines: C4InjectedLines = {
     val r = quarterRender
     def punct(line: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
       when((col("doc_id") + i) % 3 =!= 0, concat(line, lit(".")))
@@ -78,9 +80,52 @@ object SparkEntry {
     val l3 = when(col("doc_id") % 11 === 0, lit("lorem ipsum."))
       .otherwise(punct(r.l3, 3))
     val l4 = punct(r.l4, 4)
-    val injected = when(r.m >= 8, concat_ws("\n", l1, l2, l3, l4))
+    C4InjectedLines(r.m, l1, l2, l3, l4)
+  }
+  private def c4Injected(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val L = c4InjectedLines
+    val injected = when(L.m >= 8, concat_ws("\n", L.l1, L.l2, L.l3, L.l4))
       .otherwise(col("text"))
     base.select(col("doc_id"), injected.as("text"))
+  }
+
+  /** The web front door's staged corpus: the SAME c4 rule-trigger lines,
+    * with the [[graft.ops.Text.WebNavLine]] chrome interleaved into
+    * every 13th page (three copies, non-adjacent so only the LINE-dup
+    * rule sees the repetition), then each page staged TWICE — once
+    * behind the repaired prefix, once through a mojibake mirror at
+    * doc_id + [[webOffset]] — so the dedup stage provably rides the
+    * repair stage (the curationPipeline planted-twin convention).
+    * Mirrored line-for-line in the oracle's staged CTE chain.
+    */
+  private val webOffset = 100000L
+  private def webInjected(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val L = c4InjectedLines
+    val nav = lit(Text.WebNavLine)
+    val rendered = when(L.m >= 8,
+      when(col("doc_id") % 13 === 0,
+        concat_ws("\n", L.l1, nav, L.l2, nav, L.l3, nav, L.l4))
+        .otherwise(concat_ws("\n", L.l1, L.l2, L.l3, L.l4)))
+      .otherwise(col("text"))
+    base.select(col("doc_id"), rendered.as("text"))
+  }
+  private def webStaged(s: SparkSession, dir: String): DataFrame = {
+    val inj = webInjected(s, dir)
+    // the mirror ids live at +webOffset; real ids reaching the offset
+    // would alias keys through the dedup window (mirrored in the
+    // oracle, so the gate could not see it) — assert, the
+    // curation_pipeline guard. coalesce: empty-table max() is NULL.
+    val maxDocId =
+      inj.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
+    require(maxDocId < webOffset,
+      s"mirror doc_id offset $webOffset would alias real ids (max=$maxDocId)")
+    val clean = inj.select(col("doc_id"),
+      concat(lit(Text.mojibakePrefixRepaired), col("text")).as("text"))
+    val corrupt = inj.select((col("doc_id") + webOffset).as("doc_id"),
+      concat(lit(Text.mojibakePrefix), col("text")).as("text"))
+    clean.unionByName(corrupt)
   }
 
   // ---- driver contract -------------------------------------------------
@@ -979,6 +1024,24 @@ object SparkEntry {
         queries("gopher_repetition")(s, dir),
         queries("gopher_line_dup")(s, dir),
         queries("gopher_quality")(s, dir))),
+
+    // [EXT round 13] the web-corpus front door COMPOSED — what a
+    // RefinedWeb/C4-style ingest actually runs: mojibake repair ->
+    // C4 page cleaning (apply) -> complete Gopher A1 filter on the
+    // cleaned text -> exact content-hash dedup, as ONE fused plan over
+    // a re-ingest-doubled staged corpus (every page + its mojibake
+    // mirror at +100000; the copies hash-merge at the dedup stage IFF
+    // the repair stage ran — the curation_pipeline planted-twin
+    // convention). Ledger half: one status row per staged doc
+    "web_pipeline" -> ((s, dir) =>
+      Text.webPipeline(webStaged(s, dir)).drop("text_clean")),
+
+    // corpus half of the same fused plan: the cleaned, deduped rows a
+    // training pipeline consumes (the exactsubstr report/apply pairing)
+    "web_pipeline_corpus" -> ((s, dir) =>
+      Text.webPipeline(webStaged(s, dir))
+        .filter(col("status") === "kept")
+        .select(col("doc_id"), col("text_clean").as("text"))),
 
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
@@ -3592,13 +3655,22 @@ object SparkEntry {
            JOIN (""" + baseOracles("gopher_line_dup") + """) l
              ON r.doc_id = l.doc_id
            JOIN (""" + baseOracles("gopher_quality") + """) q
-             ON q.doc_id = r.doc_id"""))
+             ON q.doc_id = r.doc_id""")) +
+      // the composed web front door: the staged-corpus CTE chain (the
+      // same quarter render + nav interleave + mojibake mirror as the
+      // registration) fed through the generated pipeline mirror —
+      // repair chain, C4 rules, all three Gopher rule chains, and the
+      // dedup window, each single-sourced with its operator
+      ("web_pipeline" -> Text.webLedgerSql(webStagedRel)) +
+      ("web_pipeline_corpus" -> Text.webCorpusSql(webStagedRel))
 
-  /** Shared CTE chain for the C4 pair's oracles: the quarter-render
-    * injection (mirroring [[c4Injected]]) and the kept-lines rule, so
-    * the report and apply oracles cannot drift from each other.
+  /** The c4 rule-trigger render as DuckDB CTEs — quarter lines with the
+    * punctuation pattern, plus the brace/lorem decorations (r2x/r3x).
+    * Mirrors [[c4InjectedLines]]; shared by the C4 pair's oracles AND
+    * the web front door's staged chain so the injection exists once on
+    * the SQL side too.
     */
-  private val c4OracleCtes: String =
+  private val c4QuarterCtes: String =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
                FROM documents),
          p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
@@ -3617,21 +3689,66 @@ object SparkEntry {
                       THEN array_to_string(ws[3*q+1:m], ' ') || '.'
                       ELSE array_to_string(ws[3*q+1:m], ' ') END AS r4
                FROM p),
+         rx AS (SELECT doc_id, text, m, r1,
+                 CASE WHEN doc_id % 7 = 0 THEN r2 || ' {'
+                      ELSE r2 END AS r2x,
+                 CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum.'
+                      ELSE r3 END AS r3x,
+                 r4
+               FROM r)"""
+
+  /** Shared CTE chain for the C4 pair's oracles: the quarter-render
+    * injection (mirroring [[c4Injected]]) and the kept-lines rule, so
+    * the report and apply oracles cannot drift from each other.
+    */
+  private val c4OracleCtes: String =
+    c4QuarterCtes + """,
          t AS (SELECT doc_id,
                  CASE WHEN m >= 8 THEN
                    r1 || chr(10)
-                   || (CASE WHEN doc_id % 7 = 0 THEN r2 || ' {'
-                            ELSE r2 END) || chr(10)
-                   || (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum.'
-                            ELSE r3 END) || chr(10)
+                   || r2x || chr(10)
+                   || r3x || chr(10)
                    || r4
                  ELSE text END AS t2
-               FROM r),
+               FROM rx),
          l AS (SELECT doc_id, t2, string_split(t2, chr(10)) AS ls FROM t),
          k AS (SELECT doc_id, t2, ls,
                  list_filter(ls, x -> ends_with(x, '.')
                    AND len(string_split(x, ' ')) >= 3) AS kept
                FROM l)"""
+
+  /** The web front door's STAGED corpus as a DuckDB relation string
+    * (a parenthesized subquery — [[graft.ops.Text.webLedgerSql]] takes
+    * any FROM-able relation): the c4 quarter render, the every-13th
+    * nav-chrome interleave, then each page twice — repaired prefix and
+    * mojibake mirror at +100000. Mirrors [[webStaged]].
+    */
+  private def webStagedRel: String = {
+    val nav = Text.WebNavLine
+    val good = Text.mojibakePrefixRepaired.replace("'", "''")
+    val bad = Text.mojibakePrefix.replace("'", "''")
+    "(" + c4QuarterCtes + s""",
+         rend AS (SELECT doc_id,
+                 CASE WHEN m >= 8 THEN
+                   CASE WHEN doc_id % 13 = 0 THEN
+                     r1 || chr(10) || '$nav' || chr(10)
+                     || r2x || chr(10) || '$nav' || chr(10)
+                     || r3x || chr(10) || '$nav' || chr(10)
+                     || r4
+                   ELSE
+                     r1 || chr(10)
+                     || r2x || chr(10)
+                     || r3x || chr(10)
+                     || r4
+                   END
+                 ELSE text END AS body
+               FROM rx),
+         staged AS (SELECT doc_id, '$good' || body AS text FROM rend
+                    UNION ALL
+                    SELECT doc_id + 100000 AS doc_id,
+                           '$bad' || body AS text FROM rend)
+       SELECT doc_id, text FROM staged)"""
+  }
 
   private def baseOracles: Map[String, String] = Map(
 
@@ -5558,7 +5675,7 @@ object SparkEntry {
     // >= 8 words repeats quarter 1 in slot 3), then the all-but-first
     // duplicate-line counts from (all, distinct) pairs
     "gopher_line_dup" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      ("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
                FROM documents),
          p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
                FROM w),
@@ -5573,26 +5690,9 @@ object SparkEntry {
                    || array_to_string(ws[3*q+1:m], ' ')
                  ELSE text END AS t2
                FROM p),
-         l AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM t),
-         s AS (SELECT doc_id, ls, list_distinct(ls) AS dls FROM l),
-         c AS (SELECT doc_id,
-                 CAST(len(ls) AS BIGINT) AS n_lines,
-                 CAST(len(ls) - len(dls) AS BIGINT) AS n_dup,
-                 CAST(list_sum(list_transform(ls, x -> len(x)))
-                      AS BIGINT) AS tot,
-                 CAST(list_sum(list_transform(dls, x -> len(x)))
-                      AS BIGINT) AS dtot
-               FROM s),
-         f AS (SELECT doc_id, n_lines, n_dup,
-                 round(CAST(n_dup AS DOUBLE) / n_lines, 6) AS lf,
-                 CASE WHEN tot > 0
-                      THEN round(CAST(tot - dtot AS DOUBLE) / tot, 6)
-                      ELSE 0.0 END AS cf
-               FROM c)
-         SELECT doc_id, n_lines, n_dup AS n_dup_lines,
-           lf AS dup_line_frac, cf AS dup_char_frac,
-           (lf <= 0.30 AND cf <= 0.20) AS line_pass
-         FROM f""",
+         gd AS (SELECT doc_id, t2 AS text FROM t)
+         SELECT * FROM (
+""" + Text.gopherLineDupRulesSql("gd") + "\n) q"),
 
     // the same four-quarter injection as the registration (terminal '.'
     // unless (doc_id+i)%3==0; " {" on line 2 for every 7th doc;
@@ -5632,50 +5732,7 @@ object SparkEntry {
     // documented in the operator scaladoc)
     "gopher_quality" -> Text.gopherQualityOracleSql(),
 
-    "gopher_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
-               CAST(len(text) AS BIGINT) AS tc FROM documents),
-         g AS (SELECT doc_id, n, gram,
-               CAST(count(*) AS BIGINT) AS c,
-               CAST(len(gram) AS BIGINT) AS gl
-             FROM (SELECT doc_id, n,
-                 unnest(list_transform(range(1, len(ws) - n + 2),
-                   i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
-               FROM w, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
-               WHERE len(ws) >= n)
-             GROUP BY doc_id, n, gram),
-         s AS (SELECT doc_id, n,
-               CAST(max(c * gl) AS BIGINT) AS topc,
-               CAST(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)
-                 AS BIGINT) AS dupc
-             FROM g GROUP BY 1, 2),
-         p AS (SELECT w.doc_id,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS top2_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS top3_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 4 THEN topc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS top4_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 5 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup5_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 6 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup6_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 7 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup7_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 8 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup8_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 9 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup9_frac,
-               CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 10 THEN dupc END), 0)
-                 AS DOUBLE) / w.tc ELSE 0.0 END AS dup10_frac
-             FROM w LEFT JOIN s ON w.doc_id = s.doc_id
-             GROUP BY w.doc_id, w.tc)
-         SELECT *,
-           (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
-            AND dup5_frac <= 0.15 AND dup6_frac <= 0.14
-            AND dup7_frac <= 0.13 AND dup8_frac <= 0.12
-            AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS gopher_pass
-         FROM p""",
+    "gopher_repetition" -> Text.gopherRepetitionRulesSql("documents"),
 
     // doc_lm_score's chain verbatim, then the per-language tercile on
     // the bit-identical double (doc_id tiebreak fixes the boundary)

@@ -329,7 +329,26 @@ object Text {
     * integer operands so the cross-engine hash is exact.
     */
   def gopherLineDup(docs: DataFrame): DataFrame = {
-    val ls = split(col("text"), "\n")
+    val c = lineDupCols(col("text"))
+    Par.widen(docs).select(col("doc_id"),
+      c.nLines.as("n_lines"),
+      c.nDup.as("n_dup_lines"),
+      c.lineFrac.as("dup_line_frac"),
+      c.charFrac.as("dup_char_frac"),
+      c.pass.as("line_pass"))
+  }
+
+  /** The duplicate-line metric columns over an arbitrary text column —
+    * ONE definition shared by [[gopherLineDup]] and the fused web front
+    * door ([[webPipeline]]), so the rule cannot drift between the
+    * standalone verdict op and the composed pipeline.
+    */
+  private[graft] case class LineDupCols(nLines: Column, nDup: Column,
+                                        lineFrac: Column, charFrac: Column) {
+    def pass: Column = lineFrac <= 0.30 && charFrac <= 0.20
+  }
+  private[graft] def lineDupCols(text: Column): LineDupCols = {
+    val ls = split(text, "\n")
     val dls = array_distinct(ls)
     def chars(a: Column): Column =
       aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
@@ -339,39 +358,65 @@ object Text {
     val lineFrac = round(dupLines.cast("double") / size(ls), 6)
     val charFrac = when(totChars > 0,
       round(dupChars.cast("double") / totChars, 6)).otherwise(lit(0.0))
-    Par.widen(docs).select(col("doc_id"),
-      size(ls).cast("long").as("n_lines"),
-      dupLines.as("n_dup_lines"),
-      lineFrac.as("dup_line_frac"),
-      charFrac.as("dup_char_frac"),
-      (lineFrac <= 0.30 && charFrac <= 0.20).as("line_pass"))
+    LineDupCols(size(ls).cast("long"), dupLines, lineFrac, charFrac)
+  }
+
+  /** Per-row n-gram run-fold (top occurrence mass + duplicated-gram
+    * mass) over a word array — shared by [[gopherRepetition]] and the
+    * fused web front door's repetition verdict.
+    */
+  private def gramStats(w: Column, n: Int): Column = {
+    val grams = array_sort(transform(
+      sequence(lit(0), size(w) - lit(n)),
+      i => array_join(slice(w, i + 1, lit(n)), " ")))
+    aggregate(
+      when(size(w) >= n, grams).otherwise(array().cast("array<string>")),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("top"), lit(0L).as("dup")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        val contrib = when(run === 2, lit(2L) * length(x).cast("long"))
+          .when(run > 2, length(x).cast("long"))
+          .otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("top"), run * length(x).cast("long"))
+            .as("top"),
+          (acc.getField("dup") + contrib).as("dup"))
+      },
+      acc => struct(acc.getField("top").as("top"),
+        acc.getField("dup").as("dup")))
+  }
+
+  /** The paper's thresholds for the n-gram half of the filter table —
+    * (n, column) -> bound, single-sourced for [[gopherRepetition]] and
+    * the fused pass column below.
+    */
+  private val gopherNgramThresholds: Seq[(String, Double)] = Seq(
+    "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+    "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+    "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+
+  /** [[gopherRepetition]]'s composite verdict as ONE column over an
+    * arbitrary text column — the builder [[webPipeline]] uses so the
+    * composed plan stays a single projection (no verdict-frame joins).
+    */
+  private[graft] def gopherPassCol(text: Column): Column = {
+    val w = words(text)
+    def frac(num: Column): Column =
+      when(length(text) > 0,
+        num.cast("double") / length(text).cast("double"))
+        .otherwise(lit(0.0))
+    val fracs: Seq[Column] =
+      (2 to 4).map(n => frac(gramStats(w, n).getField("top"))) ++
+        (5 to 10).map(n => frac(gramStats(w, n).getField("dup")))
+    fracs.zip(gopherNgramThresholds.map(_._2))
+      .map { case (f, t) => f <= lit(t) }.reduce(_ && _)
   }
 
   def gopherRepetition(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    def gramStats(n: Int): Column = {
-      val grams = array_sort(transform(
-        sequence(lit(0), size(w) - lit(n)),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-      aggregate(
-        when(size(w) >= n, grams).otherwise(array().cast("array<string>")),
-        struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("top"), lit(0L).as("dup")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + lit(1L)).otherwise(lit(1L))
-          val contrib = when(run === 2, lit(2L) * length(x).cast("long"))
-            .when(run > 2, length(x).cast("long"))
-            .otherwise(lit(0L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("top"), run * length(x).cast("long"))
-              .as("top"),
-            (acc.getField("dup") + contrib).as("dup"))
-        },
-        acc => struct(acc.getField("top").as("top"),
-          acc.getField("dup").as("dup")))
-    }
-    val stats = (2 to 10).map(n => gramStats(n).as(s"g$n"))
+    val stats = (2 to 10).map(n => gramStats(w, n).as(s"g$n"))
     val base = Par.widen(docs)
       .select(col("doc_id") +: col("text") +: stats: _*)
     // empty text is the one reachable zero denominator in this file
@@ -385,13 +430,9 @@ object Text {
       (2 to 4).map(n => frac(col(s"g$n.top")).as(s"top${n}_frac")) ++
       (5 to 10).map(n => frac(col(s"g$n.dup")).as(s"dup${n}_frac"))
     val withFracs = base.select(col("doc_id") +: fracCols: _*)
-    // the paper's thresholds for the n-gram half of the filter table
-    val thresholds = Seq(
-      "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
-      "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
-      "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
     withFracs.withColumn("gopher_pass",
-      thresholds.map { case (c, t) => col(c) <= lit(t) }.reduce(_ && _))
+      gopherNgramThresholds.map { case (c, t) => col(c) <= lit(t) }
+        .reduce(_ && _))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
@@ -1633,6 +1674,14 @@ object Text {
     * equi-joins — doc-count-sized rows (id + bits), never text, cross
     * the wire; the joins hash-partition on the same key so AQE can
     * coalesce, and nothing is corpus² anywhere.
+    *
+    * Precondition: the three verdict frames must be TOTAL over the same
+    * doc_id set — the joins are inner, so a doc missing from any frame
+    * silently vanishes from the output rather than erroring. The
+    * registered composition satisfies this by construction (each half
+    * is a per-row projection of the same documents table); direct
+    * callers stitching verdicts from different corpus snapshots must
+    * align them first (advice round 12).
     */
   def gopherFilter(repetition: DataFrame, lineDup: DataFrame,
                    quality: DataFrame): DataFrame = {
@@ -1687,15 +1736,21 @@ object Text {
     * time constant, never a join.
     */
   def fixEncoding(docs: DataFrame): DataFrame = {
-    val fixed = mojibakeTable.foldLeft(col("text")) {
-      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
-    }
+    val fixed = mojibakeRepair(col("text"))
     Par.widen(docs).select(
       col("doc_id"),
       fixed.as("text_fixed"),
       (length(col("text")) - length(fixed)).cast("long").as("chars_saved"),
       (fixed =!= col("text")).as("changed"))
   }
+
+  /** The [[mojibakeTable]] repair chain over an arbitrary text column —
+    * shared by [[fixEncoding]] and the fused web front door.
+    */
+  private[graft] def mojibakeRepair(c: Column): Column =
+    mojibakeTable.foldLeft(c) {
+      case (cc, (bad, good)) => replace(cc, lit(bad), lit(good))
+    }
 
   /** Gopher QUALITY rules (Rae et al. 2021, arXiv:2112.11446 table A1's
     * quality-filter half — completing the Gopher trilogy:
@@ -1729,14 +1784,30 @@ object Text {
     * Gopher halves.
     */
   def gopherQuality(docs: DataFrame, minStopWords: Int = 1): DataFrame = {
-    val ws = split(col("text"), "[ \n]")
-    val ls = split(col("text"), "\n")
+    val (stats, flags) = qualityCols(col("text"), minStopWords)
+    Par.widen(docs).select(
+      col("doc_id") +: (stats ++ flags.map { case (n, c) => c.as(n) }
+        :+ flags.map(_._2).reduce(_ && _).as("quality_pass")): _*)
+  }
+
+  /** [[gopherQuality]]'s signal and flag columns over an arbitrary text
+    * column — (stats, flags), single-sourced for the standalone op and
+    * the fused web front door.
+    */
+  private[graft] def qualityCols(text: Column, minStopWords: Int)
+      : (Seq[Column], Seq[(String, Column)]) = {
+    val ws = split(text, "[ \n]")
+    val ls = split(text, "\n")
     val nWords = size(ws).cast("long")
     val wordChars = aggregate(ws, lit(0L), (a, w) => a + length(w).cast("long"))
     val meanLen = round(wordChars.cast("double") / nWords, 6)
+    // literal replace, not regexp_replace: '#' and the ellipsis are
+    // regex-safe today, but the oracle counts literally, so a future
+    // symbol containing a metacharacter would silently mis-count on
+    // this side only (advice round 12)
     def occurrences(ch: String): Column =
-      (length(col("text")) -
-        length(regexp_replace(col("text"), lit(ch), lit("")))).cast("long")
+      (length(text) -
+        length(replace(text, lit(ch), lit("")))).cast("long")
     val nSymbols = occurrences("#") + occurrences(Ellipsis)
     val symbolRatio = round(nSymbols.cast("double") / nWords, 6)
     val bulletFrac = round(
@@ -1763,10 +1834,13 @@ object Text {
       symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
       ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
       nStop.as("n_stop_words"))
-    Par.widen(docs).select(
-      col("doc_id") +: (stats ++ flags.map { case (n, c) => c.as(n) }
-        :+ flags.map(_._2).reduce(_ && _).as("quality_pass")): _*)
+    (stats, flags)
   }
+
+  /** Composite quality verdict over an arbitrary text column. */
+  private[graft] def qualityPassCol(text: Column,
+                                    minStopWords: Int = 1): Column =
+    qualityCols(text, minStopWords)._2.map(_._2).reduce(_ && _)
 
   /** Shared glyph constants for [[gopherQuality]]'s rules and the
     * registered query's injection — single-sourced so the Spark side
@@ -1787,7 +1861,6 @@ object Text {
     * (m ≥ 8), first match wins.
     */
   def gopherQualityOracleSql(minStopWords: Int = 1): String = {
-    val stopList = GopherStopWords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |     FROM documents),
        | p AS (SELECT doc_id, text, ws, len(ws) AS m, len(ws) // 4 AS q
@@ -1816,10 +1889,25 @@ object Text {
        |               || l3 || chr(10) || l4
        |           ELSE text END AS t2
        |       FROM r),
-       | x AS (SELECT doc_id, t2,
-       |         string_split_regex(t2, '[ \\n]') AS wsf,
-       |         string_split(t2, chr(10)) AS lsf
-       |       FROM t),
+       | gd AS (SELECT doc_id, t2 AS text FROM t)
+       |SELECT * FROM (
+       |""".stripMargin +
+      gopherQualityRulesSql("gd", minStopWords) + "\n) q"
+  }
+
+  /** [[gopherQuality]]'s rule chain in DuckDB over a relation providing
+    * (doc_id, text) — the shared rules half of [[gopherQualityOracleSql]]
+    * and the composed `web_pipeline` oracle, so the thresholds, glyphs
+    * and stop list exist once on the SQL side too. Emits the op's full
+    * column set; callers project what they need.
+    */
+  private[graft] def gopherQualityRulesSql(rel: String,
+                                           minStopWords: Int = 1): String = {
+    val stopList = GopherStopWords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH x AS (SELECT doc_id, text AS t2,
+       |         string_split_regex(text, '[ \\n]') AS wsf,
+       |         string_split(text, chr(10)) AS lsf
+       |       FROM $rel),
        | c AS (SELECT doc_id,
        |         CAST(len(wsf) AS BIGINT) AS n_words,
        |         CAST(list_sum(list_transform(wsf, x -> len(x)))
@@ -1877,6 +1965,28 @@ object Text {
   val mojibakePrefix: String =
     "caf\u00C3\u00A9 don\u00E2\u20AC\u2122t \u00C3\u00BCber " // cafÃ© donâ€™t Ã¼ber
 
+  /** [[mojibakePrefix]] after the repair chain — DERIVED from the one
+    * table, so the clean-mirror literal the web front door plants can
+    * never drift from what [[fixEncoding]] actually produces.
+    */
+  private[graft] val mojibakePrefixRepaired: String =
+    mojibakeTable.foldLeft(mojibakePrefix) {
+      case (s, (bad, good)) => s.replace(bad, good)
+    }
+
+  /** SQL single-quote escape for generated oracles. */
+  private[graft] def sqlQ(s: String): String = s.replace("'", "''")
+
+  /** SQL-side repair chain over an expression — the DuckDB mirror of
+    * [[mojibakeRepair]], generated from the same table (shared by the
+    * `fix_encoding` oracle and the composed `web_pipeline` oracle).
+    */
+  private[graft] def mojibakeChainSql(expr: String): String =
+    mojibakeTable.foldLeft(expr) {
+      case (acc, (bad, good)) =>
+        s"replace($acc, '${sqlQ(bad)}', '${sqlQ(good)}')"
+    }
+
   /** DuckDB oracle for the registered `fix_encoding` query, generated
     * from [[mojibakeTable]] and [[mojibakePrefix]] — ONE definition of
     * the repair chain and the injection on both sides (the
@@ -1885,11 +1995,8 @@ object Text {
     * artifact direction, but escape defensively anyway.
     */
   def fixEncodingOracleSql(): String = {
-    def q(s: String): String = s.replace("'", "''")
-    val chain = mojibakeTable.foldLeft("t2") {
-      case (acc, (bad, good)) =>
-        s"replace($acc, '${q(bad)}', '${q(good)}')"
-    }
+    def q(s: String): String = sqlQ(s)
+    val chain = mojibakeChainSql("t2")
     s"""WITH t AS (SELECT doc_id,
        |       CASE WHEN doc_id % 5 = 0 THEN '${q(mojibakePrefix)}' || text
        |            ELSE text END AS t2
@@ -1900,4 +2007,245 @@ object Text {
        |  fx <> t2 AS changed
        |FROM f""".stripMargin
   }
+
+  // ---- web-corpus front door (round 13) --------------------------------
+
+  /** The navigation-chrome line the registered `web_pipeline` staged
+    * corpus interleaves into every 13th page (three copies) so the
+    * Gopher duplicate-LINE rule provably fires inside the composed
+    * pipeline: 3 words + terminal '.', so C4's line rule KEEPS it, and
+    * its repeats push dup_line_frac past the paper's 0.30 while staying
+    * invisible to the repetition half (word tokens glue across the
+    * newline joins, so no word n-gram ever repeats from it).
+    */
+  private[graft] val WebNavLine: String = "read more here."
+
+  /** The web-corpus front door as ONE fused plan — the composed form a
+    * RefinedWeb/C4-style ingest actually runs (the parts shipped in
+    * round 12 as `fix_encoding`, `c4_apply`, `gopher_filter`,
+    * `dedup_content_hash`; reference analog: the curation chain around
+    * `data_pipeline.py:84-85`, re-expressed over the public recipes of
+    * Raffel et al. 2020 §2.2, Rae et al. 2021 table A1 and Speer's
+    * ftfy):
+    *
+    *  1. mojibake repair ([[mojibakeRepair]] — the [[fixEncoding]]
+    *     chain),
+    *  2. C4 page cleaning applied ([[c4Kept]] line rule + the brace /
+    *     lorem-ipsum / min-2-kept-lines page rules — [[c4Apply]]'s
+    *     semantics),
+    *  3. the complete Gopher A1 document filter on the CLEANED text
+    *     (repetition ∧ line-dup ∧ quality via the shared
+    *     [[gopherPassCol]] / [[lineDupCols]] / [[qualityPassCol]]
+    *     builders — [[gopherFilter]]'s semantics without its verdict-
+    *     frame joins, since all three halves read the same column),
+    *  4. exact content-hash dedup over the full survivors, keep min
+    *     doc_id ([[graft.ops.TextDedup.contentHashDedup]]'s semantics
+    *     as one window).
+    *
+    * Output: one LEDGER row per staged doc — (doc_id, changed, status,
+    * canonical_id, text_clean) with status ∈ c4_page |
+    * gopher_repetition | gopher_line_dup | gopher_quality (first
+    * failing stage, the paper-order precedence of [[gopherFilter]]) |
+    * exact_dup | kept; canonical_id is the surviving copy for
+    * kept/exact_dup rows and NULL for dropped pages; text_clean is the
+    * cleaned text for rows that survived all filters (the corpus
+    * projection filters to status = 'kept').
+    *
+    * Stage coupling is planted the [[graft.ops.TextDedup
+    * .curationPipeline]] way: the registered staged corpus contains
+    * each page TWICE — once with the repaired prefix, once through a
+    * mojibake mirror ([[mojibakePrefix]]) — and the copies hash-merge
+    * at stage 4 IFF stage 1 actually repaired them, so a dropped or
+    * reordered repair stage zeroes the exact_dup class and the oracle
+    * catches it.
+    *
+    * Scale: stages 1–3 are ONE zero-shuffle codegen projection chain
+    * over the scan (the gopher flags are guarded by c4_pass, so failed
+    * pages skip the n-gram folds); stage 4 is a single window exchange
+    * whose key is the 64-hex content hash for keepers and a per-doc
+    * solo key for everything else — dup groups are re-ingest-copy-
+    * sized, solos are singletons, so no partition outgrows its page
+    * and cleaned text crosses the wire exactly once (the
+    * [[graft.ops.TextDedup.paragraphDedup]] budget).
+    */
+  def webPipeline(staged: DataFrame): DataFrame = {
+    val repaired = mojibakeRepair(col("text"))
+    val s1 = Par.widen(staged).select(col("doc_id"),
+      repaired.as("text"),
+      (repaired =!= col("text")).as("changed"))
+    val kept = c4Kept
+    val c4pass = size(kept) >= 2 && !col("text").contains("{") &&
+      !lower(col("text")).contains("lorem ipsum")
+    val s2 = s1.select(col("doc_id"), col("changed"),
+      c4pass.as("c4_pass"),
+      array_join(kept, "\n").as("text"))
+    val s3 = s2.select(col("doc_id"), col("changed"), col("c4_pass"),
+      col("text"),
+      when(col("c4_pass"), gopherPassCol(col("text")))
+        .otherwise(lit(false)).as("gopher_pass"),
+      when(col("c4_pass"), lineDupCols(col("text")).pass)
+        .otherwise(lit(false)).as("line_pass"),
+      when(col("c4_pass"), qualityPassCol(col("text")))
+        .otherwise(lit(false)).as("quality_pass"))
+    val keep = col("c4_pass") && col("gopher_pass") &&
+      col("line_pass") && col("quality_pass")
+    val pk = when(keep, sha2(col("text"), 256))
+      .otherwise(concat(lit("solo:"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(pk)
+    val canon = min(when(keep, col("doc_id"))).over(w)
+    s3.select(col("doc_id"), col("changed"),
+      when(!col("c4_pass"), "c4_page")
+        .when(!col("gopher_pass"), "gopher_repetition")
+        .when(!col("line_pass"), "gopher_line_dup")
+        .when(!col("quality_pass"), "gopher_quality")
+        .when(col("doc_id") =!= canon, "exact_dup")
+        .otherwise("kept").as("status"),
+      when(keep, canon).as("canonical_id"),
+      when(keep, col("text")).as("text_clean"))
+  }
+
+  /** [[gopherRepetition]]'s rule chain in DuckDB over a relation
+    * providing (doc_id, text) — shared by the standalone oracle and the
+    * composed `web_pipeline` oracle.
+    */
+  private[graft] def gopherRepetitionRulesSql(rel: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |       CAST(len(text) AS BIGINT) AS tc FROM $rel),
+       | g AS (SELECT doc_id, n, gram,
+       |       CAST(count(*) AS BIGINT) AS c,
+       |       CAST(len(gram) AS BIGINT) AS gl
+       |     FROM (SELECT doc_id, n,
+       |         unnest(list_transform(range(1, len(ws) - n + 2),
+       |           i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+       |       FROM w, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+       |       WHERE len(ws) >= n)
+       |     GROUP BY doc_id, n, gram),
+       | s AS (SELECT doc_id, n,
+       |       CAST(max(c * gl) AS BIGINT) AS topc,
+       |       CAST(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)
+       |         AS BIGINT) AS dupc
+       |     FROM g GROUP BY 1, 2),
+       | p AS (SELECT w.doc_id,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 2 THEN topc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS top2_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 3 THEN topc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS top3_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 4 THEN topc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS top4_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 5 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup5_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 6 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup6_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 7 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup7_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 8 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup8_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 9 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup9_frac,
+       |       CASE WHEN w.tc > 0 THEN CAST(coalesce(max(CASE WHEN n = 10 THEN dupc END), 0)
+       |         AS DOUBLE) / w.tc ELSE 0.0 END AS dup10_frac
+       |     FROM w LEFT JOIN s ON w.doc_id = s.doc_id
+       |     GROUP BY w.doc_id, w.tc)
+       | SELECT *,
+       |   (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+       |    AND dup5_frac <= 0.15 AND dup6_frac <= 0.14
+       |    AND dup7_frac <= 0.13 AND dup8_frac <= 0.12
+       |    AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS gopher_pass
+       | FROM p""".stripMargin
+
+  /** [[gopherLineDup]]'s rule chain in DuckDB over a relation providing
+    * (doc_id, text) — shared by the standalone oracle and the composed
+    * `web_pipeline` oracle.
+    */
+  private[graft] def gopherLineDupRulesSql(rel: String): String =
+    s"""WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+       |       FROM $rel),
+       | s AS (SELECT doc_id, ls, list_distinct(ls) AS dls FROM l),
+       | c AS (SELECT doc_id,
+       |         CAST(len(ls) AS BIGINT) AS n_lines,
+       |         CAST(len(ls) - len(dls) AS BIGINT) AS n_dup,
+       |         CAST(list_sum(list_transform(ls, x -> len(x)))
+       |              AS BIGINT) AS tot,
+       |         CAST(list_sum(list_transform(dls, x -> len(x)))
+       |              AS BIGINT) AS dtot
+       |       FROM s),
+       | f AS (SELECT doc_id, n_lines, n_dup,
+       |         round(CAST(n_dup AS DOUBLE) / n_lines, 6) AS lf,
+       |         CASE WHEN tot > 0
+       |              THEN round(CAST(tot - dtot AS DOUBLE) / tot, 6)
+       |              ELSE 0.0 END AS cf
+       |       FROM c)
+       | SELECT doc_id, n_lines, n_dup AS n_dup_lines,
+       |   lf AS dup_line_frac, cf AS dup_char_frac,
+       |   (lf <= 0.30 AND cf <= 0.20) AS line_pass
+       | FROM f""".stripMargin
+
+  /** The DuckDB mirror of [[webPipeline]] over a relation `rel`
+    * providing the STAGED corpus (doc_id, text) — everything through
+    * the canonical-assignment window, shared by the ledger and corpus
+    * oracles. Composed by plain concatenation (never stripMargin over
+    * embedded oracle SQL — the || concat-operator line trap).
+    */
+  private def webChainSql(rel: String): String = {
+    val chain = mojibakeChainSql("text")
+    // rel is concatenated OUTSIDE the stripMargin literal: an embedded
+    // relation's ||-leading lines would lose a pipe to the margin strip
+    // (the documented composed-SQL trap)
+    val head =
+      s"""WITH fx AS (SELECT doc_id, $chain AS t2,
+         |         $chain <> text AS changed FROM """.stripMargin +
+      rel +
+      """),
+         | ck AS (SELECT doc_id, changed, t2,
+         |         list_filter(string_split(t2, chr(10)),
+         |           x -> ends_with(x, '.')
+         |             AND len(string_split(x, ' ')) >= 3) AS kept
+         |       FROM fx),
+         | cc AS (SELECT doc_id, changed,
+         |         (len(kept) >= 2 AND NOT contains(t2, '{')
+         |           AND NOT contains(lower(t2), 'lorem ipsum')) AS c4_pass,
+         |         array_to_string(kept, chr(10)) AS text
+         |       FROM ck),
+         | cdocs AS (SELECT doc_id, text FROM cc)""".stripMargin
+    val tail =
+      """ v AS (SELECT cc.doc_id, cc.changed, cc.c4_pass, cc.text,
+        |         grep.gopher_pass, gline.line_pass, gqual.quality_pass,
+        |         (cc.c4_pass AND grep.gopher_pass AND gline.line_pass
+        |           AND gqual.quality_pass) AS keep
+        |       FROM cc JOIN grep USING (doc_id)
+        |         JOIN gline USING (doc_id) JOIN gqual USING (doc_id)),
+        | cn AS (SELECT *, min(CASE WHEN keep THEN doc_id END) OVER (
+        |         PARTITION BY CASE WHEN keep THEN text
+        |                          ELSE 'solo:' || doc_id END) AS canon
+        |       FROM v)""".stripMargin
+    val nl = "\n"
+    head + "," + nl +
+      " grep AS (SELECT doc_id, gopher_pass FROM (" + nl +
+      gopherRepetitionRulesSql("cdocs") + nl + ") q1)," + nl +
+      " gline AS (SELECT doc_id, line_pass FROM (" + nl +
+      gopherLineDupRulesSql("cdocs") + nl + ") q2)," + nl +
+      " gqual AS (SELECT doc_id, quality_pass FROM (" + nl +
+      gopherQualityRulesSql("cdocs") + nl + ") q3)," + nl +
+      tail
+  }
+
+  /** Ledger-half oracle for the registered `web_pipeline` query. */
+  private[graft] def webLedgerSql(rel: String): String =
+    webChainSql(rel) + "\n" +
+      """SELECT doc_id, changed,
+        |  CASE WHEN NOT c4_pass THEN 'c4_page'
+        |       WHEN NOT gopher_pass THEN 'gopher_repetition'
+        |       WHEN NOT line_pass THEN 'gopher_line_dup'
+        |       WHEN NOT quality_pass THEN 'gopher_quality'
+        |       WHEN doc_id <> canon THEN 'exact_dup'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN keep THEN canon END AS canonical_id
+        |FROM cn""".stripMargin
+
+  /** Corpus-half oracle for the registered `web_pipeline_corpus`
+    * query — the deduped cleaned corpus itself.
+    */
+  private[graft] def webCorpusSql(rel: String): String =
+    webChainSql(rel) + "\n" +
+      "SELECT doc_id, text FROM cn WHERE keep AND doc_id = canon"
 }

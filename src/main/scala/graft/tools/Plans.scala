@@ -179,7 +179,13 @@ object Plans {
     "fix_encoding" -> "mojibake repair: literal replace chain as a pure codegen projection at scan speed; Par.widen round-robin is the only exchange",
     "gopher_quality" -> "seven Gopher quality signals + flags in one per-row projection (regex-split words/lines, filter/aggregate folds, array_intersect stop-word probe); no agg, no join; Par.widen round-robin only",
     "c4_apply" -> "the report op's kept-lines projection + page-rule filter + line rejoin — still one scan, zero key shuffle; output rows strictly subset input",
-    "gopher_filter" -> "three per-row verdict projections joined twice on doc_id — only (id, bits) rows cross the wire; the repetition half's n-gram folds stay per-row inside their branch, no corpus-sized agg anywhere")
+    "gopher_filter" -> "three per-row verdict projections joined twice on doc_id — only (id, bits) rows cross the wire; the repetition half's n-gram folds stay per-row inside their branch, no corpus-sized agg anywhere",
+    // round 13: the composed web front door — the fused-chain claim IS
+    // the operator's point, so pin it: a rewrite that decomposes into
+    // per-stage scans or verdict-frame joins fails here instead of
+    // surviving as prose
+    "web_pipeline" -> "fix->C4->Gopher A1 as ONE codegen projection chain over the two-branch staged union (no per-stage rescan, no verdict joins — the three Gopher halves are column builders in the same projection, guarded by c4_pass); the dedup window is the single hash exchange (content sha2 for keepers, per-doc solo keys for drops, so partitions never outgrow a dup group); plus the Par.widen round-robin",
+    "web_pipeline_corpus" -> "the same fused chain + kept filter + text projection; output rows strictly subset the staged input (mirror dedup alone halves the keepers)")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

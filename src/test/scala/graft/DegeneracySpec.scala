@@ -105,7 +105,11 @@ class DegeneracySpec extends AnyFunSuite {
     "dedup_content_hash" -> ((s, d) => 2L * Tables.documents(s, d).count()),
     // C4 apply drops failing pages outright — the injected brace/lorem
     // classes guarantee drops at every SF
-    "c4_apply" -> ((s, d) => Tables.documents(s, d).count())
+    "c4_apply" -> ((s, d) => Tables.documents(s, d).count()),
+    // the composed web front door's corpus half: staged input is every
+    // page twice (clean + mojibake mirror), so the mirror dedup alone
+    // guarantees a strict subset even before the filter stages drop
+    "web_pipeline_corpus" -> ((s, d) => 2L * Tables.documents(s, d).count())
   )
 
   private lazy val spark = TestSpark.spark

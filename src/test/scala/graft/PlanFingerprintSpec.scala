@@ -123,7 +123,14 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("c4_apply", 2, 2, 0),
     // 3 verdict scans + 2 doc_id joins (hash joins at sf0.001; only
     // (id, bits) rows ever shuffle) — cartesian stays forbidden
-    ("gopher_filter", 6, 10, 0)
+    ("gopher_filter", 6, 10, 0),
+    // round 13: the composed web front door's fused-chain claim —
+    // 2 scans (the staged union's two branches, 4 tokens) and exactly
+    // 2 exchanges (Par.widen round-robin + the dedup window hash);
+    // a decomposed rewrite (per-stage rescans or verdict joins) blows
+    // these bounds immediately
+    ("web_pipeline", 4, 2, 0),
+    ("web_pipeline_corpus", 4, 2, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
