@@ -165,33 +165,108 @@ object Streaming {
     * `target`/`source` split: target starts as the deduped even-id
     * events; odd-id events arrive as the stream, one file per trigger.
     */
-  def streamingUpsert(spark: SparkSession, events: DataFrame,
-                      keys: Seq[String], scratch: String): DataFrame = withStatePartitions(spark, 8) {
-    import graft.ops.Dedup
+  // ---- durable foreachBatch snapshot maintenance (round 13) ----------
 
-    def latest(df: DataFrame): DataFrame =
-      Dedup.dedupLatest(df, keys, col("ts"), Seq(col("event_id")))
+  private[graft] def snapshotDir(root: String, v: Long): String = s"$root/v=$v"
 
-    val base = events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value"))
-    var target = latest(base.filter(col("event_id") % 2 === 0)).persist()
-    target.count()
+  /** Highest committed snapshot version strictly below `below` (pass
+    * Long.MaxValue for "latest"). The version IS the micro-batch id
+    * that produced it; `-1` is the caller-seeded initial state.
+    */
+  private[graft] def latestSnapshotVersion(root: String,
+                                           below: Long): Option[Long] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .flatMap { d =>
+        val n = d.getName
+        if (d.isDirectory && n.startsWith("v="))
+          scala.util.Try(n.drop(2).toLong).toOption
+        else None
+      }
+      .filter(_ < below).sorted.lastOption
 
-    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-      .filter(col("event_id") % 2 === 1)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = latest(target.unionByName(batch)).persist()
-        next.count() // materialize before dropping the old snapshot
-        target.unpersist()
-        target = next
+  /** Durable snapshot-maintenance runner for the foreachBatch family:
+    * each micro-batch merges into a VERSIONED parquet snapshot keyed by
+    * its batchId (`snapRoot/v=<id>`) — the Spark-docs idempotent-sink
+    * recipe. The merge base is always the latest version STRICTLY BELOW
+    * the incoming batchId, so a batch replayed after a crash (written
+    * but not yet checkpoint-committed) rewrites its OWN version from
+    * the same base instead of double-applying; kill/restart against the
+    * same checkpoint is therefore exactly-once regardless of whether
+    * the merge itself is idempotent ([[graft.StreamingRestartSpec]]
+    * drives both the restart and the replay). The caller owns
+    * snapshot/checkpoint lifetime ([[runCurationStream]]'s contract)
+    * and seeds `v=-1` with the initial state.
+    *
+    * Scale: the snapshot is key-cardinality-sized state ON STORAGE —
+    * the shape a 1000-executor deployment needs anyway (executor-memory
+    * snapshots die with the job); per tick, one snapshot scan + one
+    * merge + one rewrite, and old versions are GC-able once the
+    * checkpoint passes them.
+    */
+  private[graft] def runSnapshotMaintenance(stream: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      snapRoot: String, ckptPath: String): Unit = {
+    val spark0 = stream.sparkSession
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val baseV = latestSnapshotVersion(snapRoot, below = id)
+          .getOrElse(-1L)
+        val base = spark0.read.parquet(snapshotDir(snapRoot, baseV))
+        merge(base, batch).write.mode("overwrite")
+          .parquet(snapshotDir(snapRoot, id))
         ()
       }
+      .option("checkpointLocation", ckptPath)
       .outputMode("update").start()
-
     query.processAllAvailable()
     stopCaptured(query)
-    target
+  }
+
+  /** Read the latest committed snapshot under `snapRoot`. */
+  private[graft] def latestSnapshot(spark: SparkSession,
+                                    snapRoot: String): DataFrame =
+    spark.read.parquet(snapshotDir(snapRoot,
+      latestSnapshotVersion(snapRoot, Long.MaxValue).getOrElse(-1L)))
+
+  /** The upsert family's merge: latest-wins per key over base ∪ batch —
+    * shared by [[streamingUpsert]] and the restart spec so they cannot
+    * drift.
+    */
+  private[graft] def upsertMerge(keys: Seq[String])(
+      base: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Dedup.dedupLatest(base.unionByName(batch), keys,
+      col("ts"), Seq(col("event_id")))
+
+  /** The reference's incremental-load pattern as a stream (SURVEY §2.9):
+    * each micro-batch upserts into the running target snapshot via
+    * `foreachBatch` — conditional latest-wins merge
+    * (`dedupLatest(target ∪ batch)`), which is associative, so the final
+    * snapshot is independent of how rows were batched and equals the
+    * batch latest-wins result over all events.
+    *
+    * `target`/`source` split: target starts as the deduped even-id
+    * events; odd-id events arrive as the stream, one file per trigger.
+    * Round 13: the snapshot moved from executor memory to the durable
+    * versioned store ([[runSnapshotMaintenance]]), making the registered
+    * op itself kill/restart-safe — the restart spec proves it on this
+    * exact merge.
+    */
+  def streamingUpsert(spark: SparkSession, events: DataFrame,
+                      keys: Seq[String], scratch: String): DataFrame = withStatePartitions(spark, 8) {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val snapRoot = scratch + "_upsert_snap"
+    val ckpt = scratch + "_upsert_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    graft.ops.Dedup.dedupLatest(base.filter(col("event_id") % 2 === 0),
+        keys, col("ts"), Seq(col("event_id")))
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+    runSnapshotMaintenance(
+      events5Stream(spark, events, scratch, filesPerTrigger = 2)
+        .filter(col("event_id") % 2 === 1),
+      upsertMerge(keys), snapRoot, ckpt)
+    latestSnapshot(spark, snapRoot)
   }
 
   /** Materialized-view maintenance as a LIVE query: the per-key
@@ -253,10 +328,16 @@ object Streaming {
     * key-sized full-outer struct merge; state is key-cardinality-sized
     * (plus tombstones, compactable once all producers pass their seq).
     */
+  /** The CDC family's merge: tombstone-retaining latest-wins advance —
+    * shared by [[streamingCdcApply]] and the restart spec.
+    */
+  private[graft] def cdcMerge(keys: Seq[String])(
+      base: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Changelog.cdcAdvance(base, batch, keys, Seq("ts", "event_id"))
+
   def streamingCdcApply(spark: SparkSession, log: DataFrame,
                         keys: Seq[String],
                         scratch: String): DataFrame = withStatePartitions(spark, 8) {
-    import graft.ops.Changelog
     val base = log.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), col("op"))
     val seqCols = Seq("ts", "event_id")
@@ -267,29 +348,23 @@ object Streaming {
       df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    var view = collapse(base.filter(col("event_id") % 2 === 0)).persist()
-    view.count()
+    val snapRoot = scratch + "_snap"
+    val ckpt = scratch + "_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    collapse(base.filter(col("event_id") % 2 === 0))
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
 
     val feed = base.filter(col("event_id") % 2 === 1)
     feed.repartition(3).write.mode("overwrite").parquet(scratch)
 
-    val query = spark.readStream
-      .schema(feed.schema)
-      .option("maxFilesPerTrigger", 2) // 2 batches prove the advance loop
-      .parquet(scratch)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = Changelog.cdcAdvance(view, batch, keys, seqCols).persist()
-        next.count() // materialize before dropping the old snapshot
-        view.unpersist()
-        view = next
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
-    view.filter(col("op") =!= "D").drop("op")
+    runSnapshotMaintenance(
+      spark.readStream
+        .schema(feed.schema)
+        .option("maxFilesPerTrigger", 2) // 2 batches prove the advance loop
+        .parquet(scratch),
+      cdcMerge(keys), snapRoot, ckpt)
+    latestSnapshot(spark, snapRoot).filter(col("op") =!= "D").drop("op")
   }
 
   /** LIVE daily-distinct sketch maintenance: the HLL register table of
