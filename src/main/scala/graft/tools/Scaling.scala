@@ -6,30 +6,44 @@ import java.nio.file.{Files, Paths}
 
 /** Empirical scaling-exponent harness (round-9 verdict item 4): the
   * 100 TB story was argued entirely from plan shapes; this measures it.
-  * For the heavy warm tail, run sf0.001, sf0.01 and sf0.1 in ONE JVM
-  * (1 cold + 2 warm passes per SF, per-query warm MIN — the bench's
-  * own noise methodology) and report BOTH decades:
+  * Run sf0.001, sf0.01 and sf0.1 in ONE JVM and report BOTH decades:
   *  - ratio   = t(0.1)/t(0.01)  (10× data)  with exponent log10(ratio)
   *  - ratio100 = t(0.1)/t(0.001) (100× data) with exponent
   *    log10(ratio100)/2
-  * 1.0 = linear, 2.0 = quadratic. The second decade distinguishes
-  * fixed-overhead flattening from true sub-linearity for queries whose
-  * 10× ratio sits near 1 (round-11 verdict item 4). All SFs run under
-  * the same host conditions minutes apart, so the RATIOS are far more
-  * load-robust than the absolute numbers.
+  * 1.0 = linear, 2.0 = quadratic. All SFs run under the same host
+  * conditions minutes apart, so the RATIOS are far more load-robust
+  * than the absolute numbers.
   *
-  * Selection (round-11 verdict item 3 — self-maintaining coverage):
-  * every query above `marginBar` (1.5 s) warm in the newest isolated
-  * snapshot, NOT a fixed top-N. ScalingSpec gates coverage at 2.0 s,
-  * so the 0.5 s margin absorbs round-to-round warm drift (±20–30%
-  * measured) without the gate going red between measurement runs.
+  * Two output tiers (round-12 verdict item 2 — sub-bar ops used to ship
+  * with no standing measurement):
+  *  - SCALING.json — every query above `marginBar` (1.5 s) warm in the
+  *    newest isolated snapshot, measured 1 cold + 2 warm passes per SF
+  *    (warm MIN — the bench's noise methodology). ScalingSpec gates the
+  *    ratios and coverage at 2.0 s, so the 0.5 s margin absorbs
+  *    round-to-round warm drift (±20–30% measured).
+  *  - SCALING_SUB.json — EVERY other registered query, 1 cold + 1 warm
+  *    pass per SF (sub-bar ops are fixed-overhead-dominated; the point
+  *    is a standing 3-SF profile, not gating precision). ScalingSpec
+  *    asserts the two files together cover the full registry, so no op
+  *    can ship measurement-free.
   *
-  * Output: /root/repo/SCALING.json (committed; ScalingSpec gates it)
-  * and a markdown table on stdout for SCALE.md.
+  * Honest decades (round-12 verdict item 3): the documents/embeddings
+  * tables do not grow across the first decade (500 rows at sf0.001 AND
+  * sf0.01), so a text op's "100×" column is really one decade. Each
+  * entry carries the testdata tables its PLAN scans and
+  * `honest_decades` derived from the measured per-table row counts
+  * (2 = both steps grow ≥2×, 1 = only the second, 0 = neither; null =
+  * derivation unavailable — e.g. streaming readouts whose returned
+  * plan is a memory table). ScalingSpec gates ratio100 ≤ 100 only for
+  * honest_decades = 2 entries and ≤ 10 (one real decade) otherwise.
   *
   * Usage: sbt "runMain graft.tools.Scaling [marginBarSec]"
   */
 object Scaling {
+
+  private val SfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
 
   /** All query names above `bar` seconds warm in the newest PARSEABLE
     * bench snapshot on disk — the same source HeavyTailAuditSpec uses
@@ -41,11 +55,58 @@ object Scaling {
     warm.toSeq.filter(_._2 > bar).sortBy(-_._2).map(_._1)
   }
 
+  /** The testdata tables a query's physical plan scans, by path regex
+    * over the formatted explain. Streaming ops return memory-table
+    * readouts (no file scan in the returned plan) — those yield None
+    * rather than a wrong empty set.
+    */
+  private def scannedTables(spark: SparkSession, name: String,
+                            sfDir: String): Option[Set[String]] =
+    try {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val tables = "testdata/sf[0-9.]+/([a-z_]+)\\.parquet".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      if (tables.nonEmpty) Some(tables) else None
+    } catch { case _: Throwable => None }
+
+  /** Row count per (table, sfDir) from the parquet footers. */
+  private def tableCounts(spark: SparkSession)
+      : Map[(String, String), Long] =
+    (for {
+      dir <- SfDirs
+      f <- new java.io.File(dir).listFiles().toSeq
+      if f.getName.endsWith(".parquet")
+    } yield {
+      val t = f.getName.stripSuffix(".parquet")
+      (t, dir) -> spark.read.parquet(f.getPath).count()
+    }).toMap
+
+  /** 2 / 1 / 0 honest decades for a table set, from measured counts:
+    * a step is honest when at least one scanned table grows ≥2× over
+    * it (the input that drives the work actually grew).
+    */
+  private def honestDecades(tables: Set[String],
+                            counts: Map[(String, String), Long]): Int = {
+    def grows(from: String, to: String): Boolean =
+      tables.exists { t =>
+        val a = counts.getOrElse((t, from), 0L)
+        val b = counts.getOrElse((t, to), 0L)
+        a > 0 && b >= 2 * a
+      }
+    val step1 = grows(SfDirs(0), SfDirs(1))
+    val step2 = grows(SfDirs(1), SfDirs(2))
+    (if (step1) 1 else 0) + (if (step2) 1 else 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val marginBar = args.headOption.map(_.toDouble).getOrElse(1.5)
-    val names = warmAbove(marginBar)
-    println(s"measuring ${names.size} queries (> $marginBar s warm) " +
-      "at sf0.001 / sf0.01 / sf0.1")
+    val heavy = warmAbove(marginBar)
+    val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    val sub = all.filterNot(heavy.toSet)
+    println(s"measuring ${heavy.size} gated (> $marginBar s warm) + " +
+      s"${sub.size} sub-bar queries at sf0.001 / sf0.01 / sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,49 +117,78 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def measure(sfDir: String): Map[String, Double] = {
-      def once(name: String): Double = {
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }
+    def once(name: String, sfDir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    // warm = MIN over `warmPasses` timed passes after one cold pass
+    def measure(names: Seq[String], sfDir: String,
+                warmPasses: Int): Map[String, Double] =
       names.map { n =>
-        once(n) // cold: classload/codegen/page-cache amortization
-        n -> math.min(once(n), once(n)) // warm MIN of two passes
+        once(n, sfDir) // cold: classload/codegen/page-cache amortization
+        n -> (1 to warmPasses).map(_ => once(n, sfDir)).min
       }.toMap
+
+    def sweep(names: Seq[String], warmPasses: Int)
+        : Map[String, Seq[Double]] = {
+      val bySf = SfDirs.map(d => measure(names, d, warmPasses))
+      names.map(n => n -> bySf.map(_(n))).toMap
     }
 
-    val t0001 = measure("/root/testdata/sf0.001")
-    val t001 = measure("/root/testdata/sf0.01")
-    val t01 = measure("/root/testdata/sf0.1")
+    val heavyTimes = sweep(heavy, warmPasses = 2)
+    val subTimes = sweep(sub, warmPasses = 1)
 
-    val rows = names.map { n =>
-      val s = t0001(n); val a = t001(n); val b = t01(n)
-      val r10 = b / a
-      val r100 = b / s
-      (n, s, a, b, r10, math.log10(r10), r100, math.log10(r100) / 2.0)
-    }.sortBy(-_._5)
+    println("deriving scanned tables + honest decades")
+    val counts = tableCounts(spark)
+    val tablesOf: Map[String, Option[Set[String]]] =
+      all.map(n => n -> scannedTables(spark, n, SfDirs(0))).toMap
 
+    def rows(times: Map[String, Seq[Double]]) =
+      times.toSeq.map { case (n, Seq(s, a, b)) =>
+        val r10 = b / a
+        val r100 = b / s
+        (n, s, a, b, r10, math.log10(r10), r100, math.log10(r100) / 2.0)
+      }.sortBy(-_._5)
+
+    def entryJson(r: (String, Double, Double, Double, Double, Double,
+                      Double, Double)): String = {
+      val (n, s, a, b, r10, e10, r100, e100) = r
+      val (tablesField, honestField) = tablesOf(n) match {
+        case Some(ts) =>
+          (ts.toSeq.sorted.map(t => s""""$t"""").mkString("[", ",", "]"),
+            honestDecades(ts, counts).toString)
+        case None => ("[]", "null")
+      }
+      f"""{"query":"$n","t0001":$s%.4f,"t001":$a%.4f,"t01":$b%.4f,""" +
+        f""""ratio":$r10%.3f,"exponent":$e10%.3f,""" +
+        f""""ratio100":$r100%.3f,"exponent100":$e100%.3f,""" +
+        s""""tables":$tablesField,"honest_decades":$honestField}"""
+    }
+
+    def writeFile(path: String, rs: Seq[(String, Double, Double, Double,
+        Double, Double, Double, Double)], warmPasses: Int): Unit = {
+      val json = rs.map(entryJson).mkString(
+        """{"data_ratio":10.0,"data_ratio_100":100.0,"margin_bar_sec":""" +
+          f"$marginBar%.1f" + s""","warm_passes":$warmPasses,"entries":[""",
+        ",", "]}")
+      Files.writeString(Paths.get(path), json + "\n")
+      println(s"wrote $path (${rs.size} queries)")
+    }
+
+    val heavyRows = rows(heavyTimes)
     println("| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | " +
       "ratio 10x | exp | ratio 100x | exp |")
     println("|---|---|---|---|---|---|---|---|")
-    rows.foreach { case (n, s, a, b, r, e, r2, e2) =>
+    heavyRows.foreach { case (n, s, a, b, r, e, r2, e2) =>
       println(f"| `$n` | $s%.2f | $a%.2f | $b%.2f | $r%.1fx | $e%.2f " +
         f"| $r2%.1fx | $e2%.2f |")
     }
-
-    val json = rows.map { case (n, s, a, b, r, e, r2, e2) =>
-      f"""{"query":"$n","t0001":$s%.4f,"t001":$a%.4f,"t01":$b%.4f,""" +
-        f""""ratio":$r%.3f,"exponent":$e%.3f,""" +
-        f""""ratio100":$r2%.3f,"exponent100":$e2%.3f}"""
-    }.mkString(
-      """{"data_ratio":10.0,"data_ratio_100":100.0,"margin_bar_sec":""" +
-        f"$marginBar%.1f" + ""","entries":[""",
-      ",", "]}")
-    Files.writeString(Paths.get("/root/repo/SCALING.json"), json + "\n")
-    println(s"wrote SCALING.json (${rows.size} queries)")
+    writeFile("/root/repo/SCALING.json", heavyRows, warmPasses = 2)
+    writeFile("/root/repo/SCALING_SUB.json", rows(subTimes),
+      warmPasses = 1)
     spark.stop()
   }
 }

@@ -49,4 +49,24 @@ class PlansNormalizeSpec extends AnyFunSuite {
     // partitioning arity (a real argument, not an id) survives
     assert(out.contains("hashpartitioning(l_returnflag#x, 4)"))
   }
+
+  // ---- round 13: the retired residual churn classes -------------------
+
+  test("per-epoch codegen star ids normalize; star structure survives") {
+    val out = n("*(3) Project [value#12]\n*(17) HashAggregate")
+    assert(!out.contains("*(3)") && !out.contains("*(17)"))
+    assert(out.linesIterator.forall(_.startsWith("*(x)")),
+      "the codegen star marker itself must survive")
+  }
+
+  test("Expand branch order canonicalizes (count-distinct plans emit " +
+       "the branch SET in varying hash order)") {
+    val a = "+- Expand [[uid#3, null, 1], [null, etype#4, 2]], [uid#3, etype#4]"
+    val b = "+- Expand [[null, etype#4, 2], [uid#3, null, 1]], [uid#3, etype#4]"
+    assert(n(a) === n(b), "branch permutations must normalize equal")
+    assert(n(n(a)) === n(a), "sorting must stay idempotent")
+    // non-Expand brackets pass through untouched
+    val plain = "Input [2]: [l_returnflag#8, sum#43L]"
+    assert(n(plain).contains("[l_returnflag#x, sum#x]"))
+  }
 }

