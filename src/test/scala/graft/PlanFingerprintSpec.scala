@@ -130,7 +130,11 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // a decomposed rewrite (per-stage rescans or verdict joins) blows
     // these bounds immediately
     ("web_pipeline", 4, 2, 0),
-    ("web_pipeline_corpus", 4, 2, 0)
+    ("web_pipeline_corpus", 4, 2, 0),
+    // round 13 drift-band pre-audit (2.66 s warm in the driver tail):
+    // deletion-neighborhood equi-joins — 5 scans (name catalog + 4
+    // neighborhood branches), 5 exchanges, never all-pairs
+    ("typo_pairs", 10, 5, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
@@ -159,7 +163,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("streaming_curation_events", "unicodenormalize", 1, 0),
     // round 11 near-bar pre-audit: stateless stream-static monitor —
     // the marker is the broadcast baseline join; no state store at all
-    ("streaming_anomaly", "BroadcastHashJoin", 4, 2)
+    ("streaming_anomaly", "BroadcastHashJoin", 4, 2),
+    // round 13 drift-band pre-audit: foreachBatch maintenance — the
+    // captured stream-side plan must stay a stateless single-scan feed
+    // (the maintained state is the batch-side count table; see the
+    // Plans why-line)
+    ("streaming_conformal", "FileScan parquet", 1, 0)
   )
 
   private def count(hay: String, needle: String): Int = {
