@@ -1074,6 +1074,30 @@ object SparkEntry {
       Text.gopherQuality(base.select(col("doc_id"), injected.as("text")))
     }),
 
+    // E3+ (ingest hygiene, the fix_encoding sibling): UTS #39
+    // confusable-skeleton normalization. The corpus is pure ASCII, so
+    // every 6th doc gets word 2 homoglyph-swapped (a MIXED-script word
+    // — the spoof signal) and every 9th-not-6th appends a pure-Cyrillic
+    // lookalike word (confusables WITHOUT mixing), both derived from
+    // the one table and mirrored in the generated oracle
+    "confusable_normalize" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val m = size(ws)
+      val w2 = Text.confusableInjectPairs.foldLeft(element_at(ws, 2)) {
+        case (c, (g, b)) => replace(c, lit(g), lit(b))
+      }
+      val injected =
+        when(col("doc_id") % 6 === 0 && m >= 3,
+          concat(element_at(ws, 1), lit(" "), w2, lit(" "),
+            array_join(slice(ws, lit(3), m - lit(2)), " ")))
+          .when(col("doc_id") % 9 === 0 && col("doc_id") % 6 =!= 0,
+            concat(col("text"), lit(" " + Text.confusablePureWord)))
+          .otherwise(col("text"))
+      Text.confusableNormalize(base.select(col("doc_id"),
+        injected.as("text")))
+    }),
+
     // E3+: CCNet head/middle/tail perplexity terciles per language
     "ccnet_buckets" -> ((s, dir) =>
       Text.ccnetBuckets(Tables.documents(s, dir))),
@@ -5725,6 +5749,10 @@ object SparkEntry {
     // repair chain and the every-5th-doc injection cannot drift
     // between the Spark and DuckDB sides
     "fix_encoding" -> Text.fixEncodingOracleSql(),
+
+    // generated beside the operator from the ONE confusable table +
+    // derived injection pairs (the fixEncodingOracleSql precedent)
+    "confusable_normalize" -> Text.confusableNormalizeOracleSql(),
 
     // generated beside the operator: the injection CASE chain, the
     // bullet/ellipsis glyphs, the stop-word list, and every published

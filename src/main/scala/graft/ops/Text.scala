@@ -1956,6 +1956,115 @@ object Text {
        |FROM f""".stripMargin
   }
 
+  /** High-frequency single-char homoglyphs and their ASCII skeletons —
+    * the Cyrillic/Greek lookalike subset of Unicode UTS #39's public
+    * confusables data (the spoof-detection standard): each maps ONE
+    * confusable code point to the Latin letter it renders like. 1:1
+    * replacements, so occurrence counts are exact length deltas per
+    * char. Unicode escapes: source-encoding-proof.
+    */
+  private[graft] val confusableTable: Seq[(String, String)] = Seq(
+    "\u0430" -> "a", // CYRILLIC SMALL A
+    "\u0435" -> "e", // CYRILLIC SMALL IE
+    "\u043E" -> "o", // CYRILLIC SMALL O
+    "\u0440" -> "p", // CYRILLIC SMALL ER
+    "\u0441" -> "c", // CYRILLIC SMALL ES
+    "\u0445" -> "x", // CYRILLIC SMALL HA
+    "\u0443" -> "y", // CYRILLIC SMALL U
+    "\u0456" -> "i", // CYRILLIC SMALL BYELORUSSIAN-UKRAINIAN I
+    "\u03BF" -> "o", // GREEK SMALL OMICRON
+    "\u03BD" -> "v") // GREEK SMALL NU
+
+  /** Confusable-skeleton normalization (UTS #39 "Unicode Security
+    * Mechanisms", the confusables.txt recipe — the homoglyph half of
+    * the ingest-hygiene family beside [[fixEncoding]]'s mojibake half):
+    * fold the [[confusableTable]] lookalikes to their ASCII skeletons
+    * and report per-doc spoof accounting —
+    *
+    *  - `n_confusables`: exact count of confusable chars (1:1 table ⇒
+    *    the per-char length delta IS the occurrence count),
+    *  - `mixed_script`: whether any WORD mixes a confusable with ASCII
+    *    letters — the actual spoof signal (an all-Cyrillic word is just
+    *    Russian; "p\u0430ypal" is an attack),
+    *  - `changed`: whether normalization touched the doc.
+    *
+    * Scale: a literal replace chain + per-char counts + one word-level
+    * HOF — single scan, zero shuffle, whole-stage codegen (the
+    * [[fixEncoding]] class).
+    */
+  def confusableNormalize(docs: DataFrame): DataFrame = {
+    val skeleton = confusableTable.foldLeft(col("text")) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    val nConf = confusableTable.map { case (bad, _) =>
+      (length(col("text")) -
+        length(replace(col("text"), lit(bad), lit("")))).cast("long")
+    }.reduce(_ + _)
+    val cls = "[" + confusableTable.map(_._1).mkString + "]"
+    val ws = split(col("text"), " ")
+    val mixed = exists(ws, w => w.rlike(cls) && w.rlike("[A-Za-z]"))
+    Par.widen(docs).select(
+      col("doc_id"),
+      skeleton.as("text_norm"),
+      nConf.as("n_confusables"),
+      mixed.as("mixed_script"),
+      (skeleton =!= col("text")).as("changed"))
+  }
+
+  /** The homoglyph pairs the registered query's injection uses —
+    * the INVERSE of three [[confusableTable]] entries (derived, so the
+    * injection can never drift from what the repair undoes).
+    */
+  private[graft] val confusableInjectPairs: Seq[(String, String)] =
+    confusableTable.collect {
+      case (bad, good) if Seq("a", "e", "o").contains(good) => (good, bad)
+    }.take(3) // table order: the three CYRILLIC vowels a/e/o
+
+  /** The pure-confusable word the %9 injection appends (all table
+    * chars, NO ASCII — must count as confusable but NOT as mixed
+    * script). Derived from the table.
+    */
+  private[graft] val confusablePureWord: String =
+    "\u0441\u043E\u0441\u043E" // "coco" in Cyrillic lookalikes
+
+  /** DuckDB oracle for the registered `confusable_normalize` query,
+    * generated from the ONE table + injection pairs (the
+    * [[fixEncodingOracleSql]] pattern): every 6th doc with ≥3 words gets
+    * word 2 homoglyph-swapped (a MIXED-script word), every 9th (not
+    * 6th) appends a pure-confusable word (confusables without mixing).
+    */
+  def confusableNormalizeOracleSql(): String = {
+    def chain(expr: String, pairs: Seq[(String, String)]): String =
+      pairs.foldLeft(expr) { case (acc, (b, g)) =>
+        s"replace($acc, '${sqlQ(b)}', '${sqlQ(g)}')"
+      }
+    val inject2 = chain("ws[2]", confusableInjectPairs)
+    val cls = "[" + confusableTable.map(_._1).mkString + "]"
+    val counts = confusableTable.map { case (bad, _) =>
+      s"(length(t2) - length(replace(t2, '${sqlQ(bad)}', '')))"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |       len(string_split(text, ' ')) AS m FROM documents),
+       | t AS (SELECT doc_id,
+       |       CASE WHEN doc_id % 6 = 0 AND m >= 3
+       |              THEN ws[1] || ' ' || $inject2 || ' '
+       |                || array_to_string(ws[3:m], ' ')
+       |            WHEN doc_id % 9 = 0 AND doc_id % 6 <> 0
+       |              THEN text || ' ${sqlQ(confusablePureWord)}'
+       |            ELSE text END AS t2
+       |     FROM w),
+       | f AS (SELECT doc_id, t2,
+       |       ${chain("t2", confusableTable)} AS skel,
+       |       CAST($counts AS BIGINT) AS n_conf,
+       |       len(list_filter(string_split(t2, ' '),
+       |         x -> regexp_matches(x, '$cls')
+       |           AND regexp_matches(x, '[A-Za-z]'))) > 0 AS mixed
+       |     FROM t)
+       |SELECT doc_id, skel AS text_norm, n_conf AS n_confusables,
+       |  mixed AS mixed_script, skel <> t2 AS changed
+       |FROM f""".stripMargin
+  }
+
   /** The artifact prefix the registered `fix_encoding` query injects
     * into every 5th doc — one exemplar from each [[mojibakeTable]]
     * family (2-byte C3-xx, 3-byte E2-80-xx), shared by the Spark

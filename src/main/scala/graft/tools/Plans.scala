@@ -185,7 +185,8 @@ object Plans {
     // per-stage scans or verdict-frame joins fails here instead of
     // surviving as prose
     "web_pipeline" -> "fix->C4->Gopher A1 as ONE codegen projection chain over the two-branch staged union (no per-stage rescan, no verdict joins — the three Gopher halves are column builders in the same projection, guarded by c4_pass); the dedup window is the single hash exchange (content sha2 for keepers, per-doc solo keys for drops, so partitions never outgrow a dup group); plus the Par.widen round-robin",
-    "web_pipeline_corpus" -> "the same fused chain + kept filter + text projection; output rows strictly subset the staged input (mirror dedup alone halves the keepers)")
+    "web_pipeline_corpus" -> "the same fused chain + kept filter + text projection; output rows strictly subset the staged input (mirror dedup alone halves the keepers)",
+    "confusable_normalize" -> "homoglyph replace chain + per-char counts + one word-level HOF as a pure codegen projection; Par.widen round-robin is the only exchange")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

@@ -134,7 +134,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // round 13 drift-band pre-audit (2.66 s warm in the driver tail):
     // deletion-neighborhood equi-joins — 5 scans (name catalog + 4
     // neighborhood branches), 5 exchanges, never all-pairs
-    ("typo_pairs", 10, 5, 0)
+    ("typo_pairs", 10, 5, 0),
+    // round 13: confusable skeleton — the fix_encoding class: 1 scan,
+    // only the Par.widen round-robin exchange
+    ("confusable_normalize", 2, 2, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
