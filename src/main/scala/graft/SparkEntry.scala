@@ -1043,6 +1043,17 @@ object SparkEntry {
         .filter(col("status") === "kept")
         .select(col("doc_id"), col("text_clean").as("text"))),
 
+    // the SAME front door as a STREAMING ingest (the
+    // streaming_curation_events convention): the stateless repair + C4
+    // stages run per micro-batch into a parquet staging sink — the
+    // projection is the same webStage12 function value the batch op
+    // composes — and the closed-feed readout runs the literal batch
+    // verdict tail, so the ledger hash-equals web_pipeline by
+    // construction (same oracle)
+    "streaming_web_pipeline" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingWebPipeline(s, webStaged(s, dir),
+        tmp(dir, "stream_web")).drop("text_clean")),
+
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
     // gopher_line_dup). The 50-word floor is live UNINJECTED (corpus
@@ -3686,7 +3697,11 @@ object SparkEntry {
       // repair chain, C4 rules, all three Gopher rule chains, and the
       // dedup window, each single-sourced with its operator
       ("web_pipeline" -> Text.webLedgerSql(webStagedRel)) +
-      ("web_pipeline_corpus" -> Text.webCorpusSql(webStagedRel))
+      ("web_pipeline_corpus" -> Text.webCorpusSql(webStagedRel)) +
+      // the streamed staging + batch verdict tail must land the batch
+      // front door's ledger exactly (the streaming_curation_events
+      // oracle-reuse convention)
+      ("streaming_web_pipeline" -> Text.webLedgerSql(webStagedRel))
 
   /** The c4 rule-trigger render as DuckDB CTEs — quarter lines with the
     * punctuation pattern, plus the brace/lorem decorations (r2x/r3x).

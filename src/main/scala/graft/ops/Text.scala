@@ -2177,18 +2177,40 @@ object Text {
     * and cleaned text crosses the wire exactly once (the
     * [[graft.ops.TextDedup.paragraphDedup]] budget).
     */
-  def webPipeline(staged: DataFrame): DataFrame = {
+  def webPipeline(staged: DataFrame): DataFrame =
+    webVerdictTail(webStage12(Par.widen(staged)))
+
+  /** The STATELESS first half of [[webPipeline]] — mojibake repair +
+    * C4 page cleaning as one pure projection over (doc_id, text),
+    * emitting (doc_id, changed, c4_pass, text=cleaned). Split out so
+    * the STREAMING front door can run the identical stage per
+    * micro-batch into a staging sink (no Par.widen here — a streaming
+    * DataFrame cannot be repartition-probed; the batch composer widens
+    * before calling).
+    */
+  private[graft] def webStage12(staged: DataFrame): DataFrame = {
     val repaired = mojibakeRepair(col("text"))
-    val s1 = Par.widen(staged).select(col("doc_id"),
+    val s1 = staged.select(col("doc_id"),
       repaired.as("text"),
       (repaired =!= col("text")).as("changed"))
     val kept = c4Kept
     val c4pass = size(kept) >= 2 && !col("text").contains("{") &&
       !lower(col("text")).contains("lorem ipsum")
-    val s2 = s1.select(col("doc_id"), col("changed"),
+    s1.select(col("doc_id"), col("changed"),
       c4pass.as("c4_pass"),
       array_join(kept, "\n").as("text"))
-    val s3 = s2.select(col("doc_id"), col("changed"), col("c4_pass"),
+  }
+
+  /** The verdict tail of [[webPipeline]] — Gopher A1 flags on the
+    * cleaned text + the dedup window + status assembly, over a frame
+    * carrying (doc_id, changed, c4_pass, text). Split out so the
+    * streaming front door's closed-feed readout runs the IDENTICAL
+    * batch arithmetic over its staged corpus — one code chain, so
+    * batch and streaming cannot drift ([[graft.ops.TextDedup
+    * .curationVerdicts]]' precedent).
+    */
+  private[graft] def webVerdictTail(staged2: DataFrame): DataFrame = {
+    val s3 = staged2.select(col("doc_id"), col("changed"), col("c4_pass"),
       col("text"),
       when(col("c4_pass"), gopherPassCol(col("text")))
         .otherwise(lit(false)).as("gopher_pass"),

@@ -661,13 +661,28 @@ object Streaming {
                                        render: DataFrame => DataFrame,
                                        srcPath: String, sinkPath: String,
                                        ckptPath: String)
+      : org.apache.spark.sql.types.StructType =
+    runProjectionStream(spark, rawSchema,
+      df => graft.ops.Text.textNormalize(render(df), form = "NFC")
+        .select(col("doc_id"), col("text"), col("content_hash")),
+      srcPath, sinkPath, ckptPath)
+
+  /** One resumable pass of a stateless projection ingest: drain every
+    * file currently visible under `srcPath` through `project` into the
+    * parquet staging sink, honoring an existing checkpoint (NO cleanup
+    * here — the caller owns sink/checkpoint lifetime, which is what
+    * lets the restart specs kill the feed mid-delivery and resume).
+    * Generalized from the curation front door (r12) so the web front
+    * door streams through the same machinery. Returns the staged
+    * schema for the readout.
+    */
+  private[graft] def runProjectionStream(spark: SparkSession,
+      rawSchema: org.apache.spark.sql.types.StructType,
+      project: DataFrame => DataFrame,
+      srcPath: String, sinkPath: String, ckptPath: String)
       : org.apache.spark.sql.types.StructType = {
-    import graft.ops.Text
-    val staged = Text.textNormalize(
-      render(spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", 2).parquet(srcPath)),
-      form = "NFC")
-      .select(col("doc_id"), col("text"), col("content_hash"))
+    val staged = project(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 2).parquet(srcPath))
     val query = staged.writeStream
       .format("parquet")
       .option("path", sinkPath)
@@ -677,6 +692,39 @@ object Streaming {
     query.processAllAvailable()
     stopCaptured(query)
     staged.schema
+  }
+
+  /** The web-corpus front door as a STREAMING ingest (the
+    * [[streamingCurationEvents]] convention): raw staged pages stream
+    * from the feed, every micro-batch runs the STATELESS repair + C4
+    * cleaning projection ([[graft.ops.Text.webStage12]] — the same
+    * function value the batch front door composes) into a parquet
+    * staging sink, and the closed-feed readout runs the literal batch
+    * verdict tail ([[graft.ops.Text.webVerdictTail]]: Gopher A1 flags
+    * + the dedup window) over the staged corpus — hash-equal to batch
+    * `web_pipeline` by construction (same oracle). The mojibake-mirror
+    * coupling carries over: the mirrors still merge at the readout's
+    * dedup window IFF the in-stream repair stage ran.
+    */
+  def streamingWebPipeline(spark: SparkSession, staged: DataFrame,
+                           scratch: String): DataFrame = {
+    val srcPath = scratch + "_src"
+    val sinkPath = scratch + "_sink"
+    val ckptPath = scratch + "_ckpt"
+    val fingerprint = staged.schema.toDDL + "|" +
+      staged.queryExecution.analyzed.canonicalized.toString
+    synchronized {
+      if (!fixturesWritten.get(srcPath).contains(fingerprint)) {
+        staged.repartition(4).write.mode("overwrite").parquet(srcPath)
+        fixturesWritten(srcPath) = fingerprint
+      }
+    }
+    graft.ops.Distribute.deleteRecursively(new java.io.File(sinkPath))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckptPath))
+    val stagedSchema = runProjectionStream(spark, staged.schema,
+      graft.ops.Text.webStage12, srcPath, sinkPath, ckptPath)
+    graft.ops.Text.webVerdictTail(
+      spark.read.schema(stagedSchema).parquet(sinkPath))
   }
 
   /** Closed-feed verdict readout over the staging sink — the literal

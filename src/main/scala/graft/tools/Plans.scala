@@ -233,7 +233,13 @@ object Plans {
       "captured stream graph is a stateless single-scan feed " +
       "pass-through; the bounded-domain count-table merge runs as " +
       "batch jobs inside foreachBatch and the readout is the literal " +
-      "batch conformal statistic stage"))
+      "batch conformal statistic stage"),
+    "streaming_web_pipeline" -> ("the web front door live: mojibake " +
+      "repair + C4 page cleaning as ONE stateless micro-batch " +
+      "projection into the parquet staging sink (no state store, no " +
+      "shuffle per tick — webStage12, the same function value the " +
+      "batch op composes); the Gopher+dedup verdict tail runs batch " +
+      "over the staged corpus on close, hash-equal to web_pipeline"))
 
   /** Every audited query name — the HeavyTailAuditSpec gate asserts the
     * latest bench's >3 s-warm set is a subset of this.
@@ -287,46 +293,73 @@ object Plans {
       .linesIterator.map(sortExpandBranches)
       .mkString("", "\n", if (plan.endsWith("\n")) "\n" else "")
 
-  /** Canonicalize a count-distinct Expand node's branch order: the
-    * branch LIST is a set (Spark emits it in grouping-expression hash
-    * order, which varies run to run); sorting the `[...]` groups inside
-    * the leading `[[...]]` block makes the printed line stable without
-    * touching its content. Lines that don't parse cleanly pass through
+  /** Canonicalize the count-distinct rewrite's branch order: Spark
+    * emits the rewrite's Expand branches — and every downstream column
+    * list derived from them (Input/Keys/Results/hashpartitioning/
+    * Functions) — in grouping-expression hash order, which varies run
+    * to run. Rule: inside any bracketed `[...]` or parenthesized
+    * `(...)` list, if TWO OR MORE top-level comma-items contain
+    * "CASE WHEN" (the rewrite's signature — no other emitted list
+    * carries several CASE items), sort exactly those items among
+    * themselves (lexicographically, stable slots for everything else).
+    * Innermost groups canonicalize first so outer sorts see stable
+    * text. Idempotent; lines without the signature pass through
     * unchanged.
     */
   private[graft] def sortExpandBranches(line: String): String = {
-    val i = line.indexOf("Expand [[")
-    if (i < 0) line
-    else {
-      val start = i + "Expand ".length
-      // find the matching ]] of the branch block
-      var depth = 0; var j = start; var end = -1
-      while (j < line.length && end < 0) {
-        line.charAt(j) match {
-          case '[' => depth += 1
-          case ']' => depth -= 1; if (depth == 0) end = j
+    def splitTop(s: String): Seq[String] = {
+      val items = scala.collection.mutable.ArrayBuffer[String]()
+      var d = 0; var last = 0; var k = 0
+      while (k < s.length) {
+        s.charAt(k) match {
+          case '[' | '(' => d += 1
+          case ']' | ')' => d -= 1
+          case ',' if d == 0 && k + 1 < s.length && s.charAt(k + 1) == ' ' =>
+            items += s.substring(last, k); last = k + 2; k += 1
           case _ =>
         }
-        j += 1
+        k += 1
       }
-      if (end < 0) line
+      items += s.substring(last)
+      items.toSeq
+    }
+    // sort the CASE-items of one list among themselves (stable slots
+    // for everything else); length-preserving, so positions stay valid
+    def canonItems(inner: String): String = {
+      val items = splitTop(inner)
+      val caseIdx = items.zipWithIndex.filter(_._1.contains("CASE WHEN"))
+      if (caseIdx.size < 2) inner
       else {
-        val inner = line.substring(start + 1, end) // between outer [ ]
-        // split top-level [..] groups
-        val groups = scala.collection.mutable.ArrayBuffer[String]()
-        var d = 0; var gs = -1
-        for (k <- 0 until inner.length) {
-          inner.charAt(k) match {
-            case '[' => if (d == 0) gs = k; d += 1
-            case ']' => d -= 1; if (d == 0) { groups += inner.substring(gs, k + 1) }
-            case _ =>
-          }
-        }
-        if (groups.isEmpty) line
-        else line.substring(0, start + 1) + groups.sorted.mkString(", ") +
-          line.substring(end)
+        val out = items.toArray
+        caseIdx.map(_._2).zip(caseIdx.map(_._1).sorted)
+          .foreach { case (i, v) => out(i) = v }
+        out.mkString(", ")
       }
     }
+    // one left-to-right sweep over matched groups: a group's closer is
+    // reached AFTER its children's, so inner lists are canonical by the
+    // time the parent sorts — and canonItems preserves length, so
+    // indices never shift. Stable sort => idempotent.
+    def process(s0: String): String = {
+      var str = s0
+      val opens = scala.collection.mutable.Stack[Int]()
+      var k = 0
+      while (k < str.length) {
+        str.charAt(k) match {
+          case '[' | '(' => opens.push(k)
+          case ']' | ')' if opens.nonEmpty =>
+            val o = opens.pop()
+            val inner = str.substring(o + 1, k)
+            val canon = canonItems(inner)
+            if (canon != inner)
+              str = str.substring(0, o + 1) + canon + str.substring(k)
+          case _ =>
+        }
+        k += 1
+      }
+      str
+    }
+    if (!line.contains("CASE WHEN")) line else process(line)
   }
 
   def main(args: Array[String]): Unit = {

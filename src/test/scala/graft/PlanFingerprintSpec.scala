@@ -171,7 +171,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // captured stream-side plan must stay a stateless single-scan feed
     // (the maintained state is the batch-side count table; see the
     // Plans why-line)
-    ("streaming_conformal", "FileScan parquet", 1, 0)
+    ("streaming_conformal", "FileScan parquet", 1, 0),
+    // round 13: the web front door's micro-batch must stay ONE
+    // stateless scan -> repair+C4 projection into the staging sink —
+    // the marker is the C4 page rule's literal, proving the cleaning
+    // stage runs IN the stream, not in the readout
+    ("streaming_web_pipeline", "lorem ipsum", 1, 0)
   )
 
   private def count(hay: String, needle: String): Int = {

@@ -59,14 +59,35 @@ class PlansNormalizeSpec extends AnyFunSuite {
       "the codegen star marker itself must survive")
   }
 
-  test("Expand branch order canonicalizes (count-distinct plans emit " +
-       "the branch SET in varying hash order)") {
-    val a = "+- Expand [[uid#3, null, 1], [null, etype#4, 2]], [uid#3, etype#4]"
-    val b = "+- Expand [[null, etype#4, 2], [uid#3, null, 1]], [uid#3, etype#4]"
-    assert(n(a) === n(b), "branch permutations must normalize equal")
-    assert(n(n(a)) === n(a), "sorting must stay idempotent")
-    // non-Expand brackets pass through untouched
+  test("count-distinct branch order canonicalizes everywhere it leaks " +
+       "(Expand arguments, downstream column lists, hashpartitioning)") {
+    // the rewrite's signature: >= 2 CASE WHEN items in one list; Spark
+    // emits them in hash order that varies run to run
+    def expand(order: Seq[String]) =
+      "Arguments: [" + order.map(t =>
+        s"[CASE WHEN (w#7 = $t) THEN doc_id#3 END, null, 1]")
+        .mkString(", ") + "], [gid#9]"
+    assert(n(expand(Seq("scan", "hash"))) === n(expand(Seq("hash", "scan"))))
+    def keys(order: Seq[String]) =
+      "Keys [3]: [" + order.map(t =>
+        s"CASE WHEN (w = '$t') THEN doc_id END#12").mkString(", ") +
+        ", gid#9]"
+    val ka = n(keys(Seq("scan", "hash")))
+    assert(ka === n(keys(Seq("hash", "scan"))))
+    // the non-CASE trailing item keeps its slot
+    assert(ka.trim.endsWith("gid#x]"))
+    def hp(order: Seq[String]) =
+      "Arguments: hashpartitioning(" + order.map(t =>
+        s"CASE WHEN (w = '$t') THEN doc_id END#12").mkString(", ") +
+        ", gid#9, 4), ENSURE_REQUIREMENTS, [plan_id=19]"
+    val ha = n(hp(Seq("scan", "hash")))
+    assert(ha === n(hp(Seq("hash", "scan"))))
+    assert(ha.contains("gid#x, 4)"), "arity and gid keep their slots")
+    // idempotent; single-CASE and CASE-free lists pass through untouched
+    assert(n(n(expand(Seq("hash", "scan")))) === n(expand(Seq("hash", "scan"))))
     val plain = "Input [2]: [l_returnflag#8, sum#43L]"
     assert(n(plain).contains("[l_returnflag#x, sum#x]"))
+    val one = "Functions [1]: [count(CASE WHEN (w = 'scan') THEN d END)]"
+    assert(n(one) === "Functions [1]: [count(CASE WHEN (w = 'scan') THEN d END)]")
   }
 }

@@ -127,6 +127,58 @@ class Wave34Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming_web_pipeline: the streamed staging + batch verdict " +
+       "tail lands the batch ledger exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("streaming_web_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("web_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("web staging stream: kill mid-feed + restart from checkpoint " +
+       "keeps the staged corpus exactly-once (the curation restart " +
+       "proof, on the web projection)") {
+    import graft.streaming.Streaming
+    import graft.ops.Text
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-web-restart").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    val staged = Seq(
+      1L -> (Text.mojibakePrefixRepaired + goodPage),
+      2L -> (Text.mojibakePrefix + goodPage),
+      3L -> (goodPage + "\ncode { marker"),
+      4L -> "no terminal punctuation here",
+      5L -> (Text.mojibakePrefix + longLine1 + "\n" + longLine1))
+      .toDF("doc_id", "text")
+
+    // wave 1 only (2 files = 1 micro-batch), run, "crash"
+    val w1 = staged.filter(col("doc_id") <= 2)
+    val w2 = staged.filter(col("doc_id") > 2)
+    w1.coalesce(2).write.mode("overwrite").parquet(src)
+    val schema1 = Streaming.runProjectionStream(spark, staged.schema,
+      Text.webStage12, src, sink, ckpt)
+
+    // the rest arrives while down; resume from the SAME checkpoint
+    w2.coalesce(2).write.mode("append").parquet(src)
+    val schema2 = Streaming.runProjectionStream(spark, staged.schema,
+      Text.webStage12, src, sink, ckpt)
+    assert(schema1 === schema2)
+
+    val out = spark.read.schema(schema2).parquet(sink)
+    assert(out.count() === 5L)
+    assert(out.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0L, "duplicate staged docs")
+    // and the verdict tail over the resumed staging equals the one-shot
+    // batch pipeline on the same staged frame
+    val streamedLedger = Text.webVerdictTail(out).collect()
+      .map(_.toSeq).toSet
+    val batchLedger = Text.webPipeline(staged).collect().map(_.toSeq).toSet
+    assert(streamedLedger === batchLedger)
+  }
+
   test("web_pipeline_corpus equals the ledger's kept rows") {
     val dir = "/root/testdata/sf0.001"
     val keptIds = SparkEntry.queries("web_pipeline")(spark, dir)
