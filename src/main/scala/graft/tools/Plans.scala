@@ -290,8 +290,21 @@ object Plans {
       // micro-batch plans: *(3) Project — the stage NUMBER is traversal
       // noise, the star structure is the audited content
       .replaceAll("\\*\\(\\d+\\)", "*(x)")
-      .linesIterator.map(sortExpandBranches)
+      .linesIterator.map(normalizeGidLabels).map(sortExpandBranches)
       .mkString("", "\n", if (plan.endsWith("\n")) "\n" else "")
+
+  /** The count-distinct rewrite assigns its gid labels 1..k to the
+    * distinct terms in hash order — arbitrary labeling, the same noise
+    * class as the branch order itself. On lines carrying the rewrite's
+    * `gid#x` token, erase the label values (branch tails and FILTER
+    * predicates) BEFORE the CASE-list sort so the sorted items compare
+    * equal across runs.
+    */
+  private def normalizeGidLabels(line: String): String =
+    if (!line.contains("gid#x")) line
+    else line
+      .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = n)")
+      .replaceAll(", (\\d+)\\]", ", n]")
 
   /** Canonicalize the count-distinct rewrite's branch order: Spark
     * emits the rewrite's Expand branches — and every downstream column

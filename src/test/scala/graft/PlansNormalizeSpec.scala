@@ -64,10 +64,18 @@ class PlansNormalizeSpec extends AnyFunSuite {
     // the rewrite's signature: >= 2 CASE WHEN items in one list; Spark
     // emits them in hash order that varies run to run
     def expand(order: Seq[String]) =
-      "Arguments: [" + order.map(t =>
-        s"[CASE WHEN (w#7 = $t) THEN doc_id#3 END, null, 1]")
+      "Arguments: [" + order.zipWithIndex.map { case (t, i) =>
+        s"[CASE WHEN (w#7 = $t) THEN doc_id#3 END, null, ${i + 1}]" }
         .mkString(", ") + "], [gid#9]"
     assert(n(expand(Seq("scan", "hash"))) === n(expand(Seq("hash", "scan"))))
+    // the gid LABEL pairing varies with the same hash order — the
+    // FILTER predicates must normalize equal too
+    def funcs(pairs: Seq[(String, Int)]) =
+      "Functions [2]: [" + pairs.map { case (t, g) =>
+        s"partial_count(CASE WHEN (w = '$t') THEN doc_id END#12) " +
+          s"FILTER (WHERE (gid#9 = $g))" }.mkString(", ") + "]"
+    assert(n(funcs(Seq("scan" -> 1, "hash" -> 2))) ===
+      n(funcs(Seq("scan" -> 2, "hash" -> 1))))
     def keys(order: Seq[String]) =
       "Keys [3]: [" + order.map(t =>
         s"CASE WHEN (w = '$t') THEN doc_id END#12").mkString(", ") +
