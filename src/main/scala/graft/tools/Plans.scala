@@ -342,12 +342,37 @@ object Plans {
       val items = splitTop(inner)
       val caseIdx = items.zipWithIndex.filter(_._1.contains("CASE WHEN"))
       if (caseIdx.size < 2) inner
-      else {
+      else rebuildDiagonal(items).getOrElse {
         val out = items.toArray
         caseIdx.map(_._2).zip(caseIdx.map(_._1).sorted)
           .foreach { case (i, v) => out(i) = v }
         out.mkString(", ")
       }
+    }
+    // the count-distinct Expand's branch block is a DIAGONAL: branch i
+    // holds its CASE term at slot i with nulls elsewhere (+ the gid
+    // label), and WHICH term owns which slot is the hash-order noise —
+    // sorting the branch strings cannot fix it (the null prefix encodes
+    // the slot). Detect exactly that shape and rebuild it with the
+    // terms sorted onto the diagonal.
+    def rebuildDiagonal(groups: Seq[String]): Option[String] = {
+      val parsed = groups.map { g =>
+        if (!(g.startsWith("[") && g.endsWith("]"))) return None
+        val items = splitTop(g.substring(1, g.length - 1))
+        val cases = items.filter(_.contains("CASE WHEN"))
+        if (cases.size != 1) return None
+        if (!items.forall(it => it.contains("CASE WHEN") ||
+            it == "null" || it == "n" || it.forall(_.isDigit))) return None
+        (items.size, cases.head, items.last)
+      }
+      val arity = parsed.head._1
+      if (!parsed.forall(_._1 == arity) || parsed.size != arity - 1)
+        return None
+      val sorted = parsed.map(_._2).sorted
+      Some(sorted.zipWithIndex.map { case (c, i) =>
+        (0 until arity - 1).map(j => if (j == i) c else "null")
+          .mkString("[", ", ", ", n]")
+      }.mkString(", "))
     }
     // one left-to-right sweep over matched groups: a group's closer is
     // reached AFTER its children's, so inner lists are canonical by the

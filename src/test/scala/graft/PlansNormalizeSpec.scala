@@ -68,6 +68,19 @@ class PlansNormalizeSpec extends AnyFunSuite {
         s"[CASE WHEN (w#7 = $t) THEN doc_id#3 END, null, ${i + 1}]" }
         .mkString(", ") + "], [gid#9]"
     assert(n(expand(Seq("scan", "hash"))) === n(expand(Seq("hash", "scan"))))
+    // the true Expand shape is a DIAGONAL (branch i holds its term at
+    // slot i, nulls elsewhere) and the term->slot assignment itself is
+    // the noise — permutations must rebuild equal
+    def diag(order: Seq[String]) =
+      "Arguments: [" + order.zipWithIndex.map { case (t, i) =>
+        val slots = order.indices.map(j =>
+          if (j == i) s"CASE WHEN (w#7 = $t) THEN doc_id#3 END" else "null")
+        slots.mkString("[", ", ", s", ${i + 1}]") }
+        .mkString(", ") + "], [gid#9]"
+    assert(n(diag(Seq("scan", "hash", "batch"))) ===
+      n(diag(Seq("batch", "scan", "hash"))))
+    assert(n(n(diag(Seq("batch", "scan", "hash")))) ===
+      n(diag(Seq("batch", "scan", "hash"))))
     // the gid LABEL pairing varies with the same hash order — the
     // FILTER predicates must normalize equal too
     def funcs(pairs: Seq[(String, Int)]) =
