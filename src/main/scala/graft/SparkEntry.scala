@@ -100,32 +100,73 @@ object SparkEntry {
     * Mirrored line-for-line in the oracle's staged CTE chain.
     */
   private val webOffset = 100000L
-  private def webInjected(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  /** The page render shared by [[webInjected]] and the near-twin
+    * staging — ONE definition so the paraphrase twins can never drift
+    * from the pages they mirror. */
+  private def webRendered: org.apache.spark.sql.Column = {
     val L = c4InjectedLines
     val nav = lit(Text.WebNavLine)
-    val rendered = when(L.m >= 8,
+    when(L.m >= 8,
       when(col("doc_id") % 13 === 0,
         concat_ws("\n", L.l1, nav, L.l2, nav, L.l3, nav, L.l4))
         .otherwise(concat_ws("\n", L.l1, L.l2, L.l3, L.l4)))
       .otherwise(col("text"))
-    base.select(col("doc_id"), rendered.as("text"))
   }
+  private def webInjected(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.select(col("doc_id"), webRendered.as("text"))
+  }
+  /** One max-id aliasing probe per (JVM, sfDir): the guard is an eager
+    * full-documents aggregation, and web_pipeline registrations are
+    * (re)constructed by every plan dump / fingerprint / sweep pass —
+    * uncached it added a whole corpus scan per CONSTRUCTION (ADVICE
+    * r13). The corpus at a dir is immutable for a JVM's lifetime, so
+    * the first probe's verdict holds for all later constructions.
+    */
+  private val webMaxIdChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private def webStaged(s: SparkSession, dir: String): DataFrame = {
     val inj = webInjected(s, dir)
     // the mirror ids live at +webOffset; real ids reaching the offset
     // would alias keys through the dedup window (mirrored in the
     // oracle, so the gate could not see it) — assert, the
     // curation_pipeline guard. coalesce: empty-table max() is NULL.
-    val maxDocId =
-      inj.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
-    require(maxDocId < webOffset,
-      s"mirror doc_id offset $webOffset would alias real ids (max=$maxDocId)")
+    val ok = webMaxIdChecked.getOrElseUpdate(dir, {
+      val maxDocId =
+        inj.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
+      require(maxDocId < webOffset,
+        s"mirror doc_id offset $webOffset would alias real ids (max=$maxDocId)")
+      true
+    })
+    require(ok)
     val clean = inj.select(col("doc_id"),
       concat(lit(Text.mojibakePrefixRepaired), col("text")).as("text"))
     val corrupt = inj.select((col("doc_id") + webOffset).as("doc_id"),
       concat(lit(Text.mojibakePrefix), col("text")).as("text"))
     clean.unionByName(corrupt)
+  }
+
+  /** [[webStaged]] + the planted NEAR-twin tier for `web_pipeline_near`:
+    * every 17th RENDERED page is staged a THIRD time at
+    * `+nearOffset` — through the mojibake prefix (so it rides the
+    * repair stage like the exact mirror) and with [[graft.ops.Text
+    * .WebNearLine]] appended as one extra kept line, so its content
+    * hash provably differs from both staged copies of the page (exact
+    * dedup can NOT merge it) while its word-shingle Jaccard against
+    * the page stays far above the 0.5 bar (only NEAR-dedup can). The
+    * three id tiers are disjoint by the [[webStaged]] max-id guard:
+    * real < 100000 ≤ mirrors < 200000 ≤ near-twins. Mirrored
+    * line-for-line in [[webNearStagedRel]]'s staged CTE.
+    */
+  private val nearOffset = 200000L
+  private def webNearStaged(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val L = c4InjectedLines
+    val para = base.filter(col("doc_id") % 17 === 0 && L.m >= 8)
+      .select((col("doc_id") + nearOffset).as("doc_id"),
+        concat(lit(Text.mojibakePrefix), webRendered,
+          lit("\n" + Text.WebNearLine)).as("text"))
+    webStaged(s, dir).unionByName(para)
   }
 
   // ---- driver contract -------------------------------------------------
@@ -1053,6 +1094,15 @@ object SparkEntry {
     "streaming_web_pipeline" -> ((s, dir) =>
       graft.streaming.Streaming.streamingWebPipeline(s, webStaged(s, dir),
         tmp(dir, "stream_web")).drop("text_clean")),
+
+    // [EXT round 14] the web front door + the FUZZY dedup stage a
+    // RefinedWeb-class ingest runs after exact dedup: kept canonical
+    // pages -> MinHash banding (64x32, wide recall) -> exact-Jaccard
+    // verified partners -> re-statused ledger (eighth status class
+    // near_dup). Staged corpus adds a paraphrase near-twin tier that
+    // exact hashing provably cannot merge and near-dedup provably must
+    "web_pipeline_near" -> ((s, dir) =>
+      Text.webPipelineNear(webNearStaged(s, dir))),
 
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
@@ -3701,7 +3751,11 @@ object SparkEntry {
       // the streamed staging + batch verdict tail must land the batch
       // front door's ledger exactly (the streaming_curation_events
       // oracle-reuse convention)
-      ("streaming_web_pipeline" -> Text.webLedgerSql(webStagedRel))
+      ("streaming_web_pipeline" -> Text.webLedgerSql(webStagedRel)) +
+      // round 14: the near-dedup-staged front door — the COMPLETE
+      // exact-Jaccard pair set over kept canonicals re-statuses the
+      // ledger, gating the Spark side's LSH recall, not just its math
+      ("web_pipeline_near" -> Text.webNearSql(webNearStagedRel))
 
   /** The c4 rule-trigger render as DuckDB CTEs — quarter lines with the
     * punctuation pattern, plus the brace/lorem decorations (r2x/r3x).
@@ -3762,12 +3816,32 @@ object SparkEntry {
     * nav-chrome interleave, then each page twice — repaired prefix and
     * mojibake mirror at +100000. Mirrors [[webStaged]].
     */
-  private def webStagedRel: String = {
-    val nav = Text.WebNavLine
+  private def webStagedRel: String = webStagedRel0(withNearTwins = false)
+
+  /** [[webStagedRel]] + the near-twin tier, mirroring
+    * [[webNearStaged]]. */
+  private def webNearStagedRel: String = webStagedRel0(withNearTwins = true)
+
+  private def webStagedRel0(withNearTwins: Boolean): String = {
+    // the nav line rides the same ''-escaping as the prefixes — it is
+    // currently quote-free, but an unescaped interpolation is one
+    // future edit away from a broken oracle (ADVICE r13)
+    val nav = Text.WebNavLine.replace("'", "''")
     val good = Text.mojibakePrefixRepaired.replace("'", "''")
     val bad = Text.mojibakePrefix.replace("'", "''")
+    val near = Text.WebNearLine.replace("'", "''")
+    // the paraphrase twins: every 17th RENDERED page, mojibake-staged
+    // with one extra kept line (the webNearStaged convention; ids at
+    // +200000, disjoint from the +100000 mirrors by the max-id guard)
+    val nearArm =
+      if (!withNearTwins) ""
+      else s"""
+                    UNION ALL
+                    SELECT doc_id + 200000 AS doc_id,
+                           '$bad' || body || chr(10) || '$near' AS text
+                    FROM rend WHERE doc_id % 17 = 0 AND m >= 8"""
     "(" + c4QuarterCtes + s""",
-         rend AS (SELECT doc_id,
+         rend AS (SELECT doc_id, m,
                  CASE WHEN m >= 8 THEN
                    CASE WHEN doc_id % 13 = 0 THEN
                      r1 || chr(10) || '$nav' || chr(10)
@@ -3785,7 +3859,8 @@ object SparkEntry {
          staged AS (SELECT doc_id, '$good' || body AS text FROM rend
                     UNION ALL
                     SELECT doc_id + 100000 AS doc_id,
-                           '$bad' || body AS text FROM rend)
+                           '$bad' || body AS text FROM rend""" + nearArm +
+      """)
        SELECT doc_id, text FROM staged)"""
   }
 

@@ -8,8 +8,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * any parquet root.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Registration-source table recorder ([[graft.tools.Scaling]]): when
+    * a caller installs a set here, every loader call records its table
+    * name. This is the REGISTRATION-time evidence of which inputs a
+    * query reads — it covers streaming readouts and post-loop
+    * LogicalRDD tails whose RETURNED plan carries no file scan, so
+    * their honest-decade derivation no longer falls back to null
+    * (VERDICT r13 item 6). ThreadLocal so a recording sweep can never
+    * observe another thread's loads.
+    */
+  private[graft] val recording =
+    new ThreadLocal[scala.collection.mutable.Set[String]]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Option(recording.get()).foreach(_ += name)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String)     = t(s, d, "region")
   def nation(s: SparkSession, d: String)     = t(s, d, "nation")

@@ -2379,4 +2379,105 @@ object Text {
   private[graft] def webCorpusSql(rel: String): String =
     webChainSql(rel) + "\n" +
       "SELECT doc_id, text FROM cn WHERE keep AND doc_id = canon"
+
+  // ---- near-dedup stage on the web front door (round 14) --------------
+
+  /** The paraphrase line the registered `web_pipeline_near` staged
+    * corpus appends to every 17th page's near-twin: 3 words + terminal
+    * '.' so C4's line rule KEEPS it (it must survive the cleaning
+    * stages to reach the dedup stages), and it contains a Gopher stop
+    * word so the quality rule is untouched. One extra kept line is
+    * enough to defeat exact content hashing while leaving word-shingle
+    * Jaccard far above the 0.5 near-dup bar on any page long enough to
+    * pass Gopher's 50-word floor.
+    */
+  private[graft] val WebNearLine: String = "see the archive."
+
+  /** [[webPipeline]] + the fuzzy-dedup stage a RefinedWeb/C4-class
+    * ingest runs AFTER exact dedup (Penedo et al. 2023 §3.3 run
+    * MinHash near-dedup on the survivors of exact dedup; parts shipped
+    * as `minhash_lsh` / `near_dedup`): the fused chain's KEPT canonical
+    * pages feed MinHash+LSH banding, candidates verify by exact
+    * word-shingle Jaccard, and every kept page with a verified near
+    * partner of SMALLER doc_id is re-statused `near_dup` with
+    * `canonical_id` = its smallest partner (and the partner's verified
+    * jaccard as `near_jaccard`). Output: the full web_pipeline ledger
+    * with the eighth status class live.
+    *
+    * Banding is 64 hashes × 32 bands of 2 (the [[graft.ops.TextDedup
+    * .nearDupIncremental]] wide-recall configuration): per-pair miss
+    * ≈ (1 − J²)³² ≈ 1e−4 at the J = 0.5 decision bar and ≈ 6e−15 for
+    * the planted twins (J ≥ 0.8) — the oracle verifies against the
+    * complete exact-Jaccard pair set, so recall is load-bearing here,
+    * not just a quality knob.
+    *
+    * Scale: the ledger persists (key-cardinality rows, cleaned text
+    * only for keepers) so the near stage and the final join read ONE
+    * materialization of the fused chain instead of recomputing the
+    * Gopher folds per branch; signatures are 8·64 B/doc, banding
+    * shuffles (band, key, id) only, verification shuffles shingle sets
+    * for candidate docs only ([[graft.ops.TextDedup.verifyJaccard]]'s
+    * semi-join), and the final status join is key-sized. Nothing
+    * all-pairs, nothing corpus-proportional beyond the one scan.
+    */
+  def webPipelineNear(staged: DataFrame, k: Int = 3, numHashes: Int = 64,
+                      bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame = {
+    val ledger = webPipeline(staged).persist()
+    val kept = ledger.filter(col("status") === "kept")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val pairs = graft.ops.TextDedup.minhashLshPairs(
+      kept, k, numHashes, bands, threshold)
+    val nearCanon = pairs.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_canon"),
+        min_by(col("jaccard"), col("doc_a")).as("near_j"))
+    ledger.join(nearCanon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("changed"),
+        when(col("near_canon").isNotNull, lit("near_dup"))
+          .otherwise(col("status")).as("status"),
+        coalesce(col("near_canon"), col("canonical_id")).as("canonical_id"),
+        col("near_j").as("near_jaccard"))
+  }
+
+  /** Oracle for the registered `web_pipeline_near` query: the shared
+    * web-chain CTEs, then the COMPLETE exact-Jaccard near-pair set
+    * over kept canonical pages (the [[webPipelineNear]] decision,
+    * candidates-by-construction — which is exactly why it gates the
+    * Spark side's LSH recall) and the re-statused ledger. Composed by
+    * plain concatenation like [[webChainSql]] (the || stripMargin
+    * trap); the appended CTEs are self-contained literals.
+    */
+  private[graft] def webNearSql(rel: String): String =
+    webChainSql(rel) + ",\n" +
+      """ kd AS (SELECT doc_id, text FROM cn WHERE keep AND doc_id = canon),
+        | kw AS (SELECT doc_id, string_split(text, ' ') AS words FROM kd),
+        | ksh AS (SELECT DISTINCT doc_id,
+        |          array_to_string(words[g+1:g+3], ' ') AS shingle
+        |        FROM kw, UNNEST(range(len(words) - 2)) AS t(g)
+        |        WHERE len(words) >= 3),
+        | ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+        | kp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |        FROM ksh a JOIN ksh b
+        |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        | jp AS (SELECT a AS doc_a, b AS doc_b,
+        |          CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |        FROM kp JOIN ksz sa ON a = sa.doc_id
+        |          JOIN ksz sb ON b = sb.doc_id
+        |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        | nc AS (SELECT doc_b AS doc_id, min(doc_a) AS near_canon,
+        |          min_by(jaccard, doc_a) AS near_j
+        |        FROM jp GROUP BY 1)""".stripMargin + "\n" +
+      """SELECT c.doc_id, c.changed,
+        |  CASE WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
+        |       WHEN NOT c.c4_pass THEN 'c4_page'
+        |       WHEN NOT c.gopher_pass THEN 'gopher_repetition'
+        |       WHEN NOT c.line_pass THEN 'gopher_line_dup'
+        |       WHEN NOT c.quality_pass THEN 'gopher_quality'
+        |       WHEN c.doc_id <> c.canon THEN 'exact_dup'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(nc.near_canon,
+        |    CASE WHEN c.keep THEN c.canon END) AS canonical_id,
+        |  nc.near_j AS near_jaccard
+        |FROM cn c LEFT JOIN nc USING (doc_id)""".stripMargin
 }

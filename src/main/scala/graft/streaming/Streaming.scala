@@ -172,17 +172,28 @@ object Streaming {
   /** Highest committed snapshot version strictly below `below` (pass
     * Long.MaxValue for "latest"). The version IS the micro-batch id
     * that produced it; `-1` is the caller-seeded initial state.
+    * Listing goes through the Hadoop FileSystem of the root's scheme —
+    * NOT java.io.File — so version discovery works wherever the
+    * snapshots live (HDFS/S3 on a real cluster, local fs here); with
+    * driver-local listing a non-local root would silently return None
+    * and every batch would merge from v=-1 (ADVICE r13).
     */
+  private[graft] def snapshotVersions(root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v="))
+        scala.util.Try(n.drop(2).toLong).toOption
+      else None
+    }.sorted
+  }
+
   private[graft] def latestSnapshotVersion(root: String,
                                            below: Long): Option[Long] =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .flatMap { d =>
-        val n = d.getName
-        if (d.isDirectory && n.startsWith("v="))
-          scala.util.Try(n.drop(2).toLong).toOption
-        else None
-      }
-      .filter(_ < below).sorted.lastOption
+    snapshotVersions(root).filter(_ < below).lastOption
 
   /** Durable snapshot-maintenance runner for the foreachBatch family:
     * each micro-batch merges into a VERSIONED parquet snapshot keyed by
@@ -200,8 +211,13 @@ object Streaming {
     * Scale: the snapshot is key-cardinality-sized state ON STORAGE —
     * the shape a 1000-executor deployment needs anyway (executor-memory
     * snapshots die with the job); per tick, one snapshot scan + one
-    * merge + one rewrite, and old versions are GC-able once the
-    * checkpoint passes them.
+    * merge + one rewrite. Versions BELOW the tick's merge base are
+    * deleted after the tick's write commits (round 14, ADVICE r13):
+    * by the time batch `id` runs, every batch < `id` is
+    * checkpoint-committed, so the only possible replay is of `id`
+    * itself — which merges from `baseV`, the one old version the GC
+    * keeps. Storage is therefore ≤ 2 snapshots regardless of feed
+    * length.
     */
   private[graft] def runSnapshotMaintenance(stream: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame,
@@ -214,6 +230,16 @@ object Streaming {
         val base = spark0.read.parquet(snapshotDir(snapRoot, baseV))
         merge(base, batch).write.mode("overwrite")
           .parquet(snapshotDir(snapRoot, id))
+        // GC: anything below this tick's merge base can never be read
+        // again (see scaladoc) — delete through the same FileSystem
+        // the version listing uses
+        val p = new org.apache.hadoop.fs.Path(snapRoot)
+        val fs = p.getFileSystem(
+          spark0.sparkContext.hadoopConfiguration)
+        snapshotVersions(snapRoot).filter(_ < baseV).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(snapshotDir(snapRoot, v)),
+            true)
+        }
         ()
       }
       .option("checkpointLocation", ckptPath)
@@ -283,34 +309,39 @@ object Streaming {
     *
     * Scale: per tick, one map-side-combined aggregation of the batch +
     * one key-sized full-outer merge; the view is key-cardinality-sized
-    * state, the feed is never retained.
+    * state, the feed is never retained. Round 14: the view moved from
+    * the executor-memory persist/unpersist swap to the durable
+    * versioned store ([[runSnapshotMaintenance]]) — the decomposable
+    * (n, sum, min, max) merge is NOT idempotent (a replayed batch
+    * would double-count), which is exactly the failure class the
+    * batchId-versioned snapshots retire; kill/restart + replay proven
+    * in [[graft.StreamingRestartSpec]] on this same merge.
     */
+  /** The agg-maintenance family's merge: full-outer combine of
+    * decomposable aggregates — shared by [[streamingAggMaintain]] and
+    * the restart spec so they cannot drift. */
+  private[graft] def aggMerge(keys: Seq[String])(
+      base: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Changelog.maintainAgg(base, batch, keys, col("value"))
+
   def streamingAggMaintain(spark: SparkSession, events: DataFrame,
                            keys: Seq[String],
                            scratch: String): DataFrame = withStatePartitions(spark, 8) {
     import graft.ops.Changelog
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
-    var view = Changelog.buildAgg(
-      base.filter(col("event_id") % 2 === 0), keys, col("value")).persist()
-    view.count()
-
-    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-      .filter(col("event_id") % 2 === 1)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = Changelog.maintainAgg(view, batch, keys, col("value"))
-          .persist()
-        next.count() // materialize before dropping the old snapshot
-        view.unpersist()
-        view = next
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
-    view
+    val snapRoot = scratch + "_agg_snap"
+    val ckpt = scratch + "_agg_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    Changelog.buildAgg(base.filter(col("event_id") % 2 === 0),
+        keys, col("value"))
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+    runSnapshotMaintenance(
+      events5Stream(spark, events, scratch, filesPerTrigger = 2)
+        .filter(col("event_id") % 2 === 1),
+      aggMerge(keys), snapRoot, ckpt)
+    latestSnapshot(spark, snapRoot)
   }
 
   /** LIVE CDC replication: a key snapshot maintained in foreachBatch by
@@ -377,31 +408,36 @@ object Streaming {
     * regardless of feed volume, and the same maintained table serves
     * point, calendar, and sliding windows ([[graft.ops.Profile
     * .hllSlidingDistinct]]) without touching the raw feed again.
+    * Round 14: state moved to the durable versioned store
+    * ([[runSnapshotMaintenance]]) — this merge is idempotent anyway,
+    * but one restart discipline for ALL maintained state beats a
+    * per-op exception; kill/restart + replay proven in
+    * [[graft.StreamingRestartSpec]].
+    *
+    * The merge itself (register max-merge of the batch's own daily
+    * registers into the maintained table) is `hllMerge`, shared with
+    * the restart spec so op and proof cannot drift.
     */
+  private[graft] def hllMerge(base: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Profile.hllMergeRegs(base,
+      graft.ops.Profile.hllDailyRegs(batch, col("ts"), col("user_id")))
+
   def streamingHllMaintain(spark: SparkSession, events: DataFrame,
                            scratch: String): DataFrame = withStatePartitions(spark, 8) {
     import graft.ops.Profile
     val base = events.select(col("event_id"), col("ts"), col("user_id"))
-    var view = Profile.hllDailyRegs(
-      base.filter(col("event_id") % 2 === 0), col("ts"), col("user_id"))
-      .localCheckpoint()
-
-    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-      .filter(col("event_id") % 2 === 1)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // localCheckpoint: eager + lineage-cutting — constant plan
-        // depth per trigger; superseded blocks free via ContextCleaner
-        view = Profile.hllMergeRegs(view,
-          Profile.hllDailyRegs(batch, col("ts"), col("user_id")))
-          .localCheckpoint()
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
-    Profile.hllEstimate(view, Seq("day"))
+    val snapRoot = scratch + "_hll_snap"
+    val ckpt = scratch + "_hll_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    Profile.hllDailyRegs(base.filter(col("event_id") % 2 === 0),
+        col("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+    runSnapshotMaintenance(
+      events5Stream(spark, events, scratch, filesPerTrigger = 2)
+        .filter(col("event_id") % 2 === 1),
+      hllMerge, snapRoot, ckpt)
+    Profile.hllEstimate(latestSnapshot(spark, snapRoot), Seq("day"))
   }
 
   /** Heavy hitters maintained LIVE: per-key exact counts merged in
@@ -417,30 +453,36 @@ object Streaming {
     * [[graft.ops.Profile.cmsEstimate]] sketch instead — identical
     * merge shape, bounded state.
     */
+  /** The heavy-hitter family's merge: map-side-combined batch counts
+    * union + re-sum into the maintained key table — associative and
+    * commutative but NOT idempotent (a replayed batch would
+    * double-count), the exact class the versioned snapshots retire.
+    * Shared with the restart spec. */
+  private[graft] def countMerge(base: DataFrame, batch: DataFrame): DataFrame =
+    base.unionByName(
+        batch.groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n")))
+      .groupBy(col("key")).agg(sum(col("n")).as("n"))
+
   def streamingHeavyHitters(spark: SparkSession, events: DataFrame,
                             scratch: String,
                             topN: Int = 10): DataFrame = withStatePartitions(spark, 8) {
     val base = events.select(col("event_id"), col("user_id"))
-    var view = base.limit(0)
-      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-
-    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val bc = batch.groupBy(col("user_id").as("key"))
-          .agg(count(lit(1)).as("n"))
-        // localCheckpoint: eager + lineage-cutting — constant plan
-        // depth per trigger; superseded blocks free via ContextCleaner
-        view = view.unionByName(bc)
-          .groupBy(col("key")).agg(sum(col("n")).as("n"))
-          .localCheckpoint()
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
+    val snapRoot = scratch + "_hh_snap"
+    val ckpt = scratch + "_hh_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    // seed v=-1 with the EMPTY count table (schema-bearing): the whole
+    // feed arrives through the stream for this op
+    // repartition(1): empty-relation propagation can leave the seed
+    // plan with zero output partitions, and a parquet dir with no
+    // part files has no schema to read back — force one writer task
+    base.limit(0).groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n")).repartition(1)
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+    runSnapshotMaintenance(
+      events5Stream(spark, events, scratch, filesPerTrigger = 2),
+      countMerge, snapRoot, ckpt)
+    val view = latestSnapshot(spark, snapRoot)
     val total = view.agg(sum(col("n")).as("total"))
     view.crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") / col("total"))
@@ -464,34 +506,37 @@ object Streaming {
     * batch's own k-row samples and the k-row state shuffle, and history
     * is never rescanned.
     */
+  /** The KMV family's merge: re-take the k smallest id-hashes of
+    * state ∪ the batch's own bottom-k sample — associative and
+    * commutative, but NOT idempotent as a multiset union (a replayed
+    * batch's rows would enter the bottom-k twice), so the versioned
+    * store's replay-from-same-base guarantee is load-bearing here.
+    * Shared with the restart spec. */
+  private[graft] def sketchMerge(k: Int)(
+      base: DataFrame, batch: DataFrame): DataFrame =
+    graft.ops.Profile.bottomKMerge(
+      base.unionByName(graft.ops.Profile.bottomKSample(batch,
+        group = col("event_type"), id = col("event_id"),
+        value = col("value"), k = k)), k)
+
   def streamingSketchQuantiles(spark: SparkSession, events: DataFrame,
                                scratch: String,
                                k: Int = 256): DataFrame = withStatePartitions(spark, 8) {
     import graft.ops.Profile
     val base = events.select(col("event_id"), col("event_type"), col("value"))
-    var view = Profile.bottomKSample(base.limit(0),
-      group = col("event_type"), id = col("event_id"),
-      value = col("value"), k = k).localCheckpoint()
-
-    val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val bs = Profile.bottomKSample(batch,
-          group = col("event_type"), id = col("event_id"),
-          value = col("value"), k = k)
-        // localCheckpoint: eager (materialized before the old snapshot
-        // goes) AND lineage-cutting — per-trigger plan depth stays
-        // constant however long the feed runs (the cc_star discipline);
-        // superseded checkpoint blocks free via the ContextCleaner
-        view = Profile.bottomKMerge(view.unionByName(bs), k)
-          .localCheckpoint()
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
-    Profile.quantilesOfSample(view)
+    val snapRoot = scratch + "_kmv_snap"
+    val ckpt = scratch + "_kmv_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    // empty seed, one forced writer task (see streamingHeavyHitters)
+    Profile.bottomKSample(base.limit(0),
+        group = col("event_type"), id = col("event_id"),
+        value = col("value"), k = k).repartition(1)
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+    runSnapshotMaintenance(
+      events5Stream(spark, events, scratch, filesPerTrigger = 2),
+      sketchMerge(k), snapRoot, ckpt)
+    Profile.quantilesOfSample(latestSnapshot(spark, snapRoot))
       .withColumnRenamed("g", "event_type")
   }
 
@@ -507,21 +552,39 @@ object Streaming {
     * result hash-equals [[graft.ops.Text.dsirAffinity]] over the same
     * corpus and registers against the same oracle.
     */
+  private def dsirBucketed(df: DataFrame, buckets: Int): DataFrame =
+    df.select(col("doc_id"), col("lang"),
+      explode(graft.ops.Text.words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (graft.ops.Text.wordHash(col("w")) % buckets).as("b"))
+
+  private[graft] def dsirCounts(df: DataFrame, targetLang: String,
+                         buckets: Int): DataFrame =
+    dsirBucketed(df, buckets).groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when(col("lang") === targetLang, 1)).as("cnt_t"))
+
+  /** The DSIR family's merge: the batch's hashed-feature bucket counts
+    * sum-merge into the two maintained count tables — associative and
+    * commutative, NOT idempotent (replay would double-count), hence
+    * hosted on the versioned store. Shared with the restart spec. */
+  private[graft] def dsirMerge(targetLang: String, buckets: Int)(
+      base: DataFrame, batch: DataFrame): DataFrame =
+    base.unionByName(dsirCounts(batch, targetLang, buckets))
+      .groupBy(col("b"))
+      .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t"))
+
   def streamingDsir(spark: SparkSession, docs: DataFrame, scratch: String,
                     targetLang: String = "en",
                     buckets: Int = 256): DataFrame = withStatePartitions(spark, 8) {
-    import graft.ops.Text
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("lang"),
-        explode(Text.words(col("text"))).as("w"))
-        .select(col("doc_id"), col("lang"),
-          (Text.wordHash(col("w")) % buckets).as("b"))
-    def counts(df: DataFrame): DataFrame =
-      bucketed(df).groupBy(col("b"))
-        .agg(count(lit(1)).as("cnt_r"),
-          count(when(col("lang") === targetLang, 1)).as("cnt_t"))
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
-    var tables = counts(base.limit(0)).localCheckpoint()
+    val snapRoot = scratch + "_dsir_snap"
+    val ckpt = scratch + "_dsir_ckpt"
+    graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+    graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+    // empty seed, one forced writer task (see streamingHeavyHitters)
+    dsirCounts(base.limit(0), targetLang, buckets).repartition(1)
+      .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
 
     // same per-JVM fingerprint cache as events5Stream: a bench sweep
     // invokes the op cold + warm passes — the corpus fixture is
@@ -534,27 +597,16 @@ object Streaming {
         fixturesWritten(scratch) = fingerprint
       }
     }
-    val query = spark.readStream.schema(base.schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(scratch)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // localCheckpoint: eager + lineage-cutting (see
-        // streamingSketchQuantiles); constant plan depth per trigger
-        tables = tables.unionByName(counts(batch))
-          .groupBy(col("b"))
-          .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t"))
-          .localCheckpoint()
-        ()
-      }
-      .outputMode("update").start()
-
-    query.processAllAvailable()
-    stopCaptured(query)
+    runSnapshotMaintenance(
+      spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(scratch),
+      dsirMerge(targetLang, buckets), snapRoot, ckpt)
+    val tables = latestSnapshot(spark, snapRoot)
     val delta = tables.select(col("b"),
       (expr("cnt_t * 1000000 div sum(cnt_t) over ()") -
         expr("cnt_r * 1000000 div sum(cnt_r) over ()")).as("delta"))
-    bucketed(base).join(broadcast(delta), Seq("b"))
+    dsirBucketed(base, buckets).join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("delta")).as("affinity"))
   }

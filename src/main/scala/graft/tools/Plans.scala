@@ -186,6 +186,9 @@ object Plans {
     // surviving as prose
     "web_pipeline" -> "fix->C4->Gopher A1 as ONE codegen projection chain over the two-branch staged union (no per-stage rescan, no verdict joins — the three Gopher halves are column builders in the same projection, guarded by c4_pass); the dedup window is the single hash exchange (content sha2 for keepers, per-doc solo keys for drops, so partitions never outgrow a dup group); plus the Par.widen round-robin",
     "web_pipeline_corpus" -> "the same fused chain + kept filter + text projection; output rows strictly subset the staged input (mirror dedup alone halves the keepers)",
+    // round 14: the near-dedup-staged front door — heavy by design
+    // (the whole chain + LSH), pre-audited before its first sweep
+    "web_pipeline_near" -> "the fused chain persists ONCE (InMemoryRelation feeds both the kept-corpus branch and the final status join — no chain recompute per branch); kept canonicals flow shingles->minhash signatures (TypedImperativeAggregate, 64 hashes)->band exchange->posting pairs->semi-joined Jaccard verify; the final join is key-sized (pairs groupBy), never text-sized",
     "confusable_normalize" -> "homoglyph replace chain + per-char counts + one word-level HOF as a pure codegen projection; Par.widen round-robin is the only exchange")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
@@ -298,13 +301,18 @@ object Plans {
     * class as the branch order itself. On lines carrying the rewrite's
     * `gid#x` token, erase the label values (branch tails and FILTER
     * predicates) BEFORE the CASE-list sort so the sorted items compare
-    * equal across runs.
+    * equal across runs. The branch-tail erasure is anchored to the
+    * diagonal-branch shape the rewrite emits — a label integer
+    * directly after a `null, ` or `END, ` slot — so a genuine literal
+    * argument change elsewhere in an Expand line is NOT normalized
+    * away (ADVICE r13: the old `, digits]` pattern erased every
+    * trailing list integer on gid lines).
     */
   private def normalizeGidLabels(line: String): String =
     if (!line.contains("gid#x")) line
     else line
       .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = n)")
-      .replaceAll(", (\\d+)\\]", ", n]")
+      .replaceAll("(null, |END, )\\d+\\]", "$1n]")
 
   /** Canonicalize the count-distinct rewrite's branch order: Spark
     * emits the rewrite's Expand branches — and every downstream column
@@ -433,7 +441,7 @@ object Plans {
       // (the last residual regeneration-noise class, retired round 13)
       var plan = ""
       var attempt = 0
-      while (attempt < 3 &&
+      while (attempt < 6 &&
              (plan.isEmpty || plan.contains("LocalTableScan <empty>"))) {
         // clear first: a run that fails before stopCaptured must not
         // silently re-print the previous op's plan (advice round 10)
@@ -443,6 +451,14 @@ object Plans {
         attempt += 1
       }
       require(plan.nonEmpty, s"$name: no micro-batch plan captured")
+      // fail LOUDLY rather than commit stale churn: the retired
+      // empty-watermark-flush class must never reach PLANS.md, or a
+      // "no-op regeneration diffs empty" claim silently breaks
+      // (ADVICE r13 — the old loop proceeded after 3 failed attempts)
+      require(!plan.contains("LocalTableScan <empty>"),
+        s"$name: final capture is still an empty watermark-flush " +
+          s"batch after $attempt attempts — rerun; committing it " +
+          "would reintroduce regeneration churn")
       sb ++= s"\n## $name — $why (the executed micro-batch plan, " +
         "not the readout)\n\n```\n" + normalize(plan) + "```\n"
     }

@@ -137,7 +137,16 @@ class PlanFingerprintSpec extends AnyFunSuite {
     ("typo_pairs", 10, 5, 0),
     // round 13: confusable skeleton — the fix_encoding class: 1 scan,
     // only the Par.widen round-robin exchange
-    ("confusable_normalize", 2, 2, 0)
+    ("confusable_normalize", 2, 2, 0),
+    // round 14: the near-dedup-staged front door. The op PERSISTS its
+    // ledger (and minhashLshPairs persists shingles/candidates), and
+    // the formatted explain re-prints every cached child plan at every
+    // use point — so these token counts measure plan-TEXT inflation,
+    // not executed scans (the cache-sensitivity class the clearCache
+    // note below documents; execution runs the fused chain once, which
+    // is the point of the persist). Pinned at the measured fresh-
+    // session values; cartesian stays forbidden and BNLJ zero
+    ("web_pipeline_near", 51, 52, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's

@@ -16,8 +16,12 @@ import java.io.File
   * grow across the first decade, so a text op's "100×" column is really
   * one 10× step and is gated at 10, not 100. Each entry's
   * `honest_decades` (derived by the harness from per-table row counts)
-  * picks the bound; `null` (derivation unavailable — streaming
-  * readouts) keeps the legacy 100 bound rather than inventing a claim.
+  * picks the bound. Since round 14 the derivation falls back from the
+  * returned plan's file scans to the REGISTRATION-time loader record
+  * ([[graft.Tables.recording]]), so streaming readouts and post-loop
+  * LogicalRDD tails carry real values too; `null` now only means the
+  * registration THREW during derivation and is spec-gated to zero
+  * below (it would keep the legacy 100 bound here).
   * A quadratic stage would show ratio → 100 (10⁴ over the long decade);
   * shuffle-volume blowups show well above the bar long before that.
   * Ratios BELOW 1 happen when fixed overhead dominates at both SFs —
@@ -137,5 +141,19 @@ class ScalingSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"measured queries no longer registered (stale artifact): " +
       stale.toSeq.sorted.mkString(", "))
+  }
+
+  test("every entry in BOTH tiers carries a DERIVED honest_decades — " +
+       "null (registration threw during derivation) gated to zero " +
+       "(round-14, VERDICT r13 item 6)") {
+    val nulls = (entries ++ entriesOf(subRoot)).filter { e =>
+      val hd = e.get("honest_decades")
+      hd == null || hd.isNull
+    }.map(_.get("query").asText())
+    assert(nulls.isEmpty,
+      "entries with null honest_decades — the registration-source " +
+      "recorder should cover every query since round 14; a null means " +
+      "the registration THREW in the sweep's derivation pass: " +
+      nulls.sorted.mkString(", "))
   }
 }

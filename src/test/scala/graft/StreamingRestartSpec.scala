@@ -243,4 +243,117 @@ class StreamingRestartSpec extends AnyFunSuite {
       rowSet(collapse(log).filter(col("op") =!= "D").drop("op")))
     assert(rowSet(served).nonEmpty)
   }
+
+  // ---- round 14 (r13 verdict item 4): the remaining foreachBatch ----
+  // ---- maintainers, migrated off executor memory ---------------------
+
+  /** Drive `merge` through kill/restart/no-op-replay on a 2-wave file
+    * feed: wave 1 → crash → wave 2 arrives while down → restart on the
+    * SAME checkpoint → an incarnation with nothing new (the
+    * double-apply probe for non-idempotent merges). Returns the final
+    * snapshot. Shared by the five round-14 family proofs — the same
+    * runSnapshotMaintenance + merge fn the registered ops run.
+    */
+  private def killRestartReplay(feed: org.apache.spark.sql.DataFrame,
+      merge: (org.apache.spark.sql.DataFrame,
+              org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      seed: org.apache.spark.sql.DataFrame,
+      splitCol: String, tag: String): org.apache.spark.sql.DataFrame = {
+    import graft.streaming.Streaming
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag-restart").toString
+    val (src, snap, ckpt) = (s"$root/src", s"$root/snap", s"$root/ckpt")
+    seed.repartition(1)
+      .write.mode("overwrite").parquet(Streaming.snapshotDir(snap, -1L))
+    def pass(): Unit = Streaming.runSnapshotMaintenance(
+      spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      merge, snap, ckpt)
+    feed.filter(col(splitCol) % 2 === 0).coalesce(2)
+      .write.mode("overwrite").parquet(src)
+    pass() // phase 1: half the feed, then the query dies
+    feed.filter(col(splitCol) % 2 === 1).coalesce(2)
+      .write.mode("append").parquet(src)
+    pass() // phase 2: restart on the same checkpoint
+    val afterRestart = rowSet(Streaming.latestSnapshot(spark, snap))
+    pass() // phase 3: nothing new — must be a no-op even for
+           // non-idempotent merges (the replay double-apply probe)
+    assert(rowSet(Streaming.latestSnapshot(spark, snap)) === afterRestart,
+      s"$tag: a no-new-files incarnation moved the snapshot")
+    assert(afterRestart.nonEmpty, s"$tag: empty final snapshot")
+    Streaming.latestSnapshot(spark, snap)
+  }
+
+  private def events0001 = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("agg maintenance (round 14): kill/restart/replay lands exactly " +
+       "the batch buildAgg recompute — the non-idempotent decomposable " +
+       "merge never double-counts") {
+    import graft.streaming.Streaming
+    import graft.ops.Changelog
+    val keys = Seq("user_id", "event_type")
+    val events = events0001.select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val fin = killRestartReplay(events, Streaming.aggMerge(keys),
+      Changelog.buildAgg(events.limit(0), keys, col("value")),
+      "event_id", "agg")
+    assert(rowSet(fin) ===
+      rowSet(Changelog.buildAgg(events, keys, col("value"))))
+  }
+
+  test("HLL register maintenance (round 14): kill/restart/replay lands " +
+       "the batch daily-register table bit-for-bit") {
+    import graft.streaming.Streaming
+    import graft.ops.Profile
+    val events = events0001.select(col("event_id"), col("ts"),
+      col("user_id"))
+    val fin = killRestartReplay(events, Streaming.hllMerge,
+      Profile.hllDailyRegs(events.limit(0), col("ts"), col("user_id")),
+      "event_id", "hll")
+    assert(rowSet(fin) ===
+      rowSet(Profile.hllDailyRegs(events, col("ts"), col("user_id"))))
+  }
+
+  test("heavy-hitter count maintenance (round 14): kill/restart/replay " +
+       "lands the exact full-feed counts — union+re-sum never " +
+       "double-applied") {
+    import graft.streaming.Streaming
+    val events = events0001.select(col("event_id"), col("user_id"))
+    val fin = killRestartReplay(events, Streaming.countMerge,
+      events.limit(0).groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n")),
+      "event_id", "hh")
+    assert(rowSet(fin) === rowSet(
+      events.groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))))
+  }
+
+  test("KMV bottom-k maintenance (round 14): kill/restart/replay lands " +
+       "the batch sketch — the multiset-union merge is the exact class " +
+       "the versioned replay guarantee exists for") {
+    import graft.streaming.Streaming
+    import graft.ops.Profile
+    val k = 256
+    val events = events0001.select(col("event_id"), col("event_type"),
+      col("value"))
+    val fin = killRestartReplay(events, Streaming.sketchMerge(k),
+      Profile.bottomKSample(events.limit(0), col("event_type"),
+        col("event_id"), col("value"), k),
+      "event_id", "kmv")
+    assert(rowSet(fin) === rowSet(Profile.bottomKSample(events,
+      col("event_type"), col("event_id"), col("value"), k)))
+  }
+
+  test("DSIR count-table maintenance (round 14): kill/restart/replay " +
+       "lands the batch frequency tables exactly") {
+    import graft.streaming.Streaming
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val fin = killRestartReplay(docs,
+      Streaming.dsirMerge("en", 256),
+      // seed = counts of the empty corpus — the registered op's exact
+      // v=-1 state, via the same shared helper
+      Streaming.dsirCounts(docs.limit(0), "en", 256),
+      "doc_id", "dsir")
+    assert(rowSet(fin) === rowSet(Streaming.dsirCounts(docs, "en", 256)))
+  }
 }

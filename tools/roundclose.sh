@@ -27,6 +27,21 @@ cd /root/repo
 N="${1:?usage: tools/roundclose.sh <round-number>}"
 N2=$(printf "%02d" "$N")
 
+echo "== 0/6 leak/stub sanity greps (fast pre-driver check; the driver"
+echo "   owns the real LEAKCHECK/COPYCHECK artifacts — round-13 verdict"
+echo "   stretch item 8: a round that introduces a hit should learn it"
+echo "   at close time, not at judging) =="
+# stubs / unfinished markers in shipped code
+if grep -rnE '\?\?\?|TODO|FIXME' src/main --include='*.scala'; then
+  echo "FAIL: stub/TODO markers in src/main" >&2; exit 1
+fi
+# non-public endpoints / buckets / internal-looking hosts or env vars
+if grep -rniE 's3://|gs://|wasbs?://|abfss?://|[a-z0-9-]+\.corp\.|\.internal[^a-z]|amazonaws\.com|googleapis\.com' \
+     src --include='*.scala'; then
+  echo "FAIL: endpoint/bucket-like strings in src" >&2; exit 1
+fi
+echo "leak/stub greps clean"
+
 echo "== 1/6 isolated bench snapshot (sf0.1, local[32]) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench"
