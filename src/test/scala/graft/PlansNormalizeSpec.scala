@@ -111,4 +111,43 @@ class PlansNormalizeSpec extends AnyFunSuite {
     val one = "Functions [1]: [count(CASE WHEN (w = 'scan') THEN d END)]"
     assert(n(one) === "Functions [1]: [count(CASE WHEN (w = 'scan') THEN d END)]")
   }
+
+  // ---- round 14: the multi-distinct-COLUMN rewrite class (dq_suggest) --
+
+  test("bare-column Expand diagonals canonicalize: slot/label " +
+       "assignment permutations rebuild equal, labels erased") {
+    // count(DISTINCT a), count(DISTINCT b): branch block is
+    // [base-with-CASEs, [colA, null, 1, null], [null, colB, 2, null]]
+    // and WHICH column owns which slot/label is per-JVM hash noise
+    def block(first: String, second: String) =
+      s"Arguments: [[null, null, 0, CASE WHEN isnull(v#7) THEN 1 ELSE 0 END], " +
+        s"[$first#3, null, 1, null], [null, $second#5, 2, null]], [gid#9]"
+    val a = n(block("event_id", "user_id"))
+    val b = n(block("user_id", "event_id"))
+    assert(a === b, s"permutation not canonical:\n$a\n$b")
+    assert(!a.contains(", 1,") && !a.contains(", 2,"),
+      "gid labels must erase")
+    assert(n(a) === a, "idempotent")
+    // grouping-sets Expands carry spark_grouping_id, never gid — the
+    // diagonal rebuild must not touch them (branch order is semantic)
+    val gs = "Arguments: [[a#1, null, 0], [null, b#2, 1]], " +
+      "[a#1, b#2, spark_grouping_id#3]"
+    assert(n(gs) === n(gs)) // stable
+    assert(n(gs).contains("[a#x, null, 0], [null, b#x, 1]"),
+      "grouping-sets branches must keep their declared order and labels")
+  }
+
+  test("flat column runs before gid#x sort (Keys/Input/Results/" +
+       "hashpartitioning downstream of the column-diagonal rewrite)") {
+    assert(n("Keys [3]: [user_id#8, event_id#3, gid#9]") ===
+      n("Keys [3]: [event_id#3, user_id#8, gid#9]"))
+    assert(n("Arguments: hashpartitioning(user_id#8, event_id#3, gid#9, 4), [plan_id=7]") ===
+      n("Arguments: hashpartitioning(event_id#3, user_id#8, gid#9, 4), [plan_id=7]"))
+    // arity and trailing items keep their slots
+    assert(n("Arguments: hashpartitioning(user_id#8, event_id#3, gid#9, 4), [plan_id=7]")
+      .contains("gid#x, 4)"))
+    // a CASE tail's END#x must never be pulled into the sorted run
+    val withCase = "Keys [3]: [CASE WHEN (w = 'a') THEN d END#12, zz#3, gid#9]"
+    assert(n(withCase).contains("END#x, zz#x, gid#x"))
+  }
 }

@@ -43,8 +43,14 @@ fi
 echo "leak/stub greps clean"
 
 echo "== 1/6 isolated bench snapshot (sf0.1, local[32]) =="
+# Bare-java, NOT sbt runMain: round 14 measured the same HEAD twice —
+# sbt-forked bench 368.4 s warm vs bare-java 319.9 s on the identical
+# shared set (+15% phantom drift from the sbt parent JVM's residency/
+# GC next to the forked benchmark). The r13 "host drift" reads were
+# largely THIS. Compile first so classes match HEAD.
+sbt -batch compile
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench"
+  java -cp 'target/scala-2.13/classes:/opt/spark/jars/*' graft.Bench
 cp target/bench.json "BENCH_r${N2}_local.json"
 echo "wrote BENCH_r${N2}_local.json"
 
