@@ -805,31 +805,34 @@ object Streaming {
     * stage — so the closed-feed result equals batch `ks_drift` by
     * construction (same oracle, identical hash).
     */
+  private[graft] def ksCounts(df: DataFrame): DataFrame =
+    graft.ops.Profile.ksSideCounts(df,
+      graft.ops.Profile.evenOddDaySide(col("ts")), col("value"))
+
+  /** The KS family's merge: per-cents-value pair counts sum-merge —
+    * associative/commutative, NOT idempotent; versioned store (round
+    * 14, completing the durable migration). Shared with the restart
+    * spec. */
+  private[graft] def ksMerge(base: DataFrame, batch: DataFrame): DataFrame =
+    base.unionByName(ksCounts(batch))
+      .groupBy(col("x"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+
   def streamingKsDrift(spark: SparkSession, events: DataFrame,
                        scratch: String): DataFrame =
     withStatePartitions(spark, 8) {
       import graft.ops.Profile
-      def counts(df: DataFrame): DataFrame =
-        Profile.ksSideCounts(df, Profile.evenOddDaySide(col("ts")),
-          col("value"))
-      var table = counts(events.limit(0)).localCheckpoint()
-      val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-        .writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            // localCheckpoint: eager + lineage-cutting; constant plan
-            // depth per trigger (the foreachBatch-maintenance discipline)
-            table = table.unionByName(counts(batch))
-              .groupBy(col("x"))
-              .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-              .localCheckpoint()
-            ()
-        }
-        .outputMode("update").start()
-      query.processAllAvailable()
-      stopCaptured(query)
-      Profile.ksFromCounts(table)
+      val snapRoot = scratch + "_ks_snap"
+      val ckpt = scratch + "_ks_ckpt"
+      graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+      graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+      // empty seed, one forced writer task (see streamingHeavyHitters)
+      ksCounts(events.limit(0)).repartition(1)
+        .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+      runSnapshotMaintenance(
+        events5Stream(spark, events, scratch, filesPerTrigger = 2),
+        ksMerge, snapRoot, ckpt)
+      Profile.ksFromCounts(latestSnapshot(spark, snapRoot))
     }
 
   /** LIVE split-conformal monitor — [[graft.ops.Profile
@@ -844,31 +847,35 @@ object Streaming {
     * `conformal_threshold` by construction (same oracle, identical
     * hash).
     */
+  private[graft] def conformalCounts(df: DataFrame): DataFrame =
+    graft.ops.Profile.conformalSideCounts(df, col("event_type"),
+      col("event_id"), col("value"))
+
+  /** The conformal family's merge: per-(group, cents) side counts
+    * sum-merge — associative/commutative, NOT idempotent; versioned
+    * store (round 14). Shared with the restart spec. */
+  private[graft] def conformalMerge(base: DataFrame,
+                                    batch: DataFrame): DataFrame =
+    base.unionByName(conformalCounts(batch))
+      .groupBy(col("g"), col("c"))
+      .agg(sum(col("ca")).as("ca"), sum(col("ct")).as("ct"))
+
   def streamingConformal(spark: SparkSession, events: DataFrame,
                          scratch: String): DataFrame =
     withStatePartitions(spark, 8) {
       import graft.ops.Profile
-      def counts(df: DataFrame): DataFrame =
-        Profile.conformalSideCounts(df, col("event_type"),
-          col("event_id"), col("value"))
-      var table = counts(events.limit(0)).localCheckpoint()
-      val query = events5Stream(spark, events, scratch, filesPerTrigger = 2)
-        .writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            // localCheckpoint: eager + lineage-cutting; constant plan
-            // depth per trigger (the foreachBatch-maintenance discipline)
-            table = table.unionByName(counts(batch))
-              .groupBy(col("g"), col("c"))
-              .agg(sum(col("ca")).as("ca"), sum(col("ct")).as("ct"))
-              .localCheckpoint()
-            ()
-        }
-        .outputMode("update").start()
-      query.processAllAvailable()
-      stopCaptured(query)
-      Profile.conformalFromCounts(table, alphaNum = 1, alphaDen = 10)
+      val snapRoot = scratch + "_conf_snap"
+      val ckpt = scratch + "_conf_ckpt"
+      graft.ops.Distribute.deleteRecursively(new java.io.File(snapRoot))
+      graft.ops.Distribute.deleteRecursively(new java.io.File(ckpt))
+      // empty seed, one forced writer task (see streamingHeavyHitters)
+      conformalCounts(events.limit(0)).repartition(1)
+        .write.mode("overwrite").parquet(snapshotDir(snapRoot, -1L))
+      runSnapshotMaintenance(
+        events5Stream(spark, events, scratch, filesPerTrigger = 2),
+        conformalMerge, snapRoot, ckpt)
+      Profile.conformalFromCounts(latestSnapshot(spark, snapRoot),
+        alphaNum = 1, alphaDen = 10)
     }
 
   /** Stream-static enrichment: the event stream joins a static dimension

@@ -281,6 +281,11 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(rowSet(Streaming.latestSnapshot(spark, snap)) === afterRestart,
       s"$tag: a no-new-files incarnation moved the snapshot")
     assert(afterRestart.nonEmpty, s"$tag: empty final snapshot")
+    // GC contract: only the current version and its merge base may
+    // remain on storage, however many batches the feed produced
+    assert(Streaming.snapshotVersions(snap).size <= 2,
+      s"$tag: old snapshot versions not GC'd: " +
+        Streaming.snapshotVersions(snap).mkString(","))
     Streaming.latestSnapshot(spark, snap)
   }
 
@@ -341,6 +346,26 @@ class StreamingRestartSpec extends AnyFunSuite {
       "event_id", "kmv")
     assert(rowSet(fin) === rowSet(Profile.bottomKSample(events,
       col("event_type"), col("event_id"), col("value"), k)))
+  }
+
+  test("KS drift count-table maintenance (round 14): kill/restart/" +
+       "replay lands the batch pair counts exactly") {
+    import graft.streaming.Streaming
+    val events = events0001.select(col("event_id"), col("ts"),
+      col("value"))
+    val fin = killRestartReplay(events, Streaming.ksMerge,
+      Streaming.ksCounts(events.limit(0)), "event_id", "ks")
+    assert(rowSet(fin) === rowSet(Streaming.ksCounts(events)))
+  }
+
+  test("conformal count-table maintenance (round 14): kill/restart/" +
+       "replay lands the batch side counts exactly") {
+    import graft.streaming.Streaming
+    val events = events0001.select(col("event_id"), col("event_type"),
+      col("value"))
+    val fin = killRestartReplay(events, Streaming.conformalMerge,
+      Streaming.conformalCounts(events.limit(0)), "event_id", "conf")
+    assert(rowSet(fin) === rowSet(Streaming.conformalCounts(events)))
   }
 
   test("DSIR count-table maintenance (round 14): kill/restart/replay " +
