@@ -112,33 +112,39 @@ object SparkEntry {
         .otherwise(concat_ws("\n", L.l1, L.l2, L.l3, L.l4)))
       .otherwise(col("text"))
   }
-  private def webInjected(s: SparkSession, dir: String): DataFrame = {
+  private def webInjected(s: SparkSession, dir: String,
+      render: org.apache.spark.sql.Column): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    base.select(col("doc_id"), webRendered.as("text"))
+    base.select(col("doc_id"), render.as("text"))
   }
   /** One max-id aliasing probe per (JVM, sfDir): the guard is an eager
     * full-documents aggregation, and web_pipeline registrations are
     * (re)constructed by every plan dump / fingerprint / sweep pass —
     * uncached it added a whole corpus scan per CONSTRUCTION (ADVICE
     * r13). The corpus at a dir is immutable for a JVM's lifetime, so
-    * the first probe's verdict holds for all later constructions.
+    * the first probe's verdict holds for all later constructions (a
+    * probe that ever FAILS throws out of getOrElseUpdate and is
+    * retried — only a passing verdict is cached; ADVICE r14 dropped
+    * the tautological re-require of the cached value).
     */
   private val webMaxIdChecked =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def webStaged(s: SparkSession, dir: String): DataFrame = {
-    val inj = webInjected(s, dir)
+  private def webStaged(s: SparkSession, dir: String): DataFrame =
+    webStaged0(s, dir, webRendered)
+  private def webStaged0(s: SparkSession, dir: String,
+      render: org.apache.spark.sql.Column): DataFrame = {
+    val inj = webInjected(s, dir, render)
     // the mirror ids live at +webOffset; real ids reaching the offset
     // would alias keys through the dedup window (mirrored in the
     // oracle, so the gate could not see it) — assert, the
     // curation_pipeline guard. coalesce: empty-table max() is NULL.
-    val ok = webMaxIdChecked.getOrElseUpdate(dir, {
+    webMaxIdChecked.getOrElseUpdate(dir, {
       val maxDocId =
         inj.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0)
       require(maxDocId < webOffset,
         s"mirror doc_id offset $webOffset would alias real ids (max=$maxDocId)")
       true
     })
-    require(ok)
     val clean = inj.select(col("doc_id"),
       concat(lit(Text.mojibakePrefixRepaired), col("text")).as("text"))
     val corrupt = inj.select((col("doc_id") + webOffset).as("doc_id"),
@@ -159,14 +165,139 @@ object SparkEntry {
     * line-for-line in [[webNearStagedRel]]'s staged CTE.
     */
   private val nearOffset = 200000L
-  private def webNearStaged(s: SparkSession, dir: String): DataFrame = {
+  private def webNearStaged(s: SparkSession, dir: String): DataFrame =
+    webNearStaged0(s, dir, webRendered)
+  private def webNearStaged0(s: SparkSession, dir: String,
+      render: org.apache.spark.sql.Column): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val L = c4InjectedLines
     val para = base.filter(col("doc_id") % 17 === 0 && L.m >= 8)
       .select((col("doc_id") + nearOffset).as("doc_id"),
-        concat(lit(Text.mojibakePrefix), webRendered,
+        concat(lit(Text.mojibakePrefix), render,
           lit("\n" + Text.WebNearLine)).as("text"))
-    webStaged(s, dir).unionByName(para)
+    webStaged0(s, dir, render).unionByName(para)
+  }
+
+  /** [[webRendered]] + the [[graft.ops.Text.WebSpanLine]] license
+    * footer appended to every 19th rendered page — the
+    * `web_pipeline_substr` staging's render. The footer rides INSIDE
+    * the render, so both staged copies carry it (exact dedup still
+    * merges the mirror) and the near twins of 17∧19-divisible pages
+    * inherit it (their Jaccard stays far above the near bar — one more
+    * shared line). After cleaning, the footer's words 2..9 are a
+    * page-independent duplicated 8-token window across every planted
+    * survivor — the exact cross-page repetition the substr stage must
+    * excise from all but the first occurrence.
+    */
+  private def webSpanRendered: org.apache.spark.sql.Column = {
+    val L = c4InjectedLines
+    when(col("doc_id") % 19 === 0 && L.m >= 8,
+      concat(webRendered, lit("\n" + Text.WebSpanLine)))
+      .otherwise(webRendered)
+  }
+  /** [[webNearStaged]] over the span-footer render — the
+    * `web_pipeline_substr` staged corpus. Mirrored in
+    * [[webSubstrStagedRel]]. */
+  private def webSubstrStaged(s: SparkSession, dir: String): DataFrame =
+    webNearStaged0(s, dir, webSpanRendered)
+
+  /** Reverse the words of every line EXCEPT its last word (so a kept
+    * line keeps its terminal '.' and the C4 line rule sees the same
+    * verdict): the deterministic "paraphrase" whose word-shingle sets
+    * are (near-)disjoint from the original's while its bag of words —
+    * and, more to the point, its model EMBEDDING in the staged side
+    * table — is unchanged. Mirrored glyph-for-glyph in the sem oracle
+    * relation's list_reverse arm.
+    */
+  private def reverseWordsPerLine(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(split(c, "\n"), line => {
+      val ws = split(line, " ")
+      val n = size(ws)
+      when(n >= 2,
+        concat(array_join(reverse(slice(ws, lit(1), n - 1)), " "),
+          lit(" "), element_at(ws, n)))
+        .otherwise(line)
+    }), "\n")
+
+  /** [[webNearStaged]] + the planted SEM-twin tier for
+    * `web_pipeline_sem`: every 6th RENDERED page is staged a FOURTH
+    * time at `+semOffset` — through the mojibake prefix (riding the
+    * repair stage like the other tiers) with its words
+    * [[reverseWordsPerLine reversed per line]], so its content hash
+    * differs (exact dedup cannot merge it), its shingle Jaccard
+    * against the page collapses far below the 0.5 near bar (near-dedup
+    * cannot either — margin-checked), while its embedding in
+    * [[semEmbeddings]] is IDENTICAL to the page's (only the semantic
+    * stage can merge it, at cosine exactly 1). Id tiers: real < 100000
+    * ≤ mirrors < 200000 ≤ near-twins < 300000 ≤ sem-twins. Mirrored
+    * line-for-line in [[webSemStagedRel]].
+    */
+  private val semOffset = 300000L
+  private def webSemStaged(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val L = c4InjectedLines
+    val sem = base.filter(col("doc_id") % 6 === 0 && L.m >= 8)
+      .select((col("doc_id") + semOffset).as("doc_id"),
+        concat(lit(Text.mojibakePrefix),
+          reverseWordsPerLine(webRendered)).as("text"))
+    webNearStaged(s, dir).unionByName(sem)
+  }
+
+  /** Fixture-margin probes for `graft.tools.MarginCheck` (ADVICE r14):
+    * the kept canonical pages of each front-door staging variant —
+    * the exact population whose pairwise Jaccard the near oracle
+    * computes completely, and over which banding recall must
+    * therefore be safe.
+    */
+  private[graft] def webMarginProbes(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    def keptOf(staged: DataFrame): DataFrame =
+      Text.webPipeline(staged).filter(col("status") === "kept")
+        .select(col("doc_id"), col("text_clean").as("text"))
+    Seq(
+      "web_near" -> keptOf(webNearStaged(s, dir)),
+      "web_sem" -> keptOf(webSemStaged(s, dir)),
+      "web_substr" -> keptOf(webSubstrStaged(s, dir)))
+  }
+
+  /** The sem stage's candidate vector population (near survivors ∩
+    * embedding side table) — the population whose complete exact-cosine
+    * pair set the sem oracle computes; `graft.tools.MarginCheck`
+    * asserts nothing natural sits in the banding-vulnerable cosine
+    * band below the planted 1.0 class.
+    */
+  private[graft] def semMarginVectors(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val near = Text.webPipelineNear(webSemStaged(s, dir))
+    val keptIds = near.filter(col("status") === "kept").select(col("doc_id"))
+    semEmbeddings(s, dir)
+      .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
+  }
+
+  /** The embedding SIDE TABLE for the sem stage: the upstream model's
+    * vectors keyed by doc_id (vec_id = doc_id — embeddings may cover
+    * only part of the corpus, e.g. 2000 vectors / 5000 docs at sf0.1;
+    * uncovered kept pages simply cannot sem-merge), extended with the
+    * planted tiers' vectors: a near twin or sem twin carries ITS
+    * PAGE'S embedding verbatim (the model view of a paraphrase).
+    * Mirrored in [[semEmbRel]]. The max-id probe rides the
+    * [[webMaxIdChecked]] cache under a distinct key.
+    */
+  private def semEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    webMaxIdChecked.getOrElseUpdate(dir + "#emb", {
+      val maxVecId =
+        e.agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0)
+      require(maxVecId < nearOffset,
+        s"twin vec_id offsets would alias real vectors (max=$maxVecId)")
+      true
+    })
+    val near = e.filter(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + nearOffset).as("vec_id"), col("embedding"))
+    val sem = e.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") + semOffset).as("vec_id"), col("embedding"))
+    e.unionByName(near).unionByName(sem)
   }
 
   // ---- driver contract -------------------------------------------------
@@ -1103,6 +1234,42 @@ object SparkEntry {
     // exact hashing provably cannot merge and near-dedup provably must
     "web_pipeline_near" -> ((s, dir) =>
       Text.webPipelineNear(webNearStaged(s, dir))),
+
+    // [EXT round 15] the STREAMING face of web_pipeline_near (the
+    // streaming_web_pipeline convention): micro-batches run the
+    // stateless repair + C4 stage into the staging sink, the
+    // closed-feed readout runs the literal batch verdict + near tails
+    // — hash-equal to batch web_pipeline_near by construction (same
+    // oracle), kill/restart-proven in StreamingRestartSpec
+    "streaming_web_pipeline_near" -> ((s, dir) =>
+      graft.streaming.Streaming.streamingWebPipelineNear(s,
+        webNearStaged(s, dir), tmp(dir, "stream_web_near"))),
+
+    // [EXT round 15] the front door + the SEMANTIC dedup stage a
+    // SemDeDup-class ingest runs after near-dedup: near survivors join
+    // their model embeddings (side table, partial coverage allowed),
+    // random-hyperplane LSH proposes candidates, exact cosine >= 0.9
+    // merges (ninth status class sem_dup). The planted tier is the
+    // inverse of the near twin: a per-line word-REVERSED paraphrase —
+    // shingle-disjoint (near-dedup provably cannot merge it) with the
+    // page's own embedding (the sem stage provably must, at cosine
+    // exactly 1 — banding recall is structurally 1 for identical
+    // vectors). The oracle computes the COMPLETE exact-cosine pair
+    // set, so LSH recall is gated, not assumed
+    "web_pipeline_sem" -> ((s, dir) =>
+      Text.webPipelineSem(webSemStaged(s, dir), semEmbeddings(s, dir))),
+
+    // [EXT round 15] the front door + the EXACT-SUBSTRING surgery
+    // stage (Lee et al. 2022) over the near survivors: every token
+    // inside a >=8-token span duplicated across surviving pages is
+    // removed, first occurrence wins (tenth status class
+    // substr_pruned; the page stays, rewritten as text_dedup). The
+    // staged corpus plants a 9-word license footer on every 19th
+    // rendered page — after newline gluing its words 2..9 are a
+    // page-independent duplicated 8-gram the stage must excise from
+    // all but the first surviving occurrence
+    "web_pipeline_substr" -> ((s, dir) =>
+      Text.webPipelineSubstr(webSubstrStaged(s, dir))),
 
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
@@ -3755,7 +3922,10 @@ object SparkEntry {
       // round 14: the near-dedup-staged front door — the COMPLETE
       // exact-Jaccard pair set over kept canonicals re-statuses the
       // ledger, gating the Spark side's LSH recall, not just its math
-      ("web_pipeline_near" -> Text.webNearSql(webNearStagedRel))
+      ("web_pipeline_near" -> Text.webNearSql(webNearStagedRel)) +
+      ("streaming_web_pipeline_near" -> Text.webNearSql(webNearStagedRel)) +
+      ("web_pipeline_sem" -> Text.webSemSql(webSemStagedRel, semEmbRel)) +
+      ("web_pipeline_substr" -> Text.webSubstrSql(webSubstrStagedRel))
 
   /** The c4 rule-trigger render as DuckDB CTEs — quarter lines with the
     * punctuation pattern, plus the brace/lorem decorations (r2x/r3x).
@@ -3822,7 +3992,31 @@ object SparkEntry {
     * [[webNearStaged]]. */
   private def webNearStagedRel: String = webStagedRel0(withNearTwins = true)
 
-  private def webStagedRel0(withNearTwins: Boolean): String = {
+  /** [[webNearStagedRel]] over the span-footer render, mirroring
+    * [[webSubstrStaged]]. */
+  private def webSubstrStagedRel: String =
+    webStagedRel0(withNearTwins = true, withSpan = true)
+
+  /** [[webNearStagedRel]] + the sem-twin tier, mirroring
+    * [[webSemStaged]]. */
+  private def webSemStagedRel: String =
+    webStagedRel0(withNearTwins = true, withSemTwins = true)
+
+  /** The sem stage's embedding side table as a DuckDB relation —
+    * mirrors [[semEmbeddings]] tier-for-tier. Single-line on purpose:
+    * it is concatenated into [[graft.ops.Text.webSemSql]] outside any
+    * stripMargin literal (the composed-SQL trap).
+    */
+  private def semEmbRel: String =
+    "(SELECT vec_id, embedding FROM embeddings" +
+      " UNION ALL SELECT vec_id + 200000 AS vec_id, embedding" +
+      " FROM embeddings WHERE vec_id % 17 = 0" +
+      " UNION ALL SELECT vec_id + 300000 AS vec_id, embedding" +
+      " FROM embeddings WHERE vec_id % 6 = 0)"
+
+  private def webStagedRel0(withNearTwins: Boolean,
+                            withSpan: Boolean = false,
+                            withSemTwins: Boolean = false): String = {
     // the nav line rides the same ''-escaping as the prefixes — it is
     // currently quote-free, but an unescaped interpolation is one
     // future edit away from a broken oracle (ADVICE r13)
@@ -3830,6 +4024,19 @@ object SparkEntry {
     val good = Text.mojibakePrefixRepaired.replace("'", "''")
     val bad = Text.mojibakePrefix.replace("'", "''")
     val near = Text.WebNearLine.replace("'", "''")
+    val span = Text.WebSpanLine.replace("'", "''")
+    // the span-footer render: one extra CTE layer over rend so the
+    // footer rides INSIDE the body every downstream arm stages —
+    // mirroring webSpanRendered feeding webNearStaged0
+    val spanCte =
+      if (!withSpan) ""
+      else s""",
+         rend2 AS (SELECT doc_id, m,
+                 CASE WHEN doc_id % 19 = 0 AND m >= 8
+                      THEN body || chr(10) || '$span'
+                      ELSE body END AS body
+               FROM rend)"""
+    val rsrc = if (withSpan) "rend2" else "rend"
     // the paraphrase twins: every 17th RENDERED page, mojibake-staged
     // with one extra kept line (the webNearStaged convention; ids at
     // +200000, disjoint from the +100000 mirrors by the max-id guard)
@@ -3839,7 +4046,23 @@ object SparkEntry {
                     UNION ALL
                     SELECT doc_id + 200000 AS doc_id,
                            '$bad' || body || chr(10) || '$near' AS text
-                    FROM rend WHERE doc_id % 17 = 0 AND m >= 8"""
+                    FROM $rsrc WHERE doc_id % 17 = 0 AND m >= 8"""
+    // the sem twins: every 6th RENDERED page, mojibake-staged with its
+    // words reversed per line except the line-terminal word (mirroring
+    // reverseWordsPerLine; ids at +300000)
+    val semArm =
+      if (!withSemTwins) ""
+      else s"""
+                    UNION ALL
+                    SELECT doc_id + 300000 AS doc_id,
+                           '$bad' || array_to_string(list_transform(
+                             string_split(body, chr(10)),
+                             l -> CASE WHEN len(string_split(l, ' ')) >= 2
+                                  THEN array_to_string(list_reverse(
+                                         string_split(l, ' ')[1:-2]), ' ')
+                                       || ' ' || string_split(l, ' ')[-1]
+                                  ELSE l END), chr(10)) AS text
+                    FROM $rsrc WHERE doc_id % 6 = 0 AND m >= 8"""
     "(" + c4QuarterCtes + s""",
          rend AS (SELECT doc_id, m,
                  CASE WHEN m >= 8 THEN
@@ -3855,11 +4078,12 @@ object SparkEntry {
                      || r4
                    END
                  ELSE text END AS body
-               FROM rx),
-         staged AS (SELECT doc_id, '$good' || body AS text FROM rend
+               FROM rx)""" + spanCte + s""",
+         staged AS (SELECT doc_id, '$good' || body AS text FROM $rsrc
                     UNION ALL
                     SELECT doc_id + 100000 AS doc_id,
-                           '$bad' || body AS text FROM rend""" + nearArm +
+                           '$bad' || body AS text FROM $rsrc""" +
+      nearArm + semArm +
       """)
        SELECT doc_id, text FROM staged)"""
   }

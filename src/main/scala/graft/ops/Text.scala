@@ -2393,6 +2393,23 @@ object Text {
     */
   private[graft] val WebNearLine: String = "see the archive."
 
+  /** The boilerplate line the registered `web_pipeline_substr` staged
+    * corpus appends to every 19th RENDERED page (in BOTH staged copies,
+    * so exact dedup still merges the mirror): the license-footer class
+    * of cross-page repetition ExactSubstr exists to remove. 9 words +
+    * terminal '.' so C4's line rule KEEPS it and — after the '\n' glues
+    * its first word to the page's last token — exactly the words
+    * 2..9 form a page-independent 8-token window shared by every
+    * planted page; pages that also share their last word additionally
+    * share the glued-start window. Contains a Gopher stop word; all
+    * its 8-grams occur once per page, so the repetition rules are
+    * untouched; ~9 shared shingles against ≥50-word pages keeps the
+    * pairwise Jaccard far below the 0.5 near bar (margin-checked by
+    * `graft.tools.MarginCheck`).
+    */
+  private[graft] val WebSpanLine: String =
+    "copyright notice all rights reserved by the archive team."
+
   /** [[webPipeline]] + the fuzzy-dedup stage a RefinedWeb/C4-class
     * ingest runs AFTER exact dedup (Penedo et al. 2023 §3.3 run
     * MinHash near-dedup on the survivors of exact dedup; parts shipped
@@ -2422,8 +2439,26 @@ object Text {
     */
   def webPipelineNear(staged: DataFrame, k: Int = 3, numHashes: Int = 64,
                       bands: Int = 32,
-                      threshold: Double = 0.5): DataFrame = {
-    val ledger = webPipeline(staged).persist()
+                      threshold: Double = 0.5): DataFrame =
+    webNearTail(webPipeline(staged), k, numHashes, bands, threshold)
+
+  /** The near-dedup verdict tail of [[webPipelineNear]] over an already
+    * composed web-pipeline LEDGER — split out (round 15) so the
+    * STREAMING front door's closed-feed readout and the downstream
+    * fused stages ([[webPipelineSem]], [[webPipelineSubstr]]) run the
+    * IDENTICAL arithmetic over their ledgers (the [[webVerdictTail]]
+    * precedent: one code chain, so the faces cannot drift).
+    * `keepText = true` additionally passes `text_clean` through for
+    * rows that stay kept, so a following stage (exact-substring
+    * surgery) can read the surviving pages without recomputing the
+    * chain; the default drops it, keeping the registered
+    * `web_pipeline_near` plan byte-identical to its round-14 shape.
+    */
+  private[graft] def webNearTail(ledger0: DataFrame, k: Int = 3,
+                                 numHashes: Int = 64, bands: Int = 32,
+                                 threshold: Double = 0.5,
+                                 keepText: Boolean = false): DataFrame = {
+    val ledger = ledger0.persist()
     val kept = ledger.filter(col("status") === "kept")
       .select(col("doc_id"), col("text_clean").as("text"))
     val pairs = graft.ops.TextDedup.minhashLshPairs(
@@ -2431,12 +2466,112 @@ object Text {
     val nearCanon = pairs.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("near_canon"),
         min_by(col("jaccard"), col("doc_a")).as("near_j"))
-    ledger.join(nearCanon, Seq("doc_id"), "left")
+    val base = Seq(col("doc_id"), col("changed"),
+      when(col("near_canon").isNotNull, lit("near_dup"))
+        .otherwise(col("status")).as("status"),
+      coalesce(col("near_canon"), col("canonical_id")).as("canonical_id"),
+      col("near_j").as("near_jaccard"))
+    val cols = if (keepText) base :+
+      when(col("near_canon").isNull, col("text_clean")).as("text_clean")
+    else base
+    ledger.join(nearCanon, Seq("doc_id"), "left").select(cols: _*)
+  }
+
+  /** [[webPipelineNear]] + the SEMANTIC dedup stage a SemDeDup-class
+    * ingest runs after near-dedup (Abbas et al. 2023, arXiv:2303.09540;
+    * the standalone machinery shipped as `semdedup` /
+    * `embedding_near_dup`): pages that survive exact AND fuzzy dedup
+    * but whose MODEL EMBEDDINGS are near-identical — paraphrases that
+    * share no shingles — merge on embedding cosine. Kept canonical
+    * pages join their embeddings from the side table `emb` (vec_id =
+    * doc_id — the realistic shape: vectors come from an upstream
+    * embedding job and may COVER ONLY PART of the corpus; kept pages
+    * without a vector simply cannot sem-merge, mirrored in the oracle's
+    * inner join), candidates come from random-hyperplane LSH banding
+    * ([[Similarity.cosineNearDup]] — Charikar 2002), and every verified
+    * pair at cosine ≥ `threshold` re-statuses the larger id `sem_dup`
+    * with `canonical_id` = its smallest partner and the partner's exact
+    * cosine as `sem_cosine`.
+    *
+    * Recall here is gated STRUCTURALLY, not probabilistically: the
+    * staged corpus's planted paraphrase tier carries embeddings
+    * IDENTICAL to the page's (the upstream-model view of "same
+    * meaning"), so every sign bit of every hyperplane agrees and the
+    * pair collides in EVERY band — banding recall for the oracle's
+    * pair class (cosine 1.0) is exactly 1. The natural corpus tops out
+    * far below the 0.9 bar (max pairwise cosine ≈ 0.48 at the gate
+    * SFs; asserted with margin by `graft.tools.MarginCheck`), so the
+    * oracle's COMPLETE exact-cosine pair set contains no
+    * banding-vulnerable borderline pair — a future corpus change that
+    * introduces one surfaces as a MarginCheck failure, not an opaque
+    * hash mismatch (ADVICE r14).
+    *
+    * Scale: the near ledger persists (one materialization of the fused
+    * chain feeds the kept-id probe and the final status join);
+    * signatures are 16 bytes × 16 bands/vector, the banding self-join
+    * shuffles (band, key, id) only, verification joins vectors for
+    * candidate ids only, and the final join is key-sized. 8 bits ×
+    * 16 bands = the same 128-hyperplane budget as the registered
+    * `embedding_near_dup`, re-cut for the 0.9 bar (bigger bands → ~2⁸
+    * buckets/band → near-empty candidate lists; identical-sign pairs
+    * are immune to the cut by construction).
+    */
+  def webPipelineSem(staged: DataFrame, emb: DataFrame,
+                     threshold: Double = 0.9, bitsPerBand: Int = 8,
+                     bands: Int = 16): DataFrame = {
+    val near = webNearTail(webPipeline(staged)).persist()
+    val keptIds = near.filter(col("status") === "kept").select(col("doc_id"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
+    val pairs = Similarity.cosineNearDup(vecs, threshold, bitsPerBand, bands)
+    val semCanon = pairs.groupBy(col("vec_b").as("doc_id"))
+      .agg(min(col("vec_a")).as("sem_canon"),
+        min_by(col("cos"), col("vec_a")).as("sem_cos"))
+    near.join(semCanon, Seq("doc_id"), "left")
       .select(col("doc_id"), col("changed"),
-        when(col("near_canon").isNotNull, lit("near_dup"))
+        when(col("sem_canon").isNotNull, lit("sem_dup"))
           .otherwise(col("status")).as("status"),
-        coalesce(col("near_canon"), col("canonical_id")).as("canonical_id"),
-        col("near_j").as("near_jaccard"))
+        coalesce(col("sem_canon"), col("canonical_id")).as("canonical_id"),
+        col("near_jaccard"),
+        col("sem_cos").as("sem_cosine"))
+  }
+
+  /** [[webPipelineNear]] + the EXACT-SUBSTRING surgery stage a
+    * RefinedWeb-class ingest runs over the near-dedup survivors (Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better"; Penedo et al. 2023 §3.3 run exact-substring removal after
+    * fuzzy dedup; the standalone machinery shipped as
+    * `exactsubstr_dedup`): every token inside a ≥`w`-token span
+    * duplicated across ANY TWO surviving pages is removed, first
+    * occurrence (min (doc_id, pos)) wins. Surviving pages whose text
+    * lost at least one token re-status `substr_pruned` (they stay in
+    * the corpus — the stage rewrites, it does not drop) and carry the
+    * rewritten page as `text_dedup` beside the removal count.
+    *
+    * Unlike the near and sem stages there is NO candidate/verify
+    * split to gate: the span criterion is exact on both sides (the
+    * stride-1 window relation — [[TextDedup.exactSubstrDedup]]'s
+    * suffix-array view), so the oracle replays the full decision.
+    *
+    * Scale: the near ledger persists and the surgery adds one
+    * hash-keyed window exchange (grams hashed map-side — ~24 B/window
+    * on the wire) + one doc-keyed rollup over SURVIVORS only, then a
+    * key-sized status join — the [[TextDedup.exactSubstrDedup]]
+    * budget applied to the post-dedup slice of the corpus.
+    */
+  def webPipelineSubstr(staged: DataFrame, w: Int = 8): DataFrame = {
+    val near = webNearTail(webPipeline(staged), keepText = true).persist()
+    val kept = near.filter(col("status") === "kept")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val surgery = graft.ops.TextDedup.exactSubstrDedup(kept, w)
+      .select(col("doc_id"), col("n_removed"), col("text_dedup"))
+    near.join(surgery, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("changed"),
+        when(col("n_removed") > 0, lit("substr_pruned"))
+          .otherwise(col("status")).as("status"),
+        col("canonical_id"), col("near_jaccard"),
+        col("n_removed").as("n_removed_tokens"),
+        col("text_dedup"))
   }
 
   /** Oracle for the registered `web_pipeline_near` query: the shared
@@ -2448,26 +2583,7 @@ object Text {
     * trap); the appended CTEs are self-contained literals.
     */
   private[graft] def webNearSql(rel: String): String =
-    webChainSql(rel) + ",\n" +
-      """ kd AS (SELECT doc_id, text FROM cn WHERE keep AND doc_id = canon),
-        | kw AS (SELECT doc_id, string_split(text, ' ') AS words FROM kd),
-        | ksh AS (SELECT DISTINCT doc_id,
-        |          array_to_string(words[g+1:g+3], ' ') AS shingle
-        |        FROM kw, UNNEST(range(len(words) - 2)) AS t(g)
-        |        WHERE len(words) >= 3),
-        | ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
-        | kp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-        |        FROM ksh a JOIN ksh b
-        |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2),
-        | jp AS (SELECT a AS doc_a, b AS doc_b,
-        |          CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |        FROM kp JOIN ksz sa ON a = sa.doc_id
-        |          JOIN ksz sb ON b = sb.doc_id
-        |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-        | nc AS (SELECT doc_b AS doc_id, min(doc_a) AS near_canon,
-        |          min_by(jaccard, doc_a) AS near_j
-        |        FROM jp GROUP BY 1)""".stripMargin + "\n" +
+    webChainSql(rel) + ",\n" + webNearCtes + "\n" +
       """SELECT c.doc_id, c.changed,
         |  CASE WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
         |       WHEN NOT c.c4_pass THEN 'c4_page'
@@ -2480,4 +2596,123 @@ object Text {
         |    CASE WHEN c.keep THEN c.canon END) AS canonical_id,
         |  nc.near_j AS near_jaccard
         |FROM cn c LEFT JOIN nc USING (doc_id)""".stripMargin
+
+  /** The near stage's CTE block (kept canonicals → complete exact-
+    * Jaccard pair set → smallest-partner table `nc`) — extracted from
+    * [[webNearSql]] (round 15) so the sem and substr oracles compose
+    * the IDENTICAL near decision instead of restating it. Self-
+    * contained literal (no embedded composed SQL — stripMargin is
+    * safe here).
+    */
+  private val webNearCtes: String =
+    """ kd AS (SELECT doc_id, text FROM cn WHERE keep AND doc_id = canon),
+      | kw AS (SELECT doc_id, string_split(text, ' ') AS words FROM kd),
+      | ksh AS (SELECT DISTINCT doc_id,
+      |          array_to_string(words[g+1:g+3], ' ') AS shingle
+      |        FROM kw, UNNEST(range(len(words) - 2)) AS t(g)
+      |        WHERE len(words) >= 3),
+      | ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+      | kp AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |        FROM ksh a JOIN ksh b
+      |          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      | jp AS (SELECT a AS doc_a, b AS doc_b,
+      |          CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |        FROM kp JOIN ksz sa ON a = sa.doc_id
+      |          JOIN ksz sb ON b = sb.doc_id
+      |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      | nc AS (SELECT doc_b AS doc_id, min(doc_a) AS near_canon,
+      |          min_by(jaccard, doc_a) AS near_j
+      |        FROM jp GROUP BY 1)""".stripMargin
+
+  /** Oracle for the registered `web_pipeline_sem` query: the shared
+    * web-chain + near CTEs, then the COMPLETE exact-cosine pair set at
+    * `threshold` over the near survivors' embeddings (the
+    * [[webPipelineSem]] decision by brute force — which is exactly why
+    * it gates the Spark side's LSH recall) and the re-statused ledger.
+    * `embRel` is concatenated OUTSIDE the literals (the || stripMargin
+    * trap); the cosine expression is DuckDB's list_cosine_similarity
+    * over DOUBLE[], the proven bit-mirror of the engine's clamped
+    * dot/(|a||b|) (the `embedding_near_dup` convention).
+    */
+  private[graft] def webSemSql(rel: String, embRel: String,
+                               threshold: Double = 0.9): String =
+    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
+      """ ke AS (SELECT doc_id FROM cn WHERE keep AND doc_id = canon
+        |        AND doc_id NOT IN (SELECT doc_id FROM nc)),
+        | ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |        FROM """.stripMargin + embRel +
+      s""" er JOIN ke ON er.vec_id = ke.doc_id),
+         | sp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |          list_cosine_similarity(a.v, b.v) AS cos
+         |        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         |        WHERE list_cosine_similarity(a.v, b.v) >= $threshold),
+         | sc AS (SELECT vb AS doc_id, min(va) AS sem_canon,
+         |          min_by(cos, va) AS sem_cos FROM sp GROUP BY 1)""".stripMargin + "\n" +
+      """SELECT c.doc_id, c.changed,
+        |  CASE WHEN sc.sem_canon IS NOT NULL THEN 'sem_dup'
+        |       WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
+        |       WHEN NOT c.c4_pass THEN 'c4_page'
+        |       WHEN NOT c.gopher_pass THEN 'gopher_repetition'
+        |       WHEN NOT c.line_pass THEN 'gopher_line_dup'
+        |       WHEN NOT c.quality_pass THEN 'gopher_quality'
+        |       WHEN c.doc_id <> c.canon THEN 'exact_dup'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(sc.sem_canon, nc.near_canon,
+        |    CASE WHEN c.keep THEN c.canon END) AS canonical_id,
+        |  nc.near_j AS near_jaccard,
+        |  sc.sem_cos AS sem_cosine
+        |FROM cn c LEFT JOIN nc USING (doc_id)
+        |  LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  /** Oracle for the registered `web_pipeline_substr` query: the shared
+    * web-chain + near CTEs, then the `exactsubstr_dedup` rule chain
+    * (stride-1 8-token windows, first-occurrence rank over
+    * (doc_id, pos), covered-token rebuild) over the near survivors —
+    * the exact decision replayed, no candidate step to gate.
+    */
+  private[graft] def webSubstrSql(rel: String): String =
+    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
+      """ kt AS (SELECT c.doc_id, c.text FROM cn c
+        |        WHERE c.keep AND c.doc_id = c.canon
+        |          AND c.doc_id NOT IN (SELECT doc_id FROM nc)),
+        | ww AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM kt),
+        | gg AS (SELECT doc_id, t.g AS pos,
+        |          array_to_string(ws[g+1:g+8], ' ') AS gram
+        |        FROM ww, UNNEST(range(len(ws) - 7)) AS t(g)
+        |        WHERE len(ws) >= 8),
+        | rr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |          ORDER BY doc_id, pos) AS rn FROM gg),
+        | ff AS (SELECT doc_id, list_sort(list(pos)) AS starts
+        |        FROM rr WHERE rn > 1 GROUP BY doc_id),
+        | sg AS (SELECT ww.doc_id,
+        |          CASE WHEN starts IS NULL THEN CAST(0 AS BIGINT)
+        |               ELSE CAST(len(list_filter(range(len(ws)),
+        |                 j -> len(list_filter(starts,
+        |                   s -> s <= j AND j < s + 8)) > 0)) AS BIGINT)
+        |          END AS n_removed,
+        |          CASE WHEN starts IS NULL THEN text
+        |               ELSE coalesce(array_to_string(list_transform(
+        |                 list_filter(range(len(ws)),
+        |                   j -> len(list_filter(starts,
+        |                     s -> s <= j AND j < s + 8)) = 0),
+        |                 j -> ws[j + 1]), ' '), '')
+        |          END AS text_dedup
+        |        FROM ww LEFT JOIN ff USING (doc_id))""".stripMargin + "\n" +
+      """SELECT c.doc_id, c.changed,
+        |  CASE WHEN sg.n_removed > 0 THEN 'substr_pruned'
+        |       WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
+        |       WHEN NOT c.c4_pass THEN 'c4_page'
+        |       WHEN NOT c.gopher_pass THEN 'gopher_repetition'
+        |       WHEN NOT c.line_pass THEN 'gopher_line_dup'
+        |       WHEN NOT c.quality_pass THEN 'gopher_quality'
+        |       WHEN c.doc_id <> c.canon THEN 'exact_dup'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(nc.near_canon,
+        |    CASE WHEN c.keep THEN c.canon END) AS canonical_id,
+        |  nc.near_j AS near_jaccard,
+        |  sg.n_removed AS n_removed_tokens,
+        |  sg.text_dedup
+        |FROM cn c LEFT JOIN nc USING (doc_id)
+        |  LEFT JOIN sg USING (doc_id)""".stripMargin
 }

@@ -176,12 +176,16 @@ object Streaming {
     * NOT java.io.File — so version discovery works wherever the
     * snapshots live (HDFS/S3 on a real cluster, local fs here); with
     * driver-local listing a non-local root would silently return None
-    * and every batch would merge from v=-1 (ADVICE r13).
+    * and every batch would merge from v=-1 (ADVICE r13). The OWNING
+    * session's Hadoop configuration is threaded in explicitly — in a
+    * multi-session JVM the foreachBatch thread's SparkSession.active
+    * can differ from the stream's session, and listing and GC-deletion
+    * must resolve the SAME FileSystem (ADVICE r14).
     */
-  private[graft] def snapshotVersions(root: String): Seq[Long] = {
+  private[graft] def snapshotVersions(root: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(
-      SparkSession.active.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.flatMap { st =>
       val n = st.getPath.getName
@@ -191,9 +195,9 @@ object Streaming {
     }.sorted
   }
 
-  private[graft] def latestSnapshotVersion(root: String,
-                                           below: Long): Option[Long] =
-    snapshotVersions(root).filter(_ < below).lastOption
+  private[graft] def latestSnapshotVersion(root: String, below: Long,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] =
+    snapshotVersions(root, conf).filter(_ < below).lastOption
 
   /** Durable snapshot-maintenance runner for the foreachBatch family:
     * each micro-batch merges into a VERSIONED parquet snapshot keyed by
@@ -223,20 +227,20 @@ object Streaming {
       merge: (DataFrame, DataFrame) => DataFrame,
       snapRoot: String, ckptPath: String): Unit = {
     val spark0 = stream.sparkSession
+    val conf0 = spark0.sparkContext.hadoopConfiguration
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val baseV = latestSnapshotVersion(snapRoot, below = id)
+        val baseV = latestSnapshotVersion(snapRoot, below = id, conf0)
           .getOrElse(-1L)
         val base = spark0.read.parquet(snapshotDir(snapRoot, baseV))
         merge(base, batch).write.mode("overwrite")
           .parquet(snapshotDir(snapRoot, id))
         // GC: anything below this tick's merge base can never be read
         // again (see scaladoc) — delete through the same FileSystem
-        // the version listing uses
+        // the version listing uses (same conf, by construction)
         val p = new org.apache.hadoop.fs.Path(snapRoot)
-        val fs = p.getFileSystem(
-          spark0.sparkContext.hadoopConfiguration)
-        snapshotVersions(snapRoot).filter(_ < baseV).foreach { v =>
+        val fs = p.getFileSystem(conf0)
+        snapshotVersions(snapRoot, conf0).filter(_ < baseV).foreach { v =>
           fs.delete(new org.apache.hadoop.fs.Path(snapshotDir(snapRoot, v)),
             true)
         }
@@ -252,7 +256,8 @@ object Streaming {
   private[graft] def latestSnapshot(spark: SparkSession,
                                     snapRoot: String): DataFrame =
     spark.read.parquet(snapshotDir(snapRoot,
-      latestSnapshotVersion(snapRoot, Long.MaxValue).getOrElse(-1L)))
+      latestSnapshotVersion(snapRoot, Long.MaxValue,
+        spark.sparkContext.hadoopConfiguration).getOrElse(-1L)))
 
   /** The upsert family's merge: latest-wins per key over base ∪ batch —
     * shared by [[streamingUpsert]] and the restart spec so they cannot
@@ -759,7 +764,37 @@ object Streaming {
     * dedup window IFF the in-stream repair stage ran.
     */
   def streamingWebPipeline(spark: SparkSession, staged: DataFrame,
-                           scratch: String): DataFrame = {
+                           scratch: String): DataFrame =
+    graft.ops.Text.webVerdictTail(runWebStaging(spark, staged, scratch))
+
+  /** The STREAMING face of `web_pipeline_near` (round 15, the
+    * [[streamingWebPipeline]] convention one stage further): the same
+    * per-micro-batch stateless repair + C4 projection into the staging
+    * sink, then the closed-feed readout runs the literal batch verdict
+    * tail AND the literal batch near-dedup tail
+    * ([[graft.ops.Text.webNearTail]] — the same function value
+    * `web_pipeline_near` composes) over the staged corpus — hash-equal
+    * to the batch op by construction (same oracle). The near stage is
+    * a CLOSED-FEED readout, not live state: MinHash signatures over a
+    * half-arrived corpus would assign near-canonicals that a later
+    * page invalidates (smaller-id partners can arrive late), so the
+    * honest streaming shape is stage-1/2 live + dedup on seal — the
+    * same batch/stream split the curation front door uses. Restart
+    * safety is the staging sink's file-commit protocol
+    * (kill/restart-proven in StreamingRestartSpec).
+    */
+  def streamingWebPipelineNear(spark: SparkSession, staged: DataFrame,
+                               scratch: String): DataFrame =
+    graft.ops.Text.webNearTail(graft.ops.Text.webVerdictTail(
+      runWebStaging(spark, staged, scratch)))
+
+  /** Shared staging half of the streaming web front doors: write the
+    * staged corpus as the file feed (fingerprint-cached), drain it
+    * through the stateless [[graft.ops.Text.webStage12]] projection
+    * into a fresh parquet staging sink, and return the staged frame.
+    */
+  private def runWebStaging(spark: SparkSession, staged: DataFrame,
+                            scratch: String): DataFrame = {
     val srcPath = scratch + "_src"
     val sinkPath = scratch + "_sink"
     val ckptPath = scratch + "_ckpt"
@@ -775,8 +810,7 @@ object Streaming {
     graft.ops.Distribute.deleteRecursively(new java.io.File(ckptPath))
     val stagedSchema = runProjectionStream(spark, staged.schema,
       graft.ops.Text.webStage12, srcPath, sinkPath, ckptPath)
-    graft.ops.Text.webVerdictTail(
-      spark.read.schema(stagedSchema).parquet(sinkPath))
+    spark.read.schema(stagedSchema).parquet(sinkPath)
   }
 
   /** Closed-feed verdict readout over the staging sink — the literal

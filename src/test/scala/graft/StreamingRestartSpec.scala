@@ -283,9 +283,11 @@ class StreamingRestartSpec extends AnyFunSuite {
     assert(afterRestart.nonEmpty, s"$tag: empty final snapshot")
     // GC contract: only the current version and its merge base may
     // remain on storage, however many batches the feed produced
-    assert(Streaming.snapshotVersions(snap).size <= 2,
+    assert(Streaming.snapshotVersions(snap,
+        spark.sparkContext.hadoopConfiguration).size <= 2,
       s"$tag: old snapshot versions not GC'd: " +
-        Streaming.snapshotVersions(snap).mkString(","))
+        Streaming.snapshotVersions(snap,
+          spark.sparkContext.hadoopConfiguration).mkString(","))
     Streaming.latestSnapshot(spark, snap)
   }
 
@@ -380,5 +382,59 @@ class StreamingRestartSpec extends AnyFunSuite {
       Streaming.dsirCounts(docs.limit(0), "en", 256),
       "doc_id", "dsir")
     assert(rowSet(fin) === rowSet(Streaming.dsirCounts(docs, "en", 256)))
+  }
+
+  test("web front door NEAR face (round 15): kill mid-feed + restart " +
+       "from checkpoint keeps the closed-feed near readout exactly-once " +
+       "— with the near pair SPLIT across the restart boundary") {
+    // the production failure mode for the staged near stage: the
+    // ingest dies after staging a page whose near-twin is still
+    // undelivered; the resumed incarnation must stage the twin exactly
+    // once, and the seal-time near readout must merge the pair across
+    // the boundary. A resume bug shows as a duplicate staged page
+    // (which the dedup window would silently eat for the MIRROR class
+    // — but a duplicated KEPT page becomes a spurious self-near-pair)
+    // or a lost twin (near class dead).
+    import graft.streaming.Streaming
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-webnear-restart").toString
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    val l1 = (1 to 30).map(i => s"alpha$i").mkString(" ") +
+      " the quick brown fox jumps high today."
+    val l2 = (1 to 30).map(i => s"beta$i").mkString(" ") +
+      " the calm river flows gently south now."
+    val page = l1 + "\n" + l2
+    val other = l2.replace("beta", "zeta") + "\n" + l1.replace("alpha", "eta")
+    val raw = Seq(
+      2L -> page,                                      // wave 1
+      4L -> other,                                     // wave 1
+      3L -> (page + "\n" + graft.ops.Text.WebNearLine) // wave 2: the twin
+    ).toDF("doc_id", "text")
+    val wave1 = raw.filter(col("doc_id") % 2 === 0)
+    val wave2 = raw.filter(col("doc_id") % 2 === 1)
+    wave1.coalesce(2).write.mode("overwrite").parquet(src)
+    val schema1 = Streaming.runProjectionStream(spark, raw.schema,
+      graft.ops.Text.webStage12, src, sink, ckpt)
+    // kill; the twin arrives; the new incarnation resumes from the
+    // SAME checkpoint and must process ONLY the new files
+    wave2.coalesce(2).write.mode("append").parquet(src)
+    val schema2 = Streaming.runProjectionStream(spark, raw.schema,
+      graft.ops.Text.webStage12, src, sink, ckpt)
+    assert(schema1 === schema2)
+    val staged = spark.read.schema(schema2).parquet(sink)
+    assert(staged.count() === raw.count())
+    assert(staged.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count() === 0L, "duplicate staged docs")
+    // the seal-time readout runs the literal batch tails — row-identical
+    // to the batch op, with the cross-boundary pair merged
+    val streamed = graft.ops.Text.webNearTail(
+      graft.ops.Text.webVerdictTail(staged))
+    val batch = graft.ops.Text.webPipelineNear(raw)
+    assert(rowSet(streamed) === rowSet(batch))
+    val st = streamed.orderBy(col("doc_id"))
+      .as[(Long, Boolean, String, Option[Long], Option[Double])].collect()
+    assert(st.map(_._3).toSeq === Seq("kept", "near_dup", "kept"),
+      "the near pair split across the restart boundary must merge")
+    assert(st(1)._4 === Some(2L))
   }
 }

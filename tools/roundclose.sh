@@ -42,6 +42,21 @@ if grep -rniE 's3://|gs://|wasbs?://|abfss?://|[a-z0-9-]+\.corp\.|\.internal[^a-
 fi
 echo "leak/stub greps clean"
 
+echo "== 0b/6 fast correctness gate (sf0.001 full-registry verify +"
+echo "   oracle) + fixture margins — catches a broken query or a"
+echo "   borderline staged pair ~40 min before the matrix would"
+echo "   (round-14 verdict item 8 / ADVICE r14) =="
+sbt -batch compile
+rm -rf target/verify-fastgate
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /root/repo/target/verify-fastgate"
+# check.py exits nonzero on any mismatch (set -e aborts the close)
+python3 tools/check.py /root/testdata/sf0.001 target/verify-fastgate \
+  | tail -3
+for sf in sf0.001 sf0.01 sf0.1; do
+  java -cp 'target/scala-2.13/classes:/opt/spark/jars/*' \
+    graft.tools.MarginCheck "/root/testdata/$sf"
+done
+
 echo "== 1/6 isolated bench snapshot (sf0.1, local[32]) =="
 # Bare-java, NOT sbt runMain: round 14 measured the same HEAD twice —
 # sbt-forked bench 368.4 s warm vs bare-java 319.9 s on the identical
