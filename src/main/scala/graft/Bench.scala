@@ -19,11 +19,28 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    // Timed action (round 15): full-column materialization into the
+    // no-op sink, NOT count(). Spark 4's optimizer eliminates an
+    // unreferenced left join whose right keys are distinct (and prunes
+    // unreferenced projections to the scan), so `.count()` silently
+    // SKIPS the load-bearing work of enrichment-shaped ops — measured
+    // at sf0.1: web_pipeline_near counts in 0.6 s but takes 4.3 s to
+    // materialize (the near-verify arms never ran under count), and
+    // web_pipeline's cleaning folds prune to a bare scan. The noop
+    // write consumes every output row and column, so the timed window
+    // covers the operator's actual work while writing nothing.
+    // SPARK_GRAFT_BENCH_ACTION=count restores the legacy action for
+    // same-HEAD A/B comparisons against pre-r15 snapshots.
+    val legacyCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     def once(): (Map[String, Double], List[String]) = {
       var failed = List.empty[String]
       val times = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try {
+          val df = fn(spark, sfDir)
+          if (legacyCount) df.count()
+          else df.write.format("noop").mode("overwrite").save()
+        }
         catch { case _: Throwable => failed ::= name }
         val dt = (System.nanoTime() - t0) / 1e9
         // operator-internal persists (shingle sets, signatures, k-means
@@ -58,10 +75,18 @@ object Bench {
     // surface it in the output instead of waiting for a human diff.
     // Parsing is a line-local regex over our own single-line format;
     // only runs comparing against the same SF dir.
+    val action = if (legacyCount) "count" else "noop_write"
     val prevWarm: Map[String, Double] =
       try {
         val prev = Files.readString(Paths.get("/root/repo/target/bench.json"))
-        if (!prev.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        // a previous file without an "action" field is a pre-r15 count
+        // run — cross-action comparison would flag the methodology
+        // change itself, so only compare same-action snapshots
+        val prevAction =
+          "\"action\":\"([a-z_]+)\"".r.findFirstMatchIn(prev)
+            .map(_.group(1)).getOrElse("count")
+        if (!prev.contains("\"sf\":\"" + sfDir + "\"") ||
+            prevAction != action) Map.empty
         else {
           val body = prev.split("\"queries_warm\":\\{", 2)(1).split("\\}", 2)(0)
           "\"([a-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
@@ -95,7 +120,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
       s""""total_warm":${warm.values.sum},"queries_warm":${fmt(warm)},""" +
-      s""""warm_passes":${reps - 1},""" +
+      s""""warm_passes":${reps - 1},"action":"$action",""" +
       s""""variance_flags":${fmt(flagged)},""" +
       s""""variance_flags_cold":${fmt(flaggedCold)},""" +
       s""""failed":${arr(coldFailed)},"failed_warm":${arr(warmFailed)},"sf":"$sfDir"}"""

@@ -244,6 +244,16 @@ object SparkEntry {
     webNearStaged(s, dir).unionByName(sem)
   }
 
+  /** The front-door staged corpora by variant — for the dev profiler
+    * (`graft.tools.ProfWeb`) and the margin tool; not part of the
+    * driver contract.
+    */
+  private[graft] def webStagings(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = Seq(
+    "web_near" -> webNearStaged(s, dir),
+    "web_sem" -> webSemStaged(s, dir),
+    "web_substr" -> webSubstrStaged(s, dir))
+
   /** Fixture-margin probes for `graft.tools.MarginCheck` (ADVICE r14):
     * the kept canonical pages of each front-door staging variant —
     * the exact population whose pairwise Jaccard the near oracle
@@ -299,6 +309,18 @@ object SparkEntry {
       .select((col("vec_id") + semOffset).as("vec_id"), col("embedding"))
     e.unionByName(near).unionByName(sem)
   }
+
+  /** The embedding dimensionality at `dir`, probed once per (JVM, dir)
+    * (the [[webMaxIdChecked]] convention) and passed into the sem
+    * stage so [[graft.ops.Similarity.cosineNearDup]] never has to
+    * probe it through the near ledger's lineage at construction time.
+    */
+  private val semEmbDimCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def semEmbDim(s: SparkSession, dir: String): Int =
+    semEmbDimCache.getOrElseUpdate(dir,
+      Tables.embeddings(s, dir)
+        .select(size(col("embedding")).as("d")).head.getInt(0))
 
   // ---- driver contract -------------------------------------------------
 
@@ -1257,7 +1279,8 @@ object SparkEntry {
     // vectors). The oracle computes the COMPLETE exact-cosine pair
     // set, so LSH recall is gated, not assumed
     "web_pipeline_sem" -> ((s, dir) =>
-      Text.webPipelineSem(webSemStaged(s, dir), semEmbeddings(s, dir))),
+      Text.webPipelineSem(webSemStaged(s, dir), semEmbeddings(s, dir),
+        dim = semEmbDim(s, dir))),
 
     // [EXT round 15] the front door + the EXACT-SUBSTRING surgery
     // stage (Lee et al. 2022) over the near survivors: every token

@@ -102,12 +102,19 @@ object Similarity {
 
   def cosineNearDup(embeddings: DataFrame, threshold: Double,
                     bitsPerBand: Int = 4, bands: Int = 32,
-                    seed: Long = 7L): DataFrame = {
+                    seed: Long = 7L, dim: Int = -1): DataFrame = {
     val e = withVec(embeddings, "vec_id", "v")
-    val dim = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    // dim < 0 → probe the frame (one-row action). Callers whose input
+    // rides an expensive lineage (the web front door's sem stage) pass
+    // the dimension explicitly so CONSTRUCTION stays lazy — the probe
+    // would otherwise execute the upstream pipeline once per plan
+    // dump / sweep construction (the ADVICE-r13 eager-probe class).
+    val d =
+      if (dim > 0) dim
+      else embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
 
     val rng = new java.util.Random(seed)
-    val planes = Array.fill(bitsPerBand * bands, dim)(rng.nextGaussian())
+    val planes = Array.fill(bitsPerBand * bands, d)(rng.nextGaussian())
 
     val bandCols = (0 until bands).map { b =>
       val key = (0 until bitsPerBand).map { i =>

@@ -2458,7 +2458,22 @@ object Text {
                                  numHashes: Int = 64, bands: Int = 32,
                                  threshold: Double = 0.5,
                                  keepText: Boolean = false): DataFrame = {
-    val ledger = ledger0.persist()
+    // Lineage cut, not just execution dedup: the fused chain's ANALYZED
+    // plan is deep, and the near tail references the ledger from many
+    // arms (kept slice → shingle sets → signature agg → 32 banding
+    // arms → verify semi-joins → final status join). With persist(),
+    // execution reads the cache but Catalyst still re-analyzes and
+    // re-plans the full chain lineage under EVERY arm — measured ~10 s
+    // of pure planning per construction at sf0.1 vs <1 s of execution.
+    // The lazy RDD-level cut makes every downstream plan bottom out at
+    // a LogicalRDD (planning is then proportional to the TAIL, not the
+    // chain), while eager = false keeps construction free of jobs for
+    // plan dumps and sweeps. On a multi-executor cluster the same cut
+    // is a materialized inter-stage table (RefinedWeb-style stage
+    // boundaries) or a reliable checkpoint; the scaling sweep derives
+    // this family's tables from registration-time loader records (the
+    // LogicalRDD-tail convention).
+    val ledger = ledger0.localCheckpoint(false)
     val kept = ledger.filter(col("status") === "kept")
       .select(col("doc_id"), col("text_clean").as("text"))
     val pairs = graft.ops.TextDedup.minhashLshPairs(
@@ -2518,12 +2533,25 @@ object Text {
     */
   def webPipelineSem(staged: DataFrame, emb: DataFrame,
                      threshold: Double = 0.9, bitsPerBand: Int = 8,
-                     bands: Int = 16): DataFrame = {
-    val near = webNearTail(webPipeline(staged)).persist()
+                     bands: Int = 16, dim: Int = -1): DataFrame = {
+    // LAZY localCheckpoint, not persist: the near ledger's ANALYZED
+    // lineage is deep and the downstream stage references it several
+    // times (kept-id probe, three vector-join arms, final status
+    // join) — with persist, Catalyst re-plans the full lineage at
+    // every reference (planning cost alone tripled the op's wall
+    // time; the 2000-scan-token plan-text class), while the RDD-level
+    // cut makes every downstream plan bottom out at a LogicalRDD.
+    // Lazy (eager = false) so CONSTRUCTION stays free for plan dumps
+    // and sweeps; materialization happens once at the first action
+    // and is reused. The scaling sweep derives this op's tables from
+    // registration-time loader records (the LogicalRDD-tail
+    // convention).
+    val near = webNearTail(webPipeline(staged)).localCheckpoint(false)
     val keptIds = near.filter(col("status") === "kept").select(col("doc_id"))
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
-    val pairs = Similarity.cosineNearDup(vecs, threshold, bitsPerBand, bands)
+    val pairs = Similarity.cosineNearDup(vecs, threshold, bitsPerBand,
+      bands, dim = dim)
     val semCanon = pairs.groupBy(col("vec_b").as("doc_id"))
       .agg(min(col("vec_a")).as("sem_canon"),
         min_by(col("cos"), col("vec_a")).as("sem_cos"))
@@ -2560,7 +2588,11 @@ object Text {
     * budget applied to the post-dedup slice of the corpus.
     */
   def webPipelineSubstr(staged: DataFrame, w: Int = 8): DataFrame = {
-    val near = webNearTail(webPipeline(staged), keepText = true).persist()
+    // lazy lineage cut — see [[webPipelineSem]]'s note; here the
+    // surgery leg additionally pays TWO Par.widen physical-planning
+    // probes over the kept slice, which the shallow plan makes free
+    val near = webNearTail(webPipeline(staged), keepText = true)
+      .localCheckpoint(false)
     val kept = near.filter(col("status") === "kept")
       .select(col("doc_id"), col("text_clean").as("text"))
     val surgery = graft.ops.TextDedup.exactSubstrDedup(kept, w)

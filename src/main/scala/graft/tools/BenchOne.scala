@@ -19,11 +19,21 @@ object BenchOne {
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // noop-sink materialization, mirroring graft.Bench's timed action
+    // (count() lets the optimizer eliminate enrichment joins and
+    // unreferenced projections — see the Bench.scala note)
+    val legacyCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     for (i <- 1 to 3) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (legacyCount) {
+        val n = df.count()
+        println(f"pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      } else {
+        df.write.format("noop").mode("overwrite").save()
+        println(f"pass$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
     spark.stop()
   }

@@ -138,15 +138,23 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // round 13: confusable skeleton — the fix_encoding class: 1 scan,
     // only the Par.widen round-robin exchange
     ("confusable_normalize", 2, 2, 0),
-    // round 14: the near-dedup-staged front door. The op PERSISTS its
-    // ledger (and minhashLshPairs persists shingles/candidates), and
-    // the formatted explain re-prints every cached child plan at every
-    // use point — so these token counts measure plan-TEXT inflation,
-    // not executed scans (the cache-sensitivity class the clearCache
-    // note below documents; execution runs the fused chain once, which
-    // is the point of the persist). Pinned at the measured fresh-
-    // session values; cartesian stays forbidden and BNLJ zero
-    ("web_pipeline_near", 51, 52, 0)
+    // round 14/15: the near-dedup-staged front door. Since the round-15
+    // lineage cut the near tail bottoms out at the ledger's LogicalRDD
+    // (zero parquet scan tokens — the staged scan lives inside the
+    // checkpointed chain, executed once at construction), and the
+    // banding/verify arms read the minhashLshPairs internal persists;
+    // the old cache-inflated 51/52 plan-text pin is retired with the
+    // persist that caused it. Cartesian stays forbidden, BNLJ zero
+    ("web_pipeline_near", 0, 27, 0),
+    // round 15: the sem stage over the checkpointed near ledger — the
+    // scan tokens are the EMBEDDINGS side table re-printed per
+    // banding/verify arm (small parquet, pruned to (vec_id, embedding));
+    // the corpus itself never re-scans (LogicalRDD base)
+    ("web_pipeline_sem", 24, 11, 0),
+    // round 15: span surgery over the checkpointed near ledger — three
+    // exchanges total (gram window partition + doc rollup + status
+    // join), zero corpus re-scans
+    ("web_pipeline_substr", 0, 3, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
