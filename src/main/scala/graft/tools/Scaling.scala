@@ -90,7 +90,12 @@ object Scaling {
         System.err.println(s"[scaling] $name: registration threw " +
           s"${e.getClass.getName}: ${e.getMessage}")
         if (rec.nonEmpty) Some(rec.toSet) else None
-    } finally graft.Tables.recording.remove()
+    } finally {
+      graft.Tables.recording.remove()
+      // each construction can leave operator-internal persist marks
+      // (ADVICE r14) — clear so derivations stay per-query independent
+      spark.catalog.clearCache()
+    }
   }
 
   /** Row count per (table, sfDir) from the parquet footers. A missing
@@ -144,7 +149,12 @@ object Scaling {
 
     def once(name: String, sfDir: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // noop-sink materialization, mirroring graft.Bench's timed action
+      // (count() lets the optimizer eliminate enrichment joins and
+      // unreferenced projections — the Bench.scala round-15 note), so
+      // the sweep's ratios measure the operator's actual work
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       dt

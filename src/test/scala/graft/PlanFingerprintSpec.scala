@@ -154,7 +154,15 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // round 15: span surgery over the checkpointed near ledger — three
     // exchanges total (gram window partition + doc rollup + status
     // join), zero corpus re-scans
-    ("web_pipeline_substr", 0, 3, 0)
+    ("web_pipeline_substr", 0, 3, 0),
+    // round 15: the streaming near face's seal-time readout runs the
+    // SAME post-ledger tail as web_pipeline_near (same function
+    // values), so it pins at the identical shape
+    ("streaming_web_pipeline_near", 0, 27, 0),
+    // round 15: one scan fanned through Expand for the k exact
+    // count(DISTINCT)s — crossed the 3 s bar under the honest
+    // noop-write action (Expand cost was invisible to count())
+    ("column_profile", 2, 2, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's

@@ -150,4 +150,22 @@ class PlansNormalizeSpec extends AnyFunSuite {
     val withCase = "Keys [3]: [CASE WHEN (w = 'a') THEN d END#12, zz#3, gid#9]"
     assert(n(withCase).contains("END#x, zz#x, gid#x"))
   }
+
+  // ---- round 15 (ADVICE r14): the rewrites are gated to the known
+  // field kinds (Expand Arguments + Input/Keys/Results/Functions/
+  // hashpartitioning) — a gid line under any OTHER field must pass
+  // through as churn to audit, never silently relabel
+  test("diagonal/key-run rewrites only fire under the known field kinds") {
+    // a hypothetical future node printing gid under Condition: — the
+    // column run must KEEP its declared order
+    val cond = "Condition: [user_id#8, event_id#3, gid#9]"
+    assert(n(cond).contains("[user_id#x, event_id#x, gid#x]"),
+      "unknown field kind must not sort")
+    // ... and a bare-column diagonal under it must keep slots + labels
+    val condDiag = "Condition: [[b#3, null, 1, null], [null, a#5, 2, null]], [gid#9]"
+    assert(n(condDiag).contains("[[b#x, null, 1, null], [null, a#x, 2, null]]"),
+      "unknown field kind must not rebuild diagonals")
+    // the known kinds still fire (regression guard for the gate itself)
+    assert(n("Results [3]: [b#3, a#5, gid#9]").contains("[a#x, b#x, gid#x]"))
+  }
 }

@@ -70,7 +70,12 @@ cp target/bench.json "BENCH_r${N2}_local.json"
 echo "wrote BENCH_r${N2}_local.json"
 
 echo "== 2/6 scaling sweep (3 SFs, one JVM) =="
-sbt -batch "runMain graft.tools.Scaling"
+# bare-java for the same reason as step 1 (sbt parent-JVM residency
+# inflates the forked child's absolute numbers ~15%; round 15 moves the
+# sweep onto the same harness as the bench so its slot absolutes are
+# comparable)
+SPARK_GRAFT_CPUS=32 java -cp 'target/scala-2.13/classes:/opt/spark/jars/*' \
+  graft.tools.Scaling
 
 echo "== 3/6 PLANS.md =="
 sbt -batch "runMain graft.tools.Plans"
