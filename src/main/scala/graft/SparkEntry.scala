@@ -244,6 +244,26 @@ object SparkEntry {
     webNearStaged(s, dir).unionByName(sem)
   }
 
+  /** [[webSemStaged]]'s four tiers over the span-footer render — the
+    * `web_pipeline_full` staged corpus: mirrors (exact tier), near
+    * twins (+200000, one extra kept line), sem twins (+300000,
+    * per-line word-reversed) and the every-19th license footer, all in
+    * one corpus so every stage of the full chain has its planted
+    * class. A sem twin of a 19-divisible page carries the footer
+    * REVERSED (different 8-grams — no surgery interaction), and near/
+    * sem twins are merged by their stages before the surgery
+    * population forms. Mirrored in [[webFullStagedRel]].
+    */
+  private def webFullStaged(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val L = c4InjectedLines
+    val sem = base.filter(col("doc_id") % 6 === 0 && L.m >= 8)
+      .select((col("doc_id") + semOffset).as("doc_id"),
+        concat(lit(Text.mojibakePrefix),
+          reverseWordsPerLine(webSpanRendered)).as("text"))
+    webNearStaged0(s, dir, webSpanRendered).unionByName(sem)
+  }
+
   /** The front-door staged corpora by variant — for the dev profiler
     * (`graft.tools.ProfWeb`) and the margin tool; not part of the
     * driver contract.
@@ -252,7 +272,8 @@ object SparkEntry {
       : Seq[(String, DataFrame)] = Seq(
     "web_near" -> webNearStaged(s, dir),
     "web_sem" -> webSemStaged(s, dir),
-    "web_substr" -> webSubstrStaged(s, dir))
+    "web_substr" -> webSubstrStaged(s, dir),
+    "web_full" -> webFullStaged(s, dir))
 
   /** Fixture-margin probes for `graft.tools.MarginCheck` (ADVICE r14):
     * the kept canonical pages of each front-door staging variant —
@@ -268,7 +289,8 @@ object SparkEntry {
     Seq(
       "web_near" -> keptOf(webNearStaged(s, dir)),
       "web_sem" -> keptOf(webSemStaged(s, dir)),
-      "web_substr" -> keptOf(webSubstrStaged(s, dir)))
+      "web_substr" -> keptOf(webSubstrStaged(s, dir)),
+      "web_full" -> keptOf(webFullStaged(s, dir)))
   }
 
   /** The sem stage's candidate vector population (near survivors ∩
@@ -278,11 +300,25 @@ object SparkEntry {
     * band below the planted 1.0 class.
     */
   private[graft] def semMarginVectors(s: SparkSession,
-                                      dir: String): DataFrame = {
-    val near = Text.webPipelineNear(webSemStaged(s, dir))
-    val keptIds = near.filter(col("status") === "kept").select(col("doc_id"))
-    semEmbeddings(s, dir)
-      .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
+                                      dir: String): DataFrame =
+    semMarginVectorProbes(s, dir).head._2
+
+  /** The sem-candidate vector population per sem-staged variant
+    * (`graft.tools.MarginCheck` asserts the cosine band for each —
+    * the full chain's population differs from `web_sem`'s because its
+    * near survivors ride the footer render).
+    */
+  private[graft] def semMarginVectorProbes(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    def vectorsOf(staged: DataFrame): DataFrame = {
+      val near = Text.webPipelineNear(staged)
+      val keptIds =
+        near.filter(col("status") === "kept").select(col("doc_id"))
+      semEmbeddings(s, dir)
+        .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
+    }
+    Seq("web_sem" -> vectorsOf(webSemStaged(s, dir)),
+      "web_full" -> vectorsOf(webFullStaged(s, dir)))
   }
 
   /** The embedding SIDE TABLE for the sem stage: the upstream model's
@@ -1293,6 +1329,20 @@ object SparkEntry {
     // all but the first surviving occurrence
     "web_pipeline_substr" -> ((s, dir) =>
       Text.webPipelineSubstr(webSubstrStaged(s, dir))),
+
+    // [EXT round 15] the COMPLETE front door — every stage in the
+    // production order (repair -> C4 -> Gopher -> exact dedup -> near
+    // dedup -> sem dedup -> exact-substring surgery) as ONE
+    // composition whose stage tails are the SAME function values the
+    // standalone faces run. The staging carries all four planted
+    // tiers at once (mirrors, near twins, sem twins, license footer),
+    // so all ten status classes are live and each stage's coupling
+    // proof holds inside the composition; the oracle composes the
+    // three stages' literal CTE blocks with the surgery population
+    // narrowed to sem survivors
+    "web_pipeline_full" -> ((s, dir) =>
+      Text.webPipelineFull(webFullStaged(s, dir), semEmbeddings(s, dir),
+        dim = semEmbDim(s, dir))),
 
     // E3+: Gopher QUALITY rules (Rae et al. 2021 A1's quality half —
     // completing the trilogy beside gopher_repetition and
@@ -3948,7 +3998,11 @@ object SparkEntry {
       ("web_pipeline_near" -> Text.webNearSql(webNearStagedRel)) +
       ("streaming_web_pipeline_near" -> Text.webNearSql(webNearStagedRel)) +
       ("web_pipeline_sem" -> Text.webSemSql(webSemStagedRel, semEmbRel)) +
-      ("web_pipeline_substr" -> Text.webSubstrSql(webSubstrStagedRel))
+      ("web_pipeline_substr" -> Text.webSubstrSql(webSubstrStagedRel)) +
+      // round 15: the complete chain — the three stages' literal CTE
+      // blocks composed over the all-tier staging, surgery narrowed
+      // to sem survivors
+      ("web_pipeline_full" -> Text.webFullSql(webFullStagedRel, semEmbRel))
 
   /** The c4 rule-trigger render as DuckDB CTEs — quarter lines with the
     * punctuation pattern, plus the brace/lorem decorations (r2x/r3x).
@@ -4024,6 +4078,12 @@ object SparkEntry {
     * [[webSemStaged]]. */
   private def webSemStagedRel: String =
     webStagedRel0(withNearTwins = true, withSemTwins = true)
+
+  /** All four tiers over the span-footer render, mirroring
+    * [[webFullStaged]]. */
+  private def webFullStagedRel: String =
+    webStagedRel0(withNearTwins = true, withSpan = true,
+      withSemTwins = true)
 
   /** The sem stage's embedding side table as a DuckDB relation —
     * mirrors [[semEmbeddings]] tier-for-tier. Single-line on purpose:

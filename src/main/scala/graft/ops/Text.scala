@@ -2533,7 +2533,7 @@ object Text {
     */
   def webPipelineSem(staged: DataFrame, emb: DataFrame,
                      threshold: Double = 0.9, bitsPerBand: Int = 8,
-                     bands: Int = 16, dim: Int = -1): DataFrame = {
+                     bands: Int = 16, dim: Int = -1): DataFrame =
     // LAZY localCheckpoint, not persist: the near ledger's ANALYZED
     // lineage is deep and the downstream stage references it several
     // times (kept-id probe, three vector-join arms, final status
@@ -2541,12 +2541,27 @@ object Text {
     // every reference (planning cost alone tripled the op's wall
     // time; the 2000-scan-token plan-text class), while the RDD-level
     // cut makes every downstream plan bottom out at a LogicalRDD.
-    // Lazy (eager = false) so CONSTRUCTION stays free for plan dumps
-    // and sweeps; materialization happens once at the first action
-    // and is reused. The scaling sweep derives this op's tables from
+    // Lazy (eager = false) so CONSTRUCTION stays free of driver-side
+    // actions; materialization happens once at the first job and is
+    // reused. The scaling sweep derives this op's tables from
     // registration-time loader records (the LogicalRDD-tail
     // convention).
-    val near = webNearTail(webPipeline(staged)).localCheckpoint(false)
+    webSemTail(webNearTail(webPipeline(staged)).localCheckpoint(false),
+      emb, threshold, bitsPerBand, bands, dim)
+
+  /** The semantic-dedup verdict tail of [[webPipelineSem]] over an
+    * already near-statused LEDGER — split out (round 15) so the full
+    * chain ([[webPipelineFull]]) runs the IDENTICAL arithmetic (the
+    * [[webNearTail]] precedent: one code chain, the faces cannot
+    * drift). `keepText = true` passes `text_clean` through for rows
+    * that stay kept, so a following surgery stage can read the
+    * surviving pages without recomputing the chain.
+    */
+  private[graft] def webSemTail(near: DataFrame, emb: DataFrame,
+                                threshold: Double = 0.9,
+                                bitsPerBand: Int = 8, bands: Int = 16,
+                                dim: Int = -1,
+                                keepText: Boolean = false): DataFrame = {
     val keptIds = near.filter(col("status") === "kept").select(col("doc_id"))
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .join(keptIds, col("vec_id") === col("doc_id")).drop("doc_id")
@@ -2555,13 +2570,16 @@ object Text {
     val semCanon = pairs.groupBy(col("vec_b").as("doc_id"))
       .agg(min(col("vec_a")).as("sem_canon"),
         min_by(col("cos"), col("vec_a")).as("sem_cos"))
-    near.join(semCanon, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("changed"),
-        when(col("sem_canon").isNotNull, lit("sem_dup"))
-          .otherwise(col("status")).as("status"),
-        coalesce(col("sem_canon"), col("canonical_id")).as("canonical_id"),
-        col("near_jaccard"),
-        col("sem_cos").as("sem_cosine"))
+    val base = Seq(col("doc_id"), col("changed"),
+      when(col("sem_canon").isNotNull, lit("sem_dup"))
+        .otherwise(col("status")).as("status"),
+      coalesce(col("sem_canon"), col("canonical_id")).as("canonical_id"),
+      col("near_jaccard"),
+      col("sem_cos").as("sem_cosine"))
+    val cols = if (keepText) base :+
+      when(col("sem_canon").isNull, col("text_clean")).as("text_clean")
+    else base
+    near.join(semCanon, Seq("doc_id"), "left").select(cols: _*)
   }
 
   /** [[webPipelineNear]] + the EXACT-SUBSTRING surgery stage a
@@ -2587,23 +2605,65 @@ object Text {
     * key-sized status join — the [[TextDedup.exactSubstrDedup]]
     * budget applied to the post-dedup slice of the corpus.
     */
-  def webPipelineSubstr(staged: DataFrame, w: Int = 8): DataFrame = {
+  def webPipelineSubstr(staged: DataFrame, w: Int = 8): DataFrame =
     // lazy lineage cut — see [[webPipelineSem]]'s note; here the
     // surgery leg additionally pays TWO Par.widen physical-planning
     // probes over the kept slice, which the shallow plan makes free
-    val near = webNearTail(webPipeline(staged), keepText = true)
-      .localCheckpoint(false)
-    val kept = near.filter(col("status") === "kept")
+    webSubstrTail(webNearTail(webPipeline(staged), keepText = true)
+      .localCheckpoint(false), w, Seq("near_jaccard"))
+
+  /** The span-surgery verdict tail of [[webPipelineSubstr]] over a
+    * text-carrying LEDGER (any composition whose kept rows carry
+    * `text_clean`) — split out (round 15) so the full chain runs the
+    * IDENTICAL arithmetic. `passthrough` names the stage-metric
+    * columns of the upstream ledger to carry into the output between
+    * `canonical_id` and the surgery columns.
+    */
+  private[graft] def webSubstrTail(ledger: DataFrame, w: Int,
+                                   passthrough: Seq[String]): DataFrame = {
+    val kept = ledger.filter(col("status") === "kept")
       .select(col("doc_id"), col("text_clean").as("text"))
     val surgery = graft.ops.TextDedup.exactSubstrDedup(kept, w)
       .select(col("doc_id"), col("n_removed"), col("text_dedup"))
-    near.join(surgery, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("changed"),
+    ledger.join(surgery, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("changed"),
         when(col("n_removed") > 0, lit("substr_pruned"))
           .otherwise(col("status")).as("status"),
-        col("canonical_id"), col("near_jaccard"),
+        col("canonical_id")) ++ passthrough.map(col) ++ Seq(
         col("n_removed").as("n_removed_tokens"),
-        col("text_dedup"))
+        col("text_dedup")): _*)
+  }
+
+  /** The COMPLETE RefinedWeb-class front door as ONE composition —
+    * every stage this family ships, in the production order: mojibake
+    * repair → C4 page rules → the Gopher A1 trilogy → exact
+    * content-hash dedup ([[webPipeline]]), then fuzzy MinHash/LSH
+    * dedup over the survivors ([[webNearTail]] — Penedo et al. 2023
+    * §3.3), then SemDeDup embedding dedup over the near survivors
+    * ([[webSemTail]] — Abbas et al. 2023), then Lee-2022 exact-
+    * substring surgery over what remains ([[webSubstrTail]]). All ten
+    * status classes live in one ledger; each stage's tail is the SAME
+    * function value its standalone face runs, so the composition
+    * cannot drift from the parts.
+    *
+    * Scale: two lineage cuts (post-near, post-sem) bound both plan
+    * depth and recompute — each stage's arms bottom out at the
+    * previous stage's LogicalRDD; on a cluster these are the
+    * materialized inter-stage tables a RefinedWeb ingest writes
+    * anyway. Stage populations shrink monotonically (near runs on
+    * exact survivors, sem on near survivors, surgery on sem
+    * survivors), so the chain's cost is bounded by the near stage plus
+    * strictly smaller tails.
+    */
+  def webPipelineFull(staged: DataFrame, emb: DataFrame,
+                      threshold: Double = 0.9, bitsPerBand: Int = 8,
+                      bands: Int = 16, dim: Int = -1,
+                      w: Int = 8): DataFrame = {
+    val near = webNearTail(webPipeline(staged), keepText = true)
+      .localCheckpoint(false)
+    val sem = webSemTail(near, emb, threshold, bitsPerBand, bands, dim,
+      keepText = true).localCheckpoint(false)
+    webSubstrTail(sem, w, Seq("near_jaccard", "sem_cosine"))
   }
 
   /** Oracle for the registered `web_pipeline_near` query: the shared
@@ -2667,20 +2727,29 @@ object Text {
     * over DOUBLE[], the proven bit-mirror of the engine's clamped
     * dot/(|a||b|) (the `embedding_near_dup` convention).
     */
-  private[graft] def webSemSql(rel: String, embRel: String,
-                               threshold: Double = 0.9): String =
-    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
-      """ ke AS (SELECT doc_id FROM cn WHERE keep AND doc_id = canon
-        |        AND doc_id NOT IN (SELECT doc_id FROM nc)),
-        | ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |        FROM """.stripMargin + embRel +
+  /** The sem stage's CTE block (near-surviving kept canonicals ∩ the
+    * embedding side table → complete exact-cosine pair set → smallest-
+    * partner table `sc`) — extracted (round 15) so [[webFullSql]]
+    * composes the IDENTICAL sem decision. `embRel` concatenates
+    * OUTSIDE the literals (the || stripMargin trap).
+    */
+  private def webSemCtes(embRel: String, threshold: Double): String =
+    """ ke AS (SELECT doc_id FROM cn WHERE keep AND doc_id = canon
+      |        AND doc_id NOT IN (SELECT doc_id FROM nc)),
+      | ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |        FROM """.stripMargin + embRel +
       s""" er JOIN ke ON er.vec_id = ke.doc_id),
          | sp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |          list_cosine_similarity(a.v, b.v) AS cos
          |        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
          |        WHERE list_cosine_similarity(a.v, b.v) >= $threshold),
          | sc AS (SELECT vb AS doc_id, min(va) AS sem_canon,
-         |          min_by(cos, va) AS sem_cos FROM sp GROUP BY 1)""".stripMargin + "\n" +
+         |          min_by(cos, va) AS sem_cos FROM sp GROUP BY 1)""".stripMargin
+
+  private[graft] def webSemSql(rel: String, embRel: String,
+                               threshold: Double = 0.9): String =
+    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
+      webSemCtes(embRel, threshold) + "\n" +
       """SELECT c.doc_id, c.changed,
         |  CASE WHEN sc.sem_canon IS NOT NULL THEN 'sem_dup'
         |       WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
@@ -2703,12 +2772,21 @@ object Text {
     * (doc_id, pos), covered-token rebuild) over the near survivors —
     * the exact decision replayed, no candidate step to gate.
     */
-  private[graft] def webSubstrSql(rel: String): String =
-    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
-      """ kt AS (SELECT c.doc_id, c.text FROM cn c
-        |        WHERE c.keep AND c.doc_id = c.canon
-        |          AND c.doc_id NOT IN (SELECT doc_id FROM nc)),
-        | ww AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM kt),
+  /** The surgery stage's CTE block (surviving kept pages → stride-1
+    * 8-token windows → first-occurrence rank → covered-token rebuild
+    * table `sg`) — extracted (round 15) so [[webFullSql]] composes the
+    * IDENTICAL decision; `excludeSem` narrows the surgery population
+    * to sem survivors (the full chain's stage order).
+    */
+  private def webSubstrCtes(excludeSem: Boolean): String = {
+    val semClause =
+      if (excludeSem) "\n          AND c.doc_id NOT IN (SELECT doc_id FROM sc)"
+      else ""
+    """ kt AS (SELECT c.doc_id, c.text FROM cn c
+      |        WHERE c.keep AND c.doc_id = c.canon
+      |          AND c.doc_id NOT IN (SELECT doc_id FROM nc)""".stripMargin +
+      semClause + "),\n" +
+      """ ww AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM kt),
         | gg AS (SELECT doc_id, t.g AS pos,
         |          array_to_string(ws[g+1:g+8], ' ') AS gram
         |        FROM ww, UNNEST(range(len(ws) - 7)) AS t(g)
@@ -2730,7 +2808,12 @@ object Text {
         |                     s -> s <= j AND j < s + 8)) = 0),
         |                 j -> ws[j + 1]), ' '), '')
         |          END AS text_dedup
-        |        FROM ww LEFT JOIN ff USING (doc_id))""".stripMargin + "\n" +
+        |        FROM ww LEFT JOIN ff USING (doc_id))""".stripMargin
+  }
+
+  private[graft] def webSubstrSql(rel: String): String =
+    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
+      webSubstrCtes(excludeSem = false) + "\n" +
       """SELECT c.doc_id, c.changed,
         |  CASE WHEN sg.n_removed > 0 THEN 'substr_pruned'
         |       WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
@@ -2746,5 +2829,38 @@ object Text {
         |  sg.n_removed AS n_removed_tokens,
         |  sg.text_dedup
         |FROM cn c LEFT JOIN nc USING (doc_id)
+        |  LEFT JOIN sg USING (doc_id)""".stripMargin
+
+  /** Oracle for the registered `web_pipeline_full` query: the shared
+    * web-chain CTEs, the near stage's complete exact-Jaccard pair set,
+    * the sem stage's complete exact-cosine pair set over the near
+    * survivors, and the surgery rule chain over the sem survivors —
+    * each block the SAME literal its standalone oracle composes (so
+    * the stage decisions cannot drift between faces), with the full
+    * ten-class status CASE in stage order.
+    */
+  private[graft] def webFullSql(rel: String, embRel: String,
+                                threshold: Double = 0.9): String =
+    webChainSql(rel) + ",\n" + webNearCtes + ",\n" +
+      webSemCtes(embRel, threshold) + ",\n" +
+      webSubstrCtes(excludeSem = true) + "\n" +
+      """SELECT c.doc_id, c.changed,
+        |  CASE WHEN sg.n_removed > 0 THEN 'substr_pruned'
+        |       WHEN sc.sem_canon IS NOT NULL THEN 'sem_dup'
+        |       WHEN nc.near_canon IS NOT NULL THEN 'near_dup'
+        |       WHEN NOT c.c4_pass THEN 'c4_page'
+        |       WHEN NOT c.gopher_pass THEN 'gopher_repetition'
+        |       WHEN NOT c.line_pass THEN 'gopher_line_dup'
+        |       WHEN NOT c.quality_pass THEN 'gopher_quality'
+        |       WHEN c.doc_id <> c.canon THEN 'exact_dup'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(sc.sem_canon, nc.near_canon,
+        |    CASE WHEN c.keep THEN c.canon END) AS canonical_id,
+        |  nc.near_j AS near_jaccard,
+        |  sc.sem_cos AS sem_cosine,
+        |  sg.n_removed AS n_removed_tokens,
+        |  sg.text_dedup
+        |FROM cn c LEFT JOIN nc USING (doc_id)
+        |  LEFT JOIN sc USING (doc_id)
         |  LEFT JOIN sg USING (doc_id)""".stripMargin
 }

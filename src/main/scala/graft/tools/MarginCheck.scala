@@ -56,16 +56,18 @@ object MarginCheck {
       spark.catalog.clearCache()
     }
 
-    val vecs = graft.SparkEntry.semMarginVectors(spark, sfDir)
-    val cos = graft.ops.Similarity.cosineNearDupExact(vecs, 0.85)
-      .select("vec_a", "vec_b", "cos").collect()
-    val badSem = cos.filter(_.getDouble(2) < 0.999)
-    require(badSem.isEmpty,
-      s"web_sem@$sfDir: ${badSem.length} cosine pair(s) inside the " +
-        s"brittle [0.85, 0.999) band: " + badSem.take(5).mkString(", "))
-    println(f"[margin] web_sem/cos   $sfDir: ${cos.length}%5d pairs at " +
-      "cos >= 0.85, all >= 0.999 (planted identical-vector class only)")
-    spark.catalog.clearCache()
+    for ((name, vecs) <-
+        graft.SparkEntry.semMarginVectorProbes(spark, sfDir)) {
+      val cos = graft.ops.Similarity.cosineNearDupExact(vecs, 0.85)
+        .select("vec_a", "vec_b", "cos").collect()
+      val badSem = cos.filter(_.getDouble(2) < 0.999)
+      require(badSem.isEmpty,
+        s"$name@$sfDir: ${badSem.length} cosine pair(s) inside the " +
+          s"brittle [0.85, 0.999) band: " + badSem.take(5).mkString(", "))
+      println(f"[margin] $name%-8s/cos $sfDir: ${cos.length}%5d pairs at " +
+        "cos >= 0.85, all >= 0.999 (planted identical-vector class only)")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -197,7 +197,8 @@ object Plans {
     "web_pipeline_sem" -> "near ledger checkpoint (one chain materialization) -> kept-id semi of the EMBEDDINGS side table (side table re-scanned per banding arm — small, (vec_id, embedding)-pruned) -> 16 sign-band keys -> posting pairs -> exact-cosine verify join over candidate vectors only -> key-sized status join; nothing corpus-sized after the ledger",
     "web_pipeline_substr" -> "near ledger checkpoint (keepText) -> stride-1 gram explode over SURVIVORS only, hashed map-side (24 B/window on the wire) -> one (g64,g32)-keyed first-occurrence window -> doc rollup -> key-sized status join; three exchanges total, zero corpus re-scans",
     "streaming_web_pipeline_near" -> "seal-time readout plan: the staged parquet (written live by the stateless micro-batch stage) flows the literal batch verdict+near tails — same function values as web_pipeline_near, so the plan is its post-ledger shape over a staging scan",
-    "column_profile" -> "ONE orders scan fanned k ways through Catalyst's Expand for the k exact count(DISTINCT)s (the documented irreducible exact-cardinality cost; approx_count_distinct is the disclosed 100 TB swap); min/max/null partials combine map-side; output is k rows")
+    "column_profile" -> "ONE orders scan fanned k ways through Catalyst's Expand for the k exact count(DISTINCT)s (the documented irreducible exact-cardinality cost; approx_count_distinct is the disclosed 100 TB swap); min/max/null partials combine map-side; output is k rows",
+    "web_pipeline_full" -> "the complete chain: two lineage cuts (post-near, post-sem) bound plan depth and recompute — the upstream stages run once inside the cuts, the visible tail is the surgery window/rollup + status join over the post-sem LogicalRDD; stage populations shrink monotonically so cost is bounded by the near stage plus smaller tails")
 
   /** Streaming ops whose returned DataFrame is a memory-sink readout
     * (explain = LocalTableScan) — the audited evidence is the executed

@@ -162,7 +162,12 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // round 15: one scan fanned through Expand for the k exact
     // count(DISTINCT)s — crossed the 3 s bar under the honest
     // noop-write action (Expand cost was invisible to count())
-    ("column_profile", 2, 2, 0)
+    ("column_profile", 2, 2, 0),
+    // round 15: the complete front door (near -> sem -> surgery) —
+    // the returned plan bottoms at the post-sem checkpoint's
+    // LogicalRDD, leaving only the surgery window/rollup and the
+    // status join; the upstream stages execute inside the two cuts
+    ("web_pipeline_full", 0, 5, 0)
   )
 
   /** Micro-batch fingerprints for the streaming heavy tail: the op's
