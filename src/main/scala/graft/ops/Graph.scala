@@ -64,8 +64,13 @@ object Graph {
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10,
                scale: Long = 1000000000000L): DataFrame = {
-    val ed0 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE pass over the (often join-shaped) edges
+    // plan: the two-select union evaluated the unpersisted input twice
+    // during ed0's materialization (optimization round 15; same rows)
+    val ed0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     // pagerank touches every edge every round (unlike the frontier
@@ -146,8 +151,13 @@ object Graph {
     */
   def bfsHops(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
               maxHops: Int = 4): DataFrame = {
-    val ed0 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE pass over the (often join-shaped) edges
+    // plan: the two-select union evaluated the unpersisted input twice
+    // during ed0's materialization (optimization round 15; same rows)
+    val ed0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     val child = graphSession(edges.sparkSession, ed0.count())
@@ -278,8 +288,13 @@ object Graph {
     */
   def graphWalks(spark: SparkSession, edges: DataFrame,
                  steps: Int = 4): DataFrame = {
-    val ed0 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE pass over the (often join-shaped) edges
+    // plan: the two-select union evaluated the unpersisted input twice
+    // during ed0's materialization (optimization round 15; same rows)
+    val ed0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     val child = graphSession(edges.sparkSession, ed0.count())
@@ -446,8 +461,13 @@ object Graph {
     */
   def kCore(spark: SparkSession, edges: DataFrame, k: Int,
             maxRounds: Int = 12): DataFrame = {
-    val ed0 = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE pass over the (often join-shaped) edges
+    // plan: the two-select union evaluated the unpersisted input twice
+    // during ed0's materialization (optimization round 15; same rows)
+    val ed0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     val child = graphSession(edges.sparkSession, ed0.count())

@@ -223,8 +223,10 @@ object TextDedup {
     */
   def curationPipeline(docs: DataFrame, k: Int = 3,
                        threshold: Double = 0.5, maxDf: Int = 0): DataFrame = {
-    val cap = if (maxDf > 0) maxDf else dfCapFor(docs.count())
-    curationVerdicts(Text.textNormalize(docs, form = "NFC"), k, threshold, cap)
+    val n = docs.count()
+    val cap = if (maxDf > 0) maxDf else dfCapFor(n)
+    curationVerdicts(Text.textNormalize(docs, form = "NFC"), k, threshold,
+      cap, n)
   }
 
   /** The post-normalize verdict tail of [[curationPipeline]] — exact
@@ -235,17 +237,26 @@ object TextDedup {
     * staging sink, can run the IDENTICAL verdict arithmetic over the
     * staged corpus — one code chain, so batch and streaming cannot
     * drift. `norm` must carry (doc_id, text, content_hash) as produced
-    * by [[Text.textNormalize]].
+    * by [[Text.textNormalize]]. `corpusSize` is the caller's
+    * already-derived input count (both front doors count for the df
+    * cap), reused for the near stage's physical-shape dispatch.
+    *
+    * The exact ledger persists (optimization round 15): both the
+    * survivor slice feeding the near stage and the verdict tail read
+    * `exact`, and without the cut the normalize + window subtree
+    * planned and ran TWICE per query — the same double-evaluation the
+    * web front door's ledger checkpoint retired.
     */
   private[graft] def curationVerdicts(norm: DataFrame, k: Int,
                                       threshold: Double,
-                                      cap: Int): DataFrame = {
+                                      cap: Int, corpusSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val exact = norm.withColumn("exact_canon",
       min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .persist()
     val survivors = exact.filter(col("doc_id") === col("exact_canon"))
       .select(col("doc_id"), col("text"))
-    val nearCanon = nearDupJaccard(survivors, k, threshold, cap)
+    val nearCanon = nearDupJaccard(survivors, k, threshold, cap, corpusSize)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("near_canon"))
     exact.select(col("doc_id"), col("exact_canon"))
@@ -412,12 +423,43 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Corpus-size floor above which [[jaccardPairsOn]] dispatches to the
+    * prefix-filtered shape. Measured crossover (optimization round 15,
+    * sf0.1, local[32], ProfPairs + BenchOne): the 5.5k-doc documents
+    * corpus runs the posting expansion in ~2 s where the prefix shape's
+    * extra stages (df join, per-doc sort, candidate distinct, two
+    * verify joins) cost ~4 s — while the 96k-doc events corpus runs
+    * 14 s posting (24.2M expanded pairs) vs 5.6 s prefix (5.6M). The
+    * crossover sits in the tens of thousands of docs; above it the
+    * expansion volume dwarfs the fixed stage overhead, and at 100 TB
+    * every real corpus takes the prefix path — the floor only keeps
+    * gate-scale fixtures on the cheaper flat-overhead shape.
+    */
+  private[graft] val prefixDispatchFloor = 20000L
+
   /** Jaccard pairs ≥ `threshold` from a prepared (doc_id, shingle) set —
     * the inverted-index pipeline shared by the word-shingle and char
-    * n-gram variants.
+    * n-gram variants. Since optimization round 15 this dispatches on
+    * corpus size: ≥ [[prefixDispatchFloor]] docs routes through
+    * [[jaccardPairsPrefix]] (identical output rows — equivalence argued
+    * there, A/B-asserted by [[graft.tools.ProfPairs]] and oracle-gated
+    * at all three SFs); below it the posting expansion's flat overhead
+    * wins. Both shapes emit THE SAME rows, so the dispatch is a pure
+    * physical-plan decision (the AQE philosophy, one level up).
     */
   private def jaccardPairsOn(sh: DataFrame, threshold: Double,
-                             maxDf: Int): DataFrame = {
+                             maxDf: Int, corpusSize: Long): DataFrame =
+    if (corpusSize >= prefixDispatchFloor)
+      jaccardPairsPrefix(sh, threshold, maxDf)
+    else
+      jaccardPairsPosting(sh, threshold, maxDf)
+
+  /** The pre-round-15 posting-expansion shape of [[jaccardPairsOn]] —
+    * the small-corpus dispatch target and the A/B equality comparator
+    * ([[graft.tools.ProfPairs]]).
+    */
+  private[graft] def jaccardPairsPosting(sh: DataFrame, threshold: Double,
+                                         maxDf: Int): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     pairIntersections(sh, maxDf)
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
@@ -428,13 +470,113 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The SAME pair set as [[jaccardPairsOn]] — identical capped-`inter`
+    * arithmetic, identical output rows — computed with a Bayardo
+    * PREFIX-FILTERED candidate join instead of the full posting-pair
+    * expansion (optimization round 15, guide §2.3/§3: shuffle fewer
+    * bytes; the events front door's capped expansion was 24.2M pair
+    * rows at sf0.1 where prefixes admit 5.6M).
+    *
+    * Equivalence argument (why no output row can differ):
+    *  - A pair survives [[jaccardPairsOn]] iff its CAPPED intersection
+    *    I = |{shared shingles with 2 ≤ df ≤ maxDf}| satisfies
+    *    I / (n_a + n_b − I) ≥ t, with n the FULL per-doc shingle
+    *    counts. Since I ≤ min(n_a,n_b), the denominator is
+    *    ≥ max(n_a,n_b), so any surviving pair has I ≥ t·n_a and
+    *    I ≥ t·n_b — at least α_d = ⌈t·n_d⌉ shared CAPPED shingles per
+    *    endpoint (I is an integer).
+    *  - Order each doc's capped shingles by the global (df asc,
+    *    shingle) total order and index only the first
+    *    |C_d| − α_d + 1 ("everything but the last α_d − 1"). The
+    *    globally SMALLEST element of the capped intersection has ≥
+    *    α_d − 1 intersection elements after it in BOTH docs' orders,
+    *    so it sits inside BOTH prefixes — every surviving pair
+    *    collides in the prefix join (Bayardo et al., WWW'07, the same
+    *    lemma [[allPairsJaccard]] uses). Candidates are then decided
+    *    by the EXACT capped-set intersection, so extras (including
+    *    xxhash64 tok collisions, which can only ADD candidates) drop
+    *    out and the emitted (pair, jaccard) rows are identical.
+    *  - ⌈t·n⌉ is computed as ceil(t·n − 1e-9): a float that rounds UP
+    *    would shorten the prefix (unsound); the epsilon can only
+    *    lengthen it (more candidates, same output).
+    *
+    * Scale shape: postings are built over PREFIX shingles only — the
+    * df-ascending order puts boilerplate (high-df) shingles in the
+    * never-indexed suffixes, so the quadratic posting expansion runs
+    * on the rarest shingles instead of the df-capped densest ones.
+    * The capped-set rebuild touches only candidate docs (semi-join),
+    * the [[verifyJaccard]] discipline.
+    */
+  private[graft] def jaccardPairsPrefix(sh: DataFrame, threshold: Double,
+                                        maxDf: Int): DataFrame = {
+    // Shingle identity travels as its xxhash64 from here on: equal
+    // shingles always hash equal (no pair lost, no `inter` undercount);
+    // a spurious +1 on one pair's `inter` needs two DIFFERENT shingles
+    // of the SAME candidate pair colliding — ~n²/2⁶⁴ per pair (≈1e-16
+    // at n=10³ shingles/doc), ≪1 corpus-wide even at 10¹² candidate
+    // pairs. Longs keep the per-doc sets on `array_intersect`'s atomic
+    // fast path (struct/string elements take the interpreted pairwise
+    // path — measured 5× slower end-to-end), and shuffles carry 8 hash
+    // bytes per shingle instead of the shingle text.
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val dfreq = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    // one row per doc: its capped shingles SORTED by the global
+    // (df asc, h) order — rarest first — plus the FULL count n.
+    // Building the order inside a per-doc sort_array costs one doc-keyed
+    // shuffle and replaces both prefix-window passes.
+    val docArr = hashed.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+      .join(counts, "doc_id")
+      .select(col("doc_id"), col("arr"),
+        transform(col("arr"), e => e("h")).as("set"),
+        col("n"),
+        (size(col("arr")) -
+          ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + 1)
+          .as("plen"))
+      .filter(col("plen") >= 1)
+      .persist() // read by the prefix explode and both verify joins
+    val prefixes = docArr
+      .select(col("doc_id"),
+        explode(slice(transform(col("arr"), e => e("h")),
+          lit(1), col("plen"))).as("h"))
+    val cand = prefixes
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(docArr.select(col("doc_id").as("doc_a"), col("set").as("set_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("set").as("set_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+
   /** Near-duplicate pairs by shingle Jaccard >= `threshold` — exact as
     * long as no shingle exceeds `maxDf` (see [[pairIntersections]]);
     * output (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * `corpusSize` feeds the [[jaccardPairsOn]] physical-shape dispatch;
+    * pass it when the caller already knows the count (the curation
+    * front doors derive their df cap from it), otherwise the default
+    * -1 derives it here — one column-pruned count pass, the same
+    * derive-at-registration shape as `dfCapFor`/`bandingFor`.
     */
   def nearDupJaccard(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-                     maxDf: Int = 1000): DataFrame =
-    jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf)
+                     maxDf: Int = 1000, corpusSize: Long = -1L): DataFrame = {
+    val n = if (corpusSize >= 0L) corpusSize else docs.count()
+    jaccardPairsOn(shingles(docs, k).persist(), threshold, maxDf, n)
+  }
 
   /** COMPLETE Jaccard-threshold similarity join by prefix filtering
     * (AllPairs, Bayardo et al., WWW 2007) — the guarantee the rest of
@@ -1311,8 +1453,14 @@ object TextDedup {
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both directions from ONE pass over the pairs plan: the union of
+    // two selects of the same (unpersisted, often expensive) pairs
+    // subtree planned and ran it twice — an explode of the two
+    // orientations reads it once (optimization round 15; same rows)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // propagate over EDGE VERTICES only: a doc in no pair is its own
     // singleton cluster and can never change label, so iterating it is

@@ -825,8 +825,9 @@ object Streaming {
                                      threshold: Double): DataFrame = {
     import graft.ops.TextDedup
     val corpus = spark.read.schema(stagedSchema).parquet(sinkPath)
+    val n = corpus.count()
     TextDedup.curationVerdicts(corpus, k, threshold,
-      TextDedup.dfCapFor(corpus.count()))
+      TextDedup.dfCapFor(n), n)
   }
 
   /** LIVE two-sample KS drift monitor — [[graft.ops.Profile.ksDrift]]'s
